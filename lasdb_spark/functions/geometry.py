@@ -1,0 +1,116 @@
+"""Planar geometry: WKT polygon parsing + vectorized point-in-polygon.
+
+Replaces the reference's PostGIS dependency (ST_Within / ST_DWithin,
+pipeline/retrieve_data.py:58-83) with:
+- a minimal WKT POLYGON parser (exterior ring + holes), public format;
+- an even-odd ray-casting containment test, vectorized with numpy and
+  shipped to executors as an Arrow-batched Pandas UDF — the ONLY Python
+  on the query hot path, and only for polygon queries. If shapely is
+  available it is used instead (faster C implementation).
+
+Even-odd rule: including hole rings in the edge set automatically
+excludes hole interiors, so polygons with 1..n holes (reference
+benchmark B6/B8, scripts/query_210m.json:38,48) need no special-casing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional fast path
+    import shapely  # noqa: F401
+    from shapely import contains_xy as _shapely_contains_xy
+    from shapely.wkt import loads as _shapely_loads
+
+    HAVE_SHAPELY = True
+except Exception:  # pragma: no cover - container has no shapely
+    HAVE_SHAPELY = False
+
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+
+
+def parse_wkt_polygon(wkt: str) -> list[list[tuple[float, float]]]:
+    """Parse ``POLYGON ((...), (...))`` → list of rings [(x, y), ...].
+
+    First ring is the exterior, the rest are holes. Raises ValueError
+    on anything that is not a single POLYGON."""
+    s = wkt.strip()
+    m = re.match(r"(?is)^POLYGON\s*\((.*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"not a WKT POLYGON: {wkt[:60]!r}")
+    body = m.group(1)
+    rings: list[list[tuple[float, float]]] = []
+    for ring_m in re.finditer(r"\(([^()]*)\)", body):
+        pts = []
+        for pair in ring_m.group(1).split(","):
+            nums = re.findall(_NUM, pair)
+            if len(nums) < 2:
+                raise ValueError(f"bad coordinate pair {pair!r}")
+            pts.append((float(nums[0]), float(nums[1])))
+        rings.append(pts)
+    if not rings:
+        raise ValueError(f"empty POLYGON: {wkt[:60]!r}")
+    return rings
+
+
+def polygon_bbox(rings: list[list[tuple[float, float]]]) -> tuple[float, float, float, float]:
+    """(x_min, x_max, y_min, y_max) of the exterior ring."""
+    xs = [p[0] for p in rings[0]]
+    ys = [p[1] for p in rings[0]]
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def _contains_numpy(
+    rings: list[list[tuple[float, float]]], px: np.ndarray, py: np.ndarray
+) -> np.ndarray:
+    """Vectorized even-odd ray cast: O(edges) passes over the batch."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            crosses = (y1 > py) != (y2 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            inside ^= crosses & (px < xint)
+    return inside
+
+
+def point_in_polygon_udf(wkt: str):
+    """Pandas-UDF factory: (x, y) → boolean containment for a fixed WKT.
+
+    The parsed ring list is captured in the closure (small, pickled once
+    per task) — no per-row parsing."""
+    rings = parse_wkt_polygon(wkt)
+
+    if HAVE_SHAPELY:  # pragma: no cover
+        geom = _shapely_loads(wkt)
+
+        @F.pandas_udf(T.BooleanType())
+        def _contains(x: pd.Series, y: pd.Series) -> pd.Series:
+            return pd.Series(_shapely_contains_xy(geom, x.values, y.values))
+
+        return _contains
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(_contains_numpy(rings, x.values, y.values))
+
+    return _contains
+
+
+def circle_predicate(x: Column, y: Column, cx: float, cy: float, r: float) -> Column:
+    """(x-cx)² + (y-cy)² ≤ r² as a native Column (reference Q7 used
+    PostGIS ST_DWithin + DELETE; we filter, retrieve_data.py:46-63)."""
+    dx = x - F.lit(float(cx))
+    dy = y - F.lit(float(cy))
+    return (dx * dx + dy * dy) <= F.lit(float(r) * float(r))

@@ -1,0 +1,234 @@
+"""Ingest pipeline: quantize → Morton encode → head/tail split → layouts.
+
+Spark-first re-expression of the reference's single-threaded ingest
+(pipeline/import_data.py:38-56, pcsfc/point_processor.py:31-87):
+
+- the per-point python loop becomes native Column expressions inside
+  whole-stage codegen (zero Python on the executor hot path);
+- the in-memory global sort + groupby becomes a shuffle-free write
+  sorted by key (flat layout) or one hash aggregation (block layout);
+- CSV staging + COPY + B-tree index (reference S5/S6/Q13) become a
+  single distributed Parquet write, range-partitioned and sorted by
+  ``sfc_key`` so row-group min/max stats give B-tree-like range pruning.
+
+Scale notes (100 TB): ``repartitionByRange(sfc_key)`` is one shuffle and
+yields globally range-ordered files → a bbox query touches only the few
+files/row-groups whose key range intersects the window. Partition count
+should be sized so each file is 128–512 MB at the target scale.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pcsfc.columns import (
+    merge_key_col,
+    morton_decode_x_col,
+    morton_decode_y_col,
+    morton_encode_col,
+    quantize_col,
+    split_head_col,
+    split_tail_col,
+)
+from ..pcsfc.morton import compute_split_length
+
+METADATA_FILE = "_pc_metadata.json"
+
+
+@dataclass
+class DatasetMeta:
+    """Per-dataset metadata (reference pc_metadata DDL, db/__init__.py:43-52).
+
+    Always read back at query time — the reference hard-codes
+    head_len/tail_len at query.py:27; we do not (SURVEY §2.6)."""
+
+    name: str
+    srid: int
+    point_count: int
+    head_length: int
+    tail_length: int
+    scales: list[float] = field(default_factory=lambda: [1.0, 1.0, 1.0])
+    offsets: list[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    bbox: list[float] = field(default_factory=list)  # x0,x1,y0,y1,z0,z1
+
+    @property
+    def grid_bits(self) -> int:
+        """Per-axis bit width of the quantized grid (for decomposition)."""
+        return math.ceil((self.head_length + self.tail_length) / 2)
+
+
+def compute_metadata(
+    points: DataFrame,
+    name: str,
+    srid: int = 28992,
+    scales: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    offsets: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    ratio: float = 0.7,
+) -> DatasetMeta:
+    """One distributed agg for count + bbox union (reference S4/G5,
+    pipeline/import_data.py:76-99) + the split-length rule (F8)."""
+    row = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+        F.min("z").alias("z0"),
+        F.max("z").alias("z1"),
+    ).collect()[0]
+    qx_max = round((row.x1 - offsets[0]) / scales[0])
+    qy_max = round((row.y1 - offsets[1]) / scales[1])
+    if qx_max < 0 or qy_max < 0 or (row.x0 - offsets[0]) < 0 or (row.y0 - offsets[1]) < 0:
+        raise ValueError(
+            "offsets must place the grid in the positive quadrant "
+            f"(x0={row.x0}, y0={row.y0}, offsets={offsets})"
+        )
+    head_len, tail_len = compute_split_length(int(qx_max), int(qy_max), ratio)
+    return DatasetMeta(
+        name=name,
+        srid=srid,
+        point_count=row.n,
+        head_length=head_len,
+        tail_length=tail_len,
+        scales=list(scales),
+        offsets=list(offsets),
+        bbox=[row.x0, row.x1, row.y0, row.y1, row.z0, row.z1],
+    )
+
+
+def attach_sfc(points: DataFrame, meta: DatasetMeta) -> DataFrame:
+    """Add qx, qy, sfc_key, sfc_head, sfc_tail columns (F5, F2, F6).
+
+    All native Column bit arithmetic — one codegen stage, no UDFs."""
+    sx, sy, _ = meta.scales
+    ox, oy, _ = meta.offsets
+    qx = quantize_col(F.col("x"), sx, ox)
+    qy = quantize_col(F.col("y"), sy, oy)
+    key = morton_encode_col(qx, qy)
+    return (
+        points.withColumn("sfc_key", key)
+        .withColumn("sfc_head", split_head_col(F.col("sfc_key"), meta.tail_length))
+        .withColumn("sfc_tail", split_tail_col(F.col("sfc_key"), meta.tail_length))
+    )
+
+
+def decode_sfc(df: DataFrame, meta: DatasetMeta) -> DataFrame:
+    """Inverse transform: sfc_key → (x, y) on the original scale (F4, F7).
+
+    Used by the block-layout query path after unpacking."""
+    sx, sy, _ = meta.scales
+    ox, oy, _ = meta.offsets
+    key = F.col("sfc_key")
+    return df.withColumn(
+        "x", morton_decode_x_col(key).cast("double") * sx + ox
+    ).withColumn("y", morton_decode_y_col(key).cast("double") * sy + oy)
+
+
+def pack_blocks(df_sfc: DataFrame) -> DataFrame:
+    """Block layout: one row per head, tails ascending, z co-sorted (G1–G3).
+
+    ``sort_array(collect_list(struct(tail, z)))`` sorts by tail first
+    (struct ordering), reproducing the reference's per-group co-sort
+    (pcsfc/point_processor.py:61-81) in ONE hash aggregation. At scale
+    this is a single shuffle on sfc_head; the head/tail split ratio
+    bounds per-group size (the reference sweeps the same knob)."""
+    return (
+        df_sfc.groupBy("sfc_head")
+        .agg(F.sort_array(F.collect_list(F.struct("sfc_tail", "z"))).alias("pts"))
+        .select(
+            "sfc_head",
+            F.col("pts.sfc_tail").alias("sfc_tail"),
+            F.col("pts.z").alias("z"),
+        )
+    )
+
+
+def unpack_blocks(blocks: DataFrame, meta: DatasetMeta) -> DataFrame:
+    """Inverse of pack_blocks: explode arrays, rebuild keys (Q4)."""
+    exploded = blocks.select(
+        "sfc_head", F.explode(F.arrays_zip("sfc_tail", "z")).alias("p")
+    ).select(
+        "sfc_head",
+        F.col("p.sfc_tail").alias("sfc_tail"),
+        F.col("p.z").alias("z"),
+    )
+    return decode_sfc(
+        exploded.withColumn(
+            "sfc_key",
+            merge_key_col(F.col("sfc_head"), F.col("sfc_tail"), meta.tail_length),
+        ),
+        meta,
+    )
+
+
+def block_histogram(df_sfc: DataFrame) -> DataFrame:
+    """(sfc_head, num_tail) per block (G4; point_processor.py:74-79)."""
+    return df_sfc.groupBy("sfc_head").agg(F.count(F.lit(1)).alias("num_tail"))
+
+
+def ingest_points(
+    points: DataFrame,
+    name: str,
+    base_path: str,
+    srid: int = 28992,
+    scales: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    offsets: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    ratio: float = 0.7,
+    layout: str = "flat",
+    target_partitions: int | None = None,
+) -> DatasetMeta:
+    """Full ingest: metadata pass + encoded write, sorted by key.
+
+    flat layout:  (x, y, z, sfc_key)  — primary; Parquet stats on the
+                  sorted sfc_key column replace the reference's B-tree.
+    block layout: (sfc_head, sfc_tail[], z[]) — faithful-schema mode.
+    """
+    meta = compute_metadata(points, name, srid, scales, offsets, ratio)
+    df = attach_sfc(points, meta)
+    out = os.path.join(base_path, f"pc_record_{name}")
+    nparts = target_partitions or max(
+        1, min(256, meta.point_count // 500_000 + 1)
+    )
+    if layout == "flat":
+        (
+            df.select("x", "y", "z", "sfc_key")
+            .repartitionByRange(nparts, "sfc_key")
+            .sortWithinPartitions("sfc_key")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    elif layout == "block":
+        (
+            pack_blocks(df)
+            .repartitionByRange(nparts, "sfc_head")
+            .sortWithinPartitions("sfc_head")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    meta_path = os.path.join(base_path, f"pc_metadata_{name}.json")
+    with open(meta_path, "w") as f:
+        json.dump({**asdict(meta), "layout": layout}, f, indent=2)
+    return meta
+
+
+def load_metadata(base_path: str, name: str) -> tuple[DatasetMeta, str]:
+    """Read back (meta, layout) — fixes the reference's hard-coded
+    head/tail at query.py:27."""
+    with open(os.path.join(base_path, f"pc_metadata_{name}.json")) as f:
+        d = json.load(f)
+    layout = d.pop("layout", "flat")
+    return DatasetMeta(**d), layout
+
+
+def load_dataset(spark: SparkSession, base_path: str, name: str) -> tuple[DataFrame, DatasetMeta, str]:
+    meta, layout = load_metadata(base_path, name)
+    df = spark.read.parquet(os.path.join(base_path, f"pc_record_{name}"))
+    return df, meta, layout

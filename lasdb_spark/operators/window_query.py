@@ -1,0 +1,164 @@
+"""Spatial window queries: bbox / circle / polygon / z-slab / kNN.
+
+The reference's filter-refine loop (pipeline/retrieve_data.py:33-153)
+re-expressed as ONE lazy DataFrame pipeline per query:
+
+    driver: SFC decomposition of the window     (pure function, Q1)
+    scan:   key-range predicates → Parquet row-group pruning (Q2/Q3)
+    refine: exact geometry filter on original coords (Q5-Q9)
+    write/return: a DataFrame — no intermediate materialization,
+    no client round-trips, no DELETE-based refinement (SURVEY §2.6).
+
+At 100 TB the pruning predicate is what matters: the sorted-by-key
+layout means a small window touches a handful of row groups; the exact
+refine runs only on the surviving rows, JVM-side (codegen) for
+bbox/circle/z, Arrow-batched pandas UDF only for polygons.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geometry import (
+    circle_predicate,
+    parse_wkt_polygon,
+    point_in_polygon_udf,
+    polygon_bbox,
+)
+from ..pcsfc.range_search import (
+    decompose_bbox,
+    key_ranges_to_head_ranges,
+    planning_grid_bounds,
+    ranges_predicate,
+)
+from .ingest import DatasetMeta, unpack_blocks
+
+RESULT_COLS = ("x", "y", "z")
+
+
+@dataclass
+class WindowQuerier:
+    """Query executor over an ingested dataset (flat or block layout).
+
+    ``df`` is the stored table; ``meta`` its DatasetMeta (always read
+    from storage — reference hard-codes split params, query.py:27)."""
+
+    df: DataFrame
+    meta: DatasetMeta
+    layout: str = "flat"
+    max_ranges: int = 256
+
+    # -- planning ---------------------------------------------------------
+    def _key_ranges(self, x0: float, x1: float, y0: float, y1: float):
+        sx, sy, _ = self.meta.scales
+        ox, oy, _ = self.meta.offsets
+        qx0, qx1 = planning_grid_bounds(x0, x1, sx, ox)
+        qy0, qy1 = planning_grid_bounds(y0, y1, sy, oy)
+        return decompose_bbox(
+            qx0, qx1, qy0, qy1, bits=self.meta.grid_bits, max_ranges=self.max_ranges
+        )
+
+    def _pruned(self, x0: float, x1: float, y0: float, y1: float) -> DataFrame:
+        """Candidate rows via SFC range pushdown, decoded to x/y/z."""
+        ranges = self._key_ranges(x0, x1, y0, y1)
+        if self.layout == "block":
+            head_ranges = key_ranges_to_head_ranges(ranges, self.meta.tail_length)
+            blocks = self.df.filter(ranges_predicate(F.col("sfc_head"), head_ranges))
+            return unpack_blocks(blocks, self.meta)
+        if "sfc_key" in self.df.columns:
+            return self.df.filter(ranges_predicate(F.col("sfc_key"), ranges))
+        return self.df  # raw points: no index available, full scan + refine
+
+    @staticmethod
+    def _zslab(df: DataFrame, minz: float | None, maxz: float | None) -> DataFrame:
+        """Composable z filters (reference Q9 ran post-hoc DELETEs)."""
+        if minz is not None:
+            df = df.filter(F.col("z") >= float(minz))
+        if maxz is not None:
+            df = df.filter(F.col("z") <= float(maxz))
+        return df
+
+    # -- query surface (Q6-Q11) -------------------------------------------
+    def bbox(self, bbox, minz=None, maxz=None) -> DataFrame:
+        """bbox = [x_min, x_max, y_min, y_max] (Q6)."""
+        x0, x1, y0, y1 = (float(v) for v in bbox)
+        out = self._pruned(x0, x1, y0, y1).filter(
+            F.col("x").between(x0, x1) & F.col("y").between(y0, y1)
+        )
+        return self._zslab(out, minz, maxz).select(*RESULT_COLS)
+
+    def circle(self, center, radius, minz=None, maxz=None) -> DataFrame:
+        """center = [cx, cy] (Q7): circumscribing-bbox prune + exact."""
+        cx, cy, r = float(center[0]), float(center[1]), float(radius)
+        out = self._pruned(cx - r, cx + r, cy - r, cy + r).filter(
+            circle_predicate(F.col("x"), F.col("y"), cx, cy, r)
+        )
+        return self._zslab(out, minz, maxz).select(*RESULT_COLS)
+
+    def polygon(self, wkt: str, minz=None, maxz=None) -> DataFrame:
+        """WKT polygon with holes (Q8): bbox prune + cheap bbox refine
+        (codegen) + exact even-odd containment (pandas UDF, last)."""
+        rings = parse_wkt_polygon(wkt)
+        x0, x1, y0, y1 = polygon_bbox(rings)
+        contains = point_in_polygon_udf(wkt)
+        out = (
+            self._pruned(x0, x1, y0, y1)
+            .filter(F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
+            .filter(contains(F.col("x"), F.col("y")))
+        )
+        return self._zslab(out, minz, maxz).select(*RESULT_COLS)
+
+    def knn(self, point, k: int, minz=None, maxz=None) -> DataFrame:
+        """k nearest neighbours of [px, py] (Q11 — declared but NOT
+        implemented by the reference, retrieve_data.py:40-41).
+
+        Expanding-window search: grow a square until it provably holds
+        the k nearest (count ≥ k AND kth distance ≤ half-width), then
+        top-k via orderBy(...).limit(k) — Spark executes that as a
+        distributed TakeOrdered, not a full sort. Ties broken by
+        (d2, x, y, z) for determinism."""
+        px, py = float(point[0]), float(point[1])
+        d2 = (F.col("x") - px) * (F.col("x") - px) + (F.col("y") - py) * (
+            F.col("y") - py
+        )
+        base = self._zslab(self.df, minz, maxz) if self.layout == "flat" else None
+
+        # initial half-width from global density (meta bbox is exact)
+        x0, x1, y0, y1 = self.meta.bbox[:4]
+        area = max((x1 - x0) * (y1 - y0), 1e-9)
+        n = max(self.meta.point_count, 1)
+        r = max(math.sqrt(area * k / n), 1e-6)
+        span = max(x1 - x0, y1 - y0)
+
+        for _ in range(12):
+            cand = self._pruned(px - r, px + r, py - r, py + r)
+            cand = self._zslab(cand, minz, maxz).withColumn("d2", d2)
+            top = cand.orderBy("d2", "x", "y", "z").limit(k)
+            rows = top.collect()
+            if len(rows) >= k and rows[-1].d2 <= r * r:
+                break
+            if r > span:  # window already covers the whole dataset
+                break
+            r *= 2.0
+        out = cand.orderBy("d2", "x", "y", "z").limit(k)
+        return out.select("x", "y", "z", F.col("d2").alias("d2"))
+
+    def query(
+        self, mode: str, geometry, minz=None, maxz=None, k: int | None = None
+    ) -> DataFrame:
+        """Dispatch on mode ∈ {bbox, circle, polygon, nn} (Q10,
+        retrieve_data.py:33-41)."""
+        if mode == "bbox":
+            return self.bbox(geometry, minz, maxz)
+        if mode == "circle":
+            center, r = geometry
+            return self.circle(center, r, minz, maxz)
+        if mode == "polygon":
+            return self.polygon(geometry, minz, maxz)
+        if mode == "nn":
+            return self.knn(geometry, k or 1000, minz, maxz)
+        raise ValueError(f"unknown query mode {mode!r}")

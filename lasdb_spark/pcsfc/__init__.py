@@ -1,0 +1,34 @@
+"""Space-filling-curve core: Morton math, Column builders, SQL builders,
+and the driver-side range decomposition planner."""
+
+from .morton import (
+    compact2d,
+    compute_split_length,
+    decode_morton_2d,
+    encode_morton_2d,
+    expand2d,
+    merge_key,
+    quantize,
+    split_key,
+)
+from .range_search import (
+    decompose_bbox,
+    key_ranges_to_head_ranges,
+    planning_grid_bounds,
+    ranges_predicate,
+)
+
+__all__ = [
+    "compact2d",
+    "compute_split_length",
+    "decode_morton_2d",
+    "decompose_bbox",
+    "encode_morton_2d",
+    "expand2d",
+    "key_ranges_to_head_ranges",
+    "merge_key",
+    "planning_grid_bounds",
+    "quantize",
+    "ranges_predicate",
+    "split_key",
+]
