@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship bbox window query at sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``— DuckDB-equivalent SQL per query, built from the SAME
+                  expression generators as the Spark side
+                  (lasdb_spark.pcsfc.sqlgen), so the arithmetic is
+                  bit-identical.
+
+The testdata has no raw point table, so the point-cloud surface runs on
+a deterministic derivation from ``lineitem`` (lasdb_spark.sources.points
+— integer arithmetic + one exact double division, identical in Spark
+and DuckDB).
 """
 
 from __future__ import annotations
@@ -12,27 +18,258 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lasdb_spark.operators.ingest import DatasetMeta, attach_sfc
+from lasdb_spark.operators.window_query import WindowQuerier
+from lasdb_spark.pcsfc import sqlgen
+from lasdb_spark.pcsfc.morton import compute_split_length
+from lasdb_spark.sources.points import EXTENT, POINTS_SQL, points_df
+
+# ---------------------------------------------------------------------------
+# Dataset parameters for the derived cloud (static — the extent is fixed
+# by the derivation, so planning params need no Spark action).
+# ---------------------------------------------------------------------------
+SCALES = (1.0, 1.0, 1.0)
+OFFSETS = (0.0, 0.0, 0.0)
+RATIO = 0.7
+_HEAD_LEN, _TAIL_LEN = compute_split_length(
+    round(EXTENT[1] - OFFSETS[0]), round(EXTENT[3] - OFFSETS[1]), RATIO
+)
+
+META = DatasetMeta(
+    name="derived",
+    srid=28992,
+    point_count=60_000,  # order-of-magnitude prior for kNN seeding only
+    head_length=_HEAD_LEN,
+    tail_length=_TAIL_LEN,
+    scales=list(SCALES),
+    offsets=list(OFFSETS),
+    bbox=list(EXTENT),
+)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _querier(spark: SparkSession, sf_dir: str) -> WindowQuerier:
+    pts = attach_sfc(points_df(spark, sf_dir), META)
+    return WindowQuerier(pts, META, layout="flat")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# Geometry constants shared by Spark + oracle sides. Boundaries sit at
+# .005 offsets so no derived point (0.01 grid) lies exactly on an edge.
+BBOX = (85200.0, 85400.0, 446300.0, 446800.0)
+CIRCLE = ((85500.0, 446700.0), 150.0)
+KNN_POINT, KNN_K = (85500.0, 446700.0), 100
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+# L-shape: union of two rectangles (oracle = boolean algebra; the engine
+# runs the generic even-odd WKT path).
+POLY_L = (
+    "POLYGON ((85100.005 446100.005, 85599.995 446100.005, 85599.995 446599.995, "
+    "85349.995 446599.995, 85349.995 447099.995, 85100.005 447099.995, "
+    "85100.005 446100.005))"
+)
+# outer rect minus a rect hole
+POLY_HOLE = (
+    "POLYGON ((85100.005 446100.005, 85899.995 446100.005, 85899.995 447399.995, "
+    "85100.005 447399.995, 85100.005 446100.005), "
+    "(85299.995 446499.995, 85700.005 446499.995, 85700.005 447000.005, "
+    "85299.995 447000.005, 85299.995 446499.995))"
+)
+# diamond (tests non-rectilinear edges; oracle = two half-plane pairs)
+DIA_CX, DIA_CY, DIA_A, DIA_B = 85500.005, 446750.005, 300.0, 450.0
+POLY_DIAMOND = (
+    f"POLYGON (({DIA_CX - DIA_A} {DIA_CY}, {DIA_CX} {DIA_CY - DIA_B}, "
+    f"{DIA_CX + DIA_A} {DIA_CY}, {DIA_CX} {DIA_CY + DIA_B}, {DIA_CX - DIA_A} {DIA_CY}))"
+)
+ZMAX, ZMIN = 10.0, 25.0
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+def _q_bbox(spark, sf_dir):
+    return _querier(spark, sf_dir).bbox(BBOX)
+
+
+def _q_bbox_maxz(spark, sf_dir):
+    return _querier(spark, sf_dir).bbox(BBOX, maxz=ZMAX)
+
+
+def _q_bbox_minz(spark, sf_dir):
+    return _querier(spark, sf_dir).bbox(BBOX, minz=ZMIN)
+
+
+def _q_circle(spark, sf_dir):
+    return _querier(spark, sf_dir).circle(*CIRCLE)
+
+
+def _q_polygon_l(spark, sf_dir):
+    return _querier(spark, sf_dir).polygon(POLY_L)
+
+
+def _q_polygon_hole(spark, sf_dir):
+    return _querier(spark, sf_dir).polygon(POLY_HOLE)
+
+
+def _q_polygon_diamond(spark, sf_dir):
+    return _querier(spark, sf_dir).polygon(POLY_DIAMOND)
+
+
+def _q_bbox_empty(spark, sf_dir):
+    # window fully outside the data extent (reference D16_XL_RECT_EMPTY)
+    return _querier(spark, sf_dir).bbox((10.0, 20.0, 10.0, 20.0))
+
+
+def _q_knn(spark, sf_dir):
+    return _querier(spark, sf_dir).knn(KNN_POINT, KNN_K)
+
+
+def _q_flat_points(spark, sf_dir):
+    """Full encode parity: quantize → Morton key → head/tail (F1-F2, F5-F6)."""
+    pts = attach_sfc(points_df(spark, sf_dir), META)
+    return pts.select("x", "y", "z", "sfc_key", "sfc_head", "sfc_tail")
+
+
+def _q_decode_roundtrip(spark, sf_dir):
+    """Decode parity (F3-F4, F7): key → (x, y) grid coords."""
+    from lasdb_spark.pcsfc.columns import morton_decode_x_col, morton_decode_y_col
+
+    pts = attach_sfc(points_df(spark, sf_dir), META)
+    return pts.select(
+        "sfc_key",
+        morton_decode_x_col(F.col("sfc_key")).alias("grid_x"),
+        morton_decode_y_col(F.col("sfc_key")).alias("grid_y"),
+    )
+
+
+def _q_block_pack(spark, sf_dir):
+    """Block aggregation summary (G1-G3): exact int stats per head."""
+    pts = attach_sfc(points_df(spark, sf_dir), META)
+    return pts.groupBy("sfc_head").agg(
+        F.count(F.lit(1)).alias("num_points"),
+        F.min("sfc_tail").alias("tail_min"),
+        F.max("sfc_tail").alias("tail_max"),
+        F.sum("sfc_tail").alias("tail_sum"),
+    )
+
+
+def _q_histogram(spark, sf_dir):
+    """Block histogram side output (G4)."""
+    from lasdb_spark.operators.ingest import block_histogram
+
+    return block_histogram(attach_sfc(points_df(spark, sf_dir), META))
+
+
+def _q_metadata_agg(spark, sf_dir):
+    """Metadata union agg (S4/G5): count + bbox."""
+    return points_df(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("point_count"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — same arithmetic, generated from shared builders
+# ---------------------------------------------------------------------------
+_PTS = f"WITH points AS ({POINTS_SQL})"
+
+_QX = sqlgen.quantize_sql("x", SCALES[0], OFFSETS[0])
+_QY = sqlgen.quantize_sql("y", SCALES[1], OFFSETS[1])
+_SFC_CTE = (
+    f"{_PTS}, q AS (SELECT x, y, z, {_QX} AS qx, {_QY} AS qy FROM points), "
+    f"k AS (SELECT x, y, z, {sqlgen.morton_encode_sql('qx', 'qy')} AS sfc_key FROM q)"
+)
+
+
+def _bbox_where(b=BBOX):
+    return f"x BETWEEN {b[0]} AND {b[1]} AND y BETWEEN {b[2]} AND {b[3]}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    (cx, cy), r = CIRCLE
+    px, py = KNN_POINT
+    d2 = f"(x - {px})*(x - {px}) + (y - {py})*(y - {py})"
+    head = sqlgen.split_head_sql("sfc_key", _TAIL_LEN)
+    tail = sqlgen.split_tail_sql("sfc_key", _TAIL_LEN)
+    return {
+        "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
+        "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
+        "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
+        "pc_bbox_empty": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where((10.0, 20.0, 10.0, 20.0))}",
+        "pc_circle": (
+            f"{_PTS} SELECT x, y, z FROM points "
+            f"WHERE (x - {cx})*(x - {cx}) + (y - {cy})*(y - {cy}) <= {r * r}"
+        ),
+        "pc_polygon_l": (
+            f"{_PTS} SELECT x, y, z FROM points WHERE "
+            f"(x BETWEEN 85100.005 AND 85599.995 AND y BETWEEN 446100.005 AND 446599.995) "
+            f"OR (x BETWEEN 85100.005 AND 85349.995 AND y BETWEEN 446100.005 AND 447099.995)"
+        ),
+        "pc_polygon_hole": (
+            f"{_PTS} SELECT x, y, z FROM points WHERE "
+            f"x BETWEEN 85100.005 AND 85899.995 AND y BETWEEN 446100.005 AND 447399.995 "
+            f"AND NOT (x > 85299.995 AND x < 85700.005 AND y > 446499.995 AND y < 447000.005)"
+        ),
+        "pc_polygon_diamond": (
+            f"{_PTS} SELECT x, y, z FROM points WHERE "
+            f"abs(x - {DIA_CX}) / {DIA_A} + abs(y - {DIA_CY}) / {DIA_B} < 1.0"
+        ),
+        "pc_knn": (
+            f"{_PTS} SELECT x, y, z, d2 FROM ("
+            f"SELECT x, y, z, {d2} AS d2, "
+            f"row_number() OVER (ORDER BY {d2}, x, y, z) AS rn FROM points) "
+            f"WHERE rn <= {KNN_K}"
+        ),
+        "pc_flat_points": (
+            f"{_SFC_CTE} SELECT x, y, z, sfc_key, {head} AS sfc_head, "
+            f"{tail} AS sfc_tail FROM k"
+        ),
+        "pc_decode_roundtrip": (
+            f"{_SFC_CTE} SELECT sfc_key, "
+            f"{sqlgen.morton_decode_x_sql('sfc_key')} AS grid_x, "
+            f"{sqlgen.morton_decode_y_sql('sfc_key')} AS grid_y FROM k"
+        ),
+        "pc_block_pack": (
+            f"{_SFC_CTE}, ht AS (SELECT {head} AS sfc_head, {tail} AS sfc_tail FROM k) "
+            f"SELECT sfc_head, count(*) AS num_points, min(sfc_tail) AS tail_min, "
+            f"max(sfc_tail) AS tail_max, CAST(sum(sfc_tail) AS BIGINT) AS tail_sum "
+            f"FROM ht GROUP BY sfc_head"
+        ),
+        "pc_histogram": (
+            f"{_SFC_CTE} SELECT {head} AS sfc_head, count(*) AS num_tail "
+            f"FROM k GROUP BY 1"
+        ),
+        "pc_metadata_agg": (
+            f"{_PTS} SELECT count(*) AS point_count, "
+            f"min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, "
+            f"min(z) AS z_min, max(z) AS z_max FROM points"
+        ),
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pc_bbox": _q_bbox,
+        "pc_bbox_maxz": _q_bbox_maxz,
+        "pc_bbox_minz": _q_bbox_minz,
+        "pc_bbox_empty": _q_bbox_empty,
+        "pc_circle": _q_circle,
+        "pc_polygon_l": _q_polygon_l,
+        "pc_polygon_hole": _q_polygon_hole,
+        "pc_polygon_diamond": _q_polygon_diamond,
+        "pc_knn": _q_knn,
+        "pc_flat_points": _q_flat_points,
+        "pc_decode_roundtrip": _q_decode_roundtrip,
+        "pc_block_pack": _q_block_pack,
+        "pc_histogram": _q_histogram,
+        "pc_metadata_agg": _q_metadata_agg,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: Morton-pruned bbox window query on sf0.001."""
+    return _q_bbox(spark, "/root/testdata/sf0.001")

@@ -30,10 +30,10 @@ from ..functions.geometry import (
     polygon_bbox,
 )
 from ..pcsfc.range_search import (
+    apply_key_ranges,
     decompose_bbox,
     key_ranges_to_head_ranges,
     planning_grid_bounds,
-    ranges_predicate,
 )
 from .ingest import DatasetMeta, unpack_blocks
 
@@ -67,10 +67,10 @@ class WindowQuerier:
         ranges = self._key_ranges(x0, x1, y0, y1)
         if self.layout == "block":
             head_ranges = key_ranges_to_head_ranges(ranges, self.meta.tail_length)
-            blocks = self.df.filter(ranges_predicate(F.col("sfc_head"), head_ranges))
+            blocks = apply_key_ranges(self.df, "sfc_head", head_ranges)
             return unpack_blocks(blocks, self.meta)
         if "sfc_key" in self.df.columns:
-            return self.df.filter(ranges_predicate(F.col("sfc_key"), ranges))
+            return apply_key_ranges(self.df, "sfc_key", ranges)
         return self.df  # raw points: no index available, full scan + refine
 
     @staticmethod
@@ -125,7 +125,6 @@ class WindowQuerier:
         d2 = (F.col("x") - px) * (F.col("x") - px) + (F.col("y") - py) * (
             F.col("y") - py
         )
-        base = self._zslab(self.df, minz, maxz) if self.layout == "flat" else None
 
         # initial half-width from global density (meta bbox is exact)
         x0, x1, y0, y1 = self.meta.bbox[:4]

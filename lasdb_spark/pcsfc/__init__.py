@@ -12,6 +12,7 @@ from .morton import (
     split_key,
 )
 from .range_search import (
+    apply_key_ranges,
     decompose_bbox,
     key_ranges_to_head_ranges,
     planning_grid_bounds,
@@ -19,6 +20,7 @@ from .range_search import (
 )
 
 __all__ = [
+    "apply_key_ranges",
     "compact2d",
     "compute_split_length",
     "decode_morton_2d",

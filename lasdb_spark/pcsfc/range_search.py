@@ -17,7 +17,6 @@ outside may also be covered — the exact refine filter removes them).
 from __future__ import annotations
 
 import math
-from functools import reduce
 from typing import Sequence
 
 from .morton import encode_morton_2d
@@ -105,19 +104,68 @@ def key_ranges_to_head_ranges(
     return _merge_ranges(sorted((lo >> tail_len, hi >> tail_len) for lo, hi in ranges))
 
 
+def _balanced_or(preds):
+    """Balanced OR tree — a left-deep reduce() of hundreds of ORs makes
+    Catalyst codegen build quadratically large strings (observed JVM
+    OOM at ~256 terms)."""
+    if len(preds) == 1:
+        return preds[0]
+    mid = len(preds) // 2
+    return _balanced_or(preds[:mid]) | _balanced_or(preds[mid:])
+
+
 def ranges_predicate(col, ranges: Sequence[tuple[int, int]]):
     """OR-of-BETWEENs Column predicate over ``col`` for the given ranges.
 
     These are plain comparisons on a long column, so Catalyst pushes
     them into the Parquet scan (row-group min/max skipping) — the Spark
     analog of the reference's B-tree range scan (db/__init__.py:118-126
-    + pipeline/retrieve_data.py:110-125).
+    + pipeline/retrieve_data.py:110-125). Use only for modest range
+    counts; prefer :func:`apply_key_ranges` which switches to a
+    broadcast range join for long lists.
     """
     from pyspark.sql import functions as F
 
     if not ranges:
         return F.lit(False)
-    return reduce(lambda a, b: a | b, (col.between(lo, hi) for lo, hi in ranges))
+    return _balanced_or([col.between(lo, hi) for lo, hi in ranges])
+
+
+# Above this many ranges, OR-of-BETWEENs stops paying for itself
+# (codegen size) and a broadcast range semi-join wins. The coarse
+# [min, max] BETWEEN is still pushed to the Parquet scan either way.
+MAX_OR_TERMS = 24
+
+
+def apply_key_ranges(df, colname: str, ranges: Sequence[tuple[int, int]], max_or_terms: int = MAX_OR_TERMS):
+    """Filter ``df`` to rows whose ``colname`` falls in any range.
+
+    Two physical strategies (mirrors reference Q2/Q3,
+    pipeline/retrieve_data.py:110-125, Spark-first):
+
+    - few ranges → balanced OR-of-BETWEENs, fully pushed down to the
+      Parquet scan (row-group skipping);
+    - many ranges → one coarse ``BETWEEN(min, max)`` that IS pushed
+      down, then a broadcast LEFT SEMI range join against the tiny
+      in-memory range table (the reference's temp RangeTable + EXISTS,
+      without the round-trip). No shuffle: ranges are broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    if not ranges:
+        return df.filter(F.lit(False))
+    col = F.col(colname)
+    if len(ranges) <= max_or_terms:
+        return df.filter(ranges_predicate(col, ranges))
+    lo_min, hi_max = ranges[0][0], ranges[-1][1]
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges], "r_lo long, r_hi long"
+    )
+    return (
+        df.filter(col.between(lo_min, hi_max))
+        .join(F.broadcast(rdf), col.between(F.col("r_lo"), F.col("r_hi")), "leftsemi")
+    )
 
 
 def planning_grid_bounds(
