@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Ingests the derived point cloud into the real persisted layout (flat
+Parquet, range-partitioned and sorted by sfc_key) and times a query
+suite shaped like the reference benchmarks (scripts/query_*.json:
+small/large rects, circle, polygon-with-hole, thin D21-style rect,
+z-slab composite, kNN — reference suites A1–D21), plus ingest itself.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lasdb_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("LASDB_BENCH_MEM", "24g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.points import points_df
+
+    base = tempfile.mkdtemp(prefix="lasdb_bench_")
+    timings: dict[str, float] = {}
+    try:
+        pts = points_df(spark, sf_dir)
+        pts.count()  # warm the session/JIT before the measured runs
+
+        t0 = time.perf_counter()
+        ingest_points(pts, "bench", base, target_partitions=cpus)
+        timings["ingest"] = time.perf_counter() - t0
+
+        df, meta, layout = load_dataset(spark, base, "bench")
+        q = WindowQuerier(df, meta, layout)
+
+        poly_hole = (
+            "POLYGON ((85100.005 446100.005, 85899.995 446100.005, "
+            "85899.995 447399.995, 85100.005 447399.995, 85100.005 446100.005), "
+            "(85299.995 446499.995, 85700.005 446499.995, 85700.005 447000.005, "
+            "85299.995 447000.005, 85299.995 446499.995))"
+        )
+        suite = {
+            "bbox_small": lambda: q.bbox([85200.0, 85250.0, 446300.0, 446400.0]),
+            "bbox_large": lambda: q.bbox([85100.0, 85900.0, 446100.0, 447400.0]),
+            "bbox_empty": lambda: q.bbox([10.0, 20.0, 10.0, 20.0]),
+            "circle_med": lambda: q.circle([85500.0, 446700.0], 200.0),
+            "poly_hole": lambda: q.polygon(poly_hole),
+            "thin_rect": lambda: q.bbox([85500.0, 85501.0, 446000.0, 447500.0]),
+            "bbox_zslab": lambda: q.bbox(
+                [85100.0, 85900.0, 446100.0, 447400.0], minz=0.0, maxz=10.0
+            ),
+            "knn_1000": lambda: q.knn([85500.0, 446700.0], 1000),
+        }
+        for name, fn in suite.items():
+            t0 = time.perf_counter()
+            fn().count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        timings["ingest"] = round(timings["ingest"], 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
