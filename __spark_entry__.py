@@ -20,6 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lasdb_spark.operators import dedup as _dedup
+from lasdb_spark.operators import multimodal as _multimodal
+from lasdb_spark.operators import similarity as _similarity
+from lasdb_spark.operators import text as _text
 from lasdb_spark.operators.ingest import DatasetMeta, attach_sfc
 from lasdb_spark.operators.window_query import WindowQuerier
 from lasdb_spark.pcsfc import sqlgen
@@ -173,6 +177,89 @@ def _q_metadata_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_tokens(spark, sf_dir):
+    from lasdb_spark.operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    from lasdb_spark.operators.text import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark, sf_dir):
+    from lasdb_spark.operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from lasdb_spark.operators.text import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from lasdb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from lasdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from lasdb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from lasdb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from lasdb_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_embs(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from lasdb_spark.operators.similarity import topk_bruteforce
+
+    return topk_bruteforce(_embs(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from lasdb_spark.operators.similarity import topk_lsh
+
+    return topk_lsh(_embs(spark, sf_dir))
+
+
+def _q_mm_features(spark, sf_dir):
+    from lasdb_spark.operators.multimodal import binary_corpus, decode_stub_features
+
+    return decode_stub_features(binary_corpus(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — same arithmetic, generated from shared builders
 # ---------------------------------------------------------------------------
 _PTS = f"WITH points AS ({POINTS_SQL})"
@@ -248,6 +335,18 @@ def oracle_sql() -> dict[str, str]:
             f"min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, "
             f"min(z) AS z_min, max(z) AS z_max FROM points"
         ),
+        "text_tokens": _text.token_stats_sql(),
+        "text_quality": _text.quality_scores_sql(),
+        "text_langid": _text.lang_id_sql(),
+        "text_fingerprint": _text.fingerprints_sql(),
+        "dedup_exact": _dedup.exact_dedup_sql(),
+        "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs_sql(),
+        "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": _dedup.simhash_pairs_sql(),
+        "dedup_embedding": _dedup.embedding_neardup_pairs_sql(),
+        "ann_topk": _similarity.topk_bruteforce_sql(),
+        "ann_lsh_topk": _similarity.topk_lsh_sql(),
+        "mm_features": _multimodal.features_sql(),
     }
 
 
@@ -267,6 +366,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_block_pack": _q_block_pack,
         "pc_histogram": _q_histogram,
         "pc_metadata_agg": _q_metadata_agg,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "mm_features": _q_mm_features,
     }
 
 

@@ -1,0 +1,340 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a first-class engine operator with a DuckDB-oracle
+twin built from the same constants/arithmetic:
+
+- exact            hash-groupBy on (normalized) content
+- n-gram Jaccard   exact shingle-set similarity join (the ground truth)
+- MinHash LSH      banded signatures over universal hashes mod 2^31-1
+- SimHash          60-bit sign-of-sums fingerprint + Hamming pairs
+- embedding cosine near-dup pairs on the embeddings table
+
+Scale notes (100 TB): exact dedup is one shuffle on the hash key.
+The exact Jaccard join explodes |docs|×|shingles| and self-joins — the
+quadratic ground truth you only run on samples; MinHash LSH is the
+scale path (candidates only from band-signature equality: shuffle is
+O(docs×bands), then exact verification on the tiny candidate set).
+SimHash pairs here use an all-pairs comparison for oracle parity; at
+scale you'd band the fingerprint bits the same way LSH bands minhashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE31,
+    md5_int60_col,
+    md5_int60_sql,
+    minhash_perm_coeffs,
+)
+
+SHINGLE_N = 3  # words per shingle
+N_PERMS = 32
+BAND_SIZE = 4  # → 8 bands of 4 rows
+JACCARD_TAU = 0.8
+SIMHASH_BITS = 60
+# On the synthetic corpus (30-word shared vocab) simhash separation is
+# weak — planted near-dups land at hamming 4-9 vs random pairs ≥6 — so
+# ≤5 keeps the output meaningful (8 tight + 48 borderline pairs) while
+# staying deterministic. Real corpora separate far more cleanly.
+SIMHASH_MAX_HAMMING = 5
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical texts: (text_hash, keeper_doc_id, n_docs).
+
+    One hash aggregation — the canonical 100 TB exact-dedup shape
+    (map-side partial agg + single shuffle on the digest)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, "
+        "count(*) AS n_docs FROM documents GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams, built with native
+    array functions (sequence/transform/element_at), no UDF."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingles_sql(n: int = SHINGLE_N) -> str:
+    """DuckDB twin: lateral unnest(range) over the token array."""
+    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    return f"""
+SELECT DISTINCT doc_id, {parts} AS shingle
+FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents) d,
+     LATERAL (SELECT unnest(range(1, len(toks) - {n - 2}))) AS s(i)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """(doc_a, doc_b, jac) for pairs with shingle-Jaccard ≥ tau, a < b."""
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+        "double"
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= tau)
+    )
+
+
+def ngram_jaccard_pairs_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH sh AS ({shingles_sql()}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {tau}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, perm, mh) minhash values via universal hashing
+    h_j(s) = (a_j·(sid mod p) + b_j) mod p over 60-bit shingle ids."""
+    coeffs = minhash_perm_coeffs(n_perms)
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(coeffs)], "perm int, a long, b long"
+    )
+    sh = shingles(docs).withColumn(
+        "sid", md5_int60_col(F.col("shingle")) % MERSENNE31
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % MERSENNE31).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified by exact Jaccard ≥ tau.
+
+    Scale path: shuffle O(docs × bands) on band signatures; exact
+    verification only on candidates (vs the all-pairs shingle join)."""
+    sig = minhash_signatures(docs, n_perms)
+    bands = (
+        # floor-division on BOTH sides: DuckDB CAST(double AS INT) rounds
+        # while Spark truncates, so plain x/4::int would diverge
+        sig.withColumn("band", F.floor(F.col("perm") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, tau)
+    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jac")
+
+
+def minhash_lsh_pairs_sql(
+    tau: float = JACCARD_TAU, n_perms: int = N_PERMS, band_size: int = BAND_SIZE
+) -> str:
+    coeffs = minhash_perm_coeffs(n_perms)
+    perm_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(coeffs))
+    return f"""
+WITH sh AS ({shingles_sql()}),
+sid AS (SELECT doc_id, {md5_int60_sql('shingle')} % {MERSENNE31} AS sid FROM sh),
+perms(perm, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, perm, min((a * sid + b) % {MERSENNE31}) AS mh
+  FROM sid CROSS JOIN perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {band_size}) AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS bsig
+  FROM sig GROUP BY 1, 2),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+exact AS ({ngram_jaccard_pairs_sql(tau)})
+SELECT c.doc_a, c.doc_b, e.jac
+FROM cands c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — sign-of-sums over per-token 60-bit hashes
+    (token multiset, not set: multiplicities count)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    ).withColumn("th", md5_int60_col(F.col("tok")))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within Hamming distance."""
+    fp = simhash_fingerprints(docs)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING, bits: int = SIMHASH_BITS
+) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+th AS (SELECT doc_id, {md5_int60_sql('tok')} AS th FROM toks),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY 1),
+fp AS (SELECT doc_id, {fp} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+# max pairwise cosine in the synthetic embeddings is ~0.51; 0.4 selects
+# the top ~0.05% of pairs (a real near-dup threshold would be ~0.95)
+EMB_TAU = 0.4
+EMB_DIM = 64
+
+
+def embedding_neardup_pairs(embs: DataFrame, tau: float = EMB_TAU) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine ≥ tau — exact all-pairs
+    baseline (the oracle-checkable ground truth; LSH variant in
+    :mod:`lasdb_spark.operators.similarity` is the scale path)."""
+    from ..functions.hashing import fold_dot_col
+
+    a = embs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
+    na = fold_dot_col(F.col("ea"), F.col("ea"))
+    nb = fold_dot_col(F.col("eb"), F.col("eb"))
+    cos = F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6)
+    return (
+        j.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def embedding_neardup_pairs_sql(tau: float = EMB_TAU, dim: int = EMB_DIM) -> str:
+    from ..functions.hashing import fold_product_sql
+
+    dot = fold_product_sql("a.embedding", "b.embedding", dim)
+    na = fold_product_sql("a.embedding", "a.embedding", dim)
+    nb = fold_product_sql("b.embedding", "b.embedding", dim)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({dot} / (sqrt({na}) * sqrt({nb})), 6) >= {tau}
+""".strip()
