@@ -1,0 +1,132 @@
+"""JSON-script-driven import / query / export runners.
+
+Drop-in workflow parity with the reference CLIs (importer.py:9-26,
+query.py:9-33, exporter.py:9-36): the same JSON script shapes drive the
+Spark engine. The ``config`` block replaces the PostgreSQL connection
+with a ``base_path`` (where datasets live as Parquet); unknown config
+keys (dbname/user/…) are ignored so the reference's own scripts parse.
+
+Import script:  {"config": {"base_path": …}, "imports": {name:
+  {mode: file|dir, srid, path, scales, offsets, ratio}}}
+Query script:   {"config": …, "queries": {name: {source_dataset, mode,
+  geometry, [maxz], [minz], [k]}}}  — results written to
+  ``base_path/results/<query_name>`` as Parquet.
+Export: for each query name, read the result table → ``<name>.las``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str, cpus: int | None = None) -> SparkSession:
+    cores = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    s = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("WARN")
+    return s
+
+
+def _load_script(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def run_import(script_path: str, spark: SparkSession | None = None) -> None:
+    """Mirror of reference importer.py: per-dataset LAS → encoded store."""
+    from ..operators.ingest import ingest_points
+    from ..sources.las import las_to_df
+
+    cfg = _load_script(script_path)
+    base = cfg["config"].get("base_path", os.environ.get("LASDB_BASE", "/tmp/lasdb"))
+    spark = spark or build_session("lasdb_import")
+    for name, imp in cfg["imports"].items():
+        t0 = time.time()
+        path = imp["path"]
+        if imp.get("mode", "file") == "dir":
+            path = os.path.join(path, "*.las")
+        pts = las_to_df(spark, path)
+        meta = ingest_points(
+            pts,
+            name,
+            base,
+            srid=imp.get("srid", 28992),
+            scales=tuple(imp.get("scales", (1.0, 1.0, 1.0))),
+            offsets=tuple(imp.get("offsets", (0.0, 0.0, 0.0))),
+            ratio=imp.get("ratio", 0.7),
+        )
+        print(
+            f"[import] {name}: {meta.point_count} pts, "
+            f"head/tail={meta.head_length}/{meta.tail_length}, "
+            f"{time.time() - t0:.2f}s"
+        )
+
+
+def run_query(script_path: str, spark: SparkSession | None = None) -> None:
+    """Mirror of reference query.py: named window queries → result tables."""
+    from ..operators.ingest import load_dataset
+    from ..operators.window_query import WindowQuerier
+
+    cfg = _load_script(script_path)
+    base = cfg["config"].get("base_path", os.environ.get("LASDB_BASE", "/tmp/lasdb"))
+    spark = spark or build_session("lasdb_query")
+    queriers: dict[str, WindowQuerier] = {}
+    for name, q in cfg["queries"].items():
+        t0 = time.time()
+        ds = q.get("source_dataset") or q.get("source")
+        if ds not in queriers:
+            df, meta, layout = load_dataset(spark, base, ds)
+            queriers[ds] = WindowQuerier(df, meta, layout)
+        res = queriers[ds].query(
+            q["mode"], q["geometry"], q.get("minz"), q.get("maxz"), q.get("k")
+        )
+        out = os.path.join(base, "results", name)
+        res.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"[query] {name}: {n} pts, {time.time() - t0:.2f}s")
+
+
+def run_export(script_path: str, out_dir: str | None = None, spark: SparkSession | None = None) -> None:
+    """Mirror of reference exporter.py: result tables → LAS files."""
+    from ..sources.las import df_to_las
+
+    cfg = _load_script(script_path)
+    base = cfg["config"].get("base_path", os.environ.get("LASDB_BASE", "/tmp/lasdb"))
+    out_dir = out_dir or base
+    spark = spark or build_session("lasdb_export")
+    for name in cfg["queries"]:
+        t0 = time.time()
+        res = spark.read.parquet(os.path.join(base, "results", name))
+        n = df_to_las(res, os.path.join(out_dir, f"{name}.las"))
+        print(f"[export] {name}: {n} pts → {name}.las, {time.time() - t0:.2f}s")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="lasdb_spark JSON-script runner")
+    ap.add_argument("command", choices=["import", "query", "export"])
+    ap.add_argument("--input", required=True, help="JSON script path")
+    ap.add_argument("--out", default=None, help="export output dir")
+    args = ap.parse_args()
+    if args.command == "import":
+        run_import(args.input)
+    elif args.command == "query":
+        run_query(args.input)
+    else:
+        run_export(args.input, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,250 @@
+"""LAS point-cloud source & sink (ASPRS LAS 1.2, point format 3).
+
+The reference shells out to ``laspy`` (pipeline/import_data.py:25-36,
+pcsfc/point_processor.py:32-33, exporter.py:39-96). This container has
+no laspy, so a minimal pure-numpy codec for the public LAS 1.2 spec is
+included; ``laspy`` is used instead when importable.
+
+Distributed read: Spark has no LAS datasource, so files arrive via
+``spark.read.format("binaryFile")`` (one row per file: path + content)
+and are parsed per-file inside ``mapInPandas`` — each executor task
+decodes whole files from bytes with numpy, emitting x/y/z rows. At
+scale the parallel unit is the file (LAS tiles are naturally
+file-partitioned); oversized single files should be converted to
+Parquet once at the edge.
+
+Sinks: driver-side write for window-query-sized results (reference
+exporter semantics: v1.2 / pf3 / scales 0.1 / offsets 0,
+exporter.py:76-89); per-partition distributed export for large clouds.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+try:  # optional, not in this container
+    import laspy  # noqa: F401
+
+    HAVE_LASPY = True
+except Exception:  # pragma: no cover
+    HAVE_LASPY = False
+
+# LAS 1.2 public header block: signature, ids, guid, version, strings,
+# dates, layout, counts, then 12 doubles (scales ×3, offsets ×3,
+# max/min x y z interleaved) = 227 bytes exactly.
+_HEADER_FMT = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+assert _HEADER_SIZE == 227
+_PF3_DTYPE = np.dtype(
+    [
+        ("X", "<i4"),
+        ("Y", "<i4"),
+        ("Z", "<i4"),
+        ("intensity", "<u2"),
+        ("flags", "u1"),
+        ("classification", "u1"),
+        ("scan_angle", "i1"),
+        ("user_data", "u1"),
+        ("point_source_id", "<u2"),
+        ("gps_time", "<f8"),
+        ("red", "<u2"),
+        ("green", "<u2"),
+        ("blue", "<u2"),
+    ]
+)
+assert _PF3_DTYPE.itemsize == 34
+
+
+def parse_las_header(buf: bytes) -> dict:
+    """Header-only scan (reference S1, import_data.py:25-36): point
+    count + scales/offsets + bbox without touching point data."""
+    if len(buf) < _HEADER_SIZE:
+        raise ValueError(f"not a LAS file: {len(buf)} bytes < header size")
+    f = struct.unpack(_HEADER_FMT, buf[:_HEADER_SIZE])
+    # tuple indices: 0 sig, 1 file_src, 2 global_enc, 3-6 guid, 7 vmaj,
+    # 8 vmin, 9 sysid, 10 software, 11 doy, 12 year, 13 header_size,
+    # 14 offset_to_points, 15 n_vlrs, 16 point_format, 17 record_len,
+    # 18 n_points, 19-23 by_return, 24-26 scales, 27-29 offsets,
+    # 30-35 max_x,min_x,max_y,min_y,max_z,min_z
+    if f[0] != b"LASF":
+        raise ValueError(f"bad LAS signature {f[0]!r}")
+    max_x, min_x, max_y, min_y, max_z, min_z = f[30:36]
+    return {
+        "version": (f[7], f[8]),
+        "point_format": f[16],
+        "point_record_length": f[17],
+        "point_count": f[18],
+        "offset_to_points": f[14],
+        "scales": list(f[24:27]),
+        "offsets": list(f[27:30]),
+        "bbox": [min_x, max_x, min_y, max_y, min_z, max_z],
+    }
+
+
+def read_las_bytes(buf: bytes) -> np.ndarray:
+    """Full point scan from bytes → (n, 3) float64 of real-world x/y/z
+    (reference S2: integer grid × scale + offset)."""
+    hdr = parse_las_header(buf)
+    n = hdr["point_count"]
+    rl = hdr["point_record_length"]
+    raw = np.frombuffer(
+        buf, dtype=np.uint8, count=n * rl, offset=hdr["offset_to_points"]
+    ).reshape(n, rl)
+    pts = raw[:, : _PF3_DTYPE.itemsize].copy().view(_PF3_DTYPE).reshape(n)
+    sx, sy, sz = hdr["scales"]
+    ox, oy, oz = hdr["offsets"]
+    out = np.empty((n, 3), dtype=np.float64)
+    out[:, 0] = pts["X"] * sx + ox
+    out[:, 1] = pts["Y"] * sy + oy
+    out[:, 2] = pts["Z"] * sz + oz
+    return out
+
+
+def read_las_file(path: str) -> np.ndarray:
+    if HAVE_LASPY:  # pragma: no cover
+        las = laspy.read(path)
+        return np.vstack((las.x, las.y, las.z)).T
+    with open(path, "rb") as fh:
+        return read_las_bytes(fh.read())
+
+
+def read_las_header_file(path: str) -> dict:
+    with open(path, "rb") as fh:
+        return parse_las_header(fh.read(_HEADER_SIZE))
+
+
+def write_las(
+    xyz: np.ndarray,
+    path: str,
+    scales: tuple[float, float, float] = (0.1, 0.1, 0.1),
+    offsets: tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> None:
+    """Write LAS 1.2 / point-format 3 (reference exporter defaults:
+    exporter.py:76-89 — scales 0.1, offsets 0)."""
+    xyz = np.asarray(xyz, dtype=np.float64).reshape(-1, 3)
+    n = len(xyz)
+    pts = np.zeros(n, dtype=_PF3_DTYPE)
+    for i, (s, o) in enumerate(zip(scales, offsets)):
+        pts[("X", "Y", "Z")[i]] = np.round((xyz[:, i] - o) / s).astype(np.int64)
+    if n:
+        mins = xyz.min(axis=0)
+        maxs = xyz.max(axis=0)
+    else:
+        mins = maxs = np.zeros(3)
+    header = struct.pack(
+        _HEADER_FMT,
+        b"LASF",
+        0,  # file source id
+        0,  # global encoding
+        0, 0, 0, b"\x00" * 8,  # guid
+        1, 2,  # version 1.2
+        b"lasdb_spark".ljust(32, b"\x00"),
+        b"lasdb_spark exporter".ljust(32, b"\x00"),
+        1, 2026,  # creation day/year
+        _HEADER_SIZE,
+        _HEADER_SIZE,  # offset to point data
+        0,  # VLR count
+        3,  # point format
+        _PF3_DTYPE.itemsize,
+        n,
+        n, 0, 0, 0, 0,  # points by return
+        float(scales[0]), float(scales[1]), float(scales[2]),
+        float(offsets[0]), float(offsets[1]), float(offsets[2]),
+        float(maxs[0]), float(mins[0]),
+        float(maxs[1]), float(mins[1]),
+        float(maxs[2]), float(mins[2]),
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(header)
+        fh.write(pts.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+POINT_SCHEMA = "x double, y double, z double"
+
+
+def las_to_df(spark, path_or_glob: str):
+    """Distributed LAS read: binaryFile rows → per-file numpy decode in
+    mapInPandas (reference S2/S3; DirLoader's sequential per-file loop
+    becomes task-parallel across files)."""
+    df = spark.read.format("binaryFile").load(path_or_glob)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                xyz = read_las_bytes(bytes(content))
+                yield pd.DataFrame({"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]})
+
+    return df.select("content").mapInPandas(_parse, schema=POINT_SCHEMA)
+
+
+def scan_las_metadata(path_or_dir: str) -> list[dict]:
+    """Driver-side header-only scan of a file or directory (S1/S3/S4 —
+    headers are 227 bytes; reading them on the driver is cheap even for
+    thousands of tiles)."""
+    if os.path.isdir(path_or_dir):
+        paths = sorted(
+            p
+            for p in _glob.glob(os.path.join(path_or_dir, "*"))
+            if p.lower().endswith(".las")
+        )
+    else:
+        paths = [path_or_dir]
+    return [dict(read_las_header_file(p), path=p) for p in paths]
+
+
+def union_metadata(headers: list[dict]) -> dict:
+    """Multi-file metadata union (S4, import_data.py:76-99): sum counts,
+    min/max-union bboxes."""
+    if not headers:
+        raise ValueError("no LAS files found")
+    bboxes = np.array([h["bbox"] for h in headers])
+    return {
+        "point_count": int(sum(h["point_count"] for h in headers)),
+        "bbox": [
+            float(bboxes[:, 0].min()),
+            float(bboxes[:, 1].max()),
+            float(bboxes[:, 2].min()),
+            float(bboxes[:, 3].max()),
+            float(bboxes[:, 4].min()),
+            float(bboxes[:, 5].max()),
+        ],
+    }
+
+
+def df_to_las(df, path: str, scales=(0.1, 0.1, 0.1), offsets=(0.0, 0.0, 0.0)) -> int:
+    """Driver-side LAS export for window-query-sized results (S10).
+    Returns point count."""
+    pdf = df.select("x", "y", "z").toPandas()
+    write_las(pdf.to_numpy(), path, scales, offsets)
+    return len(pdf)
+
+
+def df_to_las_partitioned(df, out_dir: str, scales=(0.1, 0.1, 0.1), offsets=(0.0, 0.0, 0.0)):
+    """Distributed export: one LAS file per partition via mapInPandas
+    (for clouds too large to collect). Returns DataFrame of written
+    files (path, n_points)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        rows = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.las")
+            write_las(pdf[["x", "y", "z"]].to_numpy(), p, scales, offsets)
+            rows.append((p, len(pdf)))
+        yield pd.DataFrame(rows, columns=["path", "n_points"])
+
+    return df.select("x", "y", "z").mapInPandas(_write, schema="path string, n_points long")

@@ -1,0 +1,108 @@
+"""LAS codec + distributed source/sink + JSON-script CLI end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lasdb_spark.sources import las
+
+
+def _cloud(n=1000, seed=7):
+    rng = np.random.default_rng(seed)
+    xyz = np.empty((n, 3))
+    xyz[:, 0] = rng.uniform(85000, 86000, n)
+    xyz[:, 1] = rng.uniform(446000, 447500, n)
+    xyz[:, 2] = rng.uniform(-5, 40, n)
+    return xyz
+
+
+def test_las_roundtrip(tmp_path):
+    xyz = _cloud()
+    p = str(tmp_path / "t.las")
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01))
+    hdr = las.read_las_header_file(p)
+    assert hdr["point_count"] == 1000
+    assert hdr["version"] == (1, 2)
+    assert hdr["point_format"] == 3
+    back = las.read_las_file(p)
+    # quantized to 0.01 grid on write
+    np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
+
+
+def test_las_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.las")
+    with open(p, "wb") as f:
+        f.write(b"NOTALAS" * 100)
+    with pytest.raises(ValueError, match="signature"):
+        las.read_las_header_file(p)
+
+
+def test_union_metadata(tmp_path):
+    a, b = _cloud(500, 1), _cloud(700, 2)
+    las.write_las(a, str(tmp_path / "a.las"))
+    las.write_las(b, str(tmp_path / "b.las"))
+    headers = las.scan_las_metadata(str(tmp_path))
+    assert len(headers) == 2
+    u = las.union_metadata(headers)
+    assert u["point_count"] == 1200
+    allpts = np.vstack([a, b])
+    np.testing.assert_allclose(u["bbox"][0], allpts[:, 0].min(), atol=0.1)
+
+
+@pytest.mark.spark
+def test_distributed_las_read(spark, tmp_path):
+    xyz = _cloud(2000)
+    for i in range(4):
+        las.write_las(xyz[i * 500 : (i + 1) * 500], str(tmp_path / f"tile{i}.las"))
+    df = las.las_to_df(spark, str(tmp_path / "*.las"))
+    assert df.count() == 2000
+    assert df.columns == ["x", "y", "z"]
+
+
+@pytest.mark.spark
+def test_cli_import_query_export(spark, tmp_path):
+    """Full reference workflow: JSON scripts → import → query → export."""
+    from lasdb_spark.cli import runner
+
+    xyz = _cloud(3000)
+    las_path = str(tmp_path / "cloud.las")
+    las.write_las(xyz, las_path, scales=(0.01, 0.01, 0.01))
+    base = str(tmp_path / "store")
+
+    imp = {
+        "config": {"base_path": base, "dbname": "ignored"},
+        "imports": {
+            "t1": {"mode": "file", "srid": 28992, "path": las_path,
+                   "scales": [1, 1, 1], "offsets": [0, 0, 0], "ratio": 0.7}
+        },
+    }
+    bbox = [85200.0, 85600.0, 446300.0, 446900.0]
+    qry = {
+        "config": {"base_path": base},
+        "queries": {
+            "A1_S_RCT": {"source_dataset": "t1", "mode": "bbox", "geometry": bbox},
+            "A2_CRC": {"source_dataset": "t1", "mode": "circle",
+                        "geometry": [[85500.0, 446700.0], 150.0]},
+            "A3_NN": {"source_dataset": "t1", "mode": "nn",
+                       "geometry": [85500.0, 446700.0], "k": 50},
+        },
+    }
+    (tmp_path / "imp.json").write_text(json.dumps(imp))
+    (tmp_path / "qry.json").write_text(json.dumps(qry))
+
+    runner.run_import(str(tmp_path / "imp.json"), spark)
+    runner.run_query(str(tmp_path / "qry.json"), spark)
+    runner.run_export(str(tmp_path / "qry.json"), str(tmp_path / "out"), spark)
+
+    res = spark.read.parquet(os.path.join(base, "results", "A1_S_RCT"))
+    got = res.count()
+    inside = np.sum(
+        (np.round(xyz[:, 0], 2) >= bbox[0]) & (np.round(xyz[:, 0], 2) <= bbox[1])
+        & (np.round(xyz[:, 1], 2) >= bbox[2]) & (np.round(xyz[:, 1], 2) <= bbox[3])
+    )
+    assert got == inside
+    exported = las.read_las_file(str(tmp_path / "out" / "A1_S_RCT.las"))
+    assert len(exported) == got
+    assert las.read_las_header_file(str(tmp_path / "out" / "A3_NN.las"))["point_count"] == 50
