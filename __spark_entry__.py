@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lasdb_spark.operators import dedup as _dedup
+from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
 from lasdb_spark.operators import similarity as _similarity
 from lasdb_spark.operators import text as _text
@@ -260,6 +261,55 @@ def _q_mm_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# relational / analytical surface (agg, joins, windows, sessionize, asof)
+# ---------------------------------------------------------------------------
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ev(spark, sf_dir):
+    from lasdb_spark.sources.events import events_df
+
+    return events_df(spark, sf_dir)
+
+
+def _q_rel_pricing(spark, sf_dir):
+    return _rel.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_rel_revenue_nation(spark, sf_dir):
+    return _rel.revenue_by_nation(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_top_orders(spark, sf_dir):
+    return _rel.top_orders_per_customer(_t(spark, sf_dir, "orders"))
+
+
+def _q_rel_sessionize(spark, sf_dir):
+    return _rel.sessionize_events(_ev(spark, sf_dir))
+
+
+def _q_rel_hourly(spark, sf_dir):
+    return _rel.hourly_event_rollup(_ev(spark, sf_dir))
+
+
+def _q_rel_asof(spark, sf_dir):
+    return _rel.asof_error_to_click(_ev(spark, sf_dir))
+
+
+def _q_rel_json(spark, sf_dir):
+    return _rel.json_extract_props(_ev(spark, sf_dir))
+
+
+def _q_rel_funnel(spark, sf_dir):
+    return _rel.event_funnel(_ev(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — same arithmetic, generated from shared builders
 # ---------------------------------------------------------------------------
 _PTS = f"WITH points AS ({POINTS_SQL})"
@@ -347,6 +397,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _similarity.topk_bruteforce_sql(),
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
         "mm_features": _multimodal.features_sql(),
+        "rel_pricing_summary": _rel.pricing_summary_sql(),
+        "rel_revenue_by_nation": _rel.revenue_by_nation_sql(),
+        "rel_top_orders_per_customer": _rel.top_orders_per_customer_sql(),
+        "rel_sessionize_events": _rel.sessionize_events_sql(),
+        "rel_hourly_rollup": _rel.hourly_event_rollup_sql(),
+        "rel_asof_error_click": _rel.asof_error_to_click_sql(),
+        "rel_json_extract": _rel.json_extract_props_sql(),
+        "rel_event_funnel": _rel.event_funnel_sql(),
     }
 
 
@@ -378,6 +436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "mm_features": _q_mm_features,
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_revenue_by_nation": _q_rel_revenue_nation,
+        "rel_top_orders_per_customer": _q_rel_top_orders,
+        "rel_sessionize_events": _q_rel_sessionize,
+        "rel_hourly_rollup": _q_rel_hourly,
+        "rel_asof_error_click": _q_rel_asof,
+        "rel_json_extract": _q_rel_json,
+        "rel_event_funnel": _q_rel_funnel,
     }
 
 

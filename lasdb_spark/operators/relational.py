@@ -1,0 +1,297 @@
+"""General relational/analytical operators (Spark-free extras).
+
+The reference has no general relational algebra (SURVEY §2.5) — Spark
+SQL provides it natively. These operators exercise the surfaces a
+production engine needs (agg, joins, windows, sessionization, as-of
+join, JSON extraction) with DuckDB-oracle parity, and document the
+scale pattern for each.
+
+Float-determinism: double sums depend on partition order in Spark, so
+money-like aggregates are summed as DECIMAL (exact, order-independent)
+and cast back to DOUBLE only at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lasdb_spark.sources.events import EV_CTE
+
+SESSION_GAP_MIN = 30
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q1-shaped aggregation: exact decimal sums per flag/status.
+
+    Scale: classic partial-agg + one shuffle on the 6-group key."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+""".strip()
+
+
+def revenue_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """3-way join + agg: revenue per nation.
+
+    Scale: nation (25 rows) and customer dims are broadcast — the fact
+    table never shuffles for the join, only for the final small agg."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""".strip()
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via ranking window (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def top_orders_per_customer_sql(k: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+  FROM orders) WHERE rk <= {k}
+""".strip()
+
+
+def sessionize_events(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Sessionization: per-user sessions split on >gap_min idle gaps.
+
+    lag + cumulative-sum-of-gap-flags — one shuffle on user_id; the
+    same logic streams via session_window/applyInPandasWithState
+    (lasdb_spark.streaming). Timestamps exported as epoch millis for
+    cross-engine comparison."""
+    gap_ms = gap_min * 60 * 1000
+    ms = F.unix_millis(F.col("ts"))
+    # order by the SAME (ms, event_id) key both engines use — ordering
+    # by full-precision ts here but truncated ms in the oracle could
+    # disagree within a millisecond
+    w = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    new_sess = F.when(
+        ms - F.lag(ms).over(w) > gap_ms, 1
+    ).otherwise(0)
+    with_sess = events.withColumn(
+        "session_id", F.sum(new_sess).over(w).cast("int")
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ms).alias("t_start_ms"),
+        F.max(ms).alias("t_end_ms"),
+    )
+
+
+def sessionize_events_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    gap_ms = gap_min * 60 * 1000
+    return f"""
+{EV_CTE},
+g AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+         (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > {gap_ms}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+s AS (
+  SELECT user_id, event_id, ms,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ms) AS t_start_ms, max(ms) AS t_end_ms
+FROM s GROUP BY 1, 2
+""".strip()
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-hour rollup (batch twin of the streaming windowed agg).
+
+    Exact decimal sum for determinism; hour bucket as epoch millis."""
+    hour_ms = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+    return events.groupBy(
+        hour_ms.alias("hour_ms"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+def hourly_event_rollup_sql() -> str:
+    return f"""
+{EV_CTE}
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM ev GROUP BY 1, 2
+""".strip()
+
+
+def asof_error_to_click(events: DataFrame) -> DataFrame:
+    """As-of join (Spark has no native one): for each 'error' event,
+    the most recent preceding 'click' by the same user.
+
+    Spark-first implementation: union both sides, one window pass with
+    last(..., ignorenulls) — a single shuffle on user_id, no per-key
+    loops, no merge_asof UDF. Scales as a normal windowed shuffle."""
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ets")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    tagged = errors.select(
+        "user_id",
+        F.col("ets").alias("ts"),
+        F.col("error_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("is_err"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("cts").alias("ts"),
+            F.lit(None).cast("long").alias("error_id"),
+            "click_id",
+            F.lit(0).alias("is_err"),
+        )
+    )
+    # clicks sort before errors at identical ts (is_err ASC) so a
+    # same-instant click is visible to the error — matches ASOF <=.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "error_id", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter(F.col("is_err") == 1)
+        .select(
+            "user_id",
+            "error_id",
+            F.unix_millis(F.col("ts")).alias("error_ms"),
+            "last_click_id",
+        )
+    )
+
+
+def asof_error_to_click_sql() -> str:
+    """DuckDB native ASOF JOIN as the oracle."""
+    return f"""
+{EV_CTE}
+SELECT e.user_id, e.event_id AS error_id, epoch_ms(e.ts) AS error_ms,
+       c.event_id AS last_click_id
+FROM (SELECT * FROM ev WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND c.ts <= e.ts
+""".strip()
+
+
+def json_extract_props(events: DataFrame) -> DataFrame:
+    """JSON field extraction from the props column (string JSON)."""
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+def json_extract_props_sql() -> str:
+    return (
+        "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val FROM events"
+    )
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Per-user funnel: first view → first click → first purchase, in
+    causal order (each stage must follow the previous one).
+
+    One shuffle on user_id; conditional min-aggregations, no self-joins
+    (a 3-way self-join would shuffle the fact table three times)."""
+    ms = F.unix_millis(F.col("ts"))
+    t_of = lambda kind: F.min(F.when(F.col("event_type") == kind, ms))
+    per_user = events.groupBy("user_id").agg(
+        t_of("view").alias("t_view"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    # stage k counts only if it happened at-or-after stage k-1
+    reached_click = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") >= F.col("t_view"))
+    )
+    reached_purch = (
+        reached_click
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(reached_click, 1)).alias("n_click_after_view"),
+        F.count(F.when(reached_purch, 1)).alias("n_purchase_after_click"),
+    )
+
+
+def event_funnel_sql() -> str:
+    return f"""
+{EV_CTE},
+per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+  FROM ev GROUP BY 1)
+SELECT
+  count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+  count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+             AND t_click >= t_view THEN 1 END) AS n_click_after_view,
+  count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+             AND t_click >= t_view AND t_purchase IS NOT NULL
+             AND t_purchase >= t_click THEN 1 END) AS n_purchase_after_click
+FROM per_user
+""".strip()

@@ -1,0 +1,111 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.5); streams are part of the
+Spark-first surface. Three shapes:
+
+- windowed aggregation with watermarks (late-data-safe rollups);
+- session windows (``F.session_window`` — native gap-based sessions);
+- a custom stateful operator via ``applyInPandasWithState`` (running
+  per-user counters), the escape hatch for semantics built-ins lack.
+
+Tests drive these with the parquet events table as a file stream +
+memory sink and ``processAllAvailable()`` (the public local-smoke
+pattern); in production the same code points at Kafka/files. The batch
+twins in :mod:`lasdb_spark.operators.relational` are the oracle-checked
+versions of the same logic — streaming output must converge to the
+batch answer on a finite input, which is exactly what the tests assert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from lasdb_spark.sources.events import events_stream as read_event_stream  # noqa: F401
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sums with a watermark.
+
+    At scale: state is bounded by the watermark horizon; the shuffle is
+    on (window, event_type) — same as the batch rollup."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("hour_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native gap-based session windows per user."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("t_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("t_end_ms"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: accumulate (count, Σvalue) per user forever."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    pattern for operators Structured Streaming lacks natively."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+    """Drive a streaming DataFrame to completion into a memory sink
+    (local smoke pattern); returns the query handle (stopped)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

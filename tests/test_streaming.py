@@ -1,0 +1,55 @@
+"""Streaming ops: output must converge to the batch twins on finite input."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lasdb_spark.operators.relational import hourly_event_rollup
+from lasdb_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    return se.read_event_stream(spark, sf_dir)
+
+
+@pytest.mark.spark
+def test_windowed_counts_match_batch(spark, sf_dir, event_stream):
+    se.run_to_memory(se.windowed_counts(event_stream), "win_out", "complete")
+    got = {
+        (r.hour_ms, r.event_type): (r.n, round(r.sum_value, 4))
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    from lasdb_spark.sources.events import events_df
+
+    batch = {
+        (r.hour_ms, r.event_type): (r.n, round(r.sum_value, 4))
+        for r in hourly_event_rollup(events_df(spark, sf_dir)).collect()
+    }
+    assert got == batch
+
+
+@pytest.mark.spark
+def test_session_windows_run(spark, event_stream):
+    se.run_to_memory(se.session_windows(event_stream), "sess_out", "complete")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    assert all(r.t_end_ms > r.t_start_ms for r in rows)
+
+
+@pytest.mark.spark
+def test_stateful_running_totals(spark, sf_dir, event_stream):
+    se.run_to_memory(se.running_user_totals(event_stream), "run_out", "update")
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM run_out GROUP BY 1"
+        ).collect()
+    }
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
