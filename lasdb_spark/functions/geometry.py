@@ -108,6 +108,34 @@ def point_in_polygon_udf(wkt: str):
     return _contains
 
 
+def point_in_polygon_col(
+    rings: list[list[tuple[float, float]]], x: Column, y: Column
+) -> Column:
+    """Even-odd containment as a NATIVE Column expression — one XOR
+    term per polygon edge, identical arithmetic to ``_contains_numpy``.
+
+    For the window-query workload polygons are small (tens of edges),
+    so the whole test stays inside whole-stage codegen: no Python, no
+    Arrow transfer, vectorized over the scan. Callers should fall back
+    to :func:`point_in_polygon_udf` past ~``MAX_NATIVE_EDGES`` edges to
+    keep the generated code within JIT limits."""
+    inside: Column = F.lit(False)
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            crosses = (F.lit(y1) > y) != (F.lit(y2) > y)
+            xint = F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+            inside = inside != (crosses & (x < xint))
+    return inside
+
+
+MAX_NATIVE_EDGES = 128
+
+
 def circle_predicate(x: Column, y: Column, cx: float, cy: float, r: float) -> Column:
     """(x-cx)² + (y-cy)² ≤ r² as a native Column (reference Q7 used
     PostGIS ST_DWithin + DELETE; we filter, retrieve_data.py:46-63)."""

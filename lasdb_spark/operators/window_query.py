@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.geometry import (
+    MAX_NATIVE_EDGES,
     circle_predicate,
     parse_wkt_polygon,
+    point_in_polygon_col,
     point_in_polygon_udf,
     polygon_bbox,
 )
@@ -101,14 +103,22 @@ class WindowQuerier:
 
     def polygon(self, wkt: str, minz=None, maxz=None) -> DataFrame:
         """WKT polygon with holes (Q8): bbox prune + cheap bbox refine
-        (codegen) + exact even-odd containment (pandas UDF, last)."""
+        + exact even-odd containment.
+
+        Containment is a native Column expression (codegen, no Python)
+        for polygons up to MAX_NATIVE_EDGES edges; bigger geometries
+        fall back to the Arrow-batched pandas UDF."""
         rings = parse_wkt_polygon(wkt)
         x0, x1, y0, y1 = polygon_bbox(rings)
-        contains = point_in_polygon_udf(wkt)
+        n_edges = sum(len(r) for r in rings)
+        if n_edges <= MAX_NATIVE_EDGES:
+            exact = point_in_polygon_col(rings, F.col("x"), F.col("y"))
+        else:
+            exact = point_in_polygon_udf(wkt)(F.col("x"), F.col("y"))
         out = (
             self._pruned(x0, x1, y0, y1)
             .filter(F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
-            .filter(contains(F.col("x"), F.col("y")))
+            .filter(exact)
         )
         return self._zslab(out, minz, maxz).select(*RESULT_COLS)
 

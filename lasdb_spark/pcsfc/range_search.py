@@ -134,7 +134,10 @@ def ranges_predicate(col, ranges: Sequence[tuple[int, int]]):
 # Above this many ranges, OR-of-BETWEENs stops paying for itself
 # (codegen size) and a broadcast range semi-join wins. The coarse
 # [min, max] BETWEEN is still pushed to the Parquet scan either way.
-MAX_OR_TERMS = 24
+# 64 comparisons on one long column stay comfortably inside codegen
+# limits (blowups observed near ~256) while keeping full row-group
+# skipping for typical window decompositions.
+MAX_OR_TERMS = 64
 
 
 def apply_key_ranges(df, colname: str, ranges: Sequence[tuple[int, int]], max_or_terms: int = MAX_OR_TERMS):
