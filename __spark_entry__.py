@@ -87,6 +87,14 @@ POLY_DIAMOND = (
 )
 ZMAX, ZMIN = 10.0, 25.0
 
+# diagonal polyline (B-suite buffered-polyline shape); buffer radius
+# picked off the 0.01 grid so no point sits exactly on the boundary
+POLYLINE = (
+    "LINESTRING (85150.005 446150.005, 85450.005 446650.005, "
+    "85300.005 447100.005, 85800.005 447300.005)"
+)
+POLYLINE_DIST = 120.003
+
 
 # ---------------------------------------------------------------------------
 # Spark-side queries
@@ -126,6 +134,21 @@ def _q_bbox_empty(spark, sf_dir):
 
 def _q_knn(spark, sf_dir):
     return _querier(spark, sf_dir).knn(KNN_POINT, KNN_K)
+
+
+def _q_polyline_buffer(spark, sf_dir):
+    return _querier(spark, sf_dir).polyline_buffer(POLYLINE, POLYLINE_DIST)
+
+
+def _q_bbox_block(spark, sf_dir):
+    """Same bbox through the BLOCK layout: G3 pack → head-range prune →
+    Q4 unpack/decode. Output coords are grid-decoded (scale 1, offset 0
+    ⇒ x = qx as double), which the oracle reproduces."""
+    from lasdb_spark.operators.ingest import pack_blocks
+
+    pts = attach_sfc(points_df(spark, sf_dir), META)
+    q = WindowQuerier(pack_blocks(pts), META, layout="block")
+    return q.bbox(BBOX)
 
 
 def _q_flat_points(spark, sf_dir):
@@ -326,6 +349,15 @@ def _bbox_where(b=BBOX):
     return f"x BETWEEN {b[0]} AND {b[1]} AND y BETWEEN {b[2]} AND {b[3]}"
 
 
+def _polyline_sql_pred():
+    from lasdb_spark.functions.geometry import (
+        parse_wkt_linestring,
+        polyline_buffer_sql,
+    )
+
+    return polyline_buffer_sql(parse_wkt_linestring(POLYLINE), POLYLINE_DIST)
+
+
 def oracle_sql() -> dict[str, str]:
     (cx, cy), r = CIRCLE
     px, py = KNN_POINT
@@ -354,6 +386,15 @@ def oracle_sql() -> dict[str, str]:
         "pc_polygon_diamond": (
             f"{_PTS} SELECT x, y, z FROM points WHERE "
             f"abs(x - {DIA_CX}) / {DIA_A} + abs(y - {DIA_CY}) / {DIA_B} < 1.0"
+        ),
+        "pc_polyline_buffer": (
+            f"{_PTS} SELECT x, y, z FROM points WHERE "
+            + _polyline_sql_pred()
+        ),
+        "pc_bbox_block": (
+            f"{_PTS}, q AS (SELECT CAST({_QX} AS DOUBLE) AS x, "
+            f"CAST({_QY} AS DOUBLE) AS y, z FROM points) "
+            f"SELECT x, y, z FROM q WHERE {_bbox_where()}"
         ),
         "pc_knn": (
             f"{_PTS} SELECT x, y, z, d2 FROM ("
@@ -418,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_polygon_l": _q_polygon_l,
         "pc_polygon_hole": _q_polygon_hole,
         "pc_polygon_diamond": _q_polygon_diamond,
+        "pc_polyline_buffer": _q_polyline_buffer,
+        "pc_bbox_block": _q_bbox_block,
         "pc_knn": _q_knn,
         "pc_flat_points": _q_flat_points,
         "pc_decode_roundtrip": _q_decode_roundtrip,

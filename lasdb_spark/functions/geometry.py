@@ -136,6 +136,81 @@ def point_in_polygon_col(
 MAX_NATIVE_EDGES = 128
 
 
+def parse_wkt_linestring(wkt: str) -> list[tuple[float, float]]:
+    """Parse ``LINESTRING (x y, x y, ...)`` → [(x, y), ...]."""
+    s = wkt.strip()
+    m = re.match(r"(?is)^LINESTRING\s*\(([^()]*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"not a WKT LINESTRING: {wkt[:60]!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        nums = re.findall(_NUM, pair)
+        if len(nums) < 2:
+            raise ValueError(f"bad coordinate pair {pair!r}")
+        pts.append((float(nums[0]), float(nums[1])))
+    if len(pts) < 2:
+        raise ValueError("LINESTRING needs >= 2 points")
+    return pts
+
+
+def _segments(pts: list[tuple[float, float]]):
+    """Per-segment constants (ax, ay, dx, dy, len²), python-float
+    precomputed so Spark and the SQL oracle embed IDENTICAL literals."""
+    out = []
+    for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+        dx, dy = bx - ax, by - ay
+        out.append((ax, ay, dx, dy, dx * dx + dy * dy))
+    return out
+
+
+def polyline_buffer_col(pts: list[tuple[float, float]], dist: float, x: Column, y: Column) -> Column:
+    """dist(point, polyline) ≤ dist as a native Column: OR over
+    segments of clamped point-to-segment distance² ≤ dist². All
+    constants precomputed; arithmetic order mirrors the SQL twin."""
+    d2max = F.lit(float(dist) * float(dist))
+    pred: Column | None = None
+    for ax, ay, dx, dy, l2 in _segments(pts):
+        if l2 == 0.0:
+            ddx, ddy = x - F.lit(ax), y - F.lit(ay)
+            seg = (ddx * ddx + ddy * ddy) <= d2max
+        else:
+            t = ((x - F.lit(ax)) * F.lit(dx) + (y - F.lit(ay)) * F.lit(dy)) / F.lit(l2)
+            tc = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+            cx = F.lit(ax) + tc * F.lit(dx)
+            cy = F.lit(ay) + tc * F.lit(dy)
+            seg = ((x - cx) * (x - cx) + (y - cy) * (y - cy)) <= d2max
+        pred = seg if pred is None else (pred | seg)
+    assert pred is not None
+    return pred
+
+
+def polyline_buffer_sql(pts: list[tuple[float, float]], dist: float, x: str = "x", y: str = "y") -> str:
+    """SQL twin of :func:`polyline_buffer_col` (same literals/order)."""
+    d2max = repr(float(dist) * float(dist))
+    terms = []
+    for ax, ay, dx, dy, l2 in _segments(pts):
+        if l2 == 0.0:
+            terms.append(
+                f"(({x} - {ax!r})*({x} - {ax!r}) + ({y} - {ay!r})*({y} - {ay!r})) <= {d2max}"
+            )
+        else:
+            t = f"((({x} - {ax!r}) * {dx!r} + ({y} - {ay!r}) * {dy!r}) / {l2!r})"
+            tc = f"least(greatest({t}, 0.0), 1.0)"
+            cx = f"({ax!r} + {tc} * {dx!r})"
+            cy = f"({ay!r} + {tc} * {dy!r})"
+            terms.append(
+                f"((({x} - {cx})*({x} - {cx}) + ({y} - {cy})*({y} - {cy})) <= {d2max})"
+            )
+    return "(" + " OR ".join(terms) + ")"
+
+
+def polyline_bbox(pts: list[tuple[float, float]], dist: float) -> tuple[float, float, float, float]:
+    """Buffer-expanded bounding box of the polyline (prune window)."""
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return min(xs) - dist, max(xs) + dist, min(ys) - dist, max(ys) + dist
+
+
 def circle_predicate(x: Column, y: Column, cx: float, cy: float, r: float) -> Column:
     """(x-cx)² + (y-cy)² ≤ r² as a native Column (reference Q7 used
     PostGIS ST_DWithin + DELETE; we filter, retrieve_data.py:46-63)."""

@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 from ..functions.geometry import (
     MAX_NATIVE_EDGES,
     circle_predicate,
+    parse_wkt_linestring,
     parse_wkt_polygon,
     point_in_polygon_col,
     point_in_polygon_udf,
     polygon_bbox,
+    polyline_bbox,
+    polyline_buffer_col,
 )
 from ..pcsfc.range_search import (
     apply_key_ranges,
@@ -122,6 +125,21 @@ class WindowQuerier:
         )
         return self._zslab(out, minz, maxz).select(*RESULT_COLS)
 
+    def polyline_buffer(self, wkt: str, dist: float, minz=None, maxz=None) -> DataFrame:
+        """All points within ``dist`` of a WKT LINESTRING (the reference
+        benchmark's polyline-buffer shapes, scripts/query_210m.json —
+        there pre-buffered to polygons; here exact distance-to-segment,
+        fully native: OR over per-segment clamped distance² terms)."""
+        pts = parse_wkt_linestring(wkt)
+        dist = float(dist)
+        x0, x1, y0, y1 = polyline_bbox(pts, dist)
+        out = (
+            self._pruned(x0, x1, y0, y1)
+            .filter(F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
+            .filter(polyline_buffer_col(pts, dist, F.col("x"), F.col("y")))
+        )
+        return self._zslab(out, minz, maxz).select(*RESULT_COLS)
+
     def knn(self, point, k: int, minz=None, maxz=None) -> DataFrame:
         """k nearest neighbours of [px, py] (Q11 — declared but NOT
         implemented by the reference, retrieve_data.py:40-41).
@@ -170,4 +188,7 @@ class WindowQuerier:
             return self.polygon(geometry, minz, maxz)
         if mode == "nn":
             return self.knn(geometry, k or 1000, minz, maxz)
+        if mode == "polyline":
+            wkt, dist = geometry
+            return self.polyline_buffer(wkt, dist, minz, maxz)
         raise ValueError(f"unknown query mode {mode!r}")
