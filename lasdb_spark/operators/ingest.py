@@ -213,10 +213,51 @@ def ingest_points(
         )
     else:
         raise ValueError(f"unknown layout {layout!r}")
-    meta_path = os.path.join(base_path, f"pc_metadata_{name}.json")
+    save_metadata(meta, base_path, layout)
+    return meta
+
+
+def save_metadata(meta: DatasetMeta, base_path: str, layout: str = "flat") -> None:
+    """Persist the metadata row (reference S7, db/__init__.py:82-93)."""
+    meta_path = os.path.join(base_path, f"pc_metadata_{meta.name}.json")
     with open(meta_path, "w") as f:
         json.dump({**asdict(meta), "layout": layout}, f, indent=2)
-    return meta
+
+
+def record_path(base_path: str, name: str) -> str:
+    return os.path.join(base_path, f"pc_record_{name}")
+
+
+def compact_dataset(
+    spark: SparkSession,
+    base_path: str,
+    name: str,
+    target_partitions: int | None = None,
+) -> None:
+    """Re-establish the global sfc_key range order after streaming or
+    incremental appends (the maintenance half of continuous ingest:
+    appended micro-batch files are each key-sorted but overlap, so
+    row-group pruning degrades until a compaction pass).
+
+    Writes to a side directory and swaps, so a crash mid-compaction
+    leaves the original data intact. At scale this runs per key-range
+    slice (only rewrite slices whose file count exceeds a threshold)."""
+    import shutil
+
+    path = record_path(base_path, name)
+    df = spark.read.parquet(path)
+    nparts = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+    tmp = path + "_compacting"
+    (
+        df.repartitionByRange(nparts, "sfc_key")
+        .sortWithinPartitions("sfc_key")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path + "_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_metadata(base_path: str, name: str) -> tuple[DatasetMeta, str]:
