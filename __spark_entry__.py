@@ -259,6 +259,12 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from lasdb_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     from lasdb_spark.operators.dedup import embedding_neardup_pairs
 
@@ -275,6 +281,12 @@ def _q_ann_lsh(spark, sf_dir):
     from lasdb_spark.operators.similarity import topk_lsh
 
     return topk_lsh(_embs(spark, sf_dir))
+
+
+def _q_ann_knn_join(spark, sf_dir):
+    from lasdb_spark.operators.similarity import knn_join_lsh
+
+    return knn_join_lsh(_embs(spark, sf_dir))
 
 
 def _q_mm_features(spark, sf_dir):
@@ -434,9 +446,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": _dedup.simhash_pairs_sql(),
+        "dedup_clusters": _dedup.dedup_clusters_sql(),
         "dedup_embedding": _dedup.embedding_neardup_pairs_sql(),
         "ann_topk": _similarity.topk_bruteforce_sql(),
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
+        "ann_knn_join": _similarity.knn_join_lsh_sql(),
         "mm_features": _multimodal.features_sql(),
         "rel_pricing_summary": _rel.pricing_summary_sql(),
         "rel_revenue_by_nation": _rel.revenue_by_nation_sql(),
@@ -475,9 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_knn_join": _q_ann_knn_join,
         "mm_features": _q_mm_features,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,

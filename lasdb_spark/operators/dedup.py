@@ -295,6 +295,75 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering: pairs → connected components → keeper per cluster
+# ---------------------------------------------------------------------------
+def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the verified
+    MinHash-LSH near-dup pairs; cluster_id = min doc_id reachable.
+    Docs in no pair are their own singleton cluster. ``doc_id ==
+    cluster_id`` selects the keeper.
+
+    Spark-first: iterative min-label propagation — labels only
+    decrease and are bounded, so the loop terminates in O(component
+    diameter) rounds; each round is one shuffle join + one convergence
+    count. ``localCheckpoint`` truncates the growing lineage. Dup
+    components are shallow in practice (pairs/cliques), so rounds stay
+    single-digit; at extreme scale swap in the alternating large-star/
+    small-star iteration — same loop skeleton."""
+    pairs = minhash_lsh_pairs(docs, tau).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(50):  # diameter bound; real exit is the count below
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters_sql(tau: float = JACCARD_TAU) -> str:
+    """Recursive-CTE oracle: min label over the reachability closure."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(tau)}) p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 # max pairwise cosine in the synthetic embeddings is ~0.51; 0.4 selects

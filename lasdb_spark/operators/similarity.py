@@ -110,6 +110,59 @@ def topk_lsh(embs: DataFrame, query_vec_id: int = 0, k: int = TOPK, bits: int = 
     return cand.withColumn("rank", w.cast("int")).filter(F.col("rank") <= k)
 
 
+KNN_JOIN_K = 5
+
+
+def knn_join_lsh(embs: DataFrame, k: int = KNN_JOIN_K, bits: int = LSH_BITS) -> DataFrame:
+    """Batch kNN-join: for EVERY vector, its top-k cosine neighbours
+    within its sign-LSH bucket — the all-corpus shape an embedding
+    dedup/clustering pipeline runs (vs topk_* which serve one query).
+
+    Scale: the self-join is bucket-equi (shuffle on the short bucket
+    key, never all-pairs); ranking is a per-vector window inside the
+    bucket partition. Recall/cost tunes with ``bits``; multi-probe =
+    union over neighbouring buckets, same plan."""
+    wb = embs.withColumn("bucket", lsh_bucket_col(F.col("embedding"), bits))
+    a = wb.select("bucket", F.col("vec_id").alias("vid"), F.col("embedding").alias("ea"))
+    b = wb.select("bucket", F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("eb"))
+    j = a.join(b, "bucket").filter(F.col("vid") != F.col("nbr_id"))
+    scored = j.select(
+        F.col("vid").alias("vec_id"),
+        "nbr_id",
+        _cosine(F.col("ea"), F.col("eb")).alias("cos"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    )
+    return scored.withColumn("rank", w.cast("int")).filter(F.col("rank") <= k)
+
+
+def knn_join_lsh_sql(k: int = KNN_JOIN_K, bits: int = LSH_BITS, dim: int = EMB_DIM) -> str:
+    def bucket_expr(e: str) -> str:
+        parts = []
+        for b in range(bits):
+            plane = "[" + ", ".join(repr(hyperplane(b, i)) for i in range(dim)) + "]"
+            dot = fold_product_sql(e, plane, dim)
+            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+    dot = fold_product_sql("a.embedding", "b.embedding", dim)
+    na = fold_product_sql("a.embedding", "a.embedding", dim)
+    nb = fold_product_sql("b.embedding", "b.embedding", dim)
+    cos = f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {cos} AS cos
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+SELECT vec_id, nbr_id, cos, rank FROM (
+  SELECT vec_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, nbr_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+""".strip()
+
+
 def topk_lsh_sql(query_vec_id: int = 0, k: int = TOPK, bits: int = LSH_BITS, dim: int = EMB_DIM) -> str:
     """Oracle twin of :func:`topk_lsh` — same deterministic hyperplanes."""
     def bucket_expr(e: str) -> str:
