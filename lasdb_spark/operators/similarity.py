@@ -122,14 +122,31 @@ def knn_join_lsh(embs: DataFrame, k: int = KNN_JOIN_K, bits: int = LSH_BITS) -> 
     key, never all-pairs); ranking is a per-vector window inside the
     bucket partition. Recall/cost tunes with ``bits``; multi-probe =
     union over neighbouring buckets, same plan."""
-    wb = embs.withColumn("bucket", lsh_bucket_col(F.col("embedding"), bits))
-    a = wb.select("bucket", F.col("vec_id").alias("vid"), F.col("embedding").alias("ea"))
-    b = wb.select("bucket", F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("eb"))
+    # norms once per VECTOR (N fold evaluations), not per pair (N·k):
+    # the join then evaluates a single dot per candidate pair
+    wb = embs.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), bits)
+    ).withColumn(
+        "nrm", F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding")))
+    )
+    a = wb.select(
+        "bucket",
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = wb.select(
+        "bucket",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     j = a.join(b, "bucket").filter(F.col("vid") != F.col("nbr_id"))
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
     scored = j.select(
         F.col("vid").alias("vec_id"),
         "nbr_id",
-        _cosine(F.col("ea"), F.col("eb")).alias("cos"),
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
     )
     w = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
@@ -147,11 +164,11 @@ def knn_join_lsh_sql(k: int = KNN_JOIN_K, bits: int = LSH_BITS, dim: int = EMB_D
         return "(" + " + ".join(parts) + ")"
 
     dot = fold_product_sql("a.embedding", "b.embedding", dim)
-    na = fold_product_sql("a.embedding", "a.embedding", dim)
-    nb = fold_product_sql("b.embedding", "b.embedding", dim)
-    cos = f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    cos = f"round({dot} / (a.nrm * b.nrm), 6)"
     return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket FROM embeddings),
+WITH wb AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket,
+                   {nrm} AS nrm FROM embeddings),
 scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {cos} AS cos
   FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
