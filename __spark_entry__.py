@@ -295,6 +295,18 @@ def _q_mm_features(spark, sf_dir):
     return decode_stub_features(binary_corpus(_docs(spark, sf_dir)))
 
 
+def _q_mm_resize(spark, sf_dir):
+    from lasdb_spark.operators.multimodal import binary_corpus, resize_stub
+
+    return resize_stub(binary_corpus(_docs(spark, sf_dir)))
+
+
+def _q_mm_frames(spark, sf_dir):
+    from lasdb_spark.operators.multimodal import binary_corpus, frame_sample
+
+    return frame_sample(binary_corpus(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # relational / analytical surface (agg, joins, windows, sessionize, asof)
 # ---------------------------------------------------------------------------
@@ -452,6 +464,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
         "ann_knn_join": _similarity.knn_join_lsh_sql(),
         "mm_features": _multimodal.features_sql(),
+        "mm_resize": _multimodal.resize_sql(),
+        "mm_frame_sample": _multimodal.frame_sample_sql(),
         "rel_pricing_summary": _rel.pricing_summary_sql(),
         "rel_revenue_by_nation": _rel.revenue_by_nation_sql(),
         "rel_top_orders_per_customer": _rel.top_orders_per_customer_sql(),
@@ -495,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_knn_join": _q_ann_knn_join,
         "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
         "rel_top_orders_per_customer": _q_rel_top_orders,

@@ -86,6 +86,86 @@ def decode_stub_features(
     return corpus.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, scale_x double, scale_y double"
+
+
+def resize_stub(corpus: DataFrame, out_w: int = 224, out_h: int = 224) -> DataFrame:
+    """'Resize' each asset to (out_w, out_h) via mapInPandas.
+
+    Real deployment: decode → PIL/cv2 resize → re-encode; here the
+    stub derives the source dims exactly as ``decode_stub_features``
+    and emits the scale factors a resizer would apply. The Arrow batch
+    shape (bytes in, small records out) is the real contract."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            plen = pdf["payload"].map(len)
+            w = (plen % 512).astype("int64")
+            h = ((plen * 7) % 512).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    # guard: stub dims of empty payloads are 0
+                    "scale_x": (out_w / w.clip(lower=1)).round(6),
+                    "scale_y": (out_h / h.clip(lower=1)).round(6),
+                }
+            )
+
+    return corpus.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def resize_sql(out_w: int = 224, out_h: int = 224) -> str:
+    plen = "octet_length(encode(text))"
+    return f"""
+SELECT doc_id,
+  {out_w} AS out_w, {out_h} AS out_h,
+  round({out_w} / CAST(greatest({plen} % 512, 1) AS DOUBLE), 6) AS scale_x,
+  round({out_h} / CAST(greatest(({plen} * 7) % 512, 1) AS DOUBLE), 6) AS scale_y
+FROM documents
+""".strip()
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long"
+
+
+def frame_sample(corpus: DataFrame, stride: int = 10) -> DataFrame:
+    """Sample every ``stride``-th frame of each 'video' asset.
+
+    One input row fans out to n_frames/stride rows (the mapInPandas
+    contract real frame extraction needs — output cardinality differs
+    from input). Frame count/offsets derive deterministically from the
+    payload as in decode_stub_features."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = int(doc_id % 30 + 1)
+                plen = len(payload)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(plen * i // max(n_frames, 1))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_off": offs},
+            ).astype({"doc_id": "int64", "frame_idx": "int32", "frame_off": "int64"})
+
+    return corpus.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def frame_sample_sql(stride: int = 10) -> str:
+    plen = "octet_length(encode(text))"
+    return f"""
+SELECT doc_id,
+  CAST(i AS INT) AS frame_idx,
+  CAST({plen} * i // greatest(doc_id % 30 + 1, 1) AS BIGINT) AS frame_off
+FROM documents,
+     LATERAL (SELECT unnest(range(0, doc_id % 30 + 1, {stride}))) AS s(i)
+""".strip()
+
+
 def features_sql() -> str:
     """Oracle twin of binary_corpus ∘ decode_stub_features (DuckDB)."""
     fmt = (
