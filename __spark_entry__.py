@@ -283,6 +283,12 @@ def _q_ann_lsh(spark, sf_dir):
     return topk_lsh(_embs(spark, sf_dir))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from lasdb_spark.operators.similarity import topk_ivf
+
+    return topk_ivf(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -354,6 +360,14 @@ def _q_rel_json(spark, sf_dir):
 
 def _q_rel_funnel(spark, sf_dir):
     return _rel.event_funnel(_ev(spark, sf_dir))
+
+
+def _q_rel_rollup(spark, sf_dir):
+    return _rel.pricing_rollup(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_rel_setops(spark, sf_dir):
+    return _rel.order_priority_sets(_t(spark, sf_dir, "orders"))
 
 
 # ---------------------------------------------------------------------------
@@ -463,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _similarity.topk_bruteforce_sql(),
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
         "ann_knn_join": _similarity.knn_join_lsh_sql(),
+        "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "mm_features": _multimodal.features_sql(),
         "mm_resize": _multimodal.resize_sql(),
         "mm_frame_sample": _multimodal.frame_sample_sql(),
@@ -474,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_asof_error_click": _rel.asof_error_to_click_sql(),
         "rel_json_extract": _rel.json_extract_props_sql(),
         "rel_event_funnel": _rel.event_funnel_sql(),
+        "rel_pricing_rollup": _rel.pricing_rollup_sql(),
+        "rel_set_ops": _rel.order_priority_sets_sql(),
     }
 
 
@@ -508,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_knn_join": _q_ann_knn_join,
+        "ann_ivf_topk": _q_ann_ivf,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
@@ -519,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_error_click": _q_rel_asof,
         "rel_json_extract": _q_rel_json,
         "rel_event_funnel": _q_rel_funnel,
+        "rel_pricing_rollup": _q_rel_rollup,
+        "rel_set_ops": _q_rel_setops,
     }
 
 

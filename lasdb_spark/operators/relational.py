@@ -246,6 +246,61 @@ def json_extract_props_sql() -> str:
     )
 
 
+def pricing_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: per (flag, status), per flag, and grand
+    total in one pass (the reference has no grouping sets; Spark SQL
+    supplies them natively — one shuffle, grouping-set expansion is
+    map-side). NULL group keys are coalesced to 'ALL' so every engine
+    sorts/hashes the subtotal rows identically."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("status"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def pricing_rollup_sql() -> str:
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip()
+
+
+def order_priority_sets(orders: DataFrame) -> DataFrame:
+    """Set operations: priorities seen in high-value orders MINUS those
+    in low-value ones, plus the intersection count — exercised because
+    the reference has none (SURVEY §2.5)."""
+    hi = orders.filter(F.col("o_totalprice") > 200000).select("o_orderpriority")
+    lo = orders.filter(F.col("o_totalprice") < 1000).select("o_orderpriority")
+    only_hi = hi.subtract(lo).withColumn("set_op", F.lit("hi_minus_lo"))
+    both = hi.intersect(lo).withColumn("set_op", F.lit("both"))
+    return only_hi.unionByName(both).select("set_op", "o_orderpriority")
+
+
+def order_priority_sets_sql() -> str:
+    return """
+WITH hi AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000),
+lo AS (SELECT o_orderpriority FROM orders WHERE o_totalprice < 1000)
+SELECT 'hi_minus_lo' AS set_op, o_orderpriority FROM (
+  SELECT o_orderpriority FROM hi EXCEPT SELECT o_orderpriority FROM lo)
+UNION ALL
+SELECT 'both' AS set_op, o_orderpriority FROM (
+  SELECT o_orderpriority FROM hi INTERSECT SELECT o_orderpriority FROM lo)
+""".strip()
+
+
 def event_funnel(events: DataFrame) -> DataFrame:
     """Per-user funnel: first view → first click → first purchase, in
     causal order (each stage must follow the previous one).

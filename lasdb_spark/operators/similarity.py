@@ -180,6 +180,117 @@ SELECT vec_id, nbr_id, cos, rank FROM (
 """.strip()
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def topk_ivf(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into cells by nearest
+    centroid; a query scans only its ``nprobe`` closest cells.
+
+    Centroids here are the ``n_cells`` lowest vec_ids (deterministic
+    seed init — a real deployment k-means-trains them; the
+    assignment/probe PLAN is identical either way). Everything is one
+    broadcast of the tiny centroid set + windows partitioned by
+    vec_id; at scale the cell id becomes a partition/cluster key so a
+    probe is a partition-pruned scan."""
+    cents = embs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("cnrm"),
+    )
+    wn = embs.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    ccos = F.round(
+        fold_dot_col(F.col("embedding"), F.col("ce"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    ranked = wn.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(ccos.desc(), F.col("cid"))
+        )
+        .alias("rk"),
+    )
+    assign = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
+    ).select(F.col("cid").alias("cell"))
+    q = assign.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell", "leftsemi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+    )
+    cos = F.round(
+        fold_dot_col(F.col("qv"), F.col("embedding"))
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
+    return (
+        cand.select("vec_id", cos.alias("cos"))
+        .withColumn("rank", w.cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_ivf_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMB_DIM,
+) -> str:
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    cdot = fold_product_sql("w.embedding", "c.ce", dim)
+    qdot = fold_product_sql("q.qv", "a.embedding", dim)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
+  FROM embeddings WHERE vec_id < {n_cells}),
+wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+ranked AS (
+  SELECT w.vec_id, w.embedding, w.nrm, c.cid,
+         row_number() OVER (PARTITION BY w.vec_id
+           ORDER BY round({cdot} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
+  FROM wn w CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, embedding, nrm, cid AS cell FROM ranked WHERE rk = 1),
+probes AS (
+  SELECT cid AS cell FROM ranked
+  WHERE vec_id = {query_vec_id} AND rk <= {nprobe}),
+q AS (SELECT embedding AS qv, nrm AS qnrm FROM assign
+      WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT a.vec_id, round({qdot} / (q.qnrm * a.nrm), 6) AS cos
+  FROM assign a CROSS JOIN q
+  WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id != {query_vec_id})
+SELECT vec_id, cos, rank FROM (
+  SELECT vec_id, cos,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM cand) WHERE rank <= {k}
+""".strip()
+
+
 def topk_lsh_sql(query_vec_id: int = 0, k: int = TOPK, bits: int = LSH_BITS, dim: int = EMB_DIM) -> str:
     """Oracle twin of :func:`topk_lsh` — same deterministic hyperplanes."""
     def bucket_expr(e: str) -> str:
