@@ -55,7 +55,12 @@ class WindowQuerier:
     df: DataFrame
     meta: DatasetMeta
     layout: str = "flat"
-    max_ranges: int = 256
+    # ≤64 ranges keeps every query on the OR-of-BETWEENs path: the
+    # whole predicate pushes into the Parquet scan (row-group pruning)
+    # and per-row evaluation stays in codegen. More ranges only sharpen
+    # pruning marginally while forcing the range-join fallback, whose
+    # broadcast nested-loop comparison costs O(rows × ranges).
+    max_ranges: int = 64
 
     # -- planning ---------------------------------------------------------
     def _key_ranges(self, x0: float, x1: float, y0: float, y1: float):
