@@ -182,12 +182,16 @@ def ingest_points(
     ratio: float = 0.7,
     layout: str = "flat",
     target_partitions: int | None = None,
+    write_histogram: bool = False,
 ) -> DatasetMeta:
     """Full ingest: metadata pass + encoded write, sorted by key.
 
     flat layout:  (x, y, z, sfc_key)  — primary; Parquet stats on the
                   sorted sfc_key column replace the reference's B-tree.
     block layout: (sfc_head, sfc_tail[], z[]) — faithful-schema mode.
+    ``write_histogram`` also emits the per-block count side output the
+    reference writes at ingest (histogram_<n>.csv,
+    pcsfc/point_processor.py:74-79) as ``histogram_<name>`` Parquet.
     """
     meta = compute_metadata(points, name, srid, scales, offsets, ratio)
     df = attach_sfc(points, meta)
@@ -213,6 +217,10 @@ def ingest_points(
         )
     else:
         raise ValueError(f"unknown layout {layout!r}")
+    if write_histogram:
+        block_histogram(df).write.mode("overwrite").parquet(
+            os.path.join(base_path, f"histogram_{name}")
+        )
     save_metadata(meta, base_path, layout)
     return meta
 

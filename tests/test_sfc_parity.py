@@ -91,3 +91,18 @@ def test_points_derivation_matches_duckdb(spark, sf_dir):
     assert len(spark_rows) == len(duck_rows)
     for a, b in zip(spark_rows, duck_rows):
         assert a == b  # exact double equality, not approx
+
+
+@pytest.mark.spark
+def test_ingest_histogram_side_output(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.ingest import ingest_points
+    from lasdb_spark.sources.points import points_df
+
+    pts = points_df(spark, sf_dir)
+    meta = ingest_points(pts, "h", str(tmp_path), write_histogram=True)
+    hist = spark.read.parquet(str(tmp_path / "histogram_h"))
+    assert hist.columns == ["sfc_head", "num_tail"]
+    total = hist.agg(F.sum("num_tail")).collect()[0][0]
+    assert total == meta.point_count
