@@ -67,9 +67,21 @@ def exact_dedup_sql() -> str:
 # ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY under-split inputs (a single small parquet file
+    reads as one partition and serializes every per-row op onto one
+    core). On real datasets file splitting already provides
+    parallelism and this is a no-op — no shuffle added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) — DISTINCT word n-grams, built with native
     array functions (sequence/transform/element_at), no UDF."""
+    docs = _spread(docs)
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.transform(
@@ -278,7 +290,7 @@ WHERE round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 6) >= {tau}
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — sign-of-sums over per-token 60-bit hashes
     (token multiset, not set: multiplicities count)."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
