@@ -235,6 +235,12 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_text_top_tokens(spark, sf_dir):
+    from lasdb_spark.operators.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from lasdb_spark.operators.dedup import exact_dedup
 
@@ -362,6 +368,12 @@ def _q_rel_funnel(spark, sf_dir):
     return _rel.event_funnel(_ev(spark, sf_dir))
 
 
+def _q_rel_exists(spark, sf_dir):
+    return _rel.customers_with_big_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def _q_rel_rollup(spark, sf_dir):
     return _rel.pricing_rollup(_t(spark, sf_dir, "lineitem"))
 
@@ -468,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text.quality_scores_sql(),
         "text_langid": _text.lang_id_sql(),
         "text_fingerprint": _text.fingerprints_sql(),
+        "text_top_tokens": _text.top_tokens_sql(),
         "dedup_exact": _dedup.exact_dedup_sql(),
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
@@ -491,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_event_funnel": _rel.event_funnel_sql(),
         "rel_pricing_rollup": _rel.pricing_rollup_sql(),
         "rel_set_ops": _rel.order_priority_sets_sql(),
+        "rel_exists_semijoin": _rel.customers_with_big_orders_sql(),
     }
 
 
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_top_tokens": _q_text_top_tokens,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -539,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_event_funnel": _q_rel_funnel,
         "rel_pricing_rollup": _q_rel_rollup,
         "rel_set_ops": _q_rel_setops,
+        "rel_exists_semijoin": _q_rel_exists,
     }
 
 

@@ -301,6 +301,24 @@ SELECT 'both' AS set_op, o_orderpriority FROM (
 """.strip()
 
 
+def customers_with_big_orders(customer: DataFrame, orders: DataFrame, threshold: float = 300000.0) -> DataFrame:
+    """Correlated-EXISTS shape: customers having at least one order
+    above the threshold. Spark decorrelates this to a left-semi join —
+    the customer table is scanned once, no per-row subquery."""
+    big = orders.filter(F.col("o_totalprice") > threshold).select("o_custkey")
+    return customer.join(
+        big, customer["c_custkey"] == big["o_custkey"], "leftsemi"
+    ).select("c_custkey", "c_name")
+
+
+def customers_with_big_orders_sql(threshold: float = 300000.0) -> str:
+    return f"""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {threshold})
+""".strip()
+
+
 def event_funnel(events: DataFrame) -> DataFrame:
     """Per-user funnel: first view → first click → first purchase, in
     causal order (each stage must follow the previous one).

@@ -131,6 +131,41 @@ def lang_id_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# corpus-level token frequency
+# ---------------------------------------------------------------------------
+def top_tokens(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(tok, n, rank) — the k most frequent tokens corpus-wide.
+
+    Skew note: hot tokens (stopwords) are exactly the skewed keys that
+    hurt naive groupBys; Spark's map-side partial aggregation collapses
+    each partition's counts before the shuffle, so the reducer for
+    'the' receives one partial row per partition, not one per
+    occurrence. Ties broken lexically for determinism."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok")))
+    return counts.withColumn("rank", w.cast("int")).filter(F.col("rank") <= k)
+
+
+def top_tokens_sql(k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+SELECT tok, n, rank FROM (
+  SELECT tok, n,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+  FROM counts) WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 def fingerprints(docs: DataFrame) -> DataFrame:
