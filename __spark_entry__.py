@@ -368,6 +368,10 @@ def _q_rel_funnel(spark, sf_dir):
     return _rel.event_funnel(_ev(spark, sf_dir))
 
 
+def _q_rel_percentiles(spark, sf_dir):
+    return _rel.order_price_percentiles(_t(spark, sf_dir, "orders"))
+
+
 def _q_rel_exists(spark, sf_dir):
     return _rel.customers_with_big_orders(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
@@ -505,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pricing_rollup": _rel.pricing_rollup_sql(),
         "rel_set_ops": _rel.order_priority_sets_sql(),
         "rel_exists_semijoin": _rel.customers_with_big_orders_sql(),
+        "rel_percentiles": _rel.order_price_percentiles_sql(),
     }
 
 
@@ -555,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_rollup": _q_rel_rollup,
         "rel_set_ops": _q_rel_setops,
         "rel_exists_semijoin": _q_rel_exists,
+        "rel_percentiles": _q_rel_percentiles,
     }
 
 

@@ -301,6 +301,30 @@ SELECT 'both' AS set_op, o_orderpriority FROM (
 """.strip()
 
 
+def order_price_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact p50/p95 of order value per priority (linear-interpolation
+    percentile — bit-identical across engines on doubles).
+
+    Scale: exact percentile sorts within each group; for heavy groups
+    switch to percentile_approx (t-digest, mergeable sketch) — same
+    call shape, bounded memory."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def order_price_percentiles_sql() -> str:
+    return """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95,
+       count(*) AS n
+FROM orders GROUP BY 1
+""".strip()
+
+
 def customers_with_big_orders(customer: DataFrame, orders: DataFrame, threshold: float = 300000.0) -> DataFrame:
     """Correlated-EXISTS shape: customers having at least one order
     above the threshold. Spark decorrelates this to a left-semi join —
