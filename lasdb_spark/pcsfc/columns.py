@@ -13,22 +13,67 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .morton import COMPACT_STEPS, EVEN_BITS, EXPAND_STEPS
+from .morton import compact2d, expand2d
+
+
+def _balanced_bitor(terms: list[Column]) -> Column:
+    """OR-combine disjoint-bit terms as a balanced tree (nesting depth
+    log n, not n — deep left-recursive trees stress Janino's recursive
+    compiler)."""
+    if len(terms) == 1:
+        return terms[0]
+    mid = len(terms) // 2
+    return _balanced_bitor(terms[:mid]).bitwiseOR(_balanced_bitor(terms[mid:]))
+
+
+# The driver-side planner (morton.py) uses the classic magic-mask chain:
+# n = (n | (n << s)) & mask. As a Column tree that chain references its
+# input TWICE per step, so the expression DOUBLES each step — 2^5 = 32
+# inlined copies of the input — and whole-stage codegen emits code for
+# every copy. Fused with a filter + aggregate (block unpack, on-the-fly
+# encode), that overflows Janino's 64 KB per-method limit and the whole
+# stage silently drops to interpreted execution.
+#
+# Here instead: byte-at-a-time lookup tables. The 256-entry tables are
+# literal arrays — constant-folded by Catalyst into a single ArrayData
+# object referenced from the generated class, NOT rebuilt per row — so
+# an expand is 4 lookups and a compact is 8, each referencing the input
+# once. Values are generated from the morton.py reference functions, so
+# Column/driver parity holds by construction (property-tested too).
+
+# expand2d of one input byte → 16-bit spread (x lane)
+_EXPAND_TABLE = [expand2d(b) for b in range(256)]
+# compact of one key byte's even bit positions → 4 bits
+_COMPACT_TABLE = [compact2d(b & 0x55) for b in range(256)]
+
+
+def _byte_lut(c: Column, table: list[int], nbytes: int, out_shift: int) -> Column:
+    # F.lit(list) builds the literal lazily per call — it needs a live
+    # SparkSession, so it cannot be a module-level constant.
+    lut = F.lit(table)
+    return _balanced_bitor(
+        [
+            # cast("long") is load-bearing: lit() infers array<int>, and
+            # shiftleft on INT wraps the shift amount mod 32.
+            F.shiftleft(
+                F.get(
+                    lut, F.shiftright(c, 8 * j).bitwiseAND(F.lit(255)).cast("int")
+                ).cast("long"),
+                out_shift * j,
+            )
+            for j in range(nbytes)
+        ]
+    )
 
 
 def expand2d_col(c: Column) -> Column:
     """Spread bits of a non-negative long onto even positions (F1)."""
-    for shift, mask in EXPAND_STEPS:
-        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
-    return c
+    return _byte_lut(c, _EXPAND_TABLE, nbytes=4, out_shift=16)
 
 
 def compact2d_col(c: Column) -> Column:
     """Gather even bit positions back into a compact long (F3)."""
-    c = c.bitwiseAND(F.lit(EVEN_BITS))
-    for shift, mask in COMPACT_STEPS:
-        c = c.bitwiseOR(F.shiftright(c, shift)).bitwiseAND(F.lit(mask))
-    return c
+    return _byte_lut(c, _COMPACT_TABLE, nbytes=8, out_shift=4)
 
 
 def morton_encode_col(x: Column, y: Column) -> Column:
