@@ -61,7 +61,23 @@ def fold_product_sql(a_expr: str, b_expr: str, n: int) -> str:
     return acc
 
 
-def fold_dot_col(a: Column, b: Column) -> Column:
-    """Spark twin of :func:`fold_product_sql`: sequential left fold."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+def fold_dot_col(a: Column, b: Column, n: int | None = None) -> Column:
+    """Spark twin of :func:`fold_product_sql`: sequential left fold.
+
+    Default is the zip_with/aggregate higher-order form. It is
+    CodegenFallback (interpreted per row), but MEASURED faster
+    end-to-end on the benchmark corpus than unrolling: a 64-term
+    unrolled tree costs seconds of Catalyst planning + Janino
+    compilation per stage, which dwarfs its per-row win until row
+    counts reach the hundreds of millions. Pass a static ``n`` to
+    unroll into a native left-associated sum of element products for
+    genuinely huge inputs — identical FP addition order either way
+    (bit-identical results, same as the SQL twin).
+    """
+    if n is None:
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    acc = F.lit(0.0)
+    for i in range(n):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return acc

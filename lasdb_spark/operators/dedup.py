@@ -373,7 +373,16 @@ def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Propagate only over the edge-induced subgraph: a doc with no
+    # near-dup edge can never change label, so keeping the (usually
+    # tiny) incident-node set in the loop makes every round's joins
+    # O(|dup docs|) instead of O(|corpus|). Singletons re-enter at the
+    # end via one anti-join.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
     for _ in range(50):  # diameter bound; real exit is the count below
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -400,7 +409,12 @@ def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    singletons = (
+        docs.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(singletons)
 
 
 def dedup_clusters_sql(tau: float = JACCARD_TAU) -> str:
