@@ -422,6 +422,10 @@ def _q_rel_percentiles(spark, sf_dir):
     return _rel.order_price_percentiles(_t(spark, sf_dir, "orders"))
 
 
+def _q_rel_momentum(spark, sf_dir):
+    return _rel.monthly_revenue_momentum(_t(spark, sf_dir, "orders"))
+
+
 def _q_rel_exists(spark, sf_dir):
     return _rel.customers_with_big_orders(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
@@ -560,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_set_ops": _rel.order_priority_sets_sql(),
         "rel_exists_semijoin": _rel.customers_with_big_orders_sql(),
         "rel_percentiles": _rel.order_price_percentiles_sql(),
+        "rel_month_momentum": _rel.monthly_revenue_momentum_sql(),
     }
 
 
@@ -611,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_set_ops": _q_rel_setops,
         "rel_exists_semijoin": _q_rel_exists,
         "rel_percentiles": _q_rel_percentiles,
+        "rel_month_momentum": _q_rel_momentum,
     }
 
 

@@ -325,6 +325,49 @@ FROM orders GROUP BY 1
 """.strip()
 
 
+def monthly_revenue_momentum(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue with lag + running cumulative total —
+    the frame-based window surface (lag, unbounded-preceding sum) the
+    other rel_* queries don't touch.
+
+    Scale: the windows run AFTER the monthly aggregation, over ~one row
+    per month — a single-partition window on an already-tiny frame, not
+    on the fact table. Revenue sums in DECIMAL (order-independent),
+    cast to DOUBLE at the edge."""
+    month = F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+    monthly = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+    )
+    w = Window.orderBy("month")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec") - F.lag("rev_dec").over(w))
+        .cast("double")
+        .alias("rev_delta"),
+        F.sum("rev_dec").over(wcum).cast("double").alias("rev_cum"),
+    )
+
+
+def monthly_revenue_momentum_sql() -> str:
+    return """
+WITH monthly AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+         count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1)
+SELECT month, n_orders,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec - lag(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS rev_delta,
+       CAST(sum(rev_dec) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_cum
+FROM monthly
+""".strip()
+
+
 def customers_with_big_orders(customer: DataFrame, orders: DataFrame, threshold: float = 300000.0) -> DataFrame:
     """Correlated-EXISTS shape: customers having at least one order
     above the threshold. Spark decorrelates this to a left-semi join —
