@@ -16,6 +16,11 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Strict codegen: a whole-stage method that fails to compile
+        # (e.g. >64 KB from an exploding expression tree) FAILS the test
+        # instead of silently running interpreted — guards the Morton
+        # byte-LUT fix and any future expression blowup.
+        .config("spark.sql.codegen.fallback", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
