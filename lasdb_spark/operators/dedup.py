@@ -314,18 +314,49 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs within Hamming distance."""
-    fp = simhash_fingerprints(docs)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    """(doc_a, doc_b, hamming) pairs within Hamming distance.
+
+    Banded candidate generation, NOT an all-pairs join: the 60-bit
+    fingerprint splits into ``max_hamming + 1`` bands, and by
+    pigeonhole any pair within the Hamming budget agrees exactly on at
+    least one band — so the band-equality self-join has recall 1 and
+    the output is identical to the quadratic plan. Candidates are then
+    verified with one XOR/bit_count. Scale: shuffle is O(docs × bands)
+    on short band keys (the same shape as MinHash LSH banding), never
+    O(docs²)."""
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    widths = [width + (1 if b < SIMHASH_BITS % n_bands else 0) for b in range(n_bands)]
+    offs = [sum(widths[:b]) for b in range(n_bands)]
+    fp = simhash_fingerprints(docs).cache()
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offs[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = fp.select("doc_id", F.posexplode(band_vals).alias("band", "val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
