@@ -186,8 +186,20 @@ def minhash_lsh_pairs(
 
     Scale path: shuffle O(docs × bands) on band signatures; exact
     verification only on candidates (vs the all-pairs shingle join)."""
-    sh = shingles(docs).cache()  # reused: signatures, sizes, both join sides
-    sig = minhash_signatures(docs, n_perms, shingles_df=sh)
+    sh = shingles(docs).cache()  # reused: signatures, both verify join sides
+    # ONE aggregation produces the 32 signature mins AND the shingle
+    # count — sizes ride along instead of a second full shuffle of the
+    # shingle set (the largest intermediate in the pipeline).
+    coeffs = minhash_perm_coeffs(n_perms)
+    sid = sh.withColumn("sid", md5_int60_col(F.col("shingle")) % MERSENNE31)
+    sig = sid.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sid") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
+    ).cache()  # one row per doc; feeds bands + both size joins
+    sizes = sig.select("doc_id", "n_sh")
     n_bands = n_perms // band_size
     band_cols = [
         F.concat_ws(
@@ -217,7 +229,6 @@ def minhash_lsh_pairs(
     # verify ONLY the candidates (this is the whole point of LSH): the
     # exact-Jaccard join runs on |cands| pairs, not all shingle-sharing
     # pairs. Same jac arithmetic/rounding as ngram_jaccard_pairs.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cands.join(sh.alias("sa"), cands["doc_a"] == F.col("sa.doc_id"))
         .join(
