@@ -426,6 +426,10 @@ def _q_rel_momentum(spark, sf_dir):
     return _rel.monthly_revenue_momentum(_t(spark, sf_dir, "orders"))
 
 
+def _q_rel_distinct(spark, sf_dir):
+    return _rel.priority_distinct_customers(_t(spark, sf_dir, "orders"))
+
+
 def _q_rel_exists(spark, sf_dir):
     return _rel.customers_with_big_orders(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
@@ -565,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_exists_semijoin": _rel.customers_with_big_orders_sql(),
         "rel_percentiles": _rel.order_price_percentiles_sql(),
         "rel_month_momentum": _rel.monthly_revenue_momentum_sql(),
+        "rel_distinct_customers": _rel.priority_distinct_customers_sql(),
     }
 
 
@@ -617,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_exists_semijoin": _q_rel_exists,
         "rel_percentiles": _q_rel_percentiles,
         "rel_month_momentum": _q_rel_momentum,
+        "rel_distinct_customers": _q_rel_distinct,
     }
 
 

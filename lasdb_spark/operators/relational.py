@@ -325,6 +325,28 @@ FROM orders GROUP BY 1
 """.strip()
 
 
+def priority_distinct_customers(orders: DataFrame) -> DataFrame:
+    """Distinct aggregation: unique ordering customers per priority.
+
+    Scale: Spark rewrites count(DISTINCT) as a two-stage expand +
+    partial agg — no driver materialization; for billions of keys swap
+    in approx_count_distinct (HLL sketch, mergeable) with the same call
+    shape."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def priority_distinct_customers_sql() -> str:
+    return """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+""".strip()
+
+
 def monthly_revenue_momentum(orders: DataFrame) -> DataFrame:
     """Month-over-month revenue with lag + running cumulative total —
     the frame-based window surface (lag, unbounded-preceding sum) the
