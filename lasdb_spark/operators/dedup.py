@@ -83,7 +83,13 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     array functions (sequence/transform/element_at), no UDF."""
     docs = _spread(docs)
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # Guard short docs: sequence(1, 0) is the DESCENDING [1, 0] in Spark
+    # (not empty), and element_at would then index out of bounds. A doc
+    # with fewer than n tokens has no n-gram — emit no shingles, matching
+    # the DuckDB twin (range(), empty when start >= stop).
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(

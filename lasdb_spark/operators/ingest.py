@@ -36,7 +36,7 @@ from ..pcsfc.columns import (
     split_head_col,
     split_tail_col,
 )
-from ..pcsfc.morton import compute_split_length
+from ..pcsfc.morton import compute_split_length, quantize
 
 METADATA_FILE = "_pc_metadata.json"
 
@@ -82,8 +82,13 @@ def compute_metadata(
         F.min("z").alias("z0"),
         F.max("z").alias("z1"),
     ).collect()[0]
-    qx_max = round((row.x1 - offsets[0]) / scales[0])
-    qy_max = round((row.y1 - offsets[1]) / scales[1])
+    # Planning maxima MUST use the same HALF_UP rule as the executor
+    # quantization (quantize_col / F.round): Python round() is banker's
+    # rounding, and a .5 max landing one cell low can shrink grid_bits
+    # across a power of two — decompose_bbox would then clamp windows to
+    # a grid that excludes the true max keys (boundary points lost).
+    qx_max = quantize(row.x1, scales[0], offsets[0])
+    qy_max = quantize(row.y1, scales[1], offsets[1])
     if qx_max < 0 or qy_max < 0 or (row.x0 - offsets[0]) < 0 or (row.y0 - offsets[1]) < 0:
         raise ValueError(
             "offsets must place the grid in the positive quadrant "

@@ -46,6 +46,18 @@ def _cosine(q_col, e_col):
     return F.round(dot / (F.sqrt(nq) * F.sqrt(ne)), 6)
 
 
+def _attach_rank(topk: DataFrame) -> DataFrame:
+    """Attach 1-based rank to an already-limited top-k DataFrame.
+
+    The corpus-wide ranking happens upstream via ``orderBy(...).limit(k)``
+    — Spark plans TakeOrderedAndProject (per-partition heaps of size k,
+    driver-side merge), never a single-partition sort of the full corpus.
+    The window here only ever sees the k surviving rows, so its single
+    partition is k rows, not the dataset."""
+    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
+    return topk.withColumn("rank", w.cast("int"))
+
+
 def topk_bruteforce(embs: DataFrame, query_vec_id: int = 0, k: int = TOPK) -> DataFrame:
     """Exact top-k by cosine to the row with ``query_vec_id``.
 
@@ -58,8 +70,7 @@ def topk_bruteforce(embs: DataFrame, query_vec_id: int = 0, k: int = TOPK) -> Da
         .crossJoin(F.broadcast(q))
         .select("vec_id", _cosine(F.col("qv"), F.col("embedding")).alias("cos"))
     )
-    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
-    return scored.withColumn("rank", w.cast("int")).filter(F.col("rank") <= k)
+    return _attach_rank(scored.orderBy(F.col("cos").desc(), "vec_id").limit(k))
 
 
 def topk_bruteforce_sql(query_vec_id: int = 0, k: int = TOPK, dim: int = EMB_DIM) -> str:
@@ -106,8 +117,81 @@ def topk_lsh(embs: DataFrame, query_vec_id: int = 0, k: int = TOPK, bits: int = 
         .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != query_vec_id))
         .select("vec_id", _cosine(F.col("qv"), F.col("embedding")).alias("cos"))
     )
-    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
-    return cand.withColumn("rank", w.cast("int")).filter(F.col("rank") <= k)
+    return _attach_rank(cand.orderBy(F.col("cos").desc(), "vec_id").limit(k))
+
+
+#: multi-probe default: the query's own bucket + all Hamming-1
+#: neighbour buckets (bits flipped one at a time) = bits + 1 probes.
+LSH_NPROBE = LSH_BITS + 1
+
+
+def topk_lsh_multiprobe(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    bits: int = LSH_BITS,
+    nprobe: int = LSH_NPROBE,
+) -> DataFrame:
+    """ANN top-k probing the query's bucket PLUS Hamming-1 neighbours.
+
+    Sign-LSH buckets that differ in one hyperplane sign are the most
+    likely homes of near neighbours the single-bucket probe misses, so
+    multi-probe recovers most of the recall gap at ``nprobe×`` the
+    candidate cost — still |N·nprobe/2^bits| per query, never a full
+    scan. Probe order is deterministic: own bucket, then bit 0, 1, ...
+    flipped; ``nprobe`` truncates that list. Ranking is TakeOrdered
+    (orderBy+limit), same as every single-query top-k here."""
+    with_bucket = embs.withColumn("bucket", lsh_bucket_col(F.col("embedding"), bits))
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    probe = F.col("bucket") == F.col("qb")
+    for i in range(min(nprobe - 1, bits)):
+        probe = probe | (F.col("bucket") == F.col("qb").bitwiseXOR(F.lit(1 << i)))
+    cand = (
+        with_bucket.crossJoin(F.broadcast(q))
+        .filter(probe & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", _cosine(F.col("qv"), F.col("embedding")).alias("cos"))
+    )
+    return _attach_rank(cand.orderBy(F.col("cos").desc(), "vec_id").limit(k))
+
+
+def topk_lsh_multiprobe_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    bits: int = LSH_BITS,
+    nprobe: int = LSH_NPROBE,
+    dim: int = EMB_DIM,
+) -> str:
+    """Oracle twin of :func:`topk_lsh_multiprobe` — same probe set."""
+    def bucket_expr(e: str) -> str:
+        parts = []
+        for b in range(bits):
+            plane = "[" + ", ".join(repr(hyperplane(b, i)) for i in range(dim)) + "]"
+            dot = fold_product_sql(e, plane, dim)
+            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+    probes = " OR ".join(
+        ["e.bucket = q.qb"]
+        + [f"e.bucket = xor(q.qb, {1 << i})" for i in range(min(nprobe - 1, bits))]
+    )
+    dot = fold_product_sql("q.qv", "e.embedding", dim)
+    nq = fold_product_sql("q.qv", "q.qv", dim)
+    ne = fold_product_sql("e.embedding", "e.embedding", dim)
+    cos = f"round({dot} / (sqrt({nq}) * sqrt({ne})), 6)"
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qb FROM wb WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT e.vec_id, {cos} AS cos
+  FROM wb e CROSS JOIN q
+  WHERE ({probes}) AND e.vec_id != {query_vec_id})
+SELECT vec_id, cos, rank FROM (
+  SELECT vec_id, cos,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM cand) WHERE rank <= {k}
+""".strip()
 
 
 KNN_JOIN_K = 5
@@ -245,11 +329,10 @@ def topk_ivf(
         / (F.col("qnrm") * F.col("nrm")),
         6,
     )
-    w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id")))
-    return (
+    return _attach_rank(
         cand.select("vec_id", cos.alias("cos"))
-        .withColumn("rank", w.cast("int"))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
     )
 
 

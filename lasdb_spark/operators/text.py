@@ -149,8 +149,13 @@ def top_tokens(docs: DataFrame, k: int = 50) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
 
+    # TakeOrderedAndProject (per-partition heaps, driver merge of k) —
+    # NOT a partition-less window over the full vocabulary, which would
+    # funnel every distinct token through one task at scale. The rank
+    # window below only sees the k surviving rows.
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(k)
     w = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok")))
-    return counts.withColumn("rank", w.cast("int")).filter(F.col("rank") <= k)
+    return top.withColumn("rank", w.cast("int"))
 
 
 def top_tokens_sql(k: int = 50) -> str:

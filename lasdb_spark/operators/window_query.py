@@ -164,16 +164,20 @@ class WindowQuerier:
         area = max((x1 - x0) * (y1 - y0), 1e-9)
         n = max(self.meta.point_count, 1)
         r = max(math.sqrt(area * k / n), 1e-6)
-        span = max(x1 - x0, y1 - y0)
 
-        for _ in range(12):
+        while True:
             cand = self._pruned(px - r, px + r, py - r, py + r)
             cand = self._zslab(cand, minz, maxz).withColumn("d2", d2)
             top = cand.orderBy("d2", "x", "y", "z").limit(k)
             rows = top.collect()
             if len(rows) >= k and rows[-1].d2 <= r * r:
                 break
-            if r > span:  # window already covers the whole dataset
+            # Exact-exit: once the window contains the entire data
+            # extent the candidate set IS the dataset, so the top-k is
+            # the exact global kNN — no fixed iteration cap (a far-away
+            # query point needs extra doublings to even reach the data,
+            # so counting iterations is the wrong convergence test).
+            if px - r <= x0 and px + r >= x1 and py - r <= y0 and py + r >= y1:
                 break
             r *= 2.0
         out = cand.orderBy("d2", "x", "y", "z").limit(k)

@@ -113,8 +113,11 @@ def compute_split_length(x_max: int, y_max: int, ratio: float) -> tuple[int, int
 def quantize(v: float, scale: float, offset: float) -> int:
     """Driver-side quantization mirror: round((v - offset) / scale).
 
-    Uses round-half-up (matching Spark/DuckDB ``round``), NOT Python
-    banker's rounding — the engine's executor math is the source of
+    Implements floor(q + 0.5) — round-half-up toward +inf. This equals
+    Spark/DuckDB HALF_UP (halves away from zero) only for q >= 0, which
+    the engine guarantees: grids must live in the positive quadrant
+    (expand2d raises on negatives; compute_metadata validates offsets).
+    NOT Python banker's rounding — the executor math is the source of
     truth (reference semantics: pcsfc/point_processor.py:45-47).
     """
     import math

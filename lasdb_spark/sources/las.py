@@ -1,4 +1,4 @@
-"""LAS point-cloud source & sink (ASPRS LAS 1.2, point format 3).
+"""LAS point-cloud source & sink (ASPRS LAS 1.2, point formats 0-3).
 
 The reference shells out to ``laspy`` (pipeline/import_data.py:25-36,
 pcsfc/point_processor.py:32-33, exporter.py:39-96). This container has
@@ -41,23 +41,42 @@ except Exception:  # pragma: no cover
 _HEADER_FMT = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 assert _HEADER_SIZE == 227
-_PF3_DTYPE = np.dtype(
-    [
-        ("X", "<i4"),
-        ("Y", "<i4"),
-        ("Z", "<i4"),
-        ("intensity", "<u2"),
-        ("flags", "u1"),
-        ("classification", "u1"),
-        ("scan_angle", "i1"),
-        ("user_data", "u1"),
-        ("point_source_id", "<u2"),
-        ("gps_time", "<f8"),
-        ("red", "<u2"),
-        ("green", "<u2"),
-        ("blue", "<u2"),
-    ]
-)
+# LAS 1.2 point record layouts. Every format shares the 20-byte core
+# (X/Y/Z grid ints first — which is why xyz extraction works for all);
+# pf1/pf3 append gps_time, pf2/pf3 append RGB. Record lengths: pf0=20,
+# pf1=28, pf2=26, pf3=34. The reference reads any format via laspy
+# (pipeline/import_data.py:27-29); this codec matches that generality
+# for the formats LAS 1.2 defines.
+_CORE_FIELDS = [
+    ("X", "<i4"),
+    ("Y", "<i4"),
+    ("Z", "<i4"),
+    ("intensity", "<u2"),
+    ("flags", "u1"),
+    ("classification", "u1"),
+    ("scan_angle", "i1"),
+    ("user_data", "u1"),
+    ("point_source_id", "<u2"),
+]
+_RGB_FIELDS = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+
+
+def point_dtype(point_format: int) -> np.dtype:
+    """numpy dtype for a LAS 1.2 point record format (0-3)."""
+    if not 0 <= point_format <= 3:
+        raise ValueError(f"unsupported LAS point format {point_format}")
+    fields = list(_CORE_FIELDS)
+    if point_format in (1, 3):
+        fields.append(("gps_time", "<f8"))
+    if point_format in (2, 3):
+        fields.extend(_RGB_FIELDS)
+    return np.dtype(fields)
+
+
+_PF3_DTYPE = point_dtype(3)
+assert point_dtype(0).itemsize == 20
+assert point_dtype(1).itemsize == 28
+assert point_dtype(2).itemsize == 26
 assert _PF3_DTYPE.itemsize == 34
 
 
@@ -93,10 +112,17 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
     hdr = parse_las_header(buf)
     n = hdr["point_count"]
     rl = hdr["point_record_length"]
+    dt = point_dtype(hdr["point_format"])
+    if rl < dt.itemsize:
+        raise ValueError(
+            f"record length {rl} too small for point format "
+            f"{hdr['point_format']} (needs {dt.itemsize})"
+        )
     raw = np.frombuffer(
         buf, dtype=np.uint8, count=n * rl, offset=hdr["offset_to_points"]
     ).reshape(n, rl)
-    pts = raw[:, : _PF3_DTYPE.itemsize].copy().view(_PF3_DTYPE).reshape(n)
+    # spec allows extra bytes after the format's fields: slice them off
+    pts = raw[:, : dt.itemsize].copy().view(dt).reshape(n)
     sx, sy, sz = hdr["scales"]
     ox, oy, oz = hdr["offsets"]
     out = np.empty((n, 3), dtype=np.float64)
@@ -124,12 +150,14 @@ def write_las(
     path: str,
     scales: tuple[float, float, float] = (0.1, 0.1, 0.1),
     offsets: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    point_format: int = 3,
 ) -> None:
-    """Write LAS 1.2 / point-format 3 (reference exporter defaults:
-    exporter.py:76-89 — scales 0.1, offsets 0)."""
+    """Write LAS 1.2, point formats 0-3 (reference exporter defaults:
+    exporter.py:76-89 — pf3, scales 0.1, offsets 0)."""
+    dt = point_dtype(point_format)
     xyz = np.asarray(xyz, dtype=np.float64).reshape(-1, 3)
     n = len(xyz)
-    pts = np.zeros(n, dtype=_PF3_DTYPE)
+    pts = np.zeros(n, dtype=dt)
     for i, (s, o) in enumerate(zip(scales, offsets)):
         pts[("X", "Y", "Z")[i]] = np.round((xyz[:, i] - o) / s).astype(np.int64)
     if n:
@@ -150,8 +178,8 @@ def write_las(
         _HEADER_SIZE,
         _HEADER_SIZE,  # offset to point data
         0,  # VLR count
-        3,  # point format
-        _PF3_DTYPE.itemsize,
+        point_format,
+        dt.itemsize,
         n,
         n, 0, 0, 0, 0,  # points by return
         float(scales[0]), float(scales[1]), float(scales[2]),

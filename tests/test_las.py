@@ -18,16 +18,37 @@ def _cloud(n=1000, seed=7):
     return xyz
 
 
-def test_las_roundtrip(tmp_path):
+@pytest.mark.parametrize("pf", [0, 1, 2, 3])
+def test_las_roundtrip(tmp_path, pf):
     xyz = _cloud()
     p = str(tmp_path / "t.las")
-    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01))
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=pf)
     hdr = las.read_las_header_file(p)
     assert hdr["point_count"] == 1000
     assert hdr["version"] == (1, 2)
-    assert hdr["point_format"] == 3
+    assert hdr["point_format"] == pf
+    assert hdr["point_record_length"] == {0: 20, 1: 28, 2: 26, 3: 34}[pf]
     back = las.read_las_file(p)
     # quantized to 0.01 grid on write
+    np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
+
+
+def test_las_extra_bytes_record(tmp_path):
+    """Records longer than the format's fields (spec-legal extra bytes)
+    parse by slicing each record to the format width."""
+    xyz = _cloud(50)
+    p = str(tmp_path / "t0.las")
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=0)
+    raw = bytearray(open(p, "rb").read())
+    # rewrite as record_len 24 with 4 trailing junk bytes per record
+    import struct
+
+    hdr = raw[:227]
+    n = las.parse_las_header(bytes(hdr))["point_count"]
+    recs = [bytes(raw[227 + i * 20 : 227 + (i + 1) * 20]) + b"\xAA" * 4 for i in range(n)]
+    hdr2 = bytearray(hdr)
+    struct.pack_into("<H", hdr2, 105, 24)  # point_record_length field
+    back = las.read_las_bytes(bytes(hdr2) + b"".join(recs))
     np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
 
 

@@ -100,6 +100,48 @@ def test_agg_has_mapside_partial(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def _partitionless_windows(plan_fragment: str) -> list:
+    """Window specs with no partition key: the first argument of
+    windowspecdefinition is an ORDER clause (carries ASC/DESC) instead
+    of a partition column."""
+    out = []
+    for frag in plan_fragment.split("windowspecdefinition(")[1:]:
+        first_arg = frag.split(",")[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            out.append(first_arg)
+    return out
+
+
+@pytest.mark.spark
+def test_topk_is_take_ordered(spark, sf_dir):
+    """Single-query top-k must rank via TakeOrderedAndProject
+    (per-partition heaps + driver merge of k) — never by funnelling the
+    full scored corpus/vocabulary through a partition-less Window. The
+    only allowed partition-less window is the rank attach ABOVE the
+    k-row limit."""
+    from lasdb_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+        topk_lsh,
+    )
+    from lasdb_spark.operators.text import top_tokens
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        topk_bruteforce(embs),
+        topk_lsh(embs),
+        topk_ivf(embs),
+        top_tokens(docs),
+    ):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+        # everything BELOW the take-ordered (the corpus-wide part of the
+        # plan) must have no partition-less window
+        below = plan[plan.index("TakeOrderedAndProject"):]
+        assert not _partitionless_windows(below), below[:800]
+
+
 @pytest.mark.spark
 def test_scan_prunes_columns(spark, sf_dir):
     """A 2-column projection must not read the whole documents table."""
