@@ -327,6 +327,18 @@ def _q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir))
 
 
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    from lasdb_spark.operators.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_embs(spark, sf_dir))
+
+
+def _q_ann_lsh_multiprobe(spark, sf_dir):
+    from lasdb_spark.operators.similarity import topk_lsh_multiprobe
+
+    return topk_lsh_multiprobe(_embs(spark, sf_dir))
+
+
 def _q_ann_topk(spark, sf_dir):
     from lasdb_spark.operators.similarity import topk_bruteforce
 
@@ -549,8 +561,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup.simhash_pairs_sql(),
         "dedup_clusters": _dedup.dedup_clusters_sql(),
         "dedup_embedding": _dedup.embedding_neardup_pairs_sql(),
+        "dedup_embedding_lsh": _dedup.embedding_neardup_lsh_sql(),
         "ann_topk": _similarity.topk_bruteforce_sql(),
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
+        "ann_lsh_multiprobe": _similarity.topk_lsh_multiprobe_sql(),
         "ann_knn_join": _similarity.knn_join_lsh_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "mm_features": _multimodal.features_sql(),
@@ -602,8 +616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_knn_join": _q_ann_knn_join,
         "ann_ivf_topk": _q_ann_ivf,
         "mm_features": _q_mm_features,

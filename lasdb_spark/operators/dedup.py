@@ -157,6 +157,66 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {tau}
 
 
 # ---------------------------------------------------------------------------
+# exact-duplicate collapse (skew armor for all banded candidate generation)
+# ---------------------------------------------------------------------------
+def _exact_groups(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep_id): each doc mapped to the min doc_id sharing its
+    exact text (md5). The banded pipelines run on REPRESENTATIVES only —
+    real corpora contain clusters of thousands of byte-identical docs
+    (boilerplate, mirrors), and every member of such a cluster shares
+    every band signature, so banding raw docs makes the band self-join
+    quadratic in the cluster size. Collapsing first bounds the join by
+    the number of DISTINCT texts; membership expands back afterwards."""
+    groups = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    reps = groups.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    return groups.join(reps, "fp").select("doc_id", "rep_id")
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    within_groups: DataFrame,
+    score_col: str,
+    identical_score,
+) -> DataFrame:
+    """Expand representative-level pairs to all-doc pairs.
+
+    cross-group: every (member of a, member of b) for each rep pair —
+    the score is text-determined, so it carries over verbatim.
+    within-group: all pairs inside an exact-dup group (``within_groups``
+    = rep_ids whose text is eligible for the metric), scored
+    ``identical_score`` (Jaccard 1, Hamming 0)."""
+    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("mem_a"))
+    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mem_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("doc_a"),
+            F.greatest("mem_a", "mem_b").alias("doc_b"),
+            score_col,
+        )
+    )
+    wm = members.join(
+        within_groups, members["rep_id"] == within_groups["rep"], "leftsemi"
+    )
+    within = (
+        wm.alias("x")
+        .join(
+            wm.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(identical_score).alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 def minhash_signatures(
@@ -182,16 +242,69 @@ def minhash_signatures(
     )
 
 
+#: collapse='auto' engages the armor only when some exact-dup group has
+#: at least this many members. Small groups (pairs, triples) pass
+#: through the band join harmlessly — it is the thousand-member
+#: boilerplate clusters that turn band buckets quadratic.
+DUP_COLLAPSE_THRESHOLD = 16
+
+
+def _needs_dup_collapse(docs: DataFrame) -> bool:
+    """Driver-side stat for collapse='auto': the LARGEST exact-dup
+    group size (one md5 groupBy + max). A band bucket holding an m-doc
+    identical cluster yields m(m-1)/2 candidate rows per band, so the
+    armor pays off once m is tens+; below that its extra collapse/
+    expand joins (real plan+codegen cost) would outweigh the savings."""
+    row = (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m").alias("mx"))
+        .first()
+    )
+    return (row.mx or 0) >= DUP_COLLAPSE_THRESHOLD
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     tau: float = JACCARD_TAU,
     n_perms: int = N_PERMS,
     band_size: int = BAND_SIZE,
+    collapse: str = "auto",
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified by exact Jaccard ≥ tau.
 
     Scale path: shuffle O(docs × bands) on band signatures; exact
-    verification only on candidates (vs the all-pairs shingle join)."""
+    verification only on candidates (vs the all-pairs shingle join).
+    Skew armor (``collapse`` ∈ auto/always/never): exact duplicates
+    collapse to one representative BEFORE banding (see
+    :func:`_exact_groups`) — a thousand identical docs contribute ONE
+    row per band instead of a 10^6-pair band self-join — and the final
+    pair set expands back to all members, so the output is identical
+    to banding the raw corpus. 'auto' engages it only when a one-pass
+    stat finds exact dups."""
+    if collapse == "auto":
+        collapse = "always" if _needs_dup_collapse(docs) else "never"
+    if collapse == "never":
+        return _minhash_banded_pairs(docs, tau, n_perms, band_size)[0]
+    members = _exact_groups(docs).cache()
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "leftsemi",
+    )
+    rep_pairs, sig = _minhash_banded_pairs(rep_docs, tau, n_perms, band_size)
+    # reps with a signature = reps with >= n tokens; only their groups
+    # produce within-group (jac exactly 1.0) pairs
+    eligible = sig.select(F.col("doc_id").alias("rep"))
+    return _expand_rep_pairs(rep_pairs, members, eligible, "jac", 1.0)
+
+
+def _minhash_banded_pairs(
+    docs: DataFrame, tau: float, n_perms: int, band_size: int
+) -> tuple:
+    """Core banded pipeline on (already collapse-free) docs.
+
+    Returns (verified pairs, cached signature table)."""
     sh = shingles(docs).cache()  # reused: signatures, both verify join sides
     # ONE aggregation produces the 32 signature mins AND the shingle
     # count — sizes ride along instead of a second full shuffle of the
@@ -250,12 +363,13 @@ def minhash_lsh_pairs(
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
         "double"
     )
-    return (
+    pairs = (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
         .filter(F.col("jac") >= tau)
     )
+    return pairs, sig
 
 
 def minhash_lsh_pairs_sql(
@@ -329,7 +443,9 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    collapse: str = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within Hamming distance.
 
@@ -340,7 +456,31 @@ def simhash_pairs(
     the output is identical to the quadratic plan. Candidates are then
     verified with one XOR/bit_count. Scale: shuffle is O(docs × bands)
     on short band keys (the same shape as MinHash LSH banding), never
-    O(docs²)."""
+    O(docs²). Exact duplicates collapse to a representative before
+    banding (identical text ⇒ identical fingerprint ⇒ every band
+    collides) and expand back afterwards — same skew armor and
+    ``collapse`` semantics as :func:`minhash_lsh_pairs`."""
+    if collapse == "auto":
+        collapse = "always" if _needs_dup_collapse(docs) else "never"
+    if collapse == "never":
+        return _simhash_banded_pairs(docs, max_hamming)[0]
+    members = _exact_groups(docs).cache()
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "leftsemi",
+    )
+    rep_pairs, fp = _simhash_banded_pairs(rep_docs, max_hamming)
+    # reps with a fingerprint = reps with >= 1 token (empty docs never
+    # enter the token multiset and so never pair in the generic plan)
+    eligible = fp.select(F.col("doc_id").alias("rep"))
+    return _expand_rep_pairs(rep_pairs, members, eligible, "hamming", 0)
+
+
+def _simhash_banded_pairs(docs: DataFrame, max_hamming: int) -> tuple:
+    """Core banded pipeline on (already collapse-free) docs.
+
+    Returns (verified pairs, cached fingerprint table)."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
     widths = [width + (1 if b < SIMHASH_BITS % n_bands else 0) for b in range(n_bands)]
@@ -370,12 +510,13 @@ def simhash_pairs(
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         cands.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    return pairs, fp
 
 
 def simhash_pairs_sql(
@@ -416,11 +557,23 @@ def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     single-digit; at extreme scale swap in the alternating large-star/
     small-star iteration — same loop skeleton."""
     pairs = minhash_lsh_pairs(docs, tau).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # Union CONCATENATES partitions (cross + within + the symmetric
+    # swap = 4× shuffle.partitions of mostly-tiny tasks); every loop
+    # round would pay that task overhead twice. One repartition bounds
+    # the count AND pre-hashes on doc_b — the per-round join key — so
+    # the cached edge side never re-shuffles. localCheckpoint (eager)
+    # materializes it once and drops the whole LSH lineage from the
+    # loop's plans.
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).cache()
+        .repartition(nparts, "doc_b")
+        .localCheckpoint()
+    )
     # Propagate only over the edge-induced subgraph: a doc with no
     # near-dup edge can never change label, so keeping the (usually
     # tiny) incident-node set in the loop makes every round's joins
@@ -430,39 +583,55 @@ def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
     )
+    # ONE Spark job per round: the convergence count both decides
+    # termination AND materializes the new labels into the cache (the
+    # count's scan populates it), so no separate checkpoint job runs
+    # each round. localCheckpoint still truncates lineage every few
+    # rounds — without it the cached-plan chain grows linearly and a
+    # cache eviction would replay every round from the start.
+    since_ckpt = 0
     for _ in range(50):  # diameter bound; real exit is the count below
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+        new_labels = labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
+        since_ckpt += 1
+        if since_ckpt >= 4:
+            new_labels = new_labels.localCheckpoint()
+            since_ckpt = 0
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        old = labels
         labels = new_labels
+        old.unpersist()  # new_labels is materialized by the count above
         if changed == 0:
             break
+    # Pin the converged labels and release every loop-held cache so
+    # repeated clustering runs in one session don't accumulate blocks.
+    final = labels.localCheckpoint()
+    labels.unpersist()
     singletons = (
         docs.select("doc_id")
-        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .join(final.select("doc_id"), "doc_id", "left_anti")
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    return labels.unionByName(singletons)
+    return final.unionByName(singletons)
 
 
 def dedup_clusters_sql(tau: float = JACCARD_TAU) -> str:
@@ -518,6 +687,72 @@ def embedding_neardup_pairs(embs: DataFrame, tau: float = EMB_TAU) -> DataFrame:
         j.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= tau)
     )
+
+
+def embedding_neardup_lsh(
+    embs: DataFrame, tau: float = EMB_TAU, bits: int = 4
+) -> DataFrame:
+    """(vec_a, vec_b, cos) near-dup pairs restricted to a shared sign-LSH
+    bucket — the SCALE path for :func:`embedding_neardup_pairs`.
+
+    The all-pairs baseline is O(N²) dots; here candidates come from a
+    bucket equi-join (shuffle on the short bucket key, |bucket|² work
+    per bucket ≈ N²/2^bits total, tunable with ``bits``), and only
+    candidates pay the exact-cosine verification. Recall is bounded by
+    bucket collision — high-cosine pairs agree on most hyperplane signs,
+    so real near-dups (cos ≥ 0.9) nearly always share the bucket; the
+    same banding that MinHash LSH applies to shingles, applied to the
+    embedding space. Reuses the deterministic hyperplanes from
+    :mod:`lasdb_spark.operators.similarity`."""
+    from ..functions.hashing import fold_dot_col
+    from .similarity import lsh_bucket_col
+
+    wn = embs.withColumn(
+        "nrm", F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding")))
+    ).withColumn("bucket", lsh_bucket_col(F.col("embedding"), bits))
+    a = wn.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = wn.select(
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return (
+        j.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def embedding_neardup_lsh_sql(
+    tau: float = EMB_TAU, bits: int = 4, dim: int = EMB_DIM
+) -> str:
+    """Oracle twin: exact pairs restricted to shared buckets."""
+    from ..functions.hashing import fold_product_sql
+    from .similarity import hyperplane
+
+    parts = []
+    for b in range(bits):
+        plane = "[" + ", ".join(repr(hyperplane(b, i)) for i in range(dim)) + "]"
+        d = fold_product_sql("embedding", plane, dim)
+        parts.append(f"(CASE WHEN {d} > 0 THEN {1 << b} ELSE 0 END)")
+    bucket = "(" + " + ".join(parts) + ")"
+    dot = fold_product_sql("a.embedding", "b.embedding", dim)
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    return f"""
+WITH wn AS (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / (a.nrm * b.nrm), 6) AS cos
+FROM wn a JOIN wn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({dot} / (a.nrm * b.nrm), 6) >= {tau}
+""".strip()
 
 
 def embedding_neardup_pairs_sql(tau: float = EMB_TAU, dim: int = EMB_DIM) -> str:

@@ -1,6 +1,7 @@
 """Dedup operator edge cases the oracle corpus doesn't exercise."""
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.mark.spark
@@ -45,3 +46,53 @@ def test_lsh_pipeline_survives_short_docs(spark):
     }
     clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
     assert clusters == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 11, 12: 12}
+
+
+@pytest.mark.spark
+def test_banded_pipelines_survive_exact_dup_skew(spark):
+    """1000 byte-identical docs: banding raw docs would make the band
+    self-join produce ~10^6 × bands candidate rows (the classic LSH skew
+    blowup on real corpora full of boilerplate). The exact-dup collapse
+    keeps the band join at one row per distinct text; the quadratic part
+    is only the REQUIRED output expansion. Must finish well inside a
+    local time budget and produce the exact full pair set."""
+    import time
+
+    base = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt"
+    )
+    near = base.rsplit(" ", 1)[0] + " mutated"  # jac 10/12 vs base
+    rows = (
+        [(i, base) for i in range(1000)]
+        + [(3000 + i, near) for i in range(3)]
+        + [
+            (2000 + i, f"distinct doc number {i} with unique words w{i} v{i} u{i}")
+            for i in range(20)
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    from lasdb_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    t0 = time.time()
+    mh = minhash_lsh_pairs(docs)
+    n_within_a = 1000 * 999 // 2
+    n_cross = 1000 * 3
+    n_within_b = 3
+    assert mh.count() == n_within_a + n_cross + n_within_b
+    # spot-check scores: within = exactly 1.0, cross = 10/12
+    assert mh.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1)).first().jac == 1.0
+    assert (
+        mh.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 3000)).first().jac
+        == round(10 / 12, 6)
+    )
+    t_mh = time.time() - t0
+
+    t0 = time.time()
+    sh = simhash_pairs(docs)
+    # within-cluster pairs are hamming 0; near/distinct cross pairs vary
+    assert sh.filter(F.col("hamming") == 0).count() >= n_within_a
+    assert sh.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1)).first().hamming == 0
+    t_sh = time.time() - t0
+    assert t_mh < 120 and t_sh < 120, (t_mh, t_sh)
