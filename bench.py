@@ -73,6 +73,20 @@ def main() -> None:
             "(85299.995 446499.995, 85700.005 446499.995, 85700.005 447000.005, "
             "85299.995 447000.005, 85299.995 446499.995))"
         )
+        # block layout: same cloud through pack/unpack (G3/Q4 path)
+        t0 = time.perf_counter()
+        ingest_points(
+            pts, "benchblk", base, target_partitions=cpus, layout="block"
+        )
+        timings["ingest_block"] = round(time.perf_counter() - t0, 4)
+        dfb, metab, layb = load_dataset(spark, base, "benchblk")
+        dfb.limit(1).count()
+        qb = WindowQuerier(dfb, metab, layb)
+
+        polyline = (
+            "LINESTRING (85150.005 446150.005, 85450.005 446650.005, "
+            "85300.005 447100.005, 85800.005 447300.005)"
+        )
         suite = {
             "bbox_small": lambda: q.bbox([85200.0, 85250.0, 446300.0, 446400.0]),
             "bbox_large": lambda: q.bbox([85100.0, 85900.0, 446100.0, 447400.0]),
@@ -84,8 +98,15 @@ def main() -> None:
                 [85100.0, 85900.0, 446100.0, 447400.0], minz=0.0, maxz=10.0
             ),
             "knn_1000": lambda: q.knn([85500.0, 446700.0], 1000),
+            "polyline_buf": lambda: q.polyline_buffer(polyline, 120.003),
+            "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
         }
-        # LLM-pipeline operators on the documents/embeddings tables
+        # LLM-pipeline operators on the documents/embeddings tables.
+        # Drop cached blocks from the point-cloud section first: the
+        # dedup/ANN pipelines build their own caches, and leftover
+        # storage-layout blocks only add GC/eviction pressure that
+        # shows up as noise in their timings.
+        spark.catalog.clearCache()
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         docs.count(), embs.count()
@@ -113,6 +134,35 @@ def main() -> None:
             fn().count()
             timings[name] = round(time.perf_counter() - t0, 4)
         timings["ingest"] = round(timings["ingest"], 4)
+
+        # continuous ingest: micro-batch append stream + compaction pass
+        # (the LSM-ish maintenance path — O(1) appends degrade pruning
+        # until compact_dataset restores the global key order)
+        from lasdb_spark.operators.ingest import compact_dataset
+        from lasdb_spark.streaming.ingest import (
+            read_point_stream,
+            stream_ingest_points,
+        )
+
+        stage = tempfile.mkdtemp(prefix="lasdb_bench_stream_")
+        try:
+            src = os.path.join(stage, "src")
+            pts.select("x", "y", "z").repartition(8).write.parquet(src)
+            sbase = os.path.join(stage, "store")
+            t0 = time.perf_counter()
+            sq = stream_ingest_points(
+                read_point_stream(spark, src),
+                meta,
+                sbase,
+                os.path.join(stage, "ckpt"),
+            )
+            sq.awaitTermination()
+            timings["stream_ingest"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            compact_dataset(spark, sbase, meta.name, target_partitions=cpus)
+            timings["compaction"] = round(time.perf_counter() - t0, 4)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()

@@ -45,6 +45,32 @@ from .ingest import DatasetMeta, unpack_blocks
 RESULT_COLS = ("x", "y", "z")
 
 
+def head_lookup(df: DataFrame, heads, meta: DatasetMeta, layout: str = "flat") -> DataFrame:
+    """Debug lookup of whole SFC blocks by head value (Q12 — the
+    reference pokes these with raw SQL via Postgres.execute_query,
+    db/__init__.py:109-115; here it is a first-class engine call).
+
+    ``heads`` is a list of sfc_head ints. Flat layout derives the head
+    from the stored key (one shift — stays in codegen and the derived
+    range check still prunes row groups because head ranges ARE key
+    ranges); block layout hits the sfc_head column directly with an
+    IN-list that pushes to the Parquet scan."""
+    heads = [int(h) for h in heads]
+    if layout == "block":
+        return unpack_blocks(df.filter(F.col("sfc_head").isin(heads)), meta)
+    t = meta.tail_length
+    # per-head key range [h << t, (h+1) << t): pushable range predicates
+    # on the SORTED key column, so row-group stats skip cold blocks —
+    # an isin() on the derived (h = key >> t) column would not push.
+    pred = None
+    for h in heads:
+        term = F.col("sfc_key").between(h << t, ((h + 1) << t) - 1)
+        pred = term if pred is None else pred | term
+    if pred is None:
+        return df.filter(F.lit(False))
+    return df.filter(pred)
+
+
 @dataclass
 class WindowQuerier:
     """Query executor over an ingested dataset (flat or block layout).
