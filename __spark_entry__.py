@@ -327,6 +327,30 @@ def _q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir))
 
 
+def _q_dedup_keepers(spark, sf_dir):
+    from lasdb_spark.operators.dedup import dedup_keepers
+
+    return dedup_keepers(_docs(spark, sf_dir))
+
+
+def _q_text_bpe_tokens(spark, sf_dir):
+    from lasdb_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def _q_corpus_sample(spark, sf_dir):
+    from lasdb_spark.operators.text import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
+def _q_emb_centroids(spark, sf_dir):
+    from lasdb_spark.operators.similarity import label_centroids
+
+    return label_centroids(_embs(spark, sf_dir))
+
+
 def _q_dedup_embedding_lsh(spark, sf_dir):
     from lasdb_spark.operators.dedup import embedding_neardup_lsh
 
@@ -555,6 +579,10 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _text.lang_id_sql(),
         "text_fingerprint": _text.fingerprints_sql(),
         "text_top_tokens": _text.top_tokens_sql(),
+        "text_bpe_tokens": _text.bpe_token_stats_sql(),
+        "corpus_sample": _text.stratified_sample_sql(),
+        "emb_centroids": _similarity.label_centroids_sql(),
+        "dedup_keepers": _dedup.dedup_keepers_sql(),
         "dedup_exact": _dedup.exact_dedup_sql(),
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
@@ -610,6 +638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_top_tokens": _q_text_top_tokens,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "corpus_sample": _q_corpus_sample,
+        "emb_centroids": _q_emb_centroids,
+        "dedup_keepers": _q_dedup_keepers,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,

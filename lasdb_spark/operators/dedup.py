@@ -71,9 +71,17 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition ONLY under-split inputs (a single small parquet file
     reads as one partition and serializes every per-row op onto one
     core). On real datasets file splitting already provides
-    parallelism and this is a no-op — no shuffle added at scale."""
+    parallelism and this is a no-op — no shuffle added at scale.
+
+    Under-split detection uses the input file listing; ``df.rdd`` would
+    convert the whole plan to an RDD on every call just to read a
+    partition count. Non-file sources (createDataFrame test inputs)
+    fall back to that conversion — they are tiny by construction."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    floor = max(target // 2, 2)
+    files = df.inputFiles()
+    n = len(files) if files else df.rdd.getNumPartitions()
+    if n < floor:
         return df.repartition(target)
     return df
 
@@ -648,6 +656,32 @@ reach AS (
   SELECT e.dst AS doc_id, r.label
   FROM reach r JOIN edges e ON e.src = r.doc_id)
 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+""".strip()
+
+
+def dedup_keepers(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """The DEDUPED corpus: one keeper doc per near-dup cluster
+    (cluster_id == doc_id selects the minimum member), with its
+    metadata — the actual output a training-data pipeline feeds
+    downstream, not just the pair/cluster diagnostics.
+
+    Scale: one semi-join on doc_id on top of :func:`dedup_clusters`
+    (the keeper set is O(corpus), so it shuffles, never broadcasts);
+    everything else rides the clustering pipeline."""
+    keepers = dedup_clusters(docs, tau).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    )
+    return docs.join(keepers.select("doc_id"), "doc_id", "leftsemi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def dedup_keepers_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(tau)})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
 """.strip()
 
 

@@ -264,6 +264,48 @@ SELECT vec_id, nbr_id, cos, rank FROM (
 """.strip()
 
 
+def label_centroids(embs: DataFrame) -> DataFrame:
+    """(label, pos, centroid) — per-label mean embedding in long form
+    (one row per vector dimension), the training-data shape for
+    cluster profiling / IVF centroid seeding.
+
+    Determinism note: naive float avg() is partition-order dependent
+    (FP addition does not associate), so the oracle hash would flap.
+    Each component is instead quantized to an integer micro-unit
+    (round(v·1e6), HALF_UP — identical in Spark and DuckDB), summed
+    exactly as BIGINT (associative, any partitioning), and divided
+    once at the end. One shuffle on the (label, pos) pair; map-side
+    partial sums make the hot dimension keys cheap."""
+    parts = embs.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    agg = parts.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    return agg.select(
+        "label",
+        "pos",
+        F.round(F.col("s") / (F.col("cnt") * 1e6), 6).alias("centroid"),
+    )
+
+
+def label_centroids_sql() -> str:
+    # no WITH ORDINALITY in DuckDB: lateral range() supplies positions
+    return """
+WITH parts AS (
+  SELECT label, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i))
+SELECT label, pos, round(SUM(q) / (COUNT(*) * 1000000.0), 6) AS centroid
+FROM parts GROUP BY 1, 2
+""".strip()
+
+
 IVF_CELLS = 8
 IVF_NPROBE = 2
 

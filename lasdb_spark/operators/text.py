@@ -171,6 +171,89 @@ SELECT tok, n, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish subword token counting
+# ---------------------------------------------------------------------------
+# GPT-2-style pre-tokenizer approximation: contraction suffixes, runs of
+# letters, runs of digits, runs of other symbols (each optionally
+# space-prefixed). No lookarounds, so Java regex (Spark) and RE2
+# (DuckDB) match identically.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws) — whitespace vs
+    BPE-ish subword counts; the ratio is the standard 'how many model
+    tokens per word' cost estimate used for pricing/bucketing corpora.
+    Pure map-side regexp built-ins — no shuffle, no UDF."""
+    t = F.col("text")
+    n_ws = _n_matches(t, TOKEN_RE)
+    n_bpe = _n_matches(t, BPE_RE)
+    ratio = F.round(n_bpe / F.greatest(n_ws, F.lit(1)).cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        ratio.alias("bpe_per_ws"),
+    )
+
+
+def bpe_token_stats_sql() -> str:
+    # plain (non-e) quoting keeps backslashes literal; '' escapes the
+    # quote characters inside the BPE pattern itself
+    pat = BPE_RE.replace("'", "''")
+    n_ws = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    n_bpe = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+SELECT doc_id,
+  {n_ws} AS n_ws_tokens,
+  {n_bpe} AS n_bpe_tokens,
+  round({n_bpe} / CAST(greatest({n_ws}, 1) AS DOUBLE), 6) AS bpe_per_ws
+FROM documents
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+#: per-language keep-rate (percent): downsample the dominant language,
+#: keep the tail — the classic corpus-rebalancing shape.
+SAMPLE_RATES = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 80}
+SAMPLE_DEFAULT_RATE = 100
+
+
+def stratified_sample(docs: DataFrame, rates: dict | None = None) -> DataFrame:
+    """Deterministic hash-stratified sample: keep a doc iff
+    md5(doc_id) mod 100 < rate(lang).
+
+    Content-hash sampling (not ``rand()``) is reproducible across
+    engines, runs and partitionings — the property a training-data
+    pipeline needs for auditable corpus cuts. Map-side only: no
+    shuffle, the filter composes with any downstream scan."""
+    from ..functions.hashing import md5_int60_col
+
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = md5_int60_col(F.col("doc_id").cast("string")) % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+def stratified_sample_sql(rates: dict | None = None) -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    rates = SAMPLE_RATES if rates is None else rates
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(rates.items())
+    )
+    bucket = f"{md5_int60_sql('CAST(doc_id AS VARCHAR)')} % 100"
+    return (
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE {bucket} < (CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 def fingerprints(docs: DataFrame) -> DataFrame:
