@@ -143,6 +143,21 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 @pytest.mark.spark
+def test_curation_ops_plan_shapes(spark, sf_dir):
+    """Corpus-curation operators keep their scale shapes: centroids
+    combine map-side before the (label, pos) shuffle; sampling and
+    BPE counting are pure map-side (no shuffle at any size)."""
+    from lasdb_spark.operators.similarity import label_centroids
+    from lasdb_spark.operators.text import bpe_token_stats, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert "partial" in _plan(label_centroids(embs)).lower()
+    assert not _has_shuffle(_plan(stratified_sample(docs)))
+    assert not _has_shuffle(_plan(bpe_token_stats(docs)))
+
+
+@pytest.mark.spark
 def test_scan_prunes_columns(spark, sf_dir):
     """A 2-column projection must not read the whole documents table."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -37,6 +37,33 @@ def test_session_windows_run(spark, event_stream):
 
 
 @pytest.mark.spark
+def test_stream_exact_dedup_matches_batch(spark, sf_dir):
+    """The continuously-maintained dedup table must equal the batch
+    exact_dedup output once the finite stream drains."""
+    from lasdb_spark.operators.dedup import exact_dedup
+    from lasdb_spark.streaming import dedup as sd
+
+    stream = sd.read_document_stream(spark, sf_dir)
+    se.run_to_memory(sd.stream_exact_dedup(stream), "dedup_out", "update")
+    got = {
+        r.text_hash: (r.keeper_doc_id, r.n_docs)
+        for r in spark.sql(
+            # update mode may emit a hash several times across batches;
+            # the LAST update per hash is the converged row (n monotone)
+            "SELECT text_hash, max_by(keeper_doc_id, n_docs) AS keeper_doc_id, "
+            "max(n_docs) AS n_docs FROM dedup_out GROUP BY 1"
+        ).collect()
+    }
+    batch = {
+        r.text_hash: (r.keeper_doc_id, r.n_docs)
+        for r in exact_dedup(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    }
+    assert got == batch
+
+
+@pytest.mark.spark
 def test_stateful_running_totals(spark, sf_dir, event_stream):
     se.run_to_memory(se.running_user_totals(event_stream), "run_out", "update")
     got = {
