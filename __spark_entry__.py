@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
@@ -327,6 +328,12 @@ def _q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir))
 
 
+def _q_corpus_curate(spark, sf_dir):
+    from lasdb_spark.operators.curate import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def _q_dedup_keepers(spark, sf_dir):
     from lasdb_spark.operators.dedup import dedup_keepers
 
@@ -385,6 +392,12 @@ def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
     return knn_join_lsh(_embs(spark, sf_dir))
+
+
+def _q_ann_knn_join_multiprobe(spark, sf_dir):
+    from lasdb_spark.operators.similarity import knn_join_lsh_multiprobe
+
+    return knn_join_lsh_multiprobe(_embs(spark, sf_dir))
 
 
 def _q_mm_features(spark, sf_dir):
@@ -581,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
         "corpus_sample": _text.stratified_sample_sql(),
+        "corpus_curate": _curate.curate_corpus_sql(),
         "emb_centroids": _similarity.label_centroids_sql(),
         "dedup_keepers": _dedup.dedup_keepers_sql(),
         "dedup_exact": _dedup.exact_dedup_sql(),
@@ -594,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
         "ann_lsh_multiprobe": _similarity.topk_lsh_multiprobe_sql(),
         "ann_knn_join": _similarity.knn_join_lsh_sql(),
+        "ann_knn_join_multiprobe": _similarity.knn_join_lsh_multiprobe_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "mm_features": _multimodal.features_sql(),
         "mm_resize": _multimodal.resize_sql(),
@@ -640,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": _q_text_top_tokens,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "corpus_sample": _q_corpus_sample,
+        "corpus_curate": _q_corpus_curate,
         "emb_centroids": _q_emb_centroids,
         "dedup_keepers": _q_dedup_keepers,
         "dedup_exact": _q_dedup_exact,
@@ -653,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_knn_join": _q_ann_knn_join,
+        "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
