@@ -130,6 +130,12 @@ def main() -> None:
         )
 
         for name, fn in suite.items():
+            # Each query builds (and leaks, by design of the bench) its
+            # own internal caches; dropping leftovers between queries
+            # keeps one entry's GC pressure from bleeding into the
+            # next — observed as sporadic 5-8x outliers on whichever
+            # query ran last.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn().count()
             timings[name] = round(time.perf_counter() - t0, 4)
