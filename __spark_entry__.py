@@ -388,6 +388,12 @@ def _q_ann_ivf(spark, sf_dir):
     return topk_ivf(_embs(spark, sf_dir))
 
 
+def _q_ann_ivf_trained(spark, sf_dir):
+    from lasdb_spark.operators.similarity import topk_ivf_trained
+
+    return topk_ivf_trained(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -610,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_join": _similarity.knn_join_lsh_sql(),
         "ann_knn_join_multiprobe": _similarity.knn_join_lsh_multiprobe_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
+        "ann_ivf_trained": _similarity.topk_ivf_trained_sql(),
         "mm_features": _multimodal.features_sql(),
         "mm_resize": _multimodal.resize_sql(),
         "mm_frame_sample": _multimodal.frame_sample_sql(),
@@ -671,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": _q_ann_knn_join,
         "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,

@@ -474,6 +474,154 @@ def topk_ivf(
     )
 
 
+def _nearest_cells(wn: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank every vector's cells by centroid cosine (rk=1 ⇒ nearest).
+
+    One broadcast of the tiny centroid table; the window partitions by
+    vec_id so ranking never concentrates data."""
+    ccos = F.round(
+        fold_dot_col(F.col("embedding"), F.col("ce"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    return wn.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        F.row_number()
+        .over(Window.partitionBy("vec_id").orderBy(ccos.desc(), F.col("cid")))
+        .alias("rk"),
+    )
+
+
+def topk_ivf_trained(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF top-k with ONE Lloyd (k-means) refinement of the centroids —
+    the 'trained' variant :func:`topk_ivf` stubs with seed vectors.
+
+    The whole iteration is a single lazy plan, no driver loop: assign
+    (broadcast centroids + per-vector window) → per-cell mean → rebuild
+    centroid arrays → re-assign → probe. Centroid means use the same
+    integer micro-unit trick as :func:`label_centroids` (exact BIGINT
+    sums, one double division), so the refined centroids — and hence
+    cell assignments and the final top-k — are identical under any
+    partitioning, which is what lets a DuckDB oracle hash-match an
+    iterative 'training' step at all. More Lloyd rounds = repeat the
+    same three stages; state per round is just the n_cells×dim centroid
+    table, always broadcast-sized."""
+    wn = embs.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cents0 = embs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("cnrm"),
+    )
+    assign0 = _nearest_cells(wn, cents0).filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+    )
+    # Lloyd step: exact per-cell component means in integer micro-units
+    parts = assign0.select(
+        "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "cell",
+        "pos",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    comp = parts.groupBy("cell", "pos").agg(
+        (F.sum("q") / (F.count(F.lit(1)) * 1e6)).alias("c")
+    )
+    cents1 = (
+        comp.groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(F.col("cell").alias("cid"), F.col("pc.c").alias("ce"))
+        .withColumn("cnrm", F.sqrt(fold_dot_col(F.col("ce"), F.col("ce"))))
+    )
+    ranked1 = _nearest_cells(wn, cents1)
+    assign1 = ranked1.filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+    )
+    probes = ranked1.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
+    ).select(F.col("cid").alias("cell"))
+    q = assign1.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        assign1.join(F.broadcast(probes), "cell", "leftsemi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+    )
+    cos = F.round(
+        fold_dot_col(F.col("qv"), F.col("embedding"))
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    return _attach_rank(
+        cand.select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def topk_ivf_trained_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMB_DIM,
+) -> str:
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    cdot0 = fold_product_sql("w.embedding", "c.ce", dim)
+    cnrm1 = f"sqrt({fold_product_sql('ce', 'ce', dim)})"
+    cdot1 = fold_product_sql("w.embedding", "c.ce", dim)
+    qdot = fold_product_sql("q.qv", "a.embedding", dim)
+    return f"""
+WITH wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+c0 AS (SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
+       FROM embeddings WHERE vec_id < {n_cells}),
+r0 AS (
+  SELECT w.vec_id, w.embedding, w.nrm, c.cid,
+         row_number() OVER (PARTITION BY w.vec_id
+           ORDER BY round({cdot0} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
+  FROM wn w CROSS JOIN c0 c),
+a0 AS (SELECT vec_id, embedding, nrm, cid AS cell FROM r0 WHERE rk = 1),
+parts AS (
+  SELECT cell, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM a0, LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+comp AS (SELECT cell, pos, SUM(q) / (COUNT(*) * 1000000.0) AS c
+         FROM parts GROUP BY 1, 2),
+c1 AS (SELECT cid, ce, {cnrm1} AS cnrm FROM (
+         SELECT cell AS cid, list(c ORDER BY pos) AS ce FROM comp GROUP BY 1)),
+r1 AS (
+  SELECT w.vec_id, w.embedding, w.nrm, c.cid,
+         row_number() OVER (PARTITION BY w.vec_id
+           ORDER BY round({cdot1} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
+  FROM wn w CROSS JOIN c1 c),
+a1 AS (SELECT vec_id, embedding, nrm, cid AS cell FROM r1 WHERE rk = 1),
+probes AS (SELECT cid AS cell FROM r1
+           WHERE vec_id = {query_vec_id} AND rk <= {nprobe}),
+q AS (SELECT embedding AS qv, nrm AS qnrm FROM a1 WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT a.vec_id, round({qdot} / (q.qnrm * a.nrm), 6) AS cos
+  FROM a1 a CROSS JOIN q
+  WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id != {query_vec_id})
+SELECT vec_id, cos, rank FROM (
+  SELECT vec_id, cos,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM cand) WHERE rank <= {k}
+""".strip()
+
+
 def topk_ivf_sql(
     query_vec_id: int = 0,
     k: int = TOPK,
