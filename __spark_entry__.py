@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import dedup as _dedup
+from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
 from lasdb_spark.operators import similarity as _similarity
@@ -236,6 +237,13 @@ def _q_histogram(spark, sf_dir):
     from lasdb_spark.operators.ingest import block_histogram
 
     return block_histogram(attach_sfc(points_df(spark, sf_dir), META))
+
+
+def _q_grid_zstats(spark, sf_dir):
+    """Raster-style per-cell elevation stats (DSM/DTM shape)."""
+    from lasdb_spark.operators.grid import grid_zstats
+
+    return grid_zstats(points_df(spark, sf_dir))
 
 
 def _q_metadata_agg(spark, sf_dir):
@@ -588,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
             f"{_SFC_CTE} SELECT {head} AS sfc_head, count(*) AS num_tail "
             f"FROM k GROUP BY 1"
         ),
+        "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
         "pc_metadata_agg": (
             f"{_PTS} SELECT count(*) AS point_count, "
             f"min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, "
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_decode_roundtrip": _q_decode_roundtrip,
         "pc_block_pack": _q_block_pack,
         "pc_histogram": _q_histogram,
+        "pc_grid_zstats": _q_grid_zstats,
         "pc_metadata_agg": _q_metadata_agg,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
