@@ -1,4 +1,4 @@
-"""LAS point-cloud source & sink (ASPRS LAS 1.2, point formats 0-3).
+"""LAS point-cloud source & sink (ASPRS LAS 1.2 pf0-3 and 1.4 pf6-8).
 
 The reference shells out to ``laspy`` (pipeline/import_data.py:25-36,
 pcsfc/point_processor.py:32-33, exporter.py:39-96). This container has
@@ -41,12 +41,20 @@ except Exception:  # pragma: no cover
 _HEADER_FMT = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 assert _HEADER_SIZE == 227
-# LAS 1.2 point record layouts. Every format shares the 20-byte core
-# (X/Y/Z grid ints first — which is why xyz extraction works for all);
-# pf1/pf3 append gps_time, pf2/pf3 append RGB. Record lengths: pf0=20,
-# pf1=28, pf2=26, pf3=34. The reference reads any format via laspy
-# (pipeline/import_data.py:27-29); this codec matches that generality
-# for the formats LAS 1.2 defines.
+# LAS 1.4 appends, after the 1.2-compatible 227-byte prefix:
+# start-of-waveform u8, start-of-first-EVLR u8, EVLR count u4,
+# 64-bit point count u8, points-by-return u8[15] — 375 bytes total.
+_HEADER14_TAIL_FMT = "<QQIQ15Q"
+_HEADER14_SIZE = _HEADER_SIZE + struct.calcsize(_HEADER14_TAIL_FMT)
+assert _HEADER14_SIZE == 375
+
+# LAS point record layouts (ASPRS spec). Legacy formats 0-3 share a
+# 20-byte core; LAS 1.4 formats 6-8 share a 30-byte core (wider return
+# byte, i2 scan angle, gps_time always present). X/Y/Z grid ints lead
+# every record — which is why xyz extraction works for all. Record
+# lengths: pf0=20, pf1=28, pf2=26, pf3=34, pf6=30, pf7=36, pf8=38.
+# The reference reads any format via laspy (pipeline/import_data.py:
+# 27-29); this codec matches that generality for uncompressed LAS.
 _CORE_FIELDS = [
     ("X", "<i4"),
     ("Y", "<i4"),
@@ -58,19 +66,39 @@ _CORE_FIELDS = [
     ("user_data", "u1"),
     ("point_source_id", "<u2"),
 ]
+_CORE14_FIELDS = [
+    ("X", "<i4"),
+    ("Y", "<i4"),
+    ("Z", "<i4"),
+    ("intensity", "<u2"),
+    ("returns", "u1"),
+    ("flags", "u1"),
+    ("classification", "u1"),
+    ("user_data", "u1"),
+    ("scan_angle", "<i2"),
+    ("point_source_id", "<u2"),
+    ("gps_time", "<f8"),
+]
 _RGB_FIELDS = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
 
 
 def point_dtype(point_format: int) -> np.dtype:
-    """numpy dtype for a LAS 1.2 point record format (0-3)."""
-    if not 0 <= point_format <= 3:
-        raise ValueError(f"unsupported LAS point format {point_format}")
-    fields = list(_CORE_FIELDS)
-    if point_format in (1, 3):
-        fields.append(("gps_time", "<f8"))
-    if point_format in (2, 3):
-        fields.extend(_RGB_FIELDS)
-    return np.dtype(fields)
+    """numpy dtype for a LAS point record format (0-3, 6-8)."""
+    if 0 <= point_format <= 3:
+        fields = list(_CORE_FIELDS)
+        if point_format in (1, 3):
+            fields.append(("gps_time", "<f8"))
+        if point_format in (2, 3):
+            fields.extend(_RGB_FIELDS)
+        return np.dtype(fields)
+    if 6 <= point_format <= 8:
+        fields = list(_CORE14_FIELDS)
+        if point_format in (7, 8):
+            fields.extend(_RGB_FIELDS)
+        if point_format == 8:
+            fields.append(("nir", "<u2"))
+        return np.dtype(fields)
+    raise ValueError(f"unsupported LAS point format {point_format}")
 
 
 _PF3_DTYPE = point_dtype(3)
@@ -78,6 +106,9 @@ assert point_dtype(0).itemsize == 20
 assert point_dtype(1).itemsize == 28
 assert point_dtype(2).itemsize == 26
 assert _PF3_DTYPE.itemsize == 34
+assert point_dtype(6).itemsize == 30
+assert point_dtype(7).itemsize == 36
+assert point_dtype(8).itemsize == 38
 
 
 def parse_las_header(buf: bytes) -> dict:
@@ -94,11 +125,20 @@ def parse_las_header(buf: bytes) -> dict:
     if f[0] != b"LASF":
         raise ValueError(f"bad LAS signature {f[0]!r}")
     max_x, min_x, max_y, min_y, max_z, min_z = f[30:36]
+    version = (f[7], f[8])
+    count = f[18]  # legacy u32 count; 0 in 1.4 files with pf>=6
+    if version >= (1, 4):
+        if len(buf) < _HEADER14_SIZE:
+            raise ValueError("truncated LAS 1.4 header")
+        tail = struct.unpack(
+            _HEADER14_TAIL_FMT, buf[_HEADER_SIZE:_HEADER14_SIZE]
+        )
+        count = tail[3] or count  # 64-bit count supersedes legacy
     return {
-        "version": (f[7], f[8]),
-        "point_format": f[16],
+        "version": version,
+        "point_format": f[16] & 0x3F,  # high bits flag LAZ compression
         "point_record_length": f[17],
-        "point_count": f[18],
+        "point_count": count,
         "offset_to_points": f[14],
         "scales": list(f[24:27]),
         "offsets": list(f[27:30]),
@@ -142,7 +182,7 @@ def read_las_file(path: str) -> np.ndarray:
 
 def read_las_header_file(path: str) -> dict:
     with open(path, "rb") as fh:
-        return parse_las_header(fh.read(_HEADER_SIZE))
+        return parse_las_header(fh.read(_HEADER14_SIZE))
 
 
 def write_las(
@@ -152,9 +192,12 @@ def write_las(
     offsets: tuple[float, float, float] = (0.0, 0.0, 0.0),
     point_format: int = 3,
 ) -> None:
-    """Write LAS 1.2, point formats 0-3 (reference exporter defaults:
-    exporter.py:76-89 — pf3, scales 0.1, offsets 0)."""
+    """Write LAS: point formats 0-3 as v1.2 (reference exporter
+    defaults: exporter.py:76-89 — pf3, scales 0.1, offsets 0) and
+    formats 6-8 as v1.4 (375-byte header, 64-bit count)."""
     dt = point_dtype(point_format)
+    v14 = point_format >= 6
+    hdr_size = _HEADER14_SIZE if v14 else _HEADER_SIZE
     xyz = np.asarray(xyz, dtype=np.float64).reshape(-1, 3)
     n = len(xyz)
     pts = np.zeros(n, dtype=dt)
@@ -171,23 +214,27 @@ def write_las(
         0,  # file source id
         0,  # global encoding
         0, 0, 0, b"\x00" * 8,  # guid
-        1, 2,  # version 1.2
+        1, 4 if v14 else 2,
         b"lasdb_spark".ljust(32, b"\x00"),
         b"lasdb_spark exporter".ljust(32, b"\x00"),
         1, 2026,  # creation day/year
-        _HEADER_SIZE,
-        _HEADER_SIZE,  # offset to point data
+        hdr_size,
+        hdr_size,  # offset to point data
         0,  # VLR count
         point_format,
         dt.itemsize,
-        n,
-        n, 0, 0, 0, 0,  # points by return
+        0 if v14 else n,  # legacy u32 count (0 for pf>=6 per spec)
+        *((0, 0, 0, 0, 0) if v14 else (n, 0, 0, 0, 0)),  # legacy by-return
         float(scales[0]), float(scales[1]), float(scales[2]),
         float(offsets[0]), float(offsets[1]), float(offsets[2]),
         float(maxs[0]), float(mins[0]),
         float(maxs[1]), float(mins[1]),
         float(maxs[2]), float(mins[2]),
     )
+    if v14:
+        header += struct.pack(
+            _HEADER14_TAIL_FMT, 0, 0, 0, n, n, *([0] * 14)
+        )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(header)

@@ -18,16 +18,18 @@ def _cloud(n=1000, seed=7):
     return xyz
 
 
-@pytest.mark.parametrize("pf", [0, 1, 2, 3])
+@pytest.mark.parametrize("pf", [0, 1, 2, 3, 6, 7, 8])
 def test_las_roundtrip(tmp_path, pf):
     xyz = _cloud()
     p = str(tmp_path / "t.las")
     las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=pf)
     hdr = las.read_las_header_file(p)
     assert hdr["point_count"] == 1000
-    assert hdr["version"] == (1, 2)
+    assert hdr["version"] == ((1, 4) if pf >= 6 else (1, 2))
     assert hdr["point_format"] == pf
-    assert hdr["point_record_length"] == {0: 20, 1: 28, 2: 26, 3: 34}[pf]
+    assert hdr["point_record_length"] == {
+        0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38
+    }[pf]
     back = las.read_las_file(p)
     # quantized to 0.01 grid on write
     np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
