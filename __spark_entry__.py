@@ -507,6 +507,35 @@ def _q_rel_setops(spark, sf_dir):
     return _rel.order_priority_sets(_t(spark, sf_dir, "orders"))
 
 
+def _q_rel_brand_revenue(spark, sf_dir):
+    return _rel.brand_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_supplier_volume(spark, sf_dir):
+    return _rel.supplier_nation_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_anti_join(spark, sf_dir):
+    return _rel.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _q_rel_market_share(spark, sf_dir):
+    return _rel.nation_market_share(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — same arithmetic, generated from shared builders
 # ---------------------------------------------------------------------------
@@ -643,6 +672,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_percentiles": _rel.order_price_percentiles_sql(),
         "rel_month_momentum": _rel.monthly_revenue_momentum_sql(),
         "rel_distinct_customers": _rel.priority_distinct_customers_sql(),
+        "rel_brand_revenue": _rel.brand_revenue_sql(),
+        "rel_supplier_volume": _rel.supplier_nation_volume_sql(),
+        "rel_anti_join": _rel.customers_without_orders_sql(),
+        "rel_market_share": _rel.nation_market_share_sql(),
     }
 
 
@@ -706,6 +739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_percentiles": _q_rel_percentiles,
         "rel_month_momentum": _q_rel_momentum,
         "rel_distinct_customers": _q_rel_distinct,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "rel_supplier_volume": _q_rel_supplier_volume,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_market_share": _q_rel_market_share,
     }
 
 

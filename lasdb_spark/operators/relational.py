@@ -457,3 +457,133 @@ SELECT
              AND t_purchase >= t_click THEN 1 END) AS n_purchase_after_click
 FROM per_user
 """.strip()
+
+
+def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand discounted revenue + volume (TPC-H Q14 flavour).
+
+    Scale: `part` is a dimension — broadcast, so the fact table joins
+    map-side and shuffles only for the small per-brand agg."""
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def brand_revenue_sql() -> str:
+    return """
+SELECT p_brand,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""".strip()
+
+
+def supplier_nation_volume(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Shipped volume per supplier nation (TPC-H Q5/Q7 flavour): two
+    broadcast dimension hops off the fact table."""
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def supplier_nation_volume_sql() -> str:
+    return """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+  count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+""".strip()
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join: customers that never placed an order.
+
+    Scale: left_anti plans as a broadcast/shuffled hash anti-join on
+    the key — never a NOT IN scan per row."""
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_without_orders_sql() -> str:
+    return (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+
+
+def nation_market_share(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Each nation's share of its region's revenue — aggregation
+    followed by a window over the 25-row aggregate (the window input
+    is dimension-sized, so partitioning by region there is free).
+
+    Scale: three broadcast dim hops; one fact shuffle for the agg;
+    the share ratio is computed on the tiny result."""
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev_d") / F.sum("rev_d").over(w)).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def nation_market_share_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue,
+       round(CAST(rev_d / sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+FROM rev
+""".strip()
