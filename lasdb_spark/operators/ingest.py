@@ -142,14 +142,25 @@ def pack_blocks(df_sfc: DataFrame) -> DataFrame:
     (struct ordering), reproducing the reference's per-group co-sort
     (pcsfc/point_processor.py:61-81) in ONE hash aggregation. At scale
     this is a single shuffle on sfc_head; the head/tail split ratio
-    bounds per-group size (the reference sweeps the same knob)."""
+    bounds per-group size (the reference sweeps the same knob).
+
+    ``z_min``/``z_max`` ride along in the SAME aggregation: the flat
+    layout gets z pruning free from Parquet row-group stats, but block
+    arrays hide z from the scanner — these two columns give z-slab
+    queries a block-level prune before any unpack/explode."""
     return (
         df_sfc.groupBy("sfc_head")
-        .agg(F.sort_array(F.collect_list(F.struct("sfc_tail", "z"))).alias("pts"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("sfc_tail", "z"))).alias("pts"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
         .select(
             "sfc_head",
             F.col("pts.sfc_tail").alias("sfc_tail"),
             F.col("pts.z").alias("z"),
+            "z_min",
+            "z_max",
         )
     )
 

@@ -98,12 +98,30 @@ class WindowQuerier:
             qx0, qx1, qy0, qy1, bits=self.meta.grid_bits, max_ranges=self.max_ranges
         )
 
-    def _pruned(self, x0: float, x1: float, y0: float, y1: float) -> DataFrame:
-        """Candidate rows via SFC range pushdown, decoded to x/y/z."""
+    def _pruned(
+        self,
+        x0: float,
+        x1: float,
+        y0: float,
+        y1: float,
+        minz: float | None = None,
+        maxz: float | None = None,
+    ) -> DataFrame:
+        """Candidate rows via SFC range pushdown, decoded to x/y/z.
+
+        On the block layout a z-slab additionally prunes whole blocks
+        by their stored z_min/z_max BEFORE the unpack explode — the
+        block-level analog of the row-group stats the flat layout's z
+        column gets from Parquet for free. (The exact per-point z
+        filter still runs afterwards; this only skips work.)"""
         ranges = self._key_ranges(x0, x1, y0, y1)
         if self.layout == "block":
             head_ranges = key_ranges_to_head_ranges(ranges, self.meta.tail_length)
             blocks = apply_key_ranges(self.df, "sfc_head", head_ranges)
+            if maxz is not None and "z_min" in self.df.columns:
+                blocks = blocks.filter(F.col("z_min") <= float(maxz))
+            if minz is not None and "z_max" in self.df.columns:
+                blocks = blocks.filter(F.col("z_max") >= float(minz))
             return unpack_blocks(blocks, self.meta)
         if "sfc_key" in self.df.columns:
             return apply_key_ranges(self.df, "sfc_key", ranges)
@@ -122,7 +140,7 @@ class WindowQuerier:
     def bbox(self, bbox, minz=None, maxz=None) -> DataFrame:
         """bbox = [x_min, x_max, y_min, y_max] (Q6)."""
         x0, x1, y0, y1 = (float(v) for v in bbox)
-        out = self._pruned(x0, x1, y0, y1).filter(
+        out = self._pruned(x0, x1, y0, y1, minz, maxz).filter(
             F.col("x").between(x0, x1) & F.col("y").between(y0, y1)
         )
         return self._zslab(out, minz, maxz).select(*RESULT_COLS)
@@ -130,7 +148,7 @@ class WindowQuerier:
     def circle(self, center, radius, minz=None, maxz=None) -> DataFrame:
         """center = [cx, cy] (Q7): circumscribing-bbox prune + exact."""
         cx, cy, r = float(center[0]), float(center[1]), float(radius)
-        out = self._pruned(cx - r, cx + r, cy - r, cy + r).filter(
+        out = self._pruned(cx - r, cx + r, cy - r, cy + r, minz, maxz).filter(
             circle_predicate(F.col("x"), F.col("y"), cx, cy, r)
         )
         return self._zslab(out, minz, maxz).select(*RESULT_COLS)
@@ -150,7 +168,7 @@ class WindowQuerier:
         else:
             exact = point_in_polygon_udf(wkt)(F.col("x"), F.col("y"))
         out = (
-            self._pruned(x0, x1, y0, y1)
+            self._pruned(x0, x1, y0, y1, minz, maxz)
             .filter(F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
             .filter(exact)
         )
@@ -165,7 +183,7 @@ class WindowQuerier:
         dist = float(dist)
         x0, x1, y0, y1 = polyline_bbox(pts, dist)
         out = (
-            self._pruned(x0, x1, y0, y1)
+            self._pruned(x0, x1, y0, y1, minz, maxz)
             .filter(F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
             .filter(polyline_buffer_col(pts, dist, F.col("x"), F.col("y")))
         )
@@ -192,7 +210,7 @@ class WindowQuerier:
         r = max(math.sqrt(area * k / n), 1e-6)
 
         while True:
-            cand = self._pruned(px - r, px + r, py - r, py + r)
+            cand = self._pruned(px - r, px + r, py - r, py + r, minz, maxz)
             cand = self._zslab(cand, minz, maxz).withColumn("d2", d2)
             top = cand.orderBy("d2", "x", "y", "z").limit(k)
             rows = top.collect()

@@ -71,6 +71,37 @@ def test_head_lookup_block(spark, sf_dir):
 
 
 @pytest.mark.spark
+def test_block_zslab_prunes_and_preserves_answer(spark, sf_dir):
+    """Block-layout z-slab queries must return exactly the unpruned
+    block answer post-filtered by z (pruning is an optimization, never
+    a semantics change), and must skip non-intersecting blocks before
+    unpacking."""
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.points import points_df
+
+    base = tempfile.mkdtemp(prefix="lasdb_zslab_blk_")
+    ingest_points(points_df(spark, sf_dir), "bz", base, layout="block")
+    dfb, metab, layb = load_dataset(spark, base, "bz")
+    qb = WindowQuerier(dfb, metab, layb)
+
+    bbox = [85100.0, 85900.0, 446100.0, 447400.0]
+    baseline = [tuple(r) for r in qb.bbox(bbox).collect()]
+    for kw, keep in (
+        ({"maxz": 2.0}, lambda z: z <= 2.0),
+        ({"minz": 30.0}, lambda z: z >= 30.0),
+        ({"minz": 5.0, "maxz": 10.0}, lambda z: 5.0 <= z <= 10.0),
+    ):
+        got = sorted(tuple(r) for r in qb.bbox(bbox, **kw).collect())
+        want = sorted(t for t in baseline if keep(t[2]))
+        assert got == want and len(want) > 0
+    # pruning really skips blocks: a slab far above the data unpacks none
+    assert (
+        qb._pruned(bbox[0], bbox[1], bbox[2], bbox[3], minz=1e6).count() == 0
+    )
+
+
+@pytest.mark.spark
 def test_storage_sweep(spark, sf_dir):
     from lasdb_spark.cli.sweep import sweep_storage_params
     from lasdb_spark.sources.points import points_df
