@@ -278,6 +278,7 @@ def minhash_lsh_pairs(
     n_perms: int = N_PERMS,
     band_size: int = BAND_SIZE,
     collapse: str = "auto",
+    candidates: str = "all",
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified by exact Jaccard ≥ tau.
 
@@ -289,18 +290,32 @@ def minhash_lsh_pairs(
     row per band instead of a 10^6-pair band self-join — and the final
     pair set expands back to all members, so the output is identical
     to banding the raw corpus. 'auto' engages it only when a one-pass
-    stat finds exact dups."""
+    stat finds exact dups.
+
+    ``candidates``: 'all' (default) emits every in-bucket pair — the
+    complete pair set the oracle checks, inherently quadratic in
+    NEAR-dup cluster size (byte-identical clusters are handled by the
+    collapse above; near-identical ones are not collapsible). For
+    clustering at scale, 'adjacent' emits only sorted-adjacent pairs
+    per bucket: candidates drop from Σ|bucket|² to Σ|bucket| while a
+    near-dup cluster sharing a bucket stays CONNECTED through its
+    verification-passing chain, so connected components are preserved
+    whenever adjacent members verify (true for the tight clusters that
+    cause the blowup). Use for :func:`dedup_clusters` on huge corpora,
+    not for exhaustive pair reports."""
     if collapse == "auto":
         collapse = "always" if _needs_dup_collapse(docs) else "never"
     if collapse == "never":
-        return _minhash_banded_pairs(docs, tau, n_perms, band_size)[0]
+        return _minhash_banded_pairs(docs, tau, n_perms, band_size, candidates)[0]
     members = _exact_groups(docs).cache()
     rep_docs = docs.join(
         members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id",
         "leftsemi",
     )
-    rep_pairs, sig = _minhash_banded_pairs(rep_docs, tau, n_perms, band_size)
+    rep_pairs, sig = _minhash_banded_pairs(
+        rep_docs, tau, n_perms, band_size, candidates
+    )
     # reps with a signature = reps with >= n tokens; only their groups
     # produce within-group (jac exactly 1.0) pairs
     eligible = sig.select(F.col("doc_id").alias("rep"))
@@ -308,7 +323,8 @@ def minhash_lsh_pairs(
 
 
 def _minhash_banded_pairs(
-    docs: DataFrame, tau: float, n_perms: int, band_size: int
+    docs: DataFrame, tau: float, n_perms: int, band_size: int,
+    candidates: str = "all",
 ) -> tuple:
     """Core banded pipeline on (already collapse-free) docs.
 
@@ -341,18 +357,33 @@ def _minhash_banded_pairs(
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "sig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if candidates == "adjacent":
+        # linear candidates: sort each bucket, pair each doc with its
+        # successor — Σ|bucket| rows, connectivity kept within buckets
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "sig").orderBy("doc_id")
+        cands = (
+            bands.withColumn("doc_b", F.lead("doc_id").over(w))
+            .filter(F.col("doc_b").isNotNull())
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
     # verify ONLY the candidates (this is the whole point of LSH): the
     # exact-Jaccard join runs on |cands| pairs, not all shingle-sharing
     # pairs. Same jac arithmetic/rounding as ngram_jaccard_pairs.
@@ -551,7 +582,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 # dedup clustering: pairs → connected components → keeper per cluster
 # ---------------------------------------------------------------------------
-def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, tau: float = JACCARD_TAU, candidates: str = "all"
+) -> DataFrame:
     """(doc_id, cluster_id) — connected components over the verified
     MinHash-LSH near-dup pairs; cluster_id = min doc_id reachable.
     Docs in no pair are their own singleton cluster. ``doc_id ==
@@ -564,7 +597,9 @@ def dedup_clusters(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     components are shallow in practice (pairs/cliques), so rounds stay
     single-digit; at extreme scale swap in the alternating large-star/
     small-star iteration — same loop skeleton."""
-    pairs = minhash_lsh_pairs(docs, tau).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, tau, candidates=candidates).select(
+        "doc_a", "doc_b"
+    )
     # Union CONCATENATES partitions (cross + within + the symmetric
     # swap = 4× shuffle.partitions of mostly-tiny tasks); every loop
     # round would pay that task overhead twice. One repartition bounds

@@ -90,6 +90,21 @@ SELECT vec_id, cos, rank FROM (
 """.strip()
 
 
+def lsh_bits_for(n_vectors: int, target_bucket: int = 128) -> int:
+    """Size the bucket-bits knob for a corpus: bits ≈ log2(N/target).
+
+    Per-bucket join work is quadratic in bucket width, so bits must
+    grow with the corpus to hold width (and thus per-bucket cost)
+    constant — measured at 8× corpus: re-sizing via this rule returned
+    the kNN-join to its small-corpus per-row cost at identical output
+    (BASELINE.md, scaling observation)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def lsh_bucket_col(e_col, bits: int = LSH_BITS, dim: int = EMB_DIM):
     """Sign-LSH bucket id: bit b = 1 iff Σ e[i]·h[b][i] > 0.
 

@@ -49,6 +49,36 @@ def test_lsh_pipeline_survives_short_docs(spark):
 
 
 @pytest.mark.spark
+def test_adjacent_candidates_preserve_clusters(spark):
+    """'adjacent' candidate mode (linear per bucket) must produce the
+    same connected components as the quadratic 'all' mode on a
+    NEAR-dup cluster (not byte-identical — the case the exact-dup
+    collapse cannot linearize), with genuinely fewer verified pairs."""
+    from lasdb_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    base = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt"
+    )
+    rows = [(i, f"{base} variant{i}") for i in range(40)] + [
+        (100 + i, f"wholly different doc number {i} tokens q{i} r{i} s{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    n_all = minhash_lsh_pairs(docs).count()
+    n_adj = minhash_lsh_pairs(docs, candidates="adjacent").count()
+    assert n_all == 40 * 39 // 2  # every variant pair verifies (jac 11/13)
+    assert 39 <= n_adj < n_all / 4  # linear-ish, not quadratic
+    cl_all = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    cl_adj = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, candidates="adjacent").collect()
+    }
+    assert cl_all == cl_adj
+
+
+@pytest.mark.spark
 def test_banded_pipelines_survive_exact_dup_skew(spark):
     """1000 byte-identical docs: banding raw docs would make the band
     self-join produce ~10^6 × bands candidate rows (the classic LSH skew
