@@ -110,6 +110,13 @@ POLY_HOLE = (
     "(85299.995 446499.995, 85700.005 446499.995, 85700.005 447000.005, "
     "85299.995 447000.005, 85299.995 446499.995))"
 )
+# two disjoint rectangles (MULTIPOLYGON path; oracle = OR of bboxes)
+POLY_MULTI = (
+    "MULTIPOLYGON (((85100.005 446100.005, 85399.995 446100.005, "
+    "85399.995 446599.995, 85100.005 446599.995, 85100.005 446100.005)), "
+    "((85600.005 446900.005, 85899.995 446900.005, 85899.995 447399.995, "
+    "85600.005 447399.995, 85600.005 446900.005)))"
+)
 # diamond (tests non-rectilinear edges; oracle = two half-plane pairs)
 DIA_CX, DIA_CY, DIA_A, DIA_B = 85500.005, 446750.005, 300.0, 450.0
 POLY_DIAMOND = (
@@ -156,6 +163,10 @@ def _q_polygon_hole(spark, sf_dir):
 
 def _q_polygon_diamond(spark, sf_dir):
     return _querier(spark, sf_dir).polygon(POLY_DIAMOND)
+
+
+def _q_polygon_multi(spark, sf_dir):
+    return _querier(spark, sf_dir).polygon(POLY_MULTI)
 
 
 def _q_bbox_empty(spark, sf_dir):
@@ -591,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
             f"{_PTS} SELECT x, y, z FROM points WHERE "
             f"abs(x - {DIA_CX}) / {DIA_A} + abs(y - {DIA_CY}) / {DIA_B} < 1.0"
         ),
+        "pc_polygon_multi": (
+            f"{_PTS} SELECT x, y, z FROM points WHERE "
+            f"(x BETWEEN 85100.005 AND 85399.995 AND y BETWEEN 446100.005 AND 446599.995) "
+            f"OR (x BETWEEN 85600.005 AND 85899.995 AND y BETWEEN 446900.005 AND 447399.995)"
+        ),
         "pc_polyline_buffer": (
             f"{_PTS} SELECT x, y, z FROM points WHERE "
             + _polyline_sql_pred()
@@ -689,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_polygon_l": _q_polygon_l,
         "pc_polygon_hole": _q_polygon_hole,
         "pc_polygon_diamond": _q_polygon_diamond,
+        "pc_polygon_multi": _q_polygon_multi,
         "pc_polyline_buffer": _q_polyline_buffer,
         "pc_bbox_block": _q_bbox_block,
         "pc_knn": _q_knn,

@@ -66,6 +66,52 @@ def polygon_bbox(rings: list[list[tuple[float, float]]]) -> tuple[float, float, 
     return min(xs), max(xs), min(ys), max(ys)
 
 
+def parse_wkt_multipolygon(wkt: str) -> list[list[list[tuple[float, float]]]]:
+    """Parse ``MULTIPOLYGON (((...)), ((...)))`` → list of polygons
+    (each a ring list like :func:`parse_wkt_polygon` returns). A tiny
+    depth scanner splits the top-level polygon groups — WKT nests only
+    two levels here, no general parser needed."""
+    s = wkt.strip()
+    m = re.match(r"(?is)^MULTIPOLYGON\s*\((.*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"not a WKT MULTIPOLYGON: {wkt[:60]!r}")
+    body = m.group(1)
+    polys, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                polys.append(parse_wkt_polygon("POLYGON " + body[start : i + 1]))
+    if depth != 0 or not polys:
+        raise ValueError(f"malformed MULTIPOLYGON: {wkt[:60]!r}")
+    return polys
+
+
+def wkt_rings(wkt: str) -> list[list[tuple[float, float]]]:
+    """All rings of a POLYGON or MULTIPOLYGON as ONE even-odd edge set.
+
+    MULTIPOLYGON needs no special containment logic: member polygons
+    have disjoint interiors (WKT validity rule), so a point inside one
+    crosses an odd number of that polygon's edges and an even number
+    of every other's — the combined even-odd test is exact."""
+    if re.match(r"(?is)^\s*MULTIPOLYGON", wkt):
+        return [r for poly in parse_wkt_multipolygon(wkt) for r in poly]
+    return parse_wkt_polygon(wkt)
+
+
+def rings_bbox(rings: list[list[tuple[float, float]]]) -> tuple[float, float, float, float]:
+    """(x_min, x_max, y_min, y_max) over ALL rings — the prune window
+    for multi-polygon edge sets (holes lie inside exteriors, so this
+    equals the exterior union)."""
+    xs = [p[0] for ring in rings for p in ring]
+    ys = [p[1] for ring in rings for p in ring]
+    return min(xs), max(xs), min(ys), max(ys)
+
+
 def _contains_numpy(
     rings: list[list[tuple[float, float]]], px: np.ndarray, py: np.ndarray
 ) -> np.ndarray:
@@ -86,11 +132,12 @@ def _contains_numpy(
 
 
 def point_in_polygon_udf(wkt: str):
-    """Pandas-UDF factory: (x, y) → boolean containment for a fixed WKT.
+    """Pandas-UDF factory: (x, y) → boolean containment for a fixed WKT
+    (POLYGON or MULTIPOLYGON).
 
     The parsed ring list is captured in the closure (small, pickled once
     per task) — no per-row parsing."""
-    rings = parse_wkt_polygon(wkt)
+    rings = wkt_rings(wkt)
 
     if HAVE_SHAPELY:  # pragma: no cover
         geom = _shapely_loads(wkt)

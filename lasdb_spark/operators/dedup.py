@@ -485,6 +485,7 @@ def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     collapse: str = "auto",
+    candidates: str = "all",
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within Hamming distance.
 
@@ -497,26 +498,31 @@ def simhash_pairs(
     on short band keys (the same shape as MinHash LSH banding), never
     O(docs²). Exact duplicates collapse to a representative before
     banding (identical text ⇒ identical fingerprint ⇒ every band
-    collides) and expand back afterwards — same skew armor and
-    ``collapse`` semantics as :func:`minhash_lsh_pairs`."""
+    collides) and expand back afterwards — same skew armor,
+    ``collapse`` and ``candidates`` semantics as
+    :func:`minhash_lsh_pairs` ('adjacent' = linear per-bucket chains,
+    components preserved for verification-passing clusters; note the
+    pigeonhole recall-1 guarantee applies to the 'all' mode only)."""
     if collapse == "auto":
         collapse = "always" if _needs_dup_collapse(docs) else "never"
     if collapse == "never":
-        return _simhash_banded_pairs(docs, max_hamming)[0]
+        return _simhash_banded_pairs(docs, max_hamming, candidates)[0]
     members = _exact_groups(docs).cache()
     rep_docs = docs.join(
         members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id",
         "leftsemi",
     )
-    rep_pairs, fp = _simhash_banded_pairs(rep_docs, max_hamming)
+    rep_pairs, fp = _simhash_banded_pairs(rep_docs, max_hamming, candidates)
     # reps with a fingerprint = reps with >= 1 token (empty docs never
     # enter the token multiset and so never pair in the generic plan)
     eligible = fp.select(F.col("doc_id").alias("rep"))
     return _expand_rep_pairs(rep_pairs, members, eligible, "hamming", 0)
 
 
-def _simhash_banded_pairs(docs: DataFrame, max_hamming: int) -> tuple:
+def _simhash_banded_pairs(
+    docs: DataFrame, max_hamming: int, candidates: str = "all"
+) -> tuple:
     """Core banded pipeline on (already collapse-free) docs.
 
     Returns (verified pairs, cached fingerprint table)."""
@@ -534,18 +540,31 @@ def _simhash_banded_pairs(docs: DataFrame, max_hamming: int) -> tuple:
         ]
     )
     bands = fp.select("doc_id", F.posexplode(band_vals).alias("band", "val"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if candidates == "adjacent":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "val").orderBy("doc_id")
+        cands = (
+            bands.withColumn("doc_b", F.lead("doc_id").over(w))
+            .filter(F.col("doc_b").isNotNull())
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -27,12 +27,12 @@ from ..functions.geometry import (
     MAX_NATIVE_EDGES,
     circle_predicate,
     parse_wkt_linestring,
-    parse_wkt_polygon,
     point_in_polygon_col,
     point_in_polygon_udf,
-    polygon_bbox,
     polyline_bbox,
     polyline_buffer_col,
+    rings_bbox,
+    wkt_rings,
 )
 from ..pcsfc.range_search import (
     apply_key_ranges,
@@ -154,14 +154,16 @@ class WindowQuerier:
         return self._zslab(out, minz, maxz).select(*RESULT_COLS)
 
     def polygon(self, wkt: str, minz=None, maxz=None) -> DataFrame:
-        """WKT polygon with holes (Q8): bbox prune + cheap bbox refine
-        + exact even-odd containment.
+        """WKT POLYGON with holes, or MULTIPOLYGON (Q8): bbox prune +
+        cheap bbox refine + exact even-odd containment over the
+        combined ring set (disjoint members make the shared even-odd
+        test exact — no per-polygon dispatch).
 
         Containment is a native Column expression (codegen, no Python)
-        for polygons up to MAX_NATIVE_EDGES edges; bigger geometries
-        fall back to the Arrow-batched pandas UDF."""
-        rings = parse_wkt_polygon(wkt)
-        x0, x1, y0, y1 = polygon_bbox(rings)
+        for geometries up to MAX_NATIVE_EDGES edges; bigger ones fall
+        back to the Arrow-batched pandas UDF."""
+        rings = wkt_rings(wkt)
+        x0, x1, y0, y1 = rings_bbox(rings)
         n_edges = sum(len(r) for r in rings)
         if n_edges <= MAX_NATIVE_EDGES:
             exact = point_in_polygon_col(rings, F.col("x"), F.col("y"))

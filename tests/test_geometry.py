@@ -93,3 +93,38 @@ def test_wkt_parsers_reject_garbage():
             parse_wkt_polygon(bad)
         with pytest.raises(ValueError):
             parse_wkt_linestring(bad)
+
+
+def test_multipolygon_parse_and_contains():
+    from lasdb_spark.functions.geometry import (
+        _contains_numpy,
+        parse_wkt_multipolygon,
+        rings_bbox,
+        wkt_rings,
+    )
+    import numpy as np
+
+    wkt = (
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1)), "
+        "((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    )
+    polys = parse_wkt_multipolygon(wkt)
+    assert len(polys) == 2 and len(polys[0]) == 2 and len(polys[1]) == 1
+    rings = wkt_rings(wkt)
+    assert len(rings) == 3
+    assert rings_bbox(rings) == (0.0, 12.0, 0.0, 12.0)
+    px = np.array([0.5, 2.0, 11.0, 5.0])
+    py = np.array([0.5, 2.0, 11.0, 5.0])
+    # in first poly, in its hole (excluded), in second poly, in neither
+    assert _contains_numpy(rings, px, py).tolist() == [True, False, True, False]
+
+
+def test_multipolygon_rejects_garbage():
+    import pytest as _pytest
+
+    from lasdb_spark.functions.geometry import parse_wkt_multipolygon
+
+    with _pytest.raises(ValueError):
+        parse_wkt_multipolygon("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    with _pytest.raises(ValueError):
+        parse_wkt_multipolygon("MULTIPOLYGON (((0 0, 1 0)")
