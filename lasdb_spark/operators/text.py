@@ -62,6 +62,19 @@ FROM documents
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
+def quality_col(t=None):
+    """The quality score as a reusable Column expression (rounded 6) —
+    shared by the batch scorer, the curation pipeline and the
+    streaming gate so every consumer computes the identical number."""
+    t = F.col("text") if t is None else t
+    n_tok = _n_matches(t, TOKEN_RE)
+    n_stop = _n_matches(t, rf"\b({STOPWORDS_EN})\b")
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1)).cast("double")
+    return F.round(
+        F.least(n_tok, F.lit(100)) / 100.0 * 0.6 + stop_ratio * 0.4, 6
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, quality) — length + stopword-ratio
     heuristic, deterministic arithmetic (round 6)."""
@@ -69,14 +82,11 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_tok = _n_matches(t, TOKEN_RE)
     n_stop = _n_matches(t, rf"\b({STOPWORDS_EN})\b")
     stop_ratio = n_stop / F.greatest(n_tok, F.lit(1)).cast("double")
-    quality = F.round(
-        F.least(n_tok, F.lit(100)) / 100.0 * 0.6 + stop_ratio * 0.4, 6
-    )
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        quality.alias("quality"),
+        quality_col(t).alias("quality"),
     )
 
 
@@ -221,6 +231,19 @@ SAMPLE_RATES = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 80}
 SAMPLE_DEFAULT_RATE = 100
 
 
+def sample_keep_pred(rates: dict | None = None):
+    """Keep-predicate Column of the stratified hash sample — shared by
+    the batch sampler, curation pipeline and streaming gate."""
+    from ..functions.hashing import md5_int60_col
+
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = md5_int60_col(F.col("doc_id").cast("string")) % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return bucket < rate
+
+
 def stratified_sample(docs: DataFrame, rates: dict | None = None) -> DataFrame:
     """Deterministic hash-stratified sample: keep a doc iff
     md5(doc_id) mod 100 < rate(lang).
@@ -229,14 +252,9 @@ def stratified_sample(docs: DataFrame, rates: dict | None = None) -> DataFrame:
     engines, runs and partitionings — the property a training-data
     pipeline needs for auditable corpus cuts. Map-side only: no
     shuffle, the filter composes with any downstream scan."""
-    from ..functions.hashing import md5_int60_col
-
-    rates = SAMPLE_RATES if rates is None else rates
-    bucket = md5_int60_col(F.col("doc_id").cast("string")) % 100
-    rate = F.lit(SAMPLE_DEFAULT_RATE)
-    for lang, r in sorted(rates.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+    return docs.filter(sample_keep_pred(rates)).select(
+        "doc_id", "lang", "source"
+    )
 
 
 def stratified_sample_sql(rates: dict | None = None) -> str:

@@ -61,6 +61,31 @@ def _dedup_state(
     )
 
 
+def stream_curate(
+    doc_stream: DataFrame,
+    min_quality: float | None = None,
+    rates: dict | None = None,
+) -> DataFrame:
+    """Continuously-curated corpus state: stateless quality +
+    stratified-sample gates (the IDENTICAL Column expressions the batch
+    pipeline uses), then the stateful exact-dedup keeper — the
+    streaming half of ``operators.curate.curate_corpus``.
+
+    Near-dup (MinHash) dedup stays a batch/compaction-time pass by
+    design: banded candidate generation needs corpus-wide band state,
+    which is exactly what periodic compaction is for. This split —
+    cheap gates + exact dedup inline, heavy near-dup offline — is how
+    production ingestion pipelines layer the problem."""
+    from ..operators.curate import MIN_QUALITY
+    from ..operators.text import quality_col, sample_keep_pred
+
+    min_quality = MIN_QUALITY if min_quality is None else min_quality
+    gated = doc_stream.filter(
+        (quality_col() >= min_quality) & sample_keep_pred(rates)
+    )
+    return stream_exact_dedup(gated)
+
+
 def stream_exact_dedup(doc_stream: DataFrame) -> DataFrame:
     """Continuously-maintained exact-dedup table
     (text_hash, keeper_doc_id, n_docs) — streaming twin of

@@ -64,6 +64,35 @@ def test_stream_exact_dedup_matches_batch(spark, sf_dir):
 
 
 @pytest.mark.spark
+def test_stream_curate_matches_batch_gates(spark, sf_dir):
+    """Streaming curation (quality ∧ sample gates + exact-dedup state)
+    must equal the same gates applied in batch."""
+    from lasdb_spark.operators.curate import MIN_QUALITY
+    from lasdb_spark.operators.dedup import exact_dedup
+    from lasdb_spark.operators.text import quality_col, sample_keep_pred
+    from lasdb_spark.streaming import dedup as sd
+
+    stream = sd.read_document_stream(spark, sf_dir)
+    se.run_to_memory(sd.stream_curate(stream), "cur_out", "update")
+    got = {
+        r.text_hash: (r.keeper_doc_id, r.n_docs)
+        for r in spark.sql(
+            "SELECT text_hash, max_by(keeper_doc_id, n_docs) AS keeper_doc_id, "
+            "max(n_docs) AS n_docs FROM cur_out GROUP BY 1"
+        ).collect()
+    }
+    batch_gated = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((quality_col() >= MIN_QUALITY) & sample_keep_pred())
+    )
+    batch = {
+        r.text_hash: (r.keeper_doc_id, r.n_docs)
+        for r in exact_dedup(batch_gated).collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
+@pytest.mark.spark
 def test_stateful_running_totals(spark, sf_dir, event_stream):
     se.run_to_memory(se.running_user_totals(event_stream), "run_out", "update")
     got = {
