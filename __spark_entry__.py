@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import grid as _grid
+from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
 from lasdb_spark.operators import similarity as _similarity
@@ -538,6 +539,12 @@ def _q_rel_anti_join(spark, sf_dir):
     )
 
 
+def _q_rel_skyline(spark, sf_dir):
+    from lasdb_spark.operators.skyline import pareto_orders
+
+    return pareto_orders(_t(spark, sf_dir, "orders"))
+
+
 def _q_rel_market_share(spark, sf_dir):
     return _rel.nation_market_share(
         _t(spark, sf_dir, "orders"),
@@ -692,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_supplier_volume": _rel.supplier_nation_volume_sql(),
         "rel_anti_join": _rel.customers_without_orders_sql(),
         "rel_market_share": _rel.nation_market_share_sql(),
+        "rel_skyline": _skyline.pareto_orders_sql(),
     }
 
 
@@ -760,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_supplier_volume": _q_rel_supplier_volume,
         "rel_anti_join": _q_rel_anti_join,
         "rel_market_share": _q_rel_market_share,
+        "rel_skyline": _q_rel_skyline,
     }
 
 
