@@ -97,6 +97,18 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Drop replayed events by id within the watermark horizon — the
+    NATIVE bounded-state streaming dedup (`dropDuplicatesWithinWatermark`),
+    complementing the unbounded content-hash dedup in
+    :mod:`lasdb_spark.streaming.dedup`. State holds only ids younger
+    than the watermark, so it is safe on an infinite at-least-once
+    source (exactly the delivery contract Kafka-style sources give)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming DataFrame to completion into a memory sink
     (local smoke pattern); returns the query handle (stopped)."""

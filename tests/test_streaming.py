@@ -64,6 +64,23 @@ def test_stream_exact_dedup_matches_batch(spark, sf_dir):
 
 
 @pytest.mark.spark
+def test_native_event_dedup(spark, sf_dir, event_stream):
+    """Watermark-bounded native dedup: replay-free input passes through
+    with every distinct event id exactly once."""
+    se.run_to_memory(se.dedup_events(event_stream), "evdedup_out", "append")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM evdedup_out"
+    ).first()
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert got.n == got.d == want
+
+
+@pytest.mark.spark
 def test_stream_curate_matches_batch_gates(spark, sf_dir):
     """Streaming curation (quality ∧ sample gates + exact-dedup state)
     must equal the same gates applied in batch."""
