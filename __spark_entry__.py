@@ -366,6 +366,12 @@ def _q_text_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+def _q_text_top_quality(spark, sf_dir):
+    from lasdb_spark.operators.text import top_quality_per_lang
+
+    return top_quality_per_lang(_docs(spark, sf_dir))
+
+
 def _q_corpus_sample(spark, sf_dir):
     from lasdb_spark.operators.text import stratified_sample
 
@@ -660,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _text.fingerprints_sql(),
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
+        "text_top_quality": _text.top_quality_per_lang_sql(),
         "corpus_sample": _text.stratified_sample_sql(),
         "corpus_curate": _curate.curate_corpus_sql(),
         "emb_centroids": _similarity.label_centroids_sql(),
@@ -729,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_top_tokens": _q_text_top_tokens,
         "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_top_quality": _q_text_top_quality,
         "corpus_sample": _q_corpus_sample,
         "corpus_curate": _q_corpus_curate,
         "emb_centroids": _q_emb_centroids,

@@ -271,6 +271,35 @@ def stratified_sample_sql(rates: dict | None = None) -> str:
     )
 
 
+def top_quality_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(lang, doc_id, quality, rk) — the k highest-quality docs per
+    language: the 'best exemplars per stratum' pick a curation review
+    queue wants. Window partitioned by lang — rankings never
+    concentrate beyond one language's rows. Ties broken by doc_id."""
+    from pyspark.sql.window import Window
+
+    scored = docs.select("lang", "doc_id", quality_col().alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def top_quality_per_lang_sql(k: int = 5) -> str:
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    n_stop = f"len(regexp_extract_all(text, '\\b({STOPWORDS_EN})\\b'))"
+    stop_ratio = f"({n_stop} / CAST(greatest({n_tok}, 1) AS DOUBLE))"
+    q = f"round(least({n_tok}, 100) / 100.0 * 0.6 + {stop_ratio} * 0.4, 6)"
+    return f"""
+SELECT lang, doc_id, quality, rk FROM (
+  SELECT lang, doc_id, {q} AS quality,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY {q} DESC, doc_id) AS INT) AS rk
+  FROM documents) WHERE rk <= {k}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
