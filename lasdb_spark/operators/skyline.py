@@ -29,7 +29,7 @@ statistics, the same pattern as ingest's metadata pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
