@@ -282,6 +282,49 @@ def compact_dataset(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    # appended data may have extended the extent: re-derive planning
+    # metadata from what is actually stored (bbox, count, grid width)
+    refresh_metadata(spark, base_path, name)
+
+
+def refresh_metadata(
+    spark: SparkSession, base_path: str, name: str
+) -> DatasetMeta:
+    """Recompute count/bbox from the STORED layout and rewrite the
+    metadata row — the maintenance step streaming appends need.
+
+    Appends encoded with the original scales/offsets stay
+    key-consistent, but points beyond the original extent (a) leave
+    the recorded bbox stale — breaking kNN's coverage-exit test and
+    density seeding — and (b) can carry Morton keys wider than the
+    planning grid, which the window decomposition would clamp away
+    (silently missing them). The refresh recomputes the bbox and, if
+    the new max corner needs more bits, GROWS head_length (tail_length
+    is frozen: stored block heads/tails depend on it; flat layout
+    stores full keys so only the derived grid width matters)."""
+    meta, layout = load_metadata(base_path, name)
+    df = spark.read.parquet(record_path(base_path, name))
+    pts = unpack_blocks(df, meta) if layout == "block" else df
+    row = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+        F.min("z").alias("z0"),
+        F.max("z").alias("z1"),
+    ).collect()[0]
+    meta.point_count = row.n
+    meta.bbox = [row.x0, row.x1, row.y0, row.y1, row.z0, row.z1]
+    from ..pcsfc.morton import encode_morton_2d
+
+    qx_max = quantize(row.x1, meta.scales[0], meta.offsets[0])
+    qy_max = quantize(row.y1, meta.scales[1], meta.offsets[1])
+    needed_bits = encode_morton_2d(int(qx_max), int(qy_max)).bit_length()
+    if needed_bits > meta.head_length + meta.tail_length:
+        meta.head_length = needed_bits - meta.tail_length
+    save_metadata(meta, base_path, layout)
+    return meta
 
 
 def load_metadata(base_path: str, name: str) -> tuple[DatasetMeta, str]:

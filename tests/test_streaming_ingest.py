@@ -66,3 +66,54 @@ def test_stream_ingest_matches_batch(spark, sf_dir):
     )
     for prev, cur in zip(parts, parts[1:]):
         assert prev.hi <= cur.lo
+
+
+@pytest.mark.spark
+def test_append_beyond_extent_refreshes_metadata(spark, sf_dir):
+    """Streaming appends OUTSIDE the original extent must become fully
+    queryable after compaction: the metadata refresh regrows the bbox
+    and the planning grid, so window decomposition no longer clamps the
+    new territory away and kNN's coverage-exit test uses the true
+    extent."""
+    pts = points_df(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="lasdb_grow_")
+    src = os.path.join(work, "incoming")
+    base = os.path.join(work, "store")
+    os.makedirs(base)
+    pts.repartition(2).write.parquet(src)
+    meta = compute_metadata(pts, "g")
+    save_metadata(meta, base, layout="flat")
+    stream_ingest_points(
+        read_point_stream(spark, src), meta, base,
+        checkpoint=os.path.join(work, "ckpt"),
+    ).awaitTermination()
+
+    # second wave: the same cloud shifted far outside the original bbox
+    # lands as NEW FILES in the same watched directory; the resumed
+    # stream (same checkpoint) picks up exactly the new offsets. (A
+    # separate query with a fresh checkpoint would be deduplicated by
+    # the file sink's _spark_metadata batch log — one continuous
+    # query per dataset is the contract.)
+    shifted = pts.select(
+        (F.col("x") + 4000.0).alias("x"),
+        (F.col("y") + 4000.0).alias("y"),
+        "z",
+    )
+    shifted.repartition(2).write.mode("append").parquet(src)
+    stream_ingest_points(
+        read_point_stream(spark, src), meta, base,
+        checkpoint=os.path.join(work, "ckpt"),
+    ).awaitTermination()
+
+    compact_dataset(spark, base, "g", target_partitions=2)
+    df, meta2, layout = load_dataset(spark, base, "g")
+    assert meta2.point_count == 2 * pts.count()
+    assert meta2.bbox[1] > meta.bbox[1] + 3000  # bbox grew with the data
+
+    # a window entirely inside the NEW territory must find its points
+    nbb = [BBOX[0] + 4000.0, BBOX[1] + 4000.0, BBOX[2] + 4000.0, BBOX[3] + 4000.0]
+    got = WindowQuerier(df, meta2, layout).bbox(nbb).count()
+    want = shifted.filter(
+        F.col("x").between(nbb[0], nbb[1]) & F.col("y").between(nbb[2], nbb[3])
+    ).count()
+    assert got == want > 0
