@@ -155,6 +155,10 @@ def main() -> None:
             src = os.path.join(stage, "src")
             pts.select("x", "y", "z").repartition(8).write.parquet(src)
             sbase = os.path.join(stage, "store")
+            os.makedirs(sbase, exist_ok=True)
+            from lasdb_spark.operators.ingest import save_metadata
+
+            save_metadata(meta, sbase, layout="flat")
             t0 = time.perf_counter()
             sq = stream_ingest_points(
                 read_point_stream(spark, src),

@@ -283,8 +283,13 @@ def compact_dataset(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     # appended data may have extended the extent: re-derive planning
-    # metadata from what is actually stored (bbox, count, grid width)
-    refresh_metadata(spark, base_path, name)
+    # metadata from what is actually stored (bbox, count, grid width).
+    # A bare key-sorted table with no metadata row compacts fine and
+    # simply has nothing to refresh.
+    try:
+        refresh_metadata(spark, base_path, name)
+    except FileNotFoundError:
+        pass
 
 
 def refresh_metadata(
