@@ -711,57 +711,21 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so every query gets a driver CORRECTNESS row over a
+    2-round window: the driver checks ~50 entries per round in dict
+    order, so entries with no driver row yet lead, one representative
+    per operator family fills the rest of the window, and variant
+    diagnostics whose core op is already represented (and which hold
+    green rows from round 2 plus the pytest oracle mirror in
+    tests/test_entry_oracle.py, which always runs all entries) sit at
+    the tail."""
     return {
-        "pc_bbox": _q_bbox,
-        "pc_bbox_maxz": _q_bbox_maxz,
-        "pc_bbox_minz": _q_bbox_minz,
-        "pc_bbox_empty": _q_bbox_empty,
-        "pc_circle": _q_circle,
-        "pc_polygon_l": _q_polygon_l,
-        "pc_polygon_hole": _q_polygon_hole,
-        "pc_polygon_diamond": _q_polygon_diamond,
-        "pc_polygon_multi": _q_polygon_multi,
-        "pc_polyline_buffer": _q_polyline_buffer,
-        "pc_bbox_block": _q_bbox_block,
-        "pc_knn": _q_knn,
-        "pc_flat_points": _q_flat_points,
-        "pc_decode_roundtrip": _q_decode_roundtrip,
-        "pc_block_pack": _q_block_pack,
-        "pc_histogram": _q_histogram,
-        "pc_grid_zstats": _q_grid_zstats,
-        "pc_metadata_agg": _q_metadata_agg,
-        "text_tokens": _q_text_tokens,
-        "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_top_tokens": _q_text_top_tokens,
-        "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_top_quality": _q_text_top_quality,
-        "corpus_sample": _q_corpus_sample,
-        "corpus_curate": _q_corpus_curate,
-        "emb_centroids": _q_emb_centroids,
-        "dedup_keepers": _q_dedup_keepers,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "ann_knn_join": _q_ann_knn_join,
-        "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_trained": _q_ann_ivf_trained,
-        "mm_features": _q_mm_features,
-        "mm_resize": _q_mm_resize,
-        "mm_frame_sample": _q_mm_frames,
-        "rel_pricing_summary": _q_rel_pricing,
-        "rel_revenue_by_nation": _q_rel_revenue_nation,
-        "rel_top_orders_per_customer": _q_rel_top_orders,
-        "rel_sessionize_events": _q_rel_sessionize,
+        # --- no driver row yet (r2 window cut them off) ---
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "rel_supplier_volume": _q_rel_supplier_volume,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_market_share": _q_rel_market_share,
+        "rel_skyline": _q_rel_skyline,
         "rel_hourly_rollup": _q_rel_hourly,
         "rel_asof_error_click": _q_rel_asof,
         "rel_json_extract": _q_rel_json,
@@ -772,11 +736,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_percentiles": _q_rel_percentiles,
         "rel_month_momentum": _q_rel_momentum,
         "rel_distinct_customers": _q_rel_distinct,
-        "rel_brand_revenue": _q_rel_brand_revenue,
-        "rel_supplier_volume": _q_rel_supplier_volume,
-        "rel_anti_join": _q_rel_anti_join,
-        "rel_market_share": _q_rel_market_share,
-        "rel_skyline": _q_rel_skyline,
+        # --- one representative per family ---
+        "pc_bbox": _q_bbox,
+        "pc_circle": _q_circle,
+        "pc_polygon_l": _q_polygon_l,
+        "pc_polygon_hole": _q_polygon_hole,
+        "pc_bbox_block": _q_bbox_block,
+        "pc_knn": _q_knn,
+        "pc_flat_points": _q_flat_points,
+        "pc_block_pack": _q_block_pack,
+        "pc_histogram": _q_histogram,
+        "pc_grid_zstats": _q_grid_zstats,
+        "pc_metadata_agg": _q_metadata_agg,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_top_tokens": _q_text_top_tokens,
+        "text_top_quality": _q_text_top_quality,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_curate": _q_corpus_curate,
+        "emb_centroids": _q_emb_centroids,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keepers": _q_dedup_keepers,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "mm_features": _q_mm_features,
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_revenue_by_nation": _q_rel_revenue_nation,
+        "rel_top_orders_per_customer": _q_rel_top_orders,
+        "rel_sessionize_events": _q_rel_sessionize,
+        # --- variant diagnostics (r2 rows green; pytest mirror covers) ---
+        "pc_bbox_maxz": _q_bbox_maxz,
+        "pc_bbox_minz": _q_bbox_minz,
+        "pc_bbox_empty": _q_bbox_empty,
+        "pc_polygon_diamond": _q_polygon_diamond,
+        "pc_polygon_multi": _q_polygon_multi,
+        "pc_polyline_buffer": _q_polyline_buffer,
+        "pc_decode_roundtrip": _q_decode_roundtrip,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
     }
 
 
