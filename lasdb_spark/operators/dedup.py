@@ -20,6 +20,8 @@ scale you'd band the fingerprint bits the same way LSH bands minhashes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +69,26 @@ def exact_dedup_sql() -> str:
 # ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
+def _parse_bytes(v: str, default: int) -> int:
+    """Spark size-conf values arrive as '134217728b' / '128MB' / bare
+    ints; parse all three shapes (fall back to ``default``)."""
+    s = str(v).strip().lower()
+    for suf, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            break
+    else:
+        mult = 1
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ONLY under-split inputs (a single small parquet file
     reads as one partition and serializes every per-row op onto one
@@ -75,12 +97,38 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Under-split detection uses the input file listing; ``df.rdd`` would
     convert the whole plan to an RDD on every call just to read a
-    partition count. Non-file sources (createDataFrame test inputs)
-    fall back to that conversion — they are tiny by construction."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    partition count. Few files does NOT mean few partitions — the scan
+    splits large files every ``spark.sql.files.maxPartitionBytes`` — so
+    local file sizes refine the estimate (a corpus stored as 8×1 GB
+    files is NOT under-split and must not pay a full-corpus shuffle).
+    Non-file sources (createDataFrame test inputs) fall back to the RDD
+    conversion — they are tiny by construction."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     floor = max(target // 2, 2)
     files = df.inputFiles()
-    n = len(files) if files else df.rdd.getNumPartitions()
+    if files:
+        n = len(files)
+        if n < floor:
+            sizes = []
+            for p in files:
+                if p.startswith("file:"):
+                    try:
+                        sizes.append(os.path.getsize(p[len("file:"):]))
+                    except OSError:
+                        pass
+            if len(sizes) == len(files):
+                mpb = _parse_bytes(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728b"
+                    ),
+                    128 << 20,
+                )
+                n = sum(-(-s // mpb) for s in sizes)
+            # non-local listings keep the file count (conservative: a
+            # remote store with few huge files may still repartition)
+    else:
+        n = df.rdd.getNumPartitions()
     if n < floor:
         return df.repartition(target)
     return df
@@ -139,9 +187,12 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
         "double"
     )
+    # sizes is one row per doc — corpus-sized, so no broadcast hint:
+    # AQE broadcasts the smaller side (usually the pair table) when it
+    # fits and degrades to a shuffle join when nothing does.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
         .filter(F.col("jac") >= tau)
     )
@@ -402,9 +453,11 @@ def _minhash_banded_pairs(
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
         "double"
     )
+    # no broadcast hint on sizes (corpus-sized — one row per doc); the
+    # verified-candidate table is the small side and AQE hashes it.
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
         .filter(F.col("jac") >= tau)
     )
@@ -626,7 +679,10 @@ def dedup_clusters(
     # the cached edge side never re-shuffles. localCheckpoint (eager)
     # materializes it once and drops the whole LSH lineage from the
     # loop's plans.
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" under AQE-managed platforms
+        nparts = docs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.unionByName(
             pairs.select(

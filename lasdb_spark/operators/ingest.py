@@ -270,7 +270,9 @@ def compact_dataset(
 
     path = record_path(base_path, name)
     df = spark.read.parquet(path)
-    nparts = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+    # size from the file listing, NOT df.rdd.getNumPartitions() — the
+    # RDD conversion re-plans the whole scan just to read a count
+    nparts = target_partitions or max(1, len(df.inputFiles()) // 4)
     tmp = path + "_compacting"
     (
         df.repartitionByRange(nparts, "sfc_key")

@@ -53,10 +53,12 @@ FROM lineitem GROUP BY 1, 2
 def revenue_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
     """3-way join + agg: revenue per nation.
 
-    Scale: nation (25 rows) and customer dims are broadcast — the fact
-    table never shuffles for the join, only for the final small agg."""
+    Scale: nation (25 rows, constant) is broadcast unconditionally;
+    customer GROWS with SF (150k rows/SF), so its join strategy is left
+    to AQE — at small SF it broadcasts anyway, at 100 TB a forced hint
+    would OOM the executors."""
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -462,13 +464,15 @@ FROM per_user
 def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Per-brand discounted revenue + volume (TPC-H Q14 flavour).
 
-    Scale: `part` is a dimension — broadcast, so the fact table joins
-    map-side and shuffles only for the small per-brand agg."""
+    Scale: `part` grows with SF (200k rows/SF), so no forced broadcast
+    hint — AQE broadcasts it while it fits and falls back to a shuffle
+    join beyond that; only the fixed-size nation/region dims earn an
+    unconditional hint in this module."""
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(disc).cast("double").alias("revenue"),
@@ -494,14 +498,16 @@ GROUP BY 1
 def supplier_nation_volume(
     lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
 ) -> DataFrame:
-    """Shipped volume per supplier nation (TPC-H Q5/Q7 flavour): two
-    broadcast dimension hops off the fact table."""
+    """Shipped volume per supplier nation (TPC-H Q5/Q7 flavour).
+
+    Scale: supplier grows with SF (10k rows/SF — AQE picks its join),
+    nation is constant 25 rows (unconditional broadcast)."""
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
     return (
         lineitem.join(
-            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+            supplier, lineitem.l_suppkey == supplier.s_suppkey
         )
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
@@ -551,10 +557,12 @@ def nation_market_share(
     followed by a window over the 25-row aggregate (the window input
     is dimension-sized, so partitioning by region there is free).
 
-    Scale: three broadcast dim hops; one fact shuffle for the agg;
-    the share ratio is computed on the tiny result."""
+    Scale: nation/region are constant-size (25/5 rows — broadcast
+    hints); customer scales with SF so AQE picks its join; one fact
+    shuffle for the agg; the share ratio is computed on the tiny
+    result."""
     rev = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -98,7 +98,16 @@ def point_dtype(point_format: int) -> np.dtype:
         if point_format == 8:
             fields.append(("nir", "<u2"))
         return np.dtype(fields)
-    raise ValueError(f"unsupported LAS point format {point_format}")
+    if point_format in (4, 5, 9, 10):
+        raise ValueError(
+            f"LAS point format {point_format} carries waveform packets, "
+            "which this codec does not decode; strip waveforms (e.g. "
+            "las2las -set_point_type) or install laspy to read them"
+        )
+    raise ValueError(
+        f"unsupported LAS point format {point_format} "
+        "(supported: 0-3 and 6-8)"
+    )
 
 
 _PF3_DTYPE = point_dtype(3)
@@ -137,6 +146,9 @@ def parse_las_header(buf: bytes) -> dict:
     return {
         "version": version,
         "point_format": f[16] & 0x3F,  # high bits flag LAZ compression
+        # LAZ convention: compressed files set bit 7 of the format id
+        # (record layouts are otherwise identical to plain LAS)
+        "compressed": bool(f[16] & 0x80),
         "point_record_length": f[17],
         "point_count": count,
         "offset_to_points": f[14],
@@ -150,6 +162,12 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
     """Full point scan from bytes → (n, 3) float64 of real-world x/y/z
     (reference S2: integer grid × scale + offset)."""
     hdr = parse_las_header(buf)
+    if hdr["compressed"]:
+        raise ValueError(
+            "LAZ-compressed input: the built-in codec reads uncompressed "
+            "LAS only; decompress first (laszip / las2las) or install "
+            "laspy[lazrs] so the laspy path handles it"
+        )
     n = hdr["point_count"]
     rl = hdr["point_record_length"]
     dt = point_dtype(hdr["point_format"])

@@ -52,6 +52,8 @@ def _dedup_state(
     arrival order — the determinism the batch oracle needs."""
     keeper, n = state.get if state.exists else (None, 0)
     for pdf in pdfs:
+        if len(pdf) == 0:  # the iterator contract permits empty chunks
+            continue
         n += len(pdf)
         batch_min = int(pdf["doc_id"].min())
         keeper = batch_min if keeper is None else min(keeper, batch_min)

@@ -126,3 +126,28 @@ def test_banded_pipelines_survive_exact_dup_skew(spark):
     assert sh.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1)).first().hamming == 0
     t_sh = time.time() - t0
     assert t_mh < 120 and t_sh < 120, (t_mh, t_sh)
+
+
+def test_spread_accounts_for_file_splitting(spark, tmp_path):
+    """A corpus stored as few LARGE splittable files is NOT under-split:
+    the scan splits them at maxPartitionBytes, so _spread must not add
+    a full-corpus repartition shuffle. A genuinely tiny single file
+    still spreads."""
+    from lasdb_spark.operators.dedup import _parse_bytes, _spread
+
+    assert _parse_bytes("134217728b", 0) == 128 << 20
+    assert _parse_bytes("128mb", 0) == 128 << 20
+    assert _parse_bytes("auto", 77) == 77  # unparsable → default
+
+    p = str(tmp_path / "one_big")
+    spark.range(0, 20000).selectExpr(
+        "id AS doc_id", "repeat(uuid(), 8) AS text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16kb")
+        assert _spread(df) is df  # many estimated splits → no shuffle
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert _spread(df) is not df  # one small file at default mpb → spread

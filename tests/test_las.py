@@ -62,6 +62,35 @@ def test_las_rejects_garbage(tmp_path):
         las.read_las_header_file(p)
 
 
+def test_laz_detected_with_actionable_error(tmp_path):
+    """LAZ convention: bit 7 of the format-id byte (offset 104) set.
+    The header parse must still work (reporting compressed=True) and
+    the point scan must fail with a message that says what to do."""
+    xyz = _cloud(50)
+    p = str(tmp_path / "t.las")
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=0)
+    raw = bytearray(open(p, "rb").read())
+    raw[104] |= 0x80
+    hdr = las.parse_las_header(bytes(raw))
+    assert hdr["compressed"] is True
+    assert hdr["point_format"] == 0  # low bits still decode
+    with pytest.raises(ValueError, match="LAZ.*decompress"):
+        las.read_las_bytes(bytes(raw))
+
+
+def test_waveform_formats_rejected_with_clear_error(tmp_path):
+    """pf 4/5/9/10 carry waveform packets the codec cannot decode."""
+    xyz = _cloud(50)
+    p = str(tmp_path / "t.las")
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=1)
+    raw = bytearray(open(p, "rb").read())
+    raw[104] = 4
+    with pytest.raises(ValueError, match="waveform"):
+        las.read_las_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="supported: 0-3 and 6-8"):
+        las.point_dtype(11)
+
+
 def test_union_metadata(tmp_path):
     a, b = _cloud(500, 1), _cloud(700, 2)
     las.write_las(a, str(tmp_path / "a.las"))
