@@ -7,8 +7,15 @@ suite shaped like the reference benchmarks (scripts/query_*.json:
 small/large rects, circle, polygon-with-hole, thin D21-style rect,
 z-slab composite, kNN — reference suites A1–D21), plus ingest itself.
 
+Each entry reports the MEDIAN of ``LASDB_BENCH_RUNS`` (default 3)
+repetitions in one session: single runs at this corpus size are
+dominated by per-plan codegen JIT (±20-40% swings that masquerade as
+regressions), and the median of three absorbs both that first-run cost
+and stray GC pauses while staying robust to one outlier.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32).
+     SPARK_GRAFT_CPUS   (default 32),
+     LASDB_BENCH_RUNS   (default 3).
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ import json
 import os
 import re
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -50,15 +58,28 @@ def main() -> None:
     from lasdb_spark.operators.window_query import WindowQuerier
     from lasdb_spark.sources.points import points_df
 
+    n_runs = int(os.environ.get("LASDB_BENCH_RUNS", "3"))
+
     base = tempfile.mkdtemp(prefix="lasdb_bench_")
     timings: dict[str, float] = {}
+
+    def timed(fn) -> float:
+        """Median wall-clock of n_runs calls (cache cleared between)."""
+        ts = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 4)
+
     try:
         pts = points_df(spark, sf_dir)
         pts.count()  # warm the session/JIT before the measured runs
 
-        t0 = time.perf_counter()
-        ingest_points(pts, "bench", base, target_partitions=cpus)
-        timings["ingest"] = time.perf_counter() - t0
+        timings["ingest"] = timed(
+            lambda: ingest_points(pts, "bench", base, target_partitions=cpus)
+        )
 
         df, meta, layout = load_dataset(spark, base, "bench")
         df.limit(1).count()  # touch the stored table (open footers) once
@@ -74,11 +95,11 @@ def main() -> None:
             "85299.995 447000.005, 85299.995 446499.995))"
         )
         # block layout: same cloud through pack/unpack (G3/Q4 path)
-        t0 = time.perf_counter()
-        ingest_points(
-            pts, "benchblk", base, target_partitions=cpus, layout="block"
+        timings["ingest_block"] = timed(
+            lambda: ingest_points(
+                pts, "benchblk", base, target_partitions=cpus, layout="block"
+            )
         )
-        timings["ingest_block"] = round(time.perf_counter() - t0, 4)
         dfb, metab, layb = load_dataset(spark, base, "benchblk")
         dfb.limit(1).count()
         qb = WindowQuerier(dfb, metab, layb)
@@ -131,15 +152,11 @@ def main() -> None:
 
         for name, fn in suite.items():
             # Each query builds (and leaks, by design of the bench) its
-            # own internal caches; dropping leftovers between queries
-            # keeps one entry's GC pressure from bleeding into the
-            # next — observed as sporadic 5-8x outliers on whichever
-            # query ran last.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn().count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        timings["ingest"] = round(timings["ingest"], 4)
+            # own internal caches; timed() drops leftovers before every
+            # repetition so one entry's GC pressure cannot bleed into
+            # the next — observed as sporadic 5-8x outliers on
+            # whichever query ran last.
+            timings[name] = timed(lambda fn=fn: fn().count())
 
         # continuous ingest: micro-batch append stream + compaction pass
         # (the LSM-ish maintenance path — O(1) appends degrade pruning
@@ -154,23 +171,31 @@ def main() -> None:
         try:
             src = os.path.join(stage, "src")
             pts.select("x", "y", "z").repartition(8).write.parquet(src)
-            sbase = os.path.join(stage, "store")
-            os.makedirs(sbase, exist_ok=True)
             from lasdb_spark.operators.ingest import save_metadata
 
-            save_metadata(meta, sbase, layout="flat")
-            t0 = time.perf_counter()
-            sq = stream_ingest_points(
-                read_point_stream(spark, src),
-                meta,
-                sbase,
-                os.path.join(stage, "ckpt"),
-            )
-            sq.awaitTermination()
-            timings["stream_ingest"] = round(time.perf_counter() - t0, 4)
-            t0 = time.perf_counter()
-            compact_dataset(spark, sbase, meta.name, target_partitions=cpus)
-            timings["compaction"] = round(time.perf_counter() - t0, 4)
+            # a streaming file sink dedups by batchId in _spark_metadata,
+            # so every repetition needs a FRESH store + checkpoint pair
+            # (and compaction must see the freshly-appended store)
+            stream_ts, compact_ts = [], []
+            for rep in range(n_runs):
+                sbase = os.path.join(stage, f"store{rep}")
+                os.makedirs(sbase, exist_ok=True)
+                save_metadata(meta, sbase, layout="flat")
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                sq = stream_ingest_points(
+                    read_point_stream(spark, src),
+                    meta,
+                    sbase,
+                    os.path.join(stage, f"ckpt{rep}"),
+                )
+                sq.awaitTermination()
+                stream_ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                compact_dataset(spark, sbase, meta.name, target_partitions=cpus)
+                compact_ts.append(time.perf_counter() - t0)
+            timings["stream_ingest"] = round(statistics.median(stream_ts), 4)
+            timings["compaction"] = round(statistics.median(compact_ts), 4)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
     finally:
@@ -186,6 +211,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_runs": n_runs,
+                "stat": "median_per_query",
             }
         )
     )

@@ -34,16 +34,24 @@ def curate_corpus(
     min_quality: float = MIN_QUALITY,
     tau: float = JACCARD_TAU,
     rates: dict | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, source, quality) — docs that pass the quality
     gate, survive near-dup dedup (cluster keeper), and fall in the
-    deterministic stratified sample."""
+    deterministic stratified sample.
+
+    ``clusters``: optionally reuse a precomputed
+    :func:`~lasdb_spark.operators.dedup.dedup_clusters` result so a
+    pipeline that also calls ``dedup_keepers`` computes connected
+    components once (the LSH pipeline is the expensive stage)."""
     quality = (
         quality_scores(docs)
         .filter(F.col("quality") >= min_quality)
         .select("doc_id", "quality")
     )
-    keepers = dedup_clusters(docs, tau).filter(
+    if clusters is None:
+        clusters = dedup_clusters(docs, tau)
+    keepers = clusters.filter(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
     sampled = stratified_sample(docs, rates)

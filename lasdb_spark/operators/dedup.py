@@ -308,19 +308,53 @@ def minhash_signatures(
 DUP_COLLAPSE_THRESHOLD = 16
 
 
+#: memo for _needs_dup_collapse keyed per corpus — the stat is a full
+#: corpus scan, and one pipeline triggers it several times (pairs →
+#: clusters → keepers → curate all start from the same docs table)
+_DUP_STAT_CACHE: dict = {}
+
+
+def _corpus_key(docs: DataFrame):
+    """Cache key identifying the corpus: the input file set when the
+    DataFrame reads files (stable across re-reads of the same table),
+    else the plan's semantic hash. The cached stat gates a
+    PERFORMANCE-ONLY choice (collapse armor on/off — output identical
+    either way), so a collision can never corrupt results."""
+    files = docs.inputFiles()
+    if files:
+        return tuple(sorted(files))
+    try:
+        return ("sem", docs.semanticHash())
+    except Exception:
+        return None
+
+
 def _needs_dup_collapse(docs: DataFrame) -> bool:
     """Driver-side stat for collapse='auto': the LARGEST exact-dup
     group size (one md5 groupBy + max). A band bucket holding an m-doc
     identical cluster yields m(m-1)/2 candidate rows per band, so the
     armor pays off once m is tens+; below that its extra collapse/
-    expand joins (real plan+codegen cost) would outweigh the savings."""
+    expand joins (real plan+codegen cost) would outweigh the savings.
+
+    Memoized per corpus (see :data:`_DUP_STAT_CACHE`): at 100 TB this
+    is a full pass over the corpus, and a curation pipeline would
+    otherwise re-pay it for every operator that layers on banded
+    candidate generation."""
+    key = _corpus_key(docs)
+    if key is not None and key in _DUP_STAT_CACHE:
+        return _DUP_STAT_CACHE[key]
     row = (
         docs.groupBy(F.md5(F.col("text")).alias("fp"))
         .agg(F.count(F.lit(1)).alias("m"))
         .agg(F.max("m").alias("mx"))
         .first()
     )
-    return (row.mx or 0) >= DUP_COLLAPSE_THRESHOLD
+    out = (row.mx or 0) >= DUP_COLLAPSE_THRESHOLD
+    if key is not None:
+        if len(_DUP_STAT_CACHE) > 64:
+            _DUP_STAT_CACHE.clear()
+        _DUP_STAT_CACHE[key] = out
+    return out
 
 
 def minhash_lsh_pairs(
@@ -654,37 +688,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 # dedup clustering: pairs → connected components → keeper per cluster
 # ---------------------------------------------------------------------------
-def dedup_clusters(
-    docs: DataFrame, tau: float = JACCARD_TAU, candidates: str = "all"
-) -> DataFrame:
-    """(doc_id, cluster_id) — connected components over the verified
-    MinHash-LSH near-dup pairs; cluster_id = min doc_id reachable.
-    Docs in no pair are their own singleton cluster. ``doc_id ==
-    cluster_id`` selects the keeper.
+#: round cap for label propagation — with path halving each round
+#: roughly HALVES the pointer depth, so 50 rounds cover components far
+#: beyond any physical graph; hitting the cap means something is wrong
+#: and is warned about, never silently returned.
+_CC_MAX_ROUNDS = 50
 
-    Spark-first: iterative min-label propagation — labels only
-    decrease and are bounded, so the loop terminates in O(component
-    diameter) rounds; each round is one shuffle join + one convergence
-    count. ``localCheckpoint`` truncates the growing lineage. Dup
-    components are shallow in practice (pairs/cliques), so rounds stay
-    single-digit; at extreme scale swap in the alternating large-star/
-    small-star iteration — same loop skeleton."""
-    pairs = minhash_lsh_pairs(docs, tau, candidates=candidates).select(
-        "doc_a", "doc_b"
-    )
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) minimum-reachable-label components over an
+    undirected edge list (doc_a, doc_b) — only nodes incident to an
+    edge appear in the output.
+
+    Spark-first iterative min-label propagation with PATH HALVING:
+    each round takes the min over (own label, neighbors' labels, label
+    OF the label) — the third term is pointer jumping, which contracts
+    chains geometrically, so rounds scale with log(diameter) rather
+    than diameter. That matters for ``candidates='adjacent'`` banding,
+    where a near-dup cluster is connected as a sorted CHAIN (diameter =
+    cluster size): plain propagation needs one round per hop and a
+    1000-doc boilerplate cluster would silently split at any round
+    cap; halving closes it in ~10. Each round is one job — the
+    convergence count materializes the new labels into cache — and
+    ``localCheckpoint`` truncates lineage every few rounds."""
+    spark = pairs.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" under AQE-managed platforms
+        nparts = spark.sparkContext.defaultParallelism
     # Union CONCATENATES partitions (cross + within + the symmetric
     # swap = 4× shuffle.partitions of mostly-tiny tasks); every loop
     # round would pay that task overhead twice. One repartition bounds
     # the count AND pre-hashes on doc_b — the per-round join key — so
     # the cached edge side never re-shuffles. localCheckpoint (eager)
-    # materializes it once and drops the whole LSH lineage from the
-    # loop's plans.
-    try:
-        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" under AQE-managed platforms
-        nparts = docs.sparkSession.sparkContext.defaultParallelism
+    # materializes it once and drops the upstream (LSH) lineage from
+    # the loop's plans.
     edges = (
-        pairs.unionByName(
+        pairs.select("doc_a", "doc_b")
+        .unionByName(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
@@ -692,35 +733,42 @@ def dedup_clusters(
         .repartition(nparts, "doc_b")
         .localCheckpoint()
     )
-    # Propagate only over the edge-induced subgraph: a doc with no
-    # near-dup edge can never change label, so keeping the (usually
-    # tiny) incident-node set in the loop makes every round's joins
-    # O(|dup docs|) instead of O(|corpus|). Singletons re-enter at the
-    # end via one anti-join.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .cache()
     )
-    # ONE Spark job per round: the convergence count both decides
-    # termination AND materializes the new labels into the cache (the
-    # count's scan populates it), so no separate checkpoint job runs
-    # each round. localCheckpoint still truncates lineage every few
-    # rounds — without it the cached-plan chain grows linearly and a
-    # cache eviction would replay every round from the start.
     since_ckpt = 0
-    for _ in range(50):  # diameter bound; real exit is the count below
+    converged = False
+    for _ in range(_CC_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left").select(
+        stepped = labels.join(
+            nbr, labels["doc_id"] == nbr["doc_a"], "left"
+        ).select(
             "doc_id",
             F.least(
                 F.col("cluster_id"),
                 F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # path halving: follow the label one more hop. cluster_id is
+        # always itself a labelled node (labels start as self and only
+        # ever move to other nodes' ids), so the self-join resolves.
+        grand = labels.select(
+            F.col("doc_id").alias("gp_node"), F.col("cluster_id").alias("gp_label")
+        )
+        new_labels = stepped.join(
+            grand, stepped["cluster_id"] == grand["gp_node"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("gp_label"), F.col("cluster_id")),
             ).alias("cluster_id"),
         )
         since_ckpt += 1
@@ -739,11 +787,47 @@ def dedup_clusters(
         labels = new_labels
         old.unpersist()  # new_labels is materialized by the count above
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {_CC_MAX_ROUNDS} "
+            "rounds; cluster labels may be split. This should be "
+            "unreachable with path halving — inspect the edge list.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # Pin the converged labels and release every loop-held cache so
     # repeated clustering runs in one session don't accumulate blocks.
     final = labels.localCheckpoint()
     labels.unpersist()
+    return final
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    candidates: str = "all",
+    collapse: str = "auto",
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the verified
+    MinHash-LSH near-dup pairs; cluster_id = min doc_id reachable.
+    Docs in no pair are their own singleton cluster. ``doc_id ==
+    cluster_id`` selects the keeper.
+
+    Propagation runs only over the edge-induced subgraph (a doc with
+    no near-dup edge can never change label), so every round's joins
+    are O(|dup docs|) not O(|corpus|); singletons re-enter at the end
+    via one anti-join. See :func:`connected_components` for the loop.
+    ``collapse``/``candidates`` pass through to
+    :func:`minhash_lsh_pairs` (the corpus-level collapse stat is
+    memoized, so layered calls pay it once)."""
+    pairs = minhash_lsh_pairs(
+        docs, tau, collapse=collapse, candidates=candidates
+    ).select("doc_a", "doc_b")
+    final = connected_components(pairs)
     singletons = (
         docs.select("doc_id")
         .join(final.select("doc_id"), "doc_id", "left_anti")
@@ -769,7 +853,11 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
 """.strip()
 
 
-def dedup_keepers(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+def dedup_keepers(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """The DEDUPED corpus: one keeper doc per near-dup cluster
     (cluster_id == doc_id selects the minimum member), with its
     metadata — the actual output a training-data pipeline feeds
@@ -777,10 +865,13 @@ def dedup_keepers(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
 
     Scale: one semi-join on doc_id on top of :func:`dedup_clusters`
     (the keeper set is O(corpus), so it shuffles, never broadcasts);
-    everything else rides the clustering pipeline."""
-    keepers = dedup_clusters(docs, tau).filter(
-        F.col("doc_id") == F.col("cluster_id")
-    )
+    everything else rides the clustering pipeline. Pass a
+    precomputed ``clusters`` (doc_id, cluster_id) to reuse one
+    clustering across keepers/curation instead of re-running the LSH
+    pipeline per consumer."""
+    if clusters is None:
+        clusters = dedup_clusters(docs, tau)
+    keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
     return docs.join(keepers.select("doc_id"), "doc_id", "leftsemi").select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -151,3 +151,76 @@ def test_spread_accounts_for_file_splitting(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert _spread(df) is not df  # one small file at default mpb → spread
+
+
+@pytest.mark.spark
+def test_connected_components_long_chain_path_halving(spark, monkeypatch):
+    """A 100-node CHAIN (the shape candidates='adjacent' banding
+    produces for a large near-dup cluster) must fully merge well under
+    the round cap: path halving contracts pointer depth geometrically,
+    so ~log2(100)+1 rounds suffice where plain propagation needs 100."""
+    import lasdb_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "_CC_MAX_ROUNDS", 10)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no non-convergence
+        out = dd.connected_components(pairs).collect()
+    assert len(out) == 100
+    assert {r.cluster_id for r in out} == {0}
+
+
+@pytest.mark.spark
+def test_connected_components_warns_when_capped(spark, monkeypatch):
+    import lasdb_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "_CC_MAX_ROUNDS", 2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        dd.connected_components(pairs)
+
+
+@pytest.mark.spark
+def test_keepers_and_curate_reuse_provided_clustering(spark):
+    """clusters= short-circuits the LSH pipeline: identical output,
+    strictly fewer Spark jobs, and a hand-built clustering is honored
+    verbatim (proof nothing recomputes underneath)."""
+    from lasdb_spark.operators.curate import curate_corpus
+    from lasdb_spark.operators.dedup import dedup_clusters, dedup_keepers
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, body, "en", "web", len(body)) for i in range(3)]
+        + [(7, "an unrelated document about maritime law", "en", "web", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sc = spark.sparkContext
+    clusters = dedup_clusters(docs).localCheckpoint()
+
+    sc.setJobGroup("full", "recompute path")
+    full = {r.doc_id for r in dedup_keepers(docs).collect()}
+    n_full = len(sc.statusTracker().getJobIdsForGroup("full"))
+    sc.setJobGroup("reuse", "provided clustering")
+    reused = {r.doc_id for r in dedup_keepers(docs, clusters=clusters).collect()}
+    n_reuse = len(sc.statusTracker().getJobIdsForGroup("reuse"))
+    sc.setJobGroup(None, None)
+    assert reused == full == {0, 7}
+    assert n_reuse < n_full
+
+    cur_full = {r.doc_id for r in curate_corpus(docs).collect()}
+    cur_reused = {r.doc_id for r in curate_corpus(docs, clusters=clusters).collect()}
+    assert cur_reused == cur_full
+
+    # a hand-built clustering is used verbatim
+    fake = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (7, 2)], "doc_id long, cluster_id long"
+    )
+    assert {
+        r.doc_id for r in dedup_keepers(docs, clusters=fake).collect()
+    } == {0, 2}
