@@ -510,41 +510,14 @@ def _nearest_cells(wn: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def topk_ivf_trained(
-    embs: DataFrame,
-    query_vec_id: int = 0,
-    k: int = TOPK,
-    n_cells: int = IVF_CELLS,
-    nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    """IVF top-k with ONE Lloyd (k-means) refinement of the centroids —
-    the 'trained' variant :func:`topk_ivf` stubs with seed vectors.
+IVF_ITERS = 2
 
-    The whole iteration is a single lazy plan, no driver loop: assign
-    (broadcast centroids + per-vector window) → per-cell mean → rebuild
-    centroid arrays → re-assign → probe. Centroid means use the same
-    integer micro-unit trick as :func:`label_centroids` (exact BIGINT
-    sums, one double division), so the refined centroids — and hence
-    cell assignments and the final top-k — are identical under any
-    partitioning, which is what lets a DuckDB oracle hash-match an
-    iterative 'training' step at all. More Lloyd rounds = repeat the
-    same three stages; state per round is just the n_cells×dim centroid
-    table, always broadcast-sized."""
-    wn = embs.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
-    cents0 = embs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("cnrm"),
-    )
-    assign0 = _nearest_cells(wn, cents0).filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
-    )
-    # Lloyd step: exact per-cell component means in integer micro-units
-    parts = assign0.select(
+
+def _lloyd_step(assign: DataFrame) -> DataFrame:
+    """One Lloyd refinement: per-cell exact component means (integer
+    micro-units, BIGINT sums — associative under any partitioning) →
+    rebuilt centroid table (cid, ce, cnrm), always broadcast-sized."""
+    parts = assign.select(
         "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
     ).select(
         "cell",
@@ -554,24 +527,64 @@ def topk_ivf_trained(
     comp = parts.groupBy("cell", "pos").agg(
         (F.sum("q") / (F.count(F.lit(1)) * 1e6)).alias("c")
     )
-    cents1 = (
+    return (
         comp.groupBy("cell")
         .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(F.col("cell").alias("cid"), F.col("pc.c").alias("ce"))
         .withColumn("cnrm", F.sqrt(fold_dot_col(F.col("ce"), F.col("ce"))))
     )
-    ranked1 = _nearest_cells(wn, cents1)
-    assign1 = ranked1.filter(F.col("rk") == 1).select(
+
+
+def topk_ivf_trained(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """IVF top-k with ``n_iters`` Lloyd (k-means) refinements of the
+    centroids — the 'trained' variant :func:`topk_ivf` stubs with seed
+    vectors.
+
+    The whole training is a single lazy plan, no driver-side data
+    movement: each round is assign (broadcast centroids + per-vector
+    window) → per-cell mean → rebuild centroid arrays, and the final
+    round's centroids drive the probe. Centroid means use the same
+    integer micro-unit trick as :func:`label_centroids` (exact BIGINT
+    sums, one double division), so the refined centroids — and hence
+    cell assignments and the final top-k — are identical under any
+    partitioning, which is what lets a DuckDB oracle hash-match an
+    iterative 'training' step at all. Per-round state is just the
+    n_cells×dim centroid table, always broadcast-sized, so rounds add
+    plan depth but never shuffle growth."""
+    wn = embs.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cents = embs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("cnrm"),
+    )
+    for _ in range(max(1, n_iters)):
+        assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
+            "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+        )
+        cents = _lloyd_step(assign)
+    ranked = _nearest_cells(wn, cents)
+    assign_f = ranked.filter(F.col("rk") == 1).select(
         "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
     )
-    probes = ranked1.filter(
+    probes = ranked.filter(
         (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
     ).select(F.col("cid").alias("cell"))
-    q = assign1.filter(F.col("vec_id") == query_vec_id).select(
+    q = assign_f.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
     cand = (
-        assign1.join(F.broadcast(probes), "cell", "leftsemi")
+        assign_f.join(F.broadcast(probes), "cell", "leftsemi")
         .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
     )
@@ -593,43 +606,64 @@ def topk_ivf_trained_sql(
     n_cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
     dim: int = EMB_DIM,
+    n_iters: int = IVF_ITERS,
 ) -> str:
+    """Oracle twin of :func:`topk_ivf_trained` — the CTE chain repeats
+    the assign→mean→rebuild trio once per Lloyd round."""
     nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
-    cdot0 = fold_product_sql("w.embedding", "c.ce", dim)
-    cnrm1 = f"sqrt({fold_product_sql('ce', 'ce', dim)})"
-    cdot1 = fold_product_sql("w.embedding", "c.ce", dim)
+    cdot = fold_product_sql("w.embedding", "c.ce", dim)
+    cnrm = f"sqrt({fold_product_sql('ce', 'ce', dim)})"
     qdot = fold_product_sql("q.qv", "a.embedding", dim)
-    return f"""
-WITH wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
-c0 AS (SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
-       FROM embeddings WHERE vec_id < {n_cells}),
-r0 AS (
+    n_iters = max(1, n_iters)
+    ctes = [
+        f"wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
+       FROM embeddings WHERE vec_id < {n_cells})""",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""r{t} AS (
   SELECT w.vec_id, w.embedding, w.nrm, c.cid,
          row_number() OVER (PARTITION BY w.vec_id
-           ORDER BY round({cdot0} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
-  FROM wn w CROSS JOIN c0 c),
-a0 AS (SELECT vec_id, embedding, nrm, cid AS cell FROM r0 WHERE rk = 1),
-parts AS (
+           ORDER BY round({cdot} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
+  FROM wn w CROSS JOIN c{t} c)""")
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, embedding, nrm, cid AS cell "
+            f"FROM r{t} WHERE rk = 1)"
+        )
+        ctes.append(f"""parts{t} AS (
   SELECT cell, CAST(s.i AS INT) AS pos,
          CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
-  FROM a0, LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
-comp AS (SELECT cell, pos, SUM(q) / (COUNT(*) * 1000000.0) AS c
-         FROM parts GROUP BY 1, 2),
-c1 AS (SELECT cid, ce, {cnrm1} AS cnrm FROM (
-         SELECT cell AS cid, list(c ORDER BY pos) AS ce FROM comp GROUP BY 1)),
-r1 AS (
+  FROM a{t}, LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i))""")
+        ctes.append(
+            f"comp{t} AS (SELECT cell, pos, SUM(q) / (COUNT(*) * 1000000.0) AS c\n"
+            f"         FROM parts{t} GROUP BY 1, 2)"
+        )
+        ctes.append(f"""c{t + 1} AS (SELECT cid, ce, {cnrm} AS cnrm FROM (
+         SELECT cell AS cid, list(c ORDER BY pos) AS ce FROM comp{t} GROUP BY 1))""")
+    f = n_iters  # final centroid table index
+    ctes.append(f"""rf AS (
   SELECT w.vec_id, w.embedding, w.nrm, c.cid,
          row_number() OVER (PARTITION BY w.vec_id
-           ORDER BY round({cdot1} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
-  FROM wn w CROSS JOIN c1 c),
-a1 AS (SELECT vec_id, embedding, nrm, cid AS cell FROM r1 WHERE rk = 1),
-probes AS (SELECT cid AS cell FROM r1
-           WHERE vec_id = {query_vec_id} AND rk <= {nprobe}),
-q AS (SELECT embedding AS qv, nrm AS qnrm FROM a1 WHERE vec_id = {query_vec_id}),
-cand AS (
+           ORDER BY round({cdot} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
+  FROM wn w CROSS JOIN c{f} c)""")
+    ctes.append(
+        "af AS (SELECT vec_id, embedding, nrm, cid AS cell FROM rf WHERE rk = 1)"
+    )
+    ctes.append(
+        f"probes AS (SELECT cid AS cell FROM rf\n"
+        f"           WHERE vec_id = {query_vec_id} AND rk <= {nprobe})"
+    )
+    ctes.append(
+        f"q AS (SELECT embedding AS qv, nrm AS qnrm FROM af "
+        f"WHERE vec_id = {query_vec_id})"
+    )
+    ctes.append(f"""cand AS (
   SELECT a.vec_id, round({qdot} / (q.qnrm * a.nrm), 6) AS cos
-  FROM a1 a CROSS JOIN q
-  WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id != {query_vec_id})
+  FROM af a CROSS JOIN q
+  WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id != {query_vec_id})""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
 SELECT vec_id, cos, rank FROM (
   SELECT vec_id, cos,
          CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank

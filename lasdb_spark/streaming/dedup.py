@@ -19,6 +19,8 @@ the window instead of the corpus.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -75,9 +77,12 @@ def stream_curate(
 
     Near-dup (MinHash) dedup stays a batch/compaction-time pass by
     design: banded candidate generation needs corpus-wide band state,
-    which is exactly what periodic compaction is for. This split —
-    cheap gates + exact dedup inline, heavy near-dup offline — is how
-    production ingestion pipelines layer the problem."""
+    which is exactly what periodic compaction is for — run
+    :func:`compact_document_store` (or :func:`compact_near_dups` on a
+    DataFrame) over the accumulated store between streaming windows.
+    This split — cheap gates + exact dedup inline, heavy near-dup
+    offline — is how production ingestion pipelines layer the
+    problem."""
     from ..operators.curate import MIN_QUALITY
     from ..operators.text import quality_col, sample_keep_pred
 
@@ -105,3 +110,50 @@ def stream_exact_dedup(doc_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def compact_near_dups(docs: DataFrame, tau: float | None = None) -> DataFrame:
+    """The compaction-time half of :func:`stream_curate`: batch MinHash
+    near-dup dedup over the ACCUMULATED curated store, returning the
+    keeper docs with every input column intact (the store rewrite needs
+    the text for future passes).
+
+    Uses ``candidates='adjacent'`` banding — candidate volume linear in
+    bucket size, the mode built for huge accumulated corpora — with
+    path-halving connected components, so chain-shaped near-dup
+    clusters close correctly. One pass between streaming windows keeps
+    the stored corpus near-dup-free without the stream ever holding
+    corpus-wide band state."""
+    from ..operators.dedup import JACCARD_TAU, dedup_clusters
+
+    tau = JACCARD_TAU if tau is None else tau
+    clusters = dedup_clusters(docs, tau, candidates="adjacent")
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(keep, "doc_id", "leftsemi")
+
+
+def compact_document_store(
+    spark: SparkSession, store_path: str, tau: float | None = None
+) -> None:
+    """Rewrite a parquet document store with near-dups removed — the
+    corpus twin of ``operators.ingest.compact_dataset`` (side-dir write
+    + rename swap, so a crash mid-compaction leaves the store intact).
+
+    Contract: stop the streaming query writing ``store_path`` first
+    (compaction is a maintenance-window op). A streaming sink's
+    ``_spark_metadata`` commit log is honored on read and does NOT
+    carry over to the rewritten store: after compaction the directory
+    is a plain batch-managed parquet table, and further streaming
+    appends need a fresh directory + checkpoint (file sinks dedup by
+    batchId against their own log, so resuming the old query over a
+    rewritten dir would silently drop batches)."""
+    docs = spark.read.parquet(store_path)
+    kept = compact_near_dups(docs, tau)
+    tmp = store_path + "_compacting"
+    kept.write.mode("overwrite").parquet(tmp)
+    old = store_path + "_old"
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)

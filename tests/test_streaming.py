@@ -126,3 +126,45 @@ def test_stateful_running_totals(spark, sf_dir, event_stream):
         .collect()
     }
     assert got == batch
+
+
+@pytest.mark.spark
+def test_stream_store_compaction_matches_batch(spark, sf_dir, tmp_path):
+    """The layered contract: cheap gates stream docs into an append
+    store; compact_document_store later removes near-dups in batch.
+    The compacted store must equal the all-candidates batch clustering
+    (adjacent banding + path-halving components converge to the same
+    keepers), and survive a round trip as a plain parquet table."""
+    from lasdb_spark.operators.curate import MIN_QUALITY
+    from lasdb_spark.operators.dedup import dedup_clusters
+    from lasdb_spark.operators.text import quality_col, sample_keep_pred
+    from lasdb_spark.streaming import dedup as sd
+
+    stream = sd.read_document_stream(spark, sf_dir)
+    gated = stream.filter(
+        (quality_col() >= MIN_QUALITY) & sample_keep_pred()
+    )
+    store = str(tmp_path / "store")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sd.compact_document_store(spark, store)
+    back = spark.read.parquet(store)
+    got = {r.doc_id for r in back.select("doc_id").collect()}
+    assert set(back.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+    batch_gated = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (quality_col() >= MIN_QUALITY) & sample_keep_pred()
+    )
+    cl = dedup_clusters(batch_gated, candidates="all")
+    want = {
+        r.doc_id
+        for r in cl.filter(F.col("doc_id") == F.col("cluster_id")).collect()
+    }
+    assert got == want and len(got) > 0
