@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lasdb_spark.operators import curate as _curate
+from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import skyline as _skyline
@@ -304,6 +305,22 @@ def _q_text_fingerprint(spark, sf_dir):
     from lasdb_spark.operators.text import fingerprints
 
     return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_text_repetition(spark, sf_dir):
+    from lasdb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    from lasdb_spark.operators.decontaminate import (
+        contamination_report,
+        driver_benchmark,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return contamination_report(docs, driver_benchmark(docs))
 
 
 def _q_text_top_tokens(spark, sf_dir):
@@ -664,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text.quality_scores_sql(),
         "text_langid": _text.lang_id_sql(),
         "text_fingerprint": _text.fingerprints_sql(),
+        "text_repetition": _text.repetition_stats_sql(),
+        "text_decontaminate": _decon.contamination_report_sql(),
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
         "text_top_quality": _text.top_quality_per_lang_sql(),
@@ -736,6 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_percentiles": _q_rel_percentiles,
         "rel_month_momentum": _q_rel_momentum,
         "rel_distinct_customers": _q_rel_distinct,
+        # --- new this round (need their first driver row) ---
+        "text_repetition": _q_text_repetition,
+        "text_decontaminate": _q_text_decontaminate,
         # --- one representative per family ---
         "pc_bbox": _q_bbox,
         "pc_circle": _q_circle,

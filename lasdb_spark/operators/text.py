@@ -301,6 +301,100 @@ SELECT lang, doc_id, quality, rk FROM (
 
 
 # ---------------------------------------------------------------------------
+# repetition / boilerplate scoring (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_ratio, top_bigram_frac) — the
+    repetition signals Gopher-style quality filters gate on:
+    ``dup_token_ratio`` = 1 − distinct/total tokens (templated/
+    boilerplate text repeats its vocabulary), ``top_bigram_frac`` =
+    share of the most frequent word bigram among all bigrams (stuck
+    generators / keyword-stuffed spam concentrate a single pair).
+
+    Scale: distinct-token ratio is pure map-side (``array_distinct``
+    inside the row); the bigram mode needs per-(doc, bigram) counts, so
+    it shuffles on that composite key with map-side partials —
+    doc-scoped keys, no corpus-wide hot spot — then one more doc_id
+    agg for the max/sum ratio. Docs with < 2 tokens have no bigram and
+    report 0.0."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    n_tok = F.size(toks)
+    # token-free docs are NOT "fully duplicated" — guard the 0/1 case
+    dup_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1
+            - F.size(F.array_distinct(toks))
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        dup_ratio.alias("dup_token_ratio"),
+        toks.alias("toks"),
+    )
+    idx = F.when(
+        F.col("n_tokens") >= 2, F.sequence(F.lit(1), F.col("n_tokens") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    frac = per_bg.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+            "top_bigram_frac"
+        )
+    )
+    return (
+        base.drop("toks")
+        .join(frac, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_ratio",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE round(1 - len(list_distinct(t)) /
+                         CAST(greatest(len(t), 1) AS DOUBLE), 6)
+         END AS dup_token_ratio
+  FROM toks),
+bg AS (
+  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS b
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t)))) AS s(i)),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+  FROM cnt GROUP BY 1)
+SELECT base.doc_id, n_tokens, dup_token_ratio,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+FROM base LEFT JOIN agg USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 def fingerprints(docs: DataFrame) -> DataFrame:
