@@ -176,3 +176,32 @@ def test_scan_prunes_columns(spark, sf_dir):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema  # big column pruned away
+
+
+@pytest.mark.spark
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set shingle probe must be a broadcast hash join (the
+    benchmark is fixed-size); the corpus side must never shuffle for
+    the probe itself — only the per-doc hit-count agg may."""
+    from lasdb_spark.operators.decontaminate import (
+        contamination_report,
+        driver_benchmark,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(contamination_report(docs, driver_benchmark(docs)))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_repetition_stats_stays_native_with_partial_aggs(spark, sf_dir):
+    """Repetition scoring is regexp/array built-ins only (no Python
+    eval nodes) and its bigram counts combine map-side before the
+    shuffle (partial_count before the exchange)."""
+    from lasdb_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
