@@ -24,6 +24,7 @@ from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import grid as _grid
+from lasdb_spark.operators import multi_window as _mw
 from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
@@ -127,6 +128,17 @@ POLY_DIAMOND = (
 )
 ZMAX, ZMIN = 10.0, 25.0
 
+# batch multi-window table (the spatial-join shape): overlapping
+# windows, a thin strip, a far-away empty window — .005 boundaries keep
+# derived points off the edges
+MULTI_WINDOWS = (
+    (1, 85200.005, 85399.995, 446300.005, 446799.995),
+    (2, 85300.005, 85499.995, 446500.005, 446999.995),  # overlaps 1
+    (3, 85500.005, 85501.995, 446000.005, 447499.995),  # thin strip
+    (4, 85100.005, 85899.995, 447000.005, 447399.995),
+    (5, 10.0, 20.0, 10.0, 20.0),  # empty: outside the extent
+)
+
 # diagonal polyline (B-suite buffered-polyline shape); buffer radius
 # picked off the 0.01 grid so no point sits exactly on the boundary
 POLYLINE = (
@@ -153,6 +165,10 @@ def _q_bbox_minz(spark, sf_dir):
 
 def _q_circle(spark, sf_dir):
     return _querier(spark, sf_dir).circle(*CIRCLE)
+
+
+def _q_multi_window(spark, sf_dir):
+    return _querier(spark, sf_dir).multi_bbox(MULTI_WINDOWS)
 
 
 def _q_polygon_l(spark, sf_dir):
@@ -672,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM k GROUP BY 1"
         ),
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
+        "pc_multi_window": _mw.multi_bbox_stats_sql(_PTS, MULTI_WINDOWS),
         "pc_metadata_agg": (
             f"{_PTS} SELECT count(*) AS point_count, "
             f"min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, "
@@ -758,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (need their first driver row) ---
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
+        "pc_multi_window": _q_multi_window,
         # --- one representative per family ---
         "pc_bbox": _q_bbox,
         "pc_circle": _q_circle,

@@ -1,0 +1,146 @@
+"""Batch multi-window query: per-window stats for a TABLE of bbox
+windows in ONE scan of the cloud.
+
+The reference answers one geometry per run (each scripts/query_*.json
+carries a single window; pipeline/retrieve_data.py:33-41 loops
+queries as independent jobs). The batch shape — building footprints ×
+point cloud, "stats per parcel" — is a spatial join, and the naive
+Spark expression (broadcast the windows, join on x/y BETWEEN bounds)
+is a BroadcastNestedLoopJoin costing O(rows × windows) comparisons:
+exactly the plan that dies at 100 TB.
+
+Spark-first plan here: all windows share one level-L Morton CELL grid
+(L chosen so the total covering-cell count fits a broadcast budget).
+Driver-side planning maps each window to its covering cells — the same
+pure-function decomposition step as single-window planning — and the
+points side derives its cell with ONE shift of the stored key
+(key >> 2s == morton(x >> s, y >> s), the Morton prefix property). The
+join is then CELL EQUALITY: a broadcast hash join, never a nested
+loop, followed by the exact bbox refine and one map-side-partial
+aggregation on win_id. A coarse global key BETWEEN still reaches the
+Parquet scan for row-group pruning. Work scales with
+|points in covered cells| + |windows|, not |points| × |windows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pcsfc.morton import encode_morton_2d
+from ..pcsfc.range_search import planning_grid_bounds
+from .ingest import DatasetMeta, unpack_blocks
+
+#: max total covering cells across all windows — bounds the broadcast
+#: table (a few MB) and the per-point join fan-out
+DEFAULT_CELL_BUDGET = 4096
+
+_STATS_SCHEMA = "win_id long, n_points long, z_min double, z_max double"
+
+
+def plan_window_cells(
+    windows, meta: DatasetMeta, budget: int = DEFAULT_CELL_BUDGET
+) -> tuple[int, list[tuple]]:
+    """Driver-side planning: choose the FINEST shared cell level whose
+    total covering-cell count fits ``budget``, and emit one row per
+    (window, covering cell).
+
+    Returns (shift_s, rows) where cell side length is ``2**shift_s``
+    grid units and rows are (win_id, cell, x0, x1, y0, y1) with the
+    cell id in level-L Morton space (comparable to ``key >> 2s``).
+    Windows fully outside the grid plan to nothing, mirroring the
+    single-window decomposition's empty result."""
+    bits = meta.grid_bits
+    sx, sy, _ = meta.scales
+    ox, oy, _ = meta.offsets
+    grid_max = (1 << bits) - 1
+    qwins = []
+    for win_id, x0, x1, y0, y1 in windows:
+        qx0, qx1 = planning_grid_bounds(float(x0), float(x1), sx, ox)
+        qy0, qy1 = planning_grid_bounds(float(y0), float(y1), sy, oy)
+        qx0, qy0 = max(qx0, 0), max(qy0, 0)
+        qx1, qy1 = min(qx1, grid_max), min(qy1, grid_max)
+        if qx0 > qx1 or qy0 > qy1:
+            continue  # disjoint from the data grid
+        qwins.append(
+            (int(win_id), float(x0), float(x1), float(y0), float(y1),
+             qx0, qx1, qy0, qy1)
+        )
+    shift = bits  # coarsest: one whole-grid cell per window
+    for s in range(bits + 1):
+        total = sum(
+            ((qx1 >> s) - (qx0 >> s) + 1) * ((qy1 >> s) - (qy0 >> s) + 1)
+            for *_, qx0, qx1, qy0, qy1 in qwins
+        )
+        if total <= budget:
+            shift = s
+            break
+    rows = []
+    for win_id, x0, x1, y0, y1, qx0, qx1, qy0, qy1 in qwins:
+        for cx in range((qx0 >> shift), (qx1 >> shift) + 1):
+            for cy in range((qy0 >> shift), (qy1 >> shift) + 1):
+                rows.append(
+                    (win_id, encode_morton_2d(cx, cy), x0, x1, y0, y1)
+                )
+    return shift, rows
+
+
+def multi_bbox_stats(
+    df: DataFrame,
+    meta: DatasetMeta,
+    windows,
+    layout: str = "flat",
+    budget: int = DEFAULT_CELL_BUDGET,
+) -> DataFrame:
+    """(win_id, n_points, z_min, z_max) for every window holding at
+    least one point — one scan, broadcast cell join, one aggregation.
+
+    ``windows`` is an iterable of (win_id, x_min, x_max, y_min, y_max).
+    Windows may overlap (a point then counts toward each); empty
+    windows are absent from the result (inner join semantics, matching
+    a GROUP BY over the coordinate join)."""
+    spark = df.sparkSession
+    shift, rows = plan_window_cells(windows, meta, budget)
+    if not rows:
+        return spark.createDataFrame([], _STATS_SCHEMA)
+    cdf = spark.createDataFrame(
+        rows, "win_id long, cell long, wx0 double, wx1 double, "
+        "wy0 double, wy1 double"
+    )
+    pts = unpack_blocks(df, meta) if layout == "block" else df
+    # coarse global key range: pushed to the Parquet scan so row groups
+    # wholly outside the union of windows are never read
+    lo = min(r[1] for r in rows) << (2 * shift)
+    hi = ((max(r[1] for r in rows) + 1) << (2 * shift)) - 1
+    joined = (
+        pts.filter(F.col("sfc_key").between(lo, hi))
+        .withColumn("cell", F.shiftright(F.col("sfc_key"), 2 * shift))
+        .join(F.broadcast(cdf), "cell")
+        .filter(
+            F.col("x").between(F.col("wx0"), F.col("wx1"))
+            & F.col("y").between(F.col("wy0"), F.col("wy1"))
+        )
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+    )
+
+
+def multi_bbox_stats_sql(points_cte: str, windows) -> str:
+    """Oracle twin: brute-force coordinate join over a VALUES windows
+    table (``points_cte`` supplies the ``points`` relation)."""
+    vals = ", ".join(
+        f"(CAST({int(w)} AS BIGINT), {float(x0)!r}, {float(x1)!r}, "
+        f"{float(y0)!r}, {float(y1)!r})"
+        for w, x0, x1, y0, y1 in windows
+    )
+    return f"""
+{points_cte},
+wins AS (SELECT * FROM (VALUES {vals}) t(win_id, x0, x1, y0, y1))
+SELECT win_id, count(*) AS n_points, min(z) AS z_min, max(z) AS z_max
+FROM points p JOIN wins w
+  ON p.x BETWEEN w.x0 AND w.x1 AND p.y BETWEEN w.y0 AND w.y1
+GROUP BY 1
+""".strip()

@@ -229,6 +229,21 @@ class WindowQuerier:
         out = cand.orderBy("d2", "x", "y", "z").limit(k)
         return out.select("x", "y", "z", F.col("d2").alias("d2"))
 
+    def multi_bbox(self, windows, budget: int | None = None) -> DataFrame:
+        """Per-window stats for a TABLE of bbox windows in one scan —
+        the batch spatial-join shape (see
+        :mod:`lasdb_spark.operators.multi_window`). ``windows`` =
+        iterable of (win_id, x_min, x_max, y_min, y_max)."""
+        from .multi_window import DEFAULT_CELL_BUDGET, multi_bbox_stats
+
+        return multi_bbox_stats(
+            self.df,
+            self.meta,
+            windows,
+            layout=self.layout,
+            budget=budget or DEFAULT_CELL_BUDGET,
+        )
+
     def query(
         self, mode: str, geometry, minz=None, maxz=None, k: int | None = None
     ) -> DataFrame:

@@ -205,3 +205,19 @@ def test_repetition_stats_stays_native_with_partial_aggs(spark, sf_dir):
     plan = _plan(repetition_stats(docs))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan
+
+
+@pytest.mark.spark
+def test_multi_window_is_hash_join_not_nested_loop(stored):
+    """The batch spatial join must plan as a broadcast HASH join on the
+    shared cell key — never the O(rows × windows) nested loop a
+    coordinate-BETWEEN join would give — with the coarse key range
+    pushed to the scan."""
+    wins = [
+        (1, 85200.005, 85399.995, 446300.005, 446799.995),
+        (2, 85500.005, 85501.995, 446000.005, 447499.995),
+    ]
+    plan = _plan(stored.multi_bbox(wins))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "sfc_key" in plan.split("PushedFilters")[1][:400]

@@ -123,3 +123,38 @@ def test_storage_sweep(spark, sf_dir):
     total = pts.count()
     for r in rows:
         assert r["blocks"] * r["avg_points_per_block"] == pytest.approx(total, rel=0.01)
+
+
+@pytest.mark.spark
+def test_multi_window_matches_per_window_bbox(spark, sf_dir):
+    """Batch multi-window stats must equal independent bbox() queries
+    per window — overlapping windows count shared points in each,
+    empty windows are absent."""
+    import tempfile
+
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.points import points_df
+
+    base = tempfile.mkdtemp(prefix="lasdb_mw_")
+    pts = points_df(spark, sf_dir)
+    ingest_points(pts, "mw", base)
+    df, meta, layout = load_dataset(spark, base, "mw")
+    q = WindowQuerier(df, meta, layout)
+    wins = [
+        (1, 85200.005, 85399.995, 446300.005, 446799.995),
+        (2, 85300.005, 85499.995, 446500.005, 446999.995),  # overlaps 1
+        (3, 10.0, 20.0, 10.0, 20.0),  # empty
+    ]
+    got = {r.win_id: r.n_points for r in q.multi_bbox(wins).collect()}
+    want = {w[0]: q.bbox(list(w[1:])).count() for w in wins}
+    assert got == {k: v for k, v in want.items() if v > 0}
+    # block layout: coordinates decode to the quantized grid, so its
+    # baseline is the block-layout bbox() (boundary points differ from
+    # flat by design — same contract as the pc_bbox_block oracle)
+    ingest_points(pts, "mwb", base, layout="block")
+    dfb, metab, layb = load_dataset(spark, base, "mwb")
+    qb = WindowQuerier(dfb, metab, layb)
+    got_b = {r.win_id: r.n_points for r in qb.multi_bbox(wins).collect()}
+    want_b = {w[0]: qb.bbox(list(w[1:])).count() for w in wins}
+    assert got_b == {k: v for k, v in want_b.items() if v > 0}
