@@ -24,6 +24,7 @@ from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import grid as _grid
+from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
 from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
@@ -169,6 +170,17 @@ def _q_circle(spark, sf_dir):
 
 def _q_multi_window(spark, sf_dir):
     return _querier(spark, sf_dir).multi_bbox(MULTI_WINDOWS)
+
+
+LOD_LEVEL, THIN_DENOM = 5, 4
+
+
+def _q_voxel_lod(spark, sf_dir):
+    return _querier(spark, sf_dir).voxel_lod(LOD_LEVEL)
+
+
+def _q_thin(spark, sf_dir):
+    return _querier(spark, sf_dir).thin(THIN_DENOM)
 
 
 def _q_polygon_l(spark, sf_dir):
@@ -689,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
         "pc_multi_window": _mw.multi_bbox_stats_sql(_PTS, MULTI_WINDOWS),
+        "pc_voxel_lod": _lod.voxel_downsample_sql(_SFC_CTE, LOD_LEVEL),
+        "pc_thin": _lod.thin_points_sql(_SFC_CTE, THIN_DENOM),
         "pc_metadata_agg": (
             f"{_PTS} SELECT count(*) AS point_count, "
             f"min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, "
@@ -776,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,
+        "pc_voxel_lod": _q_voxel_lod,
+        "pc_thin": _q_thin,
         # --- one representative per family ---
         "pc_bbox": _q_bbox,
         "pc_circle": _q_circle,

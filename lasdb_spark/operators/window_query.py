@@ -244,6 +244,20 @@ class WindowQuerier:
             budget=budget or DEFAULT_CELL_BUDGET,
         )
 
+    def voxel_lod(self, level: int) -> DataFrame:
+        """One representative point + occupancy per level-``level``
+        Morton cell (see :mod:`lasdb_spark.operators.lod`)."""
+        from .lod import voxel_downsample
+
+        return voxel_downsample(self.df, self.meta, level, layout=self.layout)
+
+    def thin(self, denom: int) -> DataFrame:
+        """Deterministic 1/``denom`` hash thinning (map-only; see
+        :mod:`lasdb_spark.operators.lod`)."""
+        from .lod import thin_points
+
+        return thin_points(self.df, self.meta, denom, layout=self.layout)
+
     def query(
         self, mode: str, geometry, minz=None, maxz=None, k: int | None = None
     ) -> DataFrame:
