@@ -108,6 +108,15 @@ def main() -> None:
             "LINESTRING (85150.005 446150.005, 85450.005 446650.005, "
             "85300.005 447100.005, 85800.005 447300.005)"
         )
+        # batch spatial join: a 6x6 grid of windows over the extent in
+        # ONE scan (vs 36 independent bbox jobs)
+        mw_wins = [
+            (6 * i + j + 1,
+             85100.005 + 130.0 * i, 85100.005 + 130.0 * i + 125.0,
+             446100.005 + 215.0 * j, 446100.005 + 215.0 * j + 210.0)
+            for i in range(6)
+            for j in range(6)
+        ]
         suite = {
             "bbox_small": lambda: q.bbox([85200.0, 85250.0, 446300.0, 446400.0]),
             "bbox_large": lambda: q.bbox([85100.0, 85900.0, 446100.0, 447400.0]),
@@ -121,6 +130,7 @@ def main() -> None:
             "knn_1000": lambda: q.knn([85500.0, 446700.0], 1000),
             "polyline_buf": lambda: q.polyline_buffer(polyline, 120.003),
             "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
+            "multi_window_36": lambda: q.multi_bbox(mw_wins),
         }
         # LLM-pipeline operators on the documents/embeddings tables.
         # Drop cached blocks from the point-cloud section first: the
