@@ -341,6 +341,18 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+TOKEN_BUDGETS = {"en": 5000, "de": 1500}
+TOKEN_BUDGET_DEFAULT = 2000
+
+
+def _q_token_budget(spark, sf_dir):
+    from lasdb_spark.operators.text import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT
+    )
+
+
 def _q_text_decontaminate(spark, sf_dir):
     from lasdb_spark.operators.decontaminate import (
         contamination_report,
@@ -361,6 +373,15 @@ def _q_dedup_exact(spark, sf_dir):
     from lasdb_spark.operators.dedup import exact_dedup
 
     return exact_dedup(_docs(spark, sf_dir))
+
+
+SEARCH_DOC_ID, SEARCH_K = 0, 20
+
+
+def _q_doc_search(spark, sf_dir):
+    from lasdb_spark.operators.dedup import jaccard_search
+
+    return jaccard_search(_docs(spark, sf_dir), SEARCH_DOC_ID, SEARCH_K)
 
 
 def _q_dedup_ngram(spark, sf_dir):
@@ -718,10 +739,14 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
         "text_top_quality": _text.top_quality_per_lang_sql(),
         "corpus_sample": _text.stratified_sample_sql(),
+        "corpus_token_budget": _text.token_budget_sample_sql(
+            TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT
+        ),
         "corpus_curate": _curate.curate_corpus_sql(),
         "emb_centroids": _similarity.label_centroids_sql(),
         "dedup_keepers": _dedup.dedup_keepers_sql(),
         "dedup_exact": _dedup.exact_dedup_sql(),
+        "doc_search": _dedup.jaccard_search_sql(SEARCH_DOC_ID, SEARCH_K),
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": _dedup.simhash_pairs_sql(),
@@ -792,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_multi_window": _q_multi_window,
         "pc_voxel_lod": _q_voxel_lod,
         "pc_thin": _q_thin,
+        "corpus_token_budget": _q_token_budget,
+        "doc_search": _q_doc_search,
         # --- one representative per family ---
         "pc_bbox": _q_bbox,
         "pc_circle": _q_circle,

@@ -215,6 +215,72 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {tau}
 """.strip()
 
 
+def jaccard_search(
+    docs: DataFrame, query_doc_id: int, k: int = 10, n: int = SHINGLE_N
+) -> DataFrame:
+    """Top-``k`` most similar documents to ONE query document by EXACT
+    shingle Jaccard — the "find near-copies of this doc" lookup, the
+    text analog of :func:`lasdb_spark.operators.similarity.topk_bruteforce`.
+
+    Scale shape: the query's shingle set is a single document (bounded,
+    broadcast by construction — NOT an SF-scaling table, so the forced
+    hint is safe); the corpus side computes per-doc size and
+    intersection in ONE groupBy over its shingles via a broadcast hash
+    join membership flag; the top-k is a TakeOrdered, never a global
+    sort. Total cost: one corpus shingle scan + one doc_id shuffle,
+    independent of k and of the query.
+
+    Ties at the boundary break on doc_id, so the result is
+    deterministic and the DuckDB oracle reproduces it exactly. A query
+    doc with fewer than ``n`` tokens has no shingles → empty result."""
+    sh = shingles(docs, n)
+    qsh = (
+        sh.filter(F.col("doc_id") == int(query_doc_id))
+        .select(F.col("shingle").alias("qshingle"))
+    )
+    # the query's shingle count resolves eagerly: ONE bounded driver
+    # action over a single document (same contract as kNN reading the
+    # metadata bbox) — folding it into the plan as a 1-row join would
+    # plan a BroadcastNestedLoopJoin, which the plan gates forbid
+    n_q = qsh.count()
+    if n_q == 0:
+        return sh.sparkSession.createDataFrame([], "doc_id long, jac double")
+    agg = (
+        sh.join(F.broadcast(qsh), F.col("shingle") == F.col("qshingle"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("qshingle").alias("n_inter"),
+        )
+        .filter((F.col("n_inter") > 0) & (F.col("doc_id") != int(query_doc_id)))
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_sh") + F.lit(int(n_q)) - F.col("n_inter")
+    ).cast("double")
+    return (
+        agg.select("doc_id", F.round(jac, 6).alias("jac"))
+        .orderBy(F.col("jac").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def jaccard_search_sql(
+    query_doc_id: int, k: int = 10, n: int = SHINGLE_N
+) -> str:
+    return f"""
+WITH sh AS ({shingles_sql(n)}),
+q AS (SELECT shingle FROM sh WHERE doc_id = {int(query_doc_id)}),
+nq AS (SELECT count(*) AS n_q FROM q),
+agg AS (SELECT sh.doc_id, count(*) AS n_sh, count(q.shingle) AS n_inter
+        FROM sh LEFT JOIN q ON sh.shingle = q.shingle
+        GROUP BY 1)
+SELECT doc_id, round(n_inter / CAST(n_sh + n_q - n_inter AS DOUBLE), 6) AS jac
+FROM agg, nq
+WHERE n_inter > 0 AND doc_id <> {int(query_doc_id)}
+ORDER BY jac DESC, doc_id LIMIT {int(k)}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # exact-duplicate collapse (skew armor for all banded candidate generation)
 # ---------------------------------------------------------------------------

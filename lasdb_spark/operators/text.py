@@ -271,6 +271,78 @@ def stratified_sample_sql(rates: dict | None = None) -> str:
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    quality_floor: float | None = None,
+) -> DataFrame:
+    """Per-language token-budget cut: keep the highest-quality docs
+    whose cumulative token count stays within the language's budget —
+    the data-mixing primitive of a training run ("this much German,
+    this much code, best-first").
+
+    Greedy by (quality DESC, doc_id): a doc is kept iff its inclusive
+    running token total is <= budget(lang). Deterministic under any
+    partitioning (unique order key), so the DuckDB oracle reproduces
+    the exact cut.
+
+    Scale: ONE shuffle, partitioned by lang. A dominant language makes
+    that partition a skew sort; for that regime pass ``quality_floor``
+    — a map-side prefilter that drops docs below the floor BEFORE the
+    sort (exact as long as the floor retains >= budget tokens; estimate
+    it from ``approxQuantile`` over a sample). The reference has no
+    corpus surface at all; this extends the engine's curation family
+    (stratified_sample, curate_corpus)."""
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _n_matches(t, TOKEN_RE).alias("n_tokens"),
+        quality_col(t).alias("quality"),
+    )
+    if quality_floor is not None:
+        scored = scored.filter(F.col("quality") >= quality_floor)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(int(default_budget))
+    for lang, b in sorted(budgets.items()):
+        budget = F.when(F.col("lang") == lang, F.lit(int(b))).otherwise(budget)
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(
+    budgets: dict[str, int], default_budget: int = 0
+) -> str:
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    n_stop = f"len(regexp_extract_all(text, '\\b({STOPWORDS_EN})\\b'))"
+    stop_ratio = f"({n_stop} / CAST(greatest({n_tok}, 1) AS DOUBLE))"
+    quality = f"round(least({n_tok}, 100) / 100.0 * 0.6 + {stop_ratio} * 0.4, 6)"
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(b)}"
+        for lang, b in sorted(budgets.items())
+    )
+    return f"""
+WITH s AS (SELECT doc_id, lang, {n_tok} AS n_tokens, {quality} AS quality
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (
+        PARTITION BY lang ORDER BY quality DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM s)
+SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM c
+WHERE cum_tokens <= (CASE {whens} ELSE {int(default_budget)} END)
+""".strip()
+
+
 def top_quality_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
     """(lang, doc_id, quality, rk) — the k highest-quality docs per
     language: the 'best exemplars per stratum' pick a curation review

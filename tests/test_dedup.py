@@ -224,3 +224,41 @@ def test_keepers_and_curate_reuse_provided_clustering(spark):
     assert {
         r.doc_id for r in dedup_keepers(docs, clusters=fake).collect()
     } == {0, 2}
+
+
+@pytest.mark.spark
+def test_jaccard_search_semantics(spark):
+    from lasdb_spark.operators.dedup import jaccard_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),  # near-dup
+            (2, "the quick brown fox runs under a red fence"),
+            (3, "completely different words about spark plans here"),
+            (4, "to be"),  # < n tokens: no shingles, never a hit
+        ],
+        "doc_id long, text string",
+    )
+    got = jaccard_search(docs, 0, k=3).collect()
+    ids = [r.doc_id for r in got]
+    # ranked: 1 (6 of 7+7-6 shared shingles) above 2; 3 and 4 absent
+    assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
+    assert got[0].jac > got[-1].jac
+    # the query doc itself is excluded
+    assert 0 not in ids
+    # short query doc -> no shingles -> empty
+    assert jaccard_search(docs, 4, k=3).count() == 0
+
+
+@pytest.mark.spark
+def test_jaccard_search_plan(spark, sf_dir):
+    from lasdb_spark.operators.dedup import jaccard_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = jaccard_search(docs, 0, k=10)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

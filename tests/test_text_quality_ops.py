@@ -61,3 +61,45 @@ def test_repetition_stats_signals(spark):
     assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
     assert rows[4].n_tokens == 0
     assert rows[4].dup_token_ratio == 0.0 and rows[4].top_bigram_frac == 0.0
+
+
+@pytest.mark.spark
+def test_token_budget_sample_semantics(spark, sf_dir):
+    """Budget respected per language; greedy best-first (min kept
+    quality >= max dropped quality per lang); quality_floor below the
+    cut changes nothing; one lang-partitioned shuffle in the plan."""
+    from lasdb_spark.operators.text import quality_scores, token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets, default = {"en": 800}, 300
+    cut = token_budget_sample(docs, budgets, default).cache()
+    sums = {r.lang: r.s for r in cut.groupBy("lang").agg(
+        F.sum("n_tokens").alias("s")).collect()}
+    for lang, s in sums.items():
+        assert s <= budgets.get(lang, default), (lang, s)
+    # greedy: within a lang, nothing dropped outranks anything kept
+    kept_ids = {r.doc_id for r in cut.select("doc_id").collect()}
+    q = quality_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = q.select("doc_id", "lang", "quality").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.quality, r.doc_id))
+    for lang, items in by_lang.items():
+        kept = [(qv, d) for qv, d in items if d in kept_ids]
+        dropped = [(qv, -d) for qv, d in items if d not in kept_ids]
+        if kept and dropped:
+            assert min(kept) > (max(dropped)[0], -max(dropped)[1]) or min(
+                kept
+            ) > max((qv, d) for qv, d in items if d not in kept_ids)
+    # a floor below every kept doc's quality must not change the cut
+    min_q = cut.agg(F.min("quality")).first()[0]
+    floored = token_budget_sample(docs, budgets, default, quality_floor=min_q)
+    assert floored.exceptAll(cut).count() == 0
+    assert cut.exceptAll(floored).count() == 0
+    # plan gate on a NON-cache-matching parameterization (the cached
+    # `cut` plan would otherwise be substituted in wholesale)
+    plan = token_budget_sample(docs, {"en": 801}, default)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    cut.unpersist()
