@@ -174,6 +174,23 @@ def _q_multi_window(spark, sf_dir):
 
 LOD_LEVEL, THIN_DENOM = 5, 4
 
+# batch kNN-join query poses: interior points, an edge case near the
+# extent boundary, and one outside (no in-radius points -> absent)
+KNN_JOIN_QUERIES = (
+    (1, 85250.0, 446450.0),
+    (2, 85500.0, 446700.0),
+    (3, 85750.0, 447100.0),
+    (4, 85010.0, 446010.0),  # near the extent corner
+    (5, 50.0, 50.0),  # far outside: empty
+)
+KNN_JOIN_K, KNN_JOIN_RADIUS = 10, 60.0
+
+
+def _q_knn_join_pc(spark, sf_dir):
+    return _querier(spark, sf_dir).knn_join(
+        KNN_JOIN_QUERIES, KNN_JOIN_K, KNN_JOIN_RADIUS
+    )
+
 
 def _q_voxel_lod(spark, sf_dir):
     return _querier(spark, sf_dir).voxel_lod(LOD_LEVEL)
@@ -722,6 +739,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
         "pc_multi_window": _mw.multi_bbox_stats_sql(_PTS, MULTI_WINDOWS),
+        "pc_knn_join": _mw.point_knn_join_sql(
+            _PTS, KNN_JOIN_QUERIES, KNN_JOIN_K, KNN_JOIN_RADIUS
+        ),
         "pc_voxel_lod": _lod.voxel_downsample_sql(_SFC_CTE, LOD_LEVEL),
         "pc_thin": _lod.thin_points_sql(_SFC_CTE, THIN_DENOM),
         "pc_metadata_agg": (
@@ -819,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_thin": _q_thin,
         "corpus_token_budget": _q_token_budget,
         "doc_search": _q_doc_search,
+        "pc_knn_join": _q_knn_join_pc,
         # --- one representative per family ---
         "pc_bbox": _q_bbox,
         "pc_circle": _q_circle,

@@ -128,6 +128,93 @@ def multi_bbox_stats(
     )
 
 
+def point_knn_join(
+    df: DataFrame,
+    meta: DatasetMeta,
+    queries,
+    k: int,
+    radius: float,
+    layout: str = "flat",
+    budget: int = DEFAULT_CELL_BUDGET,
+) -> DataFrame:
+    """Batch spatial kNN join: for EVERY query point, its ``k`` nearest
+    cloud points within ``radius`` — "nearest returns per sensor
+    pose" — in one scan. The single-query analog is
+    :meth:`WindowQuerier.knn`; running that per query is one Spark job
+    per row of the query table, which is exactly the per-geometry loop
+    the reference runs (pipeline/retrieve_data.py:33-41) and what dies
+    at a thousand queries.
+
+    Same shape as :func:`multi_bbox_stats`: each query's radius-bbox
+    maps to covering cells of one shared Morton level, the points side
+    derives its cell with one shift of the stored key, and the join is
+    a broadcast HASH join on cell equality. The exact d2 refine runs
+    map-side; the per-query top-k is a q_id-PARTITIONED window over
+    only the in-radius candidates (bounded by radius selectivity),
+    never a global sort. ``queries`` = iterable of (q_id, qx, qy).
+
+    The radius bound is part of the contract (k nearest WITHIN r): it
+    is what keeps the candidate set — and the oracle — finite and
+    identical on both engines."""
+    r = float(radius)
+    if r <= 0 or k < 1:
+        raise ValueError(f"need radius > 0 and k >= 1, got {radius}, {k}")
+    qrows = [(int(q), float(x), float(y)) for q, x, y in queries]
+    windows = [(q, x - r, x + r, y - r, y + r) for q, x, y in qrows]
+    spark = df.sparkSession
+    shift, rows = plan_window_cells(windows, meta, budget)
+    out_schema = "q_id long, x double, y double, z double, d2 double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    centers = {q: (x, y) for q, x, y in qrows}
+    cdf = spark.createDataFrame(
+        [(q, cell, centers[q][0], centers[q][1]) for q, cell, *_ in rows],
+        "q_id long, cell long, qx double, qy double",
+    )
+    pts = unpack_blocks(df, meta) if layout == "block" else df
+    lo = min(c for _, c, *_ in rows) << (2 * shift)
+    hi = ((max(c for _, c, *_ in rows) + 1) << (2 * shift)) - 1
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    cand = (
+        pts.filter(F.col("sfc_key").between(lo, hi))
+        .withColumn("cell", F.shiftright(F.col("sfc_key"), 2 * shift))
+        .join(F.broadcast(cdf), "cell")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= r * r)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy("d2", "x", "y", "z")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("q_id", "x", "y", "z", "d2")
+    )
+
+
+def point_knn_join_sql(points_cte: str, queries, k: int, radius: float) -> str:
+    """Oracle twin: brute-force distance join + per-query window."""
+    r = float(radius)
+    vals = ", ".join(
+        f"(CAST({int(q)} AS BIGINT), {float(x)!r}, {float(y)!r})"
+        for q, x, y in queries
+    )
+    return f"""
+{points_cte},
+qs AS (SELECT * FROM (VALUES {vals}) t(q_id, qx, qy)),
+cand AS (
+  SELECT q_id, x, y, z,
+         (x - qx) * (x - qx) + (y - qy) * (y - qy) AS d2
+  FROM points p JOIN qs ON
+       (x - qx) * (x - qx) + (y - qy) * (y - qy) <= {r!r} * {r!r}),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY q_id ORDER BY d2, x, y, z) AS rn FROM cand)
+SELECT q_id, x, y, z, d2 FROM rk WHERE rn <= {int(k)}
+""".strip()
+
+
 def multi_bbox_stats_sql(points_cte: str, windows) -> str:
     """Oracle twin: brute-force coordinate join over a VALUES windows
     table (``points_cte`` supplies the ``points`` relation)."""

@@ -244,6 +244,24 @@ class WindowQuerier:
             budget=budget or DEFAULT_CELL_BUDGET,
         )
 
+    def knn_join(
+        self, queries, k: int, radius: float, budget: int | None = None
+    ) -> DataFrame:
+        """k nearest points within ``radius`` for EVERY (q_id, qx, qy)
+        query in one scan (see
+        :func:`lasdb_spark.operators.multi_window.point_knn_join`)."""
+        from .multi_window import DEFAULT_CELL_BUDGET, point_knn_join
+
+        return point_knn_join(
+            self.df,
+            self.meta,
+            queries,
+            k,
+            radius,
+            layout=self.layout,
+            budget=budget or DEFAULT_CELL_BUDGET,
+        )
+
     def voxel_lod(self, level: int) -> DataFrame:
         """One representative point + occupancy per level-``level``
         Morton cell (see :mod:`lasdb_spark.operators.lod`)."""

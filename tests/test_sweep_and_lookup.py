@@ -158,3 +158,64 @@ def test_multi_window_matches_per_window_bbox(spark, sf_dir):
     got_b = {r.win_id: r.n_points for r in qb.multi_bbox(wins).collect()}
     want_b = {w[0]: qb.bbox(list(w[1:])).count() for w in wins}
     assert got_b == {k: v for k, v in want_b.items() if v > 0}
+
+
+@pytest.mark.spark
+def test_point_knn_join_matches_per_query_knn(spark, sf_dir):
+    """Batch kNN join must equal an independent radius-bounded kNN per
+    query point; out-of-range queries are absent."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.points import points_df
+
+    base = tempfile.mkdtemp(prefix="lasdb_knnj_")
+    pts = points_df(spark, sf_dir)
+    ingest_points(pts, "kj", base)
+    q = WindowQuerier(*load_dataset(spark, base, "kj"))
+    queries = [(1, 85250.0, 446450.0), (2, 85790.0, 447210.0), (9, 50.0, 50.0)]
+    k, r = 7, 45.0
+    got = q.knn_join(queries, k, r).collect()
+    by_q: dict = {}
+    for row in got:
+        by_q.setdefault(row.q_id, []).append((row.d2, row.x, row.y, row.z))
+    assert 9 not in by_q  # far outside: no in-radius candidates
+    for qid, qx, qy in queries[:2]:
+        d2 = (F.col("x") - qx) * (F.col("x") - qx) + (F.col("y") - qy) * (
+            F.col("y") - qy
+        )
+        want = [
+            (row.d2, row.x, row.y, row.z)
+            for row in pts.withColumn("d2", d2)
+            .filter(F.col("d2") <= r * r)
+            .orderBy("d2", "x", "y", "z")
+            .limit(k)
+            .collect()
+        ]
+        assert sorted(by_q[qid]) == want, qid
+        assert all(d <= r * r for d, *_ in by_q[qid])
+
+
+@pytest.mark.spark
+def test_point_knn_join_plan(spark, sf_dir):
+    """Hash join on the shared cell key + q_id-partitioned window —
+    never a nested loop, never a global sort."""
+    import tempfile
+
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.points import points_df
+
+    base = tempfile.mkdtemp(prefix="lasdb_knnjp_")
+    ingest_points(points_df(spark, sf_dir), "kjp", base)
+    q = WindowQuerier(*load_dataset(spark, base, "kjp"))
+    plan = q.knn_join([(1, 85250.0, 446450.0), (2, 85500.0, 446700.0)], 5, 50.0)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Sort [q_id" in s  # window sort is q_id-partitioned...
+    assert "Exchange rangepartitioning" not in s  # ...never global
+    assert "PushedFilters" in s and "sfc_key" in s.split("PushedFilters")[1][:400]
