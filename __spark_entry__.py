@@ -26,6 +26,7 @@ from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
+from lasdb_spark.operators import outliers as _outliers
 from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
@@ -304,6 +305,23 @@ def _q_grid_zstats(spark, sf_dir):
     return grid_zstats(points_df(spark, sf_dir))
 
 
+HAG_CELL = 25.0  # ground-grid cell (m) for height normalization
+
+
+def _q_pc_hag(spark, sf_dir):
+    """Height-above-ground normalization (gridded ground min)."""
+    from lasdb_spark.operators.grid import height_above_ground
+
+    return height_above_ground(points_df(spark, sf_dir), HAG_CELL)
+
+
+def _q_pc_outliers(spark, sf_dir):
+    """Radius outlier detection (sparse-neighborhood sites)."""
+    from lasdb_spark.operators.outliers import radius_outliers
+
+    return radius_outliers(points_df(spark, sf_dir))
+
+
 def _q_metadata_agg(spark, sf_dir):
     """Metadata union agg (S4/G5): count + bbox."""
     return points_df(spark, sf_dir).agg(
@@ -378,6 +396,12 @@ def _q_text_decontaminate(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return contamination_report(docs, driver_benchmark(docs))
+
+
+def _q_corpus_pack(spark, sf_dir):
+    from lasdb_spark.operators.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
 
 
 def _q_text_top_tokens(spark, sf_dir):
@@ -738,6 +762,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM k GROUP BY 1"
         ),
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
+        "pc_hag": _grid.height_above_ground_sql(_PTS, HAG_CELL),
+        "pc_outliers": _outliers.radius_outliers_sql(_PTS),
         "pc_multi_window": _mw.multi_bbox_stats_sql(_PTS, MULTI_WINDOWS),
         "pc_knn_join": _mw.point_knn_join_sql(
             _PTS, KNN_JOIN_QUERIES, KNN_JOIN_K, KNN_JOIN_RADIUS
@@ -762,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_budget": _text.token_budget_sample_sql(
             TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT
         ),
+        "corpus_pack": _text.pack_sequences_sql(),
         "corpus_curate": _curate.curate_corpus_sql(),
         "emb_centroids": _similarity.label_centroids_sql(),
         "dedup_keepers": _dedup.dedup_keepers_sql(),
@@ -840,6 +867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": _q_token_budget,
         "doc_search": _q_doc_search,
         "pc_knn_join": _q_knn_join_pc,
+        "pc_hag": _q_pc_hag,
+        "pc_outliers": _q_pc_outliers,
+        "corpus_pack": _q_corpus_pack,
         # --- one representative per family ---
         "pc_bbox": _q_bbox,
         "pc_circle": _q_circle,

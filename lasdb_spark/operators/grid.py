@@ -38,6 +38,67 @@ def grid_zstats(points: DataFrame, cell: float = CELL) -> DataFrame:
     )
 
 
+def height_above_ground(
+    points: DataFrame, cell: float = CELL, broadcast_ground: bool = False
+) -> DataFrame:
+    """(x, y, z, ground_z, hag) — per-point height above a gridded
+    ground estimate (the min elevation of the point's cell), the
+    standard LiDAR normalization step (PDAL ``filters.hag``-style, on a
+    grid instead of a TIN). The reference has no normalization at all —
+    its z survives ingest untouched (pcsfc/point_processor.py:45-47) —
+    but every vegetation/building analysis over an AHN-style cloud
+    starts by subtracting ground.
+
+    Scale: ground table = one groupBy with map-side partial
+    aggregation, reducing the cloud to |cells| rows (area / cell² —
+    millions at country scale, never corpus-sized), then one equi-join
+    back on the cell id. The join side grows with AREA not point
+    density, so AQE auto-broadcasts it when it fits; ``broadcast_ground``
+    forces the hint for callers that know their extent is bounded.
+    No window over the full cloud: a cell-partitioned window would
+    shuffle every point, the agg+join shape only shuffles cell partials.
+
+    Exactness: ground_z is an exact min (centi-unit longs, same as
+    :func:`grid_zstats`) and ``z - ground_z`` is one IEEE subtraction of
+    identical doubles on both engines — hash-stable."""
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    pts = points.select(
+        "x", "y", "z", cx.alias("cell_x"), cy.alias("cell_y")
+    )
+    ground = (
+        pts.groupBy("cell_x", "cell_y")
+        .agg((F.min(F.round(F.col("z") * 100).cast("long")) / 100.0).alias("ground_z"))
+    )
+    if broadcast_ground:
+        ground = F.broadcast(ground)
+    return (
+        pts.join(ground, ["cell_x", "cell_y"])
+        .select(
+            "x", "y", "z", "ground_z",
+            F.round(F.col("z") - F.col("ground_z"), 2).alias("hag"),
+        )
+    )
+
+
+def height_above_ground_sql(points_cte: str, cell: float = CELL) -> str:
+    """Oracle twin of :func:`height_above_ground` (window-min form —
+    semantically the agg+join, DuckDB picks its own plan)."""
+    return f"""
+{points_cte}, cells AS (
+  SELECT x, y, z,
+         CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y
+  FROM points),
+g AS (
+  SELECT x, y, z,
+         min(CAST(round(z * 100) AS BIGINT)) OVER (
+             PARTITION BY cell_x, cell_y) / 100.0 AS ground_z
+  FROM cells)
+SELECT x, y, z, ground_z, round(z - ground_z, 2) AS hag FROM g
+""".strip()
+
+
 def grid_zstats_sql(points_cte: str, cell: float = CELL) -> str:
     """Oracle twin; ``points_cte`` is a WITH prefix defining ``points``."""
     return f"""

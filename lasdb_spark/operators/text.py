@@ -343,6 +343,72 @@ WHERE cum_tokens <= (CASE {whens} ELSE {int(default_budget)} END)
 """.strip()
 
 
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 512, n_buckets: int = 32
+) -> DataFrame:
+    """(doc_id, bucket, seq_id, offset, n_tokens) — GPT-style sequence
+    packing metadata: documents are concatenated into a token stream
+    and chunked into fixed ``seq_len``-token training sequences. A doc
+    occupies stream positions [cum_before, cum_before + n_tokens);
+    ``seq_id`` is the sequence its first token lands in and ``offset``
+    the position within that sequence (docs may straddle a boundary and
+    continue into seq_id + 1 — concat-then-chunk, no padding waste).
+
+    A single global stream would serialize the cumulative sum, so the
+    corpus is first split into ``n_buckets`` deterministic md5 buckets
+    and each bucket packs its OWN stream (seq_id is per-bucket;
+    (bucket, seq_id) is the global sequence key). That makes the plan
+    one hash shuffle + per-bucket window sort — every bucket packs in
+    parallel, and at 100 TB you raise ``n_buckets`` to the cluster's
+    parallelism. Deterministic under any partitioning: bucket and order
+    key are content-independent functions of doc_id."""
+    from ..functions.hashing import md5_int60_col
+
+    if seq_len < 1 or n_buckets < 1:
+        raise ValueError(f"need seq_len/n_buckets >= 1, got {seq_len}/{n_buckets}")
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        (md5_int60_col(F.col("doc_id").cast("string")) % n_buckets).alias("bucket"),
+        _n_matches(t, TOKEN_RE).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return scored.select(
+        "doc_id",
+        "bucket",
+        F.floor(cum / seq_len).cast("long").alias("seq_id"),
+        (cum % seq_len).cast("long").alias("offset"),
+        "n_tokens",
+    )
+
+
+def pack_sequences_sql(seq_len: int = 512, n_buckets: int = 32) -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    bucket = f"{md5_int60_sql('CAST(doc_id AS VARCHAR)')} % {int(n_buckets)}"
+    return f"""
+WITH s AS (SELECT doc_id, {bucket} AS bucket, {n_tok} AS n_tokens
+           FROM documents),
+c AS (SELECT *, COALESCE(sum(n_tokens) OVER (
+        PARTITION BY bucket ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM s)
+SELECT doc_id, bucket,
+       CAST(floor(cum / {int(seq_len)}) AS BIGINT) AS seq_id,
+       CAST(cum % {int(seq_len)} AS BIGINT) AS offset,
+       n_tokens
+FROM c
+""".strip()
+
+
 def top_quality_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
     """(lang, doc_id, quality, rk) — the k highest-quality docs per
     language: the 'best exemplars per stratum' pick a curation review

@@ -1,0 +1,155 @@
+"""Cleaning / normalization / packing operators: height-above-ground,
+radius outlier removal, sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# height above ground
+# ---------------------------------------------------------------------------
+@pytest.mark.spark
+def test_hag_nonnegative_and_cell_min_is_zero(spark, sf_dir):
+    from lasdb_spark.operators.grid import height_above_ground
+    from lasdb_spark.sources.points import points_df
+
+    pts = points_df(spark, sf_dir)
+    hag = height_above_ground(pts, 25.0).cache()
+    try:
+        assert hag.count() == pts.count()  # join drops nothing
+        assert hag.filter(F.col("hag") < 0).count() == 0
+        # every cell's minimum point sits exactly on the ground
+        cells = hag.withColumn("cx", F.floor(F.col("x") / 25.0)).withColumn(
+            "cy", F.floor(F.col("y") / 25.0)
+        )
+        zero_cells = (
+            cells.groupBy("cx", "cy").agg(F.min("hag").alias("mn"))
+        )
+        assert zero_cells.filter(F.col("mn") != 0.0).count() == 0
+    finally:
+        hag.unpersist()
+
+
+@pytest.mark.spark
+def test_hag_ground_is_cell_min(spark):
+    from lasdb_spark.operators.grid import height_above_ground
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 1.0, 10.0),
+            (2.0, 2.0, 4.0),   # same cell (cell=5) → ground 4.0
+            (7.0, 1.0, 9.0),   # its own cell → ground 9.0
+        ],
+        "x double, y double, z double",
+    )
+    out = {(r["x"], r["y"]): (r["ground_z"], r["hag"])
+           for r in height_above_ground(df, 5.0).collect()}
+    assert out[(1.0, 1.0)] == (4.0, 6.0)
+    assert out[(2.0, 2.0)] == (4.0, 0.0)
+    assert out[(7.0, 1.0)] == (9.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# radius outliers
+# ---------------------------------------------------------------------------
+@pytest.mark.spark
+def test_outlier_isolated_point_flagged(spark):
+    from lasdb_spark.operators.outliers import radius_outliers
+
+    # a 3-point cluster within r=2 of each other, plus one isolated site
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 1.0),
+            (1.0, 0.0, 1.0),
+            (0.0, 1.0, 1.0),
+            (100.0, 100.0, 1.0),
+        ],
+        "x double, y double, z double",
+    )
+    outs = radius_outliers(df, radius=2.0, min_pts=3).collect()
+    assert [(r["x"], r["y"], r["n_neighbors"]) for r in outs] == [
+        (100.0, 100.0, 1)
+    ]
+
+
+@pytest.mark.spark
+def test_outlier_duplicates_weighted(spark):
+    from lasdb_spark.operators.outliers import radius_neighbor_counts
+
+    # one site duplicated 3× plus a distinct neighbor in range: every
+    # site's count is multiplicity-weighted and self-inclusive
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0)] * 3 + [(1.0, 0.0, 2.0)],
+        "x double, y double, z double",
+    )
+    counts = {
+        (r["x"], r["y"]): r["n_neighbors"]
+        for r in radius_neighbor_counts(df, radius=5.0).collect()
+    }
+    assert counts == {(0.0, 0.0): 4, (1.0, 0.0): 4}
+
+
+@pytest.mark.spark
+def test_outlier_plan_has_no_nested_loop(spark, sf_dir):
+    """The distance join must be a HASH join on the cell key (broadcast
+    or shuffled) — a BroadcastNestedLoopJoin / CartesianProduct here is
+    the O(n²) plan this operator exists to avoid."""
+    from lasdb_spark.operators.outliers import radius_outliers
+    from lasdb_spark.sources.points import points_df
+
+    plan = radius_outliers(
+        points_df(spark, sf_dir)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_outlier_materialize_sites_same_result(spark):
+    from lasdb_spark.operators.outliers import radius_neighbor_counts
+
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i % 5), 1.0) for i in range(40)],
+        "x double, y double, z double",
+    )
+    a = sorted(map(tuple, radius_neighbor_counts(df, 3.0).collect()))
+    b = sorted(
+        map(tuple, radius_neighbor_counts(df, 3.0, materialize_sites=True).collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+@pytest.mark.spark
+def test_pack_sequences_stream_is_contiguous(spark, sf_dir):
+    """Within a bucket (ordered by doc_id) each doc starts exactly
+    where the previous one ended: start = seq_id*seq_len + offset is
+    the running token total."""
+    from lasdb_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq_len = 128
+    packed = pack_sequences(docs, seq_len=seq_len, n_buckets=8).collect()
+    assert len(packed) == docs.count()
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert 0 <= r["offset"] < seq_len
+            assert r["seq_id"] * seq_len + r["offset"] == pos
+            pos += r["n_tokens"]
+
+
+@pytest.mark.spark
+def test_pack_sequences_partitioning_invariant(spark, sf_dir):
+    from lasdb_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, pack_sequences(docs, 64, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(13), 64, 4).collect()))
+    assert a == b
