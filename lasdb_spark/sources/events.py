@@ -1,12 +1,14 @@
 """Events-table source.
 
-The driver testdata writes ``ts`` as Parquet ``TIMESTAMP(NANOS)``, which
-Spark's vectorized Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  We
-read it through the legacy ``nanosAsLong`` path and convert to a
-microsecond TIMESTAMP with pure integer arithmetic
-(``timestamp_micros(ns div 1000)``), so every engine that consumes the
-column (Spark, DuckDB oracle via ``make_timestamp(epoch_us(ts))``) sees
-bit-identical µs values.
+The driver testdata has shipped ``ts`` in two encodings across rounds:
+Parquet ``TIMESTAMP(NANOS)`` (which Spark's vectorized reader rejects —
+[PARQUET_TYPE_ILLEGAL] — unless read through the legacy ``nanosAsLong``
+path) and plain ``TIMESTAMP(MICROS)``.  The loader handles both: it
+always enables the legacy conf, then converts whatever the scan
+produced to a microsecond ``timestamp_ntz`` — integer ``div`` for a
+nanos-as-long column, a no-op cast when the file is already µs.  The
+DuckDB oracle applies the same µs truncation (``epoch_us``), so every
+engine sees bit-identical values either way.
 
 At 100 TB the same loader works unchanged: the conf is a session-level
 read option, the conversion is whole-stage-codegen integer math, and
@@ -19,18 +21,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# readStream needs an explicit schema; ts arrives as long (nanos).
-RAW_EVENT_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def _with_ts(df: DataFrame) -> DataFrame:
-    # integer div: floor for positive epochs — matches DuckDB epoch_us()
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes)["ts"] == "bigint":
+        # nanos-as-long: integer div = floor for positive epochs —
+        # matches DuckDB epoch_us()
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # µs timestamp (read as TIMESTAMP_NTZ): produce the same TIMESTAMP
+    # type the nanos path yields, epoch = the naive value taken as UTC.
+    # to_utc_timestamp interprets the wall-clock in the GIVEN zone, so
+    # this is session-timezone-independent — exactly DuckDB epoch_us().
+    return df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,11 +44,16 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the same table (one file = one
-    micro-batch locally; swap for Kafka in production)."""
+    micro-batch locally; swap for Kafka in production).
+
+    readStream needs an explicit schema; probe it from the batch reader
+    (one driver-side footer read) so the stream tracks whichever ``ts``
+    encoding the files carry."""
     spark.conf.set(_NANOS_CONF, "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory; glob-filter to the table
     return _with_ts(
-        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
