@@ -376,6 +376,12 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_text_tfidf(spark, sf_dir):
+    from lasdb_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 TOKEN_BUDGETS = {"en": 5000, "de": 1500}
 TOKEN_BUDGET_DEFAULT = 2000
 
@@ -780,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _text.lang_id_sql(),
         "text_fingerprint": _text.fingerprints_sql(),
         "text_repetition": _text.repetition_stats_sql(),
+        "text_tfidf": _text.tfidf_top_terms_sql(),
         "text_decontaminate": _decon.contamination_report_sql(),
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
@@ -859,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_month_momentum": _q_rel_momentum,
         "rel_distinct_customers": _q_rel_distinct,
         # --- new this round (need their first driver row) ---
+        "text_tfidf": _q_text_tfidf,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

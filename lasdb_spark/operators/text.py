@@ -547,3 +547,83 @@ def fingerprints_sql() -> str:
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
         "FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+#: lowercase word tokens for TF-IDF (letters/digits/apostrophes) —
+#: identical class in Java regex (Spark) and RE2 (DuckDB)
+WORD_RE = r"[a-z0-9']+"
+TFIDF_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, term_rank) — the k most
+    characteristic terms per document by TF-IDF (idf = ln(N/df)), the
+    standard keyword-extraction / topic-tagging primitive a corpus
+    curation pass runs before clustering or routing.
+
+    Scale: the term stream aggregates to per-(doc, term) counts with
+    map-side partials (doc-scoped composite keys — no corpus-wide hot
+    token, unlike a raw token groupBy); document frequency aggregates
+    that ALREADY-collapsed table, so the expensive token explosion is
+    shuffled once, not twice. N is a one-row agg broadcast into the
+    join. The df join keys on `term` — AQE picks broadcast while the
+    vocabulary fits, shuffled-hash beyond. Top-k runs in a window
+    partitioned by doc_id: per-doc rankings, never a global funnel.
+    Ties broken by (rounded score, term) so both engines agree."""
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+def tfidf_top_terms_sql(k: int = TFIDF_K) -> str:
+    pat = WORD_RE.replace("'", "''")
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+         CAST(row_number() OVER (
+              PARTITION BY t.doc_id
+              ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6)
+                       DESC, t.term) AS INT) AS term_rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+WHERE term_rank <= {k}
+""".strip()
