@@ -27,6 +27,7 @@ from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
 from lasdb_spark.operators import outliers as _outliers
+from lasdb_spark.operators import semdedup as _semdedup
 from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
@@ -461,6 +462,18 @@ def _q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir))
 
 
+def _q_semdedup_pairs(spark, sf_dir):
+    from lasdb_spark.operators.semdedup import semantic_pairs
+
+    return semantic_pairs(_embs(spark, sf_dir))
+
+
+def _q_semdedup_keepers(spark, sf_dir):
+    from lasdb_spark.operators.semdedup import semantic_keepers
+
+    return semantic_keepers(_embs(spark, sf_dir))
+
+
 def _q_corpus_curate(spark, sf_dir):
     from lasdb_spark.operators.curate import curate_corpus
 
@@ -806,6 +819,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup.simhash_pairs_sql(),
         "dedup_clusters": _dedup.dedup_clusters_sql(),
         "dedup_embedding": _dedup.embedding_neardup_pairs_sql(),
+        "semdedup_pairs": _semdedup.semantic_pairs_sql(),
+        "semdedup_keepers": _semdedup.semantic_keepers_sql(),
         "dedup_embedding_lsh": _dedup.embedding_neardup_lsh_sql(),
         "ann_topk": _similarity.topk_bruteforce_sql(),
         "ann_lsh_topk": _similarity.topk_lsh_sql(),
@@ -867,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_distinct_customers": _q_rel_distinct,
         # --- new this round (need their first driver row) ---
         "text_tfidf": _q_text_tfidf,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "semdedup_keepers": _q_semdedup_keepers,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

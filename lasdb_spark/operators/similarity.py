@@ -600,20 +600,17 @@ def topk_ivf_trained(
     )
 
 
-def topk_ivf_trained_sql(
-    query_vec_id: int = 0,
-    k: int = TOPK,
-    n_cells: int = IVF_CELLS,
-    nprobe: int = IVF_NPROBE,
-    dim: int = EMB_DIM,
-    n_iters: int = IVF_ITERS,
-) -> str:
-    """Oracle twin of :func:`topk_ivf_trained` — the CTE chain repeats
-    the assign→mean→rebuild trio once per Lloyd round."""
+def ivf_train_ctes(
+    n_cells: int = IVF_CELLS, dim: int = EMB_DIM, n_iters: int = IVF_ITERS
+) -> list[str]:
+    """The k-means-training CTE chain shared by every trained-centroid
+    oracle (:func:`topk_ivf_trained_sql`, semantic dedup): seed
+    centroids → ``n_iters`` × (assign → per-cell mean → rebuild) →
+    final ranking ``rf`` and assignment ``af`` (vec_id, embedding,
+    nrm, cell)."""
     nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
     cdot = fold_product_sql("w.embedding", "c.ce", dim)
     cnrm = f"sqrt({fold_product_sql('ce', 'ce', dim)})"
-    qdot = fold_product_sql("q.qv", "a.embedding", dim)
     n_iters = max(1, n_iters)
     ctes = [
         f"wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
@@ -649,6 +646,21 @@ def topk_ivf_trained_sql(
     ctes.append(
         "af AS (SELECT vec_id, embedding, nrm, cid AS cell FROM rf WHERE rk = 1)"
     )
+    return ctes
+
+
+def topk_ivf_trained_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMB_DIM,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    """Oracle twin of :func:`topk_ivf_trained` — the CTE chain repeats
+    the assign→mean→rebuild trio once per Lloyd round."""
+    qdot = fold_product_sql("q.qv", "a.embedding", dim)
+    ctes = ivf_train_ctes(n_cells, dim, n_iters)
     ctes.append(
         f"probes AS (SELECT cid AS cell FROM rf\n"
         f"           WHERE vec_id = {query_vec_id} AND rk <= {nprobe})"
