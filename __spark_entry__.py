@@ -28,6 +28,7 @@ from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
 from lasdb_spark.operators import outliers as _outliers
 from lasdb_spark.operators import semdedup as _semdedup
+from lasdb_spark.operators import features as _features
 from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
@@ -321,6 +322,13 @@ def _q_pc_outliers(spark, sf_dir):
     from lasdb_spark.operators.outliers import radius_outliers
 
     return radius_outliers(points_df(spark, sf_dir))
+
+
+def _q_pc_shape(spark, sf_dir):
+    """Neighborhood covariance eigen features (Weinmann shape set)."""
+    from lasdb_spark.operators.features import neighborhood_shape
+
+    return neighborhood_shape(points_df(spark, sf_dir))
 
 
 def _q_metadata_agg(spark, sf_dir):
@@ -783,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
         "pc_hag": _grid.height_above_ground_sql(_PTS, HAG_CELL),
         "pc_outliers": _outliers.radius_outliers_sql(_PTS),
+        "pc_shape": _features.neighborhood_shape_sql(_PTS),
         "pc_multi_window": _mw.multi_bbox_stats_sql(_PTS, MULTI_WINDOWS),
         "pc_knn_join": _mw.point_knn_join_sql(
             _PTS, KNN_JOIN_QUERIES, KNN_JOIN_K, KNN_JOIN_RADIUS
@@ -884,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "semdedup_pairs": _q_semdedup_pairs,
         "semdedup_keepers": _q_semdedup_keepers,
+        "pc_shape": _q_pc_shape,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,
