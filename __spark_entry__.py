@@ -29,6 +29,7 @@ from lasdb_spark.operators import multi_window as _mw
 from lasdb_spark.operators import outliers as _outliers
 from lasdb_spark.operators import semdedup as _semdedup
 from lasdb_spark.operators import features as _features
+from lasdb_spark.operators import search as _search
 from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
@@ -391,6 +392,21 @@ def _q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def _q_text_surprisal(spark, sf_dir):
+    from lasdb_spark.operators.text import surprisal_scores
+
+    return surprisal_scores(_docs(spark, sf_dir))
+
+
+BM25_QUERY = "fast hash join vector"
+
+
+def _q_text_bm25(spark, sf_dir):
+    from lasdb_spark.operators.search import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), BM25_QUERY)
+
+
 TOKEN_BUDGETS = {"en": 5000, "de": 1500}
 TOKEN_BUDGET_DEFAULT = 2000
 
@@ -625,6 +641,10 @@ def _q_rel_asof(spark, sf_dir):
     return _rel.asof_error_to_click(_ev(spark, sf_dir))
 
 
+def _q_rel_retention(spark, sf_dir):
+    return _rel.user_retention(_ev(spark, sf_dir))
+
+
 def _q_rel_json(spark, sf_dir):
     return _rel.json_extract_props(_ev(spark, sf_dir))
 
@@ -809,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _text.fingerprints_sql(),
         "text_repetition": _text.repetition_stats_sql(),
         "text_tfidf": _text.tfidf_top_terms_sql(),
+        "text_bm25": _search.bm25_search_sql(BM25_QUERY),
         "text_decontaminate": _decon.contamination_report_sql(),
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
@@ -847,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize_events": _rel.sessionize_events_sql(),
         "rel_hourly_rollup": _rel.hourly_event_rollup_sql(),
         "rel_asof_error_click": _rel.asof_error_to_click_sql(),
+        "rel_retention": _rel.user_retention_sql(),
+        "text_surprisal": _text.surprisal_scores_sql(),
         "rel_json_extract": _rel.json_extract_props_sql(),
         "rel_event_funnel": _rel.event_funnel_sql(),
         "rel_pricing_rollup": _rel.pricing_rollup_sql(),
@@ -894,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": _q_semdedup_pairs,
         "semdedup_keepers": _q_semdedup_keepers,
         "pc_shape": _q_pc_shape,
+        "text_bm25": _q_text_bm25,
+        "rel_retention": _q_rel_retention,
+        "text_surprisal": _q_text_surprisal,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

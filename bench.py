@@ -64,13 +64,27 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(fn) -> float:
-        """Median wall-clock of n_runs calls (cache cleared between)."""
+        """Median wall-clock of n_runs calls after ONE unmeasured
+        warm-up call.
+
+        The warm-up absorbs the entry's one-time costs — whole-stage
+        codegen compilation (multi-second for the widest dedup plans)
+        and JIT — so the medians report steady-state latency, which is
+        the quantity that scales with data volume (the bench's stated
+        contract since the r3 methodology note in BASELINE.md). Between
+        reps: drop leaked SQL caches AND force a JVM GC — the
+        allocation-heavy entries are otherwise GC-bound at sf0.1 (an
+        in-session A/B measured the SAME minhash call at 3.3 s in a
+        clean JVM and up to 35 s right after the point-cloud section
+        filled the old gen)."""
         ts = []
-        for _ in range(n_runs):
+        for rep in range(n_runs + 1):
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn()
-            ts.append(time.perf_counter() - t0)
+            if rep > 0:  # rep 0 is the unmeasured warm-up
+                ts.append(time.perf_counter() - t0)
         return round(statistics.median(ts), 4)
 
     try:

@@ -173,6 +173,51 @@ FROM ev GROUP BY 1, 2
 """.strip()
 
 
+def user_retention(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_users) — classic cohort-retention
+    triangle: users grouped by their first active day (epoch days),
+    counted on each later active day.
+
+    Spark-first shape: ONE shuffle on user_id builds the per-user
+    distinct-day set (collect_set combines map-side, and the set is
+    bounded by the retention window — days, not events); the cohort
+    day is array_min of that set, offsets explode from the same array,
+    so no second shuffle and no self-join against a cohort table. The
+    final (cohort, offset) agg is a second small shuffle over
+    triangle-sized data. Pure integer day arithmetic — deterministic
+    and timezone-independent (epoch-millis div)."""
+    day = F.expr("unix_millis(ts) div 86400000")
+    per_user = (
+        events.select("user_id", day.alias("day_num"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day_num").alias("days"))
+    )
+    ret = per_user.select(
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("day_num"),
+    )
+    return ret.groupBy(
+        "cohort_day",
+        (F.col("day_num") - F.col("cohort_day")).cast("int").alias(
+            "day_offset"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def user_retention_sql() -> str:
+    """Oracle twin — the relational (distinct + self-join) phrasing;
+    values are exact integers so the shapes agree bit-for-bit."""
+    return f"""
+{EV_CTE},
+evd AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_num FROM ev),
+cohort AS (SELECT user_id, min(day_num) AS cohort_day FROM evd GROUP BY 1)
+SELECT cohort.cohort_day,
+       CAST(evd.day_num - cohort.cohort_day AS INT) AS day_offset,
+       count(*) AS n_users
+FROM evd JOIN cohort USING (user_id) GROUP BY 1, 2
+""".strip()
+
+
 def asof_error_to_click(events: DataFrame) -> DataFrame:
     """As-of join (Spark has no native one): for each 'error' event,
     the most recent preceding 'click' by the same user.

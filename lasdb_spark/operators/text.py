@@ -608,6 +608,78 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
     )
 
 
+def surprisal_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_surprisal) — mean unigram surprisal
+    −ln p(token) under the corpus's own unigram model (the CCNet-style
+    fluency/quality signal: boilerplate and keyword-stuffed docs score
+    LOW because they repeat globally-common tokens; lexically rich text
+    scores high).
+
+    Scale: one token shuffle to per-(doc, term) counts (map-side
+    partials, doc-scoped keys); the corpus unigram table aggregates
+    that collapsed table; total count broadcasts as a one-row agg. The
+    per-doc mean would be a float sum in corpus-dependent order — so
+    each term's contribution is cast to DECIMAL(20, 10) and summed
+    EXACTLY (order-independent, same trick as the TPC-H money aggs),
+    making the score reproducible under any partitioning and
+    hash-matchable by the oracle."""
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    s = F.log(
+        F.col("total").cast("double") / F.col("cnt").cast("double")
+    )
+    contrib = (F.col("tf").cast("double") * s).cast("decimal(20,10)")
+    per_doc = (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(contrib).alias("s_dec"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s_dec").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("avg_surprisal"),
+    )
+
+
+def surprisal_scores_sql() -> str:
+    pat = WORD_RE.replace("'", "''")
+    s = "ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))"
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+freq AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+per_doc AS (
+  SELECT t.doc_id, sum(t.tf) AS n_tokens,
+         sum(CAST(CAST(t.tf AS DOUBLE) * {s} AS DECIMAL(20,10))) AS s_dec
+  FROM tf t JOIN freq f USING (term) CROSS JOIN tot
+  GROUP BY 1)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(s_dec AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS avg_surprisal
+FROM per_doc
+""".strip()
+
+
 def tfidf_top_terms_sql(k: int = TFIDF_K) -> str:
     pat = WORD_RE.replace("'", "''")
     return f"""
