@@ -221,3 +221,70 @@ def test_multi_window_is_hash_join_not_nested_loop(stored):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters" in plan and "sfc_key" in plan.split("PushedFilters")[1][:400]
+
+
+@pytest.mark.spark
+def test_tfidf_and_surprisal_plan_shapes(spark, sf_dir):
+    """TF-IDF / surprisal: pure built-ins (no Python eval nodes), the
+    corpus-size/stat side arrives via broadcast, term counts combine
+    map-side before their shuffle, and the top-k window partitions by
+    doc_id (no partition-less global window)."""
+    from lasdb_spark.operators.text import surprisal_scores, tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (tfidf_top_terms(docs), surprisal_scores(docs)):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "BroadcastExchange" in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+    tfidf_plan = _plan(tfidf_top_terms(docs))
+    # the rank window must partition by doc_id — a partition-less
+    # window would funnel the whole vocabulary through one task
+    assert "windowspecdefinition(doc_id" in tfidf_plan
+
+
+@pytest.mark.spark
+def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
+    """BM25: the query-term IN filter must sit below the first
+    aggregation (map-side prune of the exploded token stream), the
+    df/stats sides must broadcast, and top-k must be TakeOrdered."""
+    from lasdb_spark.operators.search import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_search(docs, "fast hash join vector"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the IN-list filter sits directly on the exploded stream, deeper
+    # in the tree than every exchange — i.e. it prunes map-side before
+    # any shuffle
+    assert "IN (fast,hash,join,vector)" in plan
+    assert plan.find("IN (fast,hash,join,vector)") > plan.find(
+        "Exchange hashpartitioning"
+    )
+
+
+@pytest.mark.spark
+def test_retention_single_user_shuffle(spark, sf_dir):
+    """Cohort retention: exactly the two designed exchanges (user_id
+    agg + final triangle agg) — no join, no extra distinct shuffle."""
+    from lasdb_spark.operators.relational import user_retention
+    from lasdb_spark.sources.events import events_df
+
+    plan = _plan(user_retention(events_df(spark, f"{sf_dir}")))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower()
+
+
+@pytest.mark.spark
+def test_semdedup_pair_join_keys_on_cell(spark, sf_dir):
+    """Semantic dedup's pair scan must key on the cell (hash join);
+    the only nested-loop join allowed is the broadcast of the tiny
+    centroid/one-row tables during assignment."""
+    from lasdb_spark.operators.semdedup import semantic_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semantic_pairs(embs))
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
