@@ -470,21 +470,18 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         dup_ratio.alias("dup_token_ratio"),
-        toks.alias("toks"),
+        F.col("text"),
     )
-    idx = F.when(
-        F.col("n_tokens") >= 2, F.sequence(F.lit(1), F.col("n_tokens") - 1)
-    ).otherwise(F.array().cast("array<int>"))
+    # overlapping word bigrams in ONE compiled-regex pass (zero-width
+    # word-start lookahead over normalized text) — same trick as
+    # dedup.shingles; the transform-lambda formulation evaluated an
+    # interpreted HOF per window
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     bigrams = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i),
-                    F.element_at(F.col("toks"), i + 1),
-                ),
+            F.regexp_extract_all(
+                norm, F.lit(r"(?<![^ ])(?=([^ ]+ [^ ]+))"), F.lit(1)
             )
         ).alias("bg"),
     )
@@ -495,7 +492,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         )
     )
     return (
-        base.drop("toks")
+        base.drop("text")
         .join(frac, "doc_id", "left")
         .select(
             "doc_id",
