@@ -398,6 +398,12 @@ def _q_text_surprisal(spark, sf_dir):
     return surprisal_scores(_docs(spark, sf_dir))
 
 
+def _q_text_chunks(spark, sf_dir):
+    from lasdb_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 BM25_QUERY = "fast hash join vector"
 
 
@@ -870,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_asof_error_click": _rel.asof_error_to_click_sql(),
         "rel_retention": _rel.user_retention_sql(),
         "text_surprisal": _text.surprisal_scores_sql(),
+        "text_chunks": _text.chunk_documents_sql(),
         "rel_json_extract": _rel.json_extract_props_sql(),
         "rel_event_funnel": _rel.event_funnel_sql(),
         "rel_pricing_rollup": _rel.pricing_rollup_sql(),
@@ -920,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "rel_retention": _q_rel_retention,
         "text_surprisal": _q_text_surprisal,
+        "text_chunks": _q_text_chunks,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

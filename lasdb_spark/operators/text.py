@@ -605,6 +605,88 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk) — each document split
+    into overlapping token windows (`chunk_tokens` wide, advancing by
+    `stride`), the standard pretraining / retrieval-indexing
+    preprocessing step. The final window keeps the tail remainder;
+    every token of every document appears in at least one chunk; empty
+    docs yield no chunks.
+
+    Scale: pure map-side fan-out — tokenize once, derive the chunk
+    count arithmetically, explode chunk indices, slice the token
+    array. No shuffle at all: the operator multiplies rows ~len/stride
+    and the downstream consumer decides the partitioning. Chunk ids
+    are deterministic (doc_id, window index)."""
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+        )
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    # windows to cover all n tokens: 1 + ceil(max(0, n - chunk)/stride)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1)
+            / F.lit(stride)
+        ).cast("int")
+    )
+    base = docs.select("doc_id", toks.alias("toks"), n_chunks.alias("nc"))
+    idx = F.explode(
+        F.when(
+            F.col("nc") > 0, F.sequence(F.lit(0), F.col("nc") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    chunked = base.select("doc_id", "toks", idx.alias("chunk_id"))
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n
+  FROM documents),
+counted AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= 0 THEN 0
+              ELSE 1 + CAST(floor((greatest(n - {chunk_tokens}, 0)
+                                   + {stride} - 1) / {stride}) AS INT)
+         END AS nc
+  FROM base),
+idx AS (
+  SELECT doc_id, toks, CAST(s.i AS INT) AS chunk_id
+  FROM counted, LATERAL (SELECT unnest(range(0, nc))) AS s(i)),
+pieces AS (
+  SELECT doc_id, chunk_id,
+         toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}]
+           AS piece
+  FROM idx)
+SELECT doc_id, chunk_id, CAST(len(piece) AS INT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk
+FROM pieces
+""".strip()
+
+
 def surprisal_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, avg_surprisal) — mean unigram surprisal
     −ln p(token) under the corpus's own unigram model (the CCNet-style

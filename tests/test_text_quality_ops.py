@@ -103,3 +103,34 @@ def test_token_budget_sample_semantics(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     cut.unpersist()
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Reconstructing each doc from its chunks (first `stride` tokens
+    of every chunk, all of the last) must give back the exact token
+    stream — no token lost or duplicated at window seams."""
+    import re
+
+    from lasdb_spark.operators.text import (
+        CHUNK_STRIDE,
+        TOKEN_RE,
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = {}
+    for r in chunk_documents(docs).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(chunks) == {
+        d for d, t in texts.items() if re.findall(TOKEN_RE, t)
+    }
+    for doc_id, by_id in chunks.items():
+        toks = re.findall(TOKEN_RE, texts[doc_id])
+        rebuilt = []
+        last = max(by_id)
+        assert sorted(by_id) == list(range(last + 1))
+        for cid in range(last + 1):
+            ctoks = by_id[cid].split(" ")
+            rebuilt.extend(ctoks if cid == last else ctoks[:CHUNK_STRIDE])
+        assert rebuilt == toks, doc_id
