@@ -510,6 +510,17 @@ def _q_corpus_curate(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """Full prep flow: decontaminate → curate → budget-mix → pack."""
+    from lasdb_spark.operators.curate import pretraining_corpus
+
+    return pretraining_corpus(
+        _docs(spark, sf_dir),
+        budgets=TOKEN_BUDGETS,
+        default_budget=TOKEN_BUDGET_DEFAULT,
+    )
+
+
 def _q_dedup_keepers(spark, sf_dir):
     from lasdb_spark.operators.dedup import dedup_keepers
 
@@ -877,6 +888,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_retention": _rel.user_retention_sql(),
         "text_surprisal": _text.surprisal_scores_sql(),
         "text_chunks": _text.chunk_documents_sql(),
+        "corpus_pipeline": _curate.pretraining_corpus_sql(
+            budgets=TOKEN_BUDGETS, default_budget=TOKEN_BUDGET_DEFAULT
+        ),
         "rel_json_extract": _rel.json_extract_props_sql(),
         "rel_event_funnel": _rel.event_funnel_sql(),
         "rel_pricing_rollup": _rel.pricing_rollup_sql(),
@@ -928,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_retention": _q_rel_retention,
         "text_surprisal": _q_text_surprisal,
         "text_chunks": _q_text_chunks,
+        "corpus_pipeline": _q_corpus_pipeline,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

@@ -62,6 +62,98 @@ def curate_corpus(
     )
 
 
+def pretraining_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality: float = MIN_QUALITY,
+    tau: float = JACCARD_TAU,
+    rates: dict | None = None,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 0,
+    seq_len: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, lang, n_tokens, quality, bucket, seq_id, offset) — the
+    COMPLETE pretraining-data prep flow as one lazy plan:
+
+      decontaminate (eval-set n-gram overlap, broadcast probe)
+      → curate (quality gate ∧ near-dup keeper ∧ stratified sample)
+      → token-budget mix (per-language best-first cut)
+      → sequence packing (concat-then-chunk stream metadata)
+
+    Each stage is the already-oracle-checked operator; this composes
+    them the way a real corpus build runs, and its own oracle checks
+    the COMPOSITION end-to-end (stage handoffs are semi-joins on
+    doc_id, so key/type drift between stages cannot hide).
+
+    Scale: the expensive stage is the dedup pipeline inside
+    :func:`curate_corpus` (band join + components); decontamination
+    adds a broadcast probe fused into the scan, the budget cut one
+    lang-partitioned window, packing one bucket-partitioned window.
+    ``benchmark`` defaults to the driver-contract slice
+    (:func:`~lasdb_spark.operators.decontaminate.driver_benchmark`)."""
+    from .decontaminate import decontaminate, driver_benchmark
+    from .text import pack_sequences, token_budget_sample
+
+    if benchmark is None:
+        benchmark = driver_benchmark(docs)
+    clean = decontaminate(docs, benchmark)
+    curated = curate_corpus(clean, min_quality, tau, rates)
+    surv = clean.join(curated.select("doc_id"), "doc_id", "leftsemi")
+    budgeted = token_budget_sample(surv, budgets or {}, default_budget)
+    kept = surv.join(budgeted.select("doc_id"), "doc_id", "leftsemi")
+    packed = pack_sequences(kept, seq_len, n_buckets)
+    return budgeted.select("doc_id", "lang", "n_tokens", "quality").join(
+        packed.select("doc_id", "bucket", "seq_id", "offset"), "doc_id"
+    )
+
+
+def pretraining_corpus_sql(
+    min_quality: float = MIN_QUALITY,
+    tau: float = JACCARD_TAU,
+    rates: dict | None = None,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 0,
+    seq_len: int = 512,
+    n_buckets: int = 32,
+) -> str:
+    """Oracle twin of :func:`pretraining_corpus` — each stage's SQL
+    generator is reused by retargeting its ``FROM documents`` source
+    at the previous stage's survivor CTE (every generator in this
+    package spells its corpus source exactly that way; CTE shadowing
+    would be cleaner but DuckDB's binder reports a same-name CTE whose
+    lineage reaches the shadowed table as a circular reference)."""
+    from .decontaminate import contamination_report_sql
+    from .text import pack_sequences_sql, token_budget_sample_sql
+
+    def retarget(sql: str, src: str) -> str:
+        return sql.replace("FROM documents", f"FROM {src}")
+
+    curated_sql = retarget(
+        curate_corpus_sql(min_quality, tau, rates), "clean"
+    )
+    budget_sql = retarget(
+        token_budget_sample_sql(budgets or {}, default_budget), "surv"
+    )
+    packed_sql = retarget(pack_sequences_sql(seq_len, n_buckets), "kept")
+    return f"""
+WITH contam AS ({contamination_report_sql()}),
+clean AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+curated AS ({curated_sql}),
+surv AS (
+  SELECT * FROM clean WHERE doc_id IN (SELECT doc_id FROM curated)),
+budgeted AS ({budget_sql}),
+kept AS (
+  SELECT * FROM surv WHERE doc_id IN (SELECT doc_id FROM budgeted)),
+packed AS ({packed_sql})
+SELECT b.doc_id, b.lang, b.n_tokens, b.quality,
+       p.bucket, p.seq_id, p.offset
+FROM budgeted b JOIN packed p USING (doc_id)
+""".strip()
+
+
 def curate_corpus_sql(
     min_quality: float = MIN_QUALITY,
     tau: float = JACCARD_TAU,
