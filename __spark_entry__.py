@@ -177,6 +177,7 @@ def _q_multi_window(spark, sf_dir):
 
 
 LOD_LEVEL, THIN_DENOM = 5, 4
+LOD_PYRAMID_LEVELS = [4, 7, 10]
 
 # batch kNN-join query poses: interior points, an edge case near the
 # extent boundary, and one outside (no in-radius points -> absent)
@@ -202,6 +203,11 @@ def _q_voxel_lod(spark, sf_dir):
 
 def _q_thin(spark, sf_dir):
     return _querier(spark, sf_dir).thin(THIN_DENOM)
+
+
+def _q_lod_pyramid(spark, sf_dir):
+    """Hierarchical LOD rollup vs per-level direct oracle."""
+    return _querier(spark, sf_dir).lod_pyramid(LOD_PYRAMID_LEVELS)
 
 
 def _q_polygon_l(spark, sf_dir):
@@ -834,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
             _PTS, KNN_JOIN_QUERIES, KNN_JOIN_K, KNN_JOIN_RADIUS
         ),
         "pc_voxel_lod": _lod.voxel_downsample_sql(_SFC_CTE, LOD_LEVEL),
+        "pc_lod_pyramid": _lod.lod_pyramid_sql(_SFC_CTE, LOD_PYRAMID_LEVELS),
         "pc_thin": _lod.thin_points_sql(_SFC_CTE, THIN_DENOM),
         "pc_metadata_agg": (
             f"{_PTS} SELECT count(*) AS point_count, "
@@ -943,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": _q_text_surprisal,
         "text_chunks": _q_text_chunks,
         "corpus_pipeline": _q_corpus_pipeline,
+        "pc_lod_pyramid": _q_lod_pyramid,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

@@ -84,6 +84,89 @@ SELECT cell, n_points, x, y, z FROM r WHERE rn = 1
 """.strip()
 
 
+def lod_pyramid(
+    df: DataFrame,
+    meta: DatasetMeta,
+    levels: list[int],
+    layout: str = "flat",
+) -> DataFrame:
+    """(level, cell, n_points, x, y, z) — a whole LOD pyramid in one
+    lazy plan, computed HIERARCHICALLY: the finest requested level
+    aggregates the cloud once; every coarser level aggregates the
+    PREVIOUS level's representatives, a geometrically smaller input
+    (occupied-cell count shrinks ~4× per level for 2D Morton cells).
+    A viewer materializes this once and picks a level by point budget.
+
+    Exactness: the representative rule (struct-min of
+    (sfc_key, z, x, y)) and the occupancy count are both ASSOCIATIVE,
+    and a level-L cell id is a further right-shift of any finer cell
+    id (Morton prefix property) — so min-of-mins and sum-of-counts
+    over level L−k reps equal the direct level-L aggregation of the
+    raw cloud. The oracle computes every level DIRECTLY from the
+    cloud, so the driver gate proves the hierarchical rollup exact,
+    not just plausible.
+
+    Scale: one full-cloud shuffle for the finest level, then one
+    shuffle per coarser level over shrinking rep tables — vs one full
+    scan+shuffle PER level if each were computed independently."""
+    if not levels:
+        raise ValueError("need at least one level")
+    lv = sorted(set(int(l) for l in levels))
+    if lv[0] < 0:
+        raise ValueError(f"levels must be >= 0, got {levels}")
+    pts = _points(df, meta, layout)
+    cur = (
+        pts.withColumn("cell", F.shiftright(F.col("sfc_key"), 2 * lv[0]))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(F.struct("sfc_key", "z", "x", "y")).alias("rep"),
+        )
+    )
+    out = None
+    prev_level = lv[0]
+    for i, l in enumerate(lv):
+        if i > 0:
+            cur = (
+                cur.withColumn(
+                    "cell", F.shiftright(F.col("cell"), 2 * (l - prev_level))
+                )
+                .groupBy("cell")
+                .agg(
+                    F.sum("n_points").alias("n_points"),
+                    F.min("rep").alias("rep"),
+                )
+            )
+            prev_level = l
+        tier = cur.select(
+            F.lit(l).cast("int").alias("level"),
+            "cell",
+            "n_points",
+            F.col("rep.x").alias("x"),
+            F.col("rep.y").alias("y"),
+            F.col("rep.z").alias("z"),
+        )
+        out = tier if out is None else out.unionByName(tier)
+    return out
+
+
+def lod_pyramid_sql(sfc_cte: str, levels: list[int]) -> str:
+    """Oracle twin — every level computed DIRECTLY from the cloud (the
+    hierarchical shortcut is the Spark side's claim under test)."""
+    lv = sorted(set(int(l) for l in levels))
+    tiers = []
+    for l in lv:
+        tiers.append(f"""
+SELECT {l} AS level, cell, n_points, x, y, z FROM (
+  SELECT (sfc_key >> {2 * l}) AS cell, x, y, z,
+         row_number() OVER (PARTITION BY (sfc_key >> {2 * l})
+                            ORDER BY sfc_key, z, x, y) AS rn,
+         count(*) OVER (PARTITION BY (sfc_key >> {2 * l})) AS n_points
+  FROM k) WHERE rn = 1""".strip())
+    union = "\nUNION ALL\n".join(tiers)
+    return f"{sfc_cte}\n{union}".strip()
+
+
 def thin_points(
     df: DataFrame, meta: DatasetMeta, denom: int, layout: str = "flat"
 ) -> DataFrame:

@@ -276,6 +276,13 @@ class WindowQuerier:
 
         return thin_points(self.df, self.meta, denom, layout=self.layout)
 
+    def lod_pyramid(self, levels: list[int]) -> DataFrame:
+        """Whole LOD pyramid, hierarchically rolled up (see
+        :mod:`lasdb_spark.operators.lod`)."""
+        from .lod import lod_pyramid
+
+        return lod_pyramid(self.df, self.meta, levels, layout=self.layout)
+
     def query(
         self, mode: str, geometry, minz=None, maxz=None, k: int | None = None
     ) -> DataFrame:

@@ -109,3 +109,33 @@ def test_lod_validation(stores):
         qf.voxel_lod(-1)
     with pytest.raises(ValueError):
         qf.thin(0)
+
+
+def test_lod_pyramid_levels_match_direct(stores):
+    """Each pyramid tier must equal the independent voxel_downsample
+    at that level (min-of-mins/sum-of-counts associativity), and the
+    plan must REUSE the finest level's exchange across tiers instead
+    of rescanning the cloud per level."""
+    _, qf, _ = stores
+    levels = [4, 7, 10]
+    pyr = qf.lod_pyramid(levels)
+    for l in levels:
+        tier = pyr.filter(F.col("level") == l).drop("level")
+        direct = qf.voxel_lod(l)
+        assert tier.exceptAll(direct).count() == 0
+        assert direct.exceptAll(tier).count() == 0
+    # AQE defers exchange reuse to runtime stages (the static plan
+    # string shows none before execution) — assert on the non-adaptive
+    # plan, where ReuseExchange is a static rule
+    spark = pyr.sparkSession
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            qf.lod_pyramid(levels)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan
