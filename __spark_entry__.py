@@ -324,6 +324,20 @@ def _q_pc_hag(spark, sf_dir):
     return height_above_ground(points_df(spark, sf_dir), HAG_CELL)
 
 
+def _q_pc_classify(spark, sf_dir):
+    """HAG-threshold point classification (ASPRS-style coarse split)."""
+    from lasdb_spark.operators.grid import classify_by_hag
+
+    return classify_by_hag(points_df(spark, sf_dir), HAG_CELL)
+
+
+def _q_dedup_lsh_recall(spark, sf_dir):
+    """LSH banding recall audited against the exact pair sweep."""
+    from lasdb_spark.operators.dedup import lsh_recall_report
+
+    return lsh_recall_report(_docs(spark, sf_dir))
+
+
 def _q_pc_outliers(spark, sf_dir):
     """Radius outlier detection (sparse-neighborhood sites)."""
     from lasdb_spark.operators.outliers import radius_outliers
@@ -833,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
         "pc_hag": _grid.height_above_ground_sql(_PTS, HAG_CELL),
+        "pc_classify": _grid.classify_by_hag_sql(_PTS, HAG_CELL),
+        "dedup_lsh_recall": _dedup.lsh_recall_report_sql(),
         "pc_outliers": _outliers.radius_outliers_sql(_PTS),
         "pc_shape": _features.neighborhood_shape_sql(_PTS),
         "pc_multi_window": _mw.multi_bbox_stats_sql(_PTS, MULTI_WINDOWS),
@@ -951,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "corpus_pipeline": _q_corpus_pipeline,
         "pc_lod_pyramid": _q_lod_pyramid,
+        "pc_classify": _q_pc_classify,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

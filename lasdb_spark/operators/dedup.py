@@ -1067,3 +1067,59 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM wn a JOIN wn b ON a.vec_id < b.vec_id
 WHERE round({dot} / (a.nrm * b.nrm), 6) >= {tau}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# LSH self-evaluation: banded-candidate recall vs the exact sweep
+# ---------------------------------------------------------------------------
+def lsh_recall_report(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """One row (n_exact, n_lsh, n_missed, recall) — the banded-LSH
+    pair set audited against the exact all-pairs ground truth at the
+    same tau. Both pipelines VERIFY with exact Jaccard, so LSH output
+    is always a subset (precision 1 by construction); what banding can
+    lose is recall — pairs whose signatures never collide in any band.
+    This is the measurement a pipeline owner runs before trusting a
+    banding configuration (n_perms, band_size) on a new corpus.
+
+    Scale: the ground-truth side is the inherently quadratic
+    shingle-sharing join — run the report on a SAMPLE of a huge corpus
+    (its purpose is estimating a rate, not enumerating pairs); the LSH
+    side is the production plan. The final counts are three one-row
+    aggregates cross-joined — nothing corpus-sized leaves the
+    executors."""
+    exact = ngram_jaccard_pairs(docs, tau).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(docs, tau).select("doc_a", "doc_b")
+    common = lsh.join(exact, ["doc_a", "doc_b"], "leftsemi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nc = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nc)
+        .select(
+            "n_exact",
+            "n_lsh",
+            (F.col("n_exact") - F.col("n_common")).alias("n_missed"),
+            F.round(
+                F.when(F.col("n_exact") > 0,
+                       F.col("n_common")
+                       / F.col("n_exact").cast("double")).otherwise(1.0),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def lsh_recall_report_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({ngram_jaccard_pairs_sql(tau)}) t),
+l AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(tau)}) t),
+c AS (SELECT count(*) AS n_common FROM l JOIN e USING (doc_a, doc_b)),
+ne AS (SELECT count(*) AS n_exact FROM e),
+nl AS (SELECT count(*) AS n_lsh FROM l)
+SELECT n_exact, n_lsh, n_exact - n_common AS n_missed,
+       round(CASE WHEN n_exact > 0
+                  THEN n_common / CAST(n_exact AS DOUBLE)
+                  ELSE 1.0 END, 6) AS recall
+FROM ne CROSS JOIN nl CROSS JOIN c
+""".strip()

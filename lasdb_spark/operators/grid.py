@@ -76,7 +76,10 @@ def height_above_ground(
         pts.join(ground, ["cell_x", "cell_y"])
         .select(
             "x", "y", "z", "ground_z",
-            F.round(F.col("z") - F.col("ground_z"), 2).alias("hag"),
+            # "+ 0.0" collapses IEEE -0.0 (the min point's z can sit
+            # one ulp below the re-quantized ground_z) so both engines
+            # emit the identical zero
+            (F.round(F.col("z") - F.col("ground_z"), 2) + 0.0).alias("hag"),
         )
     )
 
@@ -95,7 +98,51 @@ g AS (
          min(CAST(round(z * 100) AS BIGINT)) OVER (
              PARTITION BY cell_x, cell_y) / 100.0 AS ground_z
   FROM cells)
-SELECT x, y, z, ground_z, round(z - ground_z, 2) AS hag FROM g
+SELECT x, y, z, ground_z, round(z - ground_z, 2) + 0.0 AS hag FROM g
+""".strip()
+
+
+#: height-above-ground class breaks (metres): ground / low vegetation /
+#: medium vegetation / high vegetation-or-structure — the ASPRS-style
+#: coarse split every AHN-derived product starts from
+HAG_BREAKS = (0.1, 2.0, 10.0)
+HAG_CLASSES = ("ground", "low_veg", "med_veg", "high")
+
+
+def classify_by_hag(
+    points: DataFrame, cell: float = CELL, broadcast_ground: bool = False
+) -> DataFrame:
+    """(x, y, z, hag, cls) — each point labeled by its height above
+    the gridded ground estimate: ``ground`` (< 0.1 m), ``low_veg``
+    (< 2 m), ``med_veg`` (< 10 m), ``high`` (rest). A heuristic
+    stand-in for an ASPRS classifier, but the full Spark shape of one:
+    normalization (agg + cell join) feeding a map-side labeling pass.
+
+    Scale: exactly :func:`height_above_ground`'s cost — the CASE adds
+    zero shuffles. Thresholds on the rounded(2) hag, so both engines
+    bucket identical doubles."""
+    hag = height_above_ground(points, cell, broadcast_ground)
+    c = F.col("hag")
+    lo, mid, hi = HAG_BREAKS
+    cls = (
+        F.when(c < lo, HAG_CLASSES[0])
+        .when(c < mid, HAG_CLASSES[1])
+        .when(c < hi, HAG_CLASSES[2])
+        .otherwise(HAG_CLASSES[3])
+    )
+    return hag.select("x", "y", "z", "hag", cls.alias("cls"))
+
+
+def classify_by_hag_sql(points_cte: str, cell: float = CELL) -> str:
+    lo, mid, hi = HAG_BREAKS
+    g0, g1, g2, g3 = HAG_CLASSES
+    return f"""
+SELECT x, y, z, hag,
+       CASE WHEN hag < {lo} THEN '{g0}'
+            WHEN hag < {mid} THEN '{g1}'
+            WHEN hag < {hi} THEN '{g2}'
+            ELSE '{g3}' END AS cls
+FROM ({height_above_ground_sql(points_cte, cell)})
 """.strip()
 
 
