@@ -145,6 +145,7 @@ def main() -> None:
             "polyline_buf": lambda: q.polyline_buffer(polyline, 120.003),
             "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
             "multi_window_36": lambda: q.multi_bbox(mw_wins),
+            "lod_pyramid": lambda: q.lod_pyramid([4, 7, 10]),
         }
         # LLM-pipeline operators on the documents/embeddings tables.
         # Drop cached blocks from the point-cloud section first: the
@@ -161,12 +162,20 @@ def main() -> None:
             exact_dedup,
             minhash_lsh_pairs,
         )
+        from lasdb_spark.operators.search import bm25_search
         from lasdb_spark.operators.similarity import knn_join_lsh
-        from lasdb_spark.operators.text import quality_scores
+        from lasdb_spark.operators.text import (
+            quality_scores,
+            surprisal_scores,
+            tfidf_top_terms,
+        )
 
         suite.update(
             {
                 "text_quality": lambda: quality_scores(docs),
+                "text_tfidf": lambda: tfidf_top_terms(docs),
+                "text_surprisal": lambda: surprisal_scores(docs),
+                "text_bm25": lambda: bm25_search(docs, "fast hash join vector"),
                 "dedup_exact": lambda: exact_dedup(docs),
                 "dedup_minhash": lambda: minhash_lsh_pairs(docs),
                 "dedup_clusters": lambda: dedup_clusters(docs),

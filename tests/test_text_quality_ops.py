@@ -134,3 +134,41 @@ def test_chunking_covers_every_token(spark, sf_dir):
             ctoks = by_id[cid].split(" ")
             rebuilt.extend(ctoks if cid == last else ctoks[:CHUNK_STRIDE])
         assert rebuilt == toks, doc_id
+
+
+def test_chunking_boundary_cases(spark):
+    """Adversarial corpus: token counts straddling every window
+    boundary plus messy whitespace, checked against a pure-python
+    reference in one Spark pass."""
+    import re
+
+    from lasdb_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        TOKEN_RE,
+        chunk_documents,
+    )
+
+    sizes = [0, 1, 2, 47, 48, 49, 63, 64, 65, 111, 112, 113, 160, 200]
+    rows = []
+    for i, n in enumerate(sizes):
+        sep = [" ", "  ", "\t", "\n", " \t "][i % 5]
+        rows.append((i, sep.join(f"w{j}" for j in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(docs).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (
+            r.n_chunk_tokens,
+            r.chunk,
+        )
+    for i, n in enumerate(sizes):
+        toks = re.findall(TOKEN_RE, rows[i][1])
+        assert len(toks) == n
+        if n == 0:
+            assert i not in got
+            continue
+        want_nc = 1 + max(0, -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE))
+        assert len(got[i]) == want_nc, (i, n)
+        for cid in range(want_nc):
+            piece = toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert got[i][cid] == (len(piece), " ".join(piece)), (i, cid)
