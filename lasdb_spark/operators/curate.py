@@ -72,6 +72,7 @@ def pretraining_corpus(
     default_budget: int = 0,
     seq_len: int = 512,
     n_buckets: int = 32,
+    materialize: bool = False,
 ) -> DataFrame:
     """(doc_id, lang, n_tokens, quality, bucket, seq_id, offset) — the
     COMPLETE pretraining-data prep flow as one lazy plan:
@@ -90,6 +91,13 @@ def pretraining_corpus(
     :func:`curate_corpus` (band join + components); decontamination
     adds a broadcast probe fused into the scan, the budget cut one
     lang-partitioned window, packing one bucket-partitioned window.
+    The fully-lazy default re-derives the ``clean``/``surv`` survivor
+    sets for each consumer (7 corpus scans in the physical plan, with
+    Catalyst reusing 6 of the 10 exchanges — fine while scans are
+    cheap relative to the dedup shuffles). At corpus scale pass
+    ``materialize=True`` to ``localCheckpoint`` the two survivor
+    tables, cutting the plan to one scan per stage — the same
+    persist-stage-outputs shape a production corpus build uses.
     ``benchmark`` defaults to the driver-contract slice
     (:func:`~lasdb_spark.operators.decontaminate.driver_benchmark`)."""
     from .decontaminate import decontaminate, driver_benchmark
@@ -98,8 +106,12 @@ def pretraining_corpus(
     if benchmark is None:
         benchmark = driver_benchmark(docs)
     clean = decontaminate(docs, benchmark)
+    if materialize:
+        clean = clean.localCheckpoint()
     curated = curate_corpus(clean, min_quality, tau, rates)
     surv = clean.join(curated.select("doc_id"), "doc_id", "leftsemi")
+    if materialize:
+        surv = surv.localCheckpoint()
     budgeted = token_budget_sample(surv, budgets or {}, default_budget)
     kept = surv.join(budgeted.select("doc_id"), "doc_id", "leftsemi")
     packed = pack_sequences(kept, seq_len, n_buckets)

@@ -172,3 +172,18 @@ def test_chunking_boundary_cases(spark):
         for cid in range(want_nc):
             piece = toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_TOKENS]
             assert got[i][cid] == (len(piece), " ".join(piece)), (i, cid)
+
+
+def test_pipeline_materialize_identical(spark, sf_dir):
+    """materialize=True (checkpointed survivor tables) must produce
+    the byte-same result as the fully lazy plan."""
+    from lasdb_spark.operators.curate import pretraining_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lazy = pretraining_corpus(docs, budgets={"en": 2000}, default_budget=800)
+    mat = pretraining_corpus(
+        docs, budgets={"en": 2000}, default_budget=800, materialize=True
+    )
+    assert lazy.exceptAll(mat).count() == 0
+    assert mat.exceptAll(lazy).count() == 0
+    assert mat.count() > 0
