@@ -1,0 +1,72 @@
+"""Global physical-plan policy over the ENTIRE driver query surface.
+
+Every `__spark_entry__.queries()` entry is planned (not executed) and
+screened for the anti-patterns that break at 100 TB:
+
+- CartesianProduct — unbounded O(n·m) pair blowup;
+- BatchEvalPython / ArrowEvalPython — per-row Python in the hot path
+  (the multimodal stub is exempt by design: its mapInPandas IS the
+  documented Arrow plumbing under test);
+- partition-less windows — a global window funnels every row through
+  one task. EXEMPT where the window's input is structurally bounded:
+  rank attachment AFTER `.orderBy().limit(k)` (TakeOrderedAndProject
+  reduces to k rows first — the house top-k idiom, VERDICT r2) and
+  lag/momentum over an already-aggregated handful of month rows.
+
+New queries are screened automatically; an unexplained flag fails the
+suite until either the plan is fixed or the exemption is argued here.
+"""
+
+import re
+
+import pytest
+
+#: global-window exemptions: window input is bounded by construction
+BOUNDED_GLOBAL_WINDOW = {
+    "text_top_tokens",  # rank over the k rows left by TakeOrdered
+    "text_bm25",  # same — rank after limit(k)
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "rel_month_momentum",  # lag over per-month aggregates (≤ months)
+}
+
+#: Python-eval exemptions: the honest multimodal stub (Arrow plumbing
+#: is the thing under test; decode is a documented fake)
+PYTHON_EVAL_OK = {"mm_features", "mm_resize", "mm_frame_sample"}
+
+
+def _global_window(plan: str) -> bool:
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        if "ASC" in first or "DESC" in first:
+            return True
+    return False
+
+
+@pytest.mark.spark
+def test_every_query_plan_passes_policy(spark, sf_dir):
+    import __spark_entry__ as e
+
+    violations = {}
+    for name, fn in e.queries().items():
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if name not in PYTHON_EVAL_OK and (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+        ):
+            bad.append("python-eval")
+        if name not in BOUNDED_GLOBAL_WINDOW and _global_window(plan):
+            bad.append("global-window")
+        if bad:
+            violations[name] = bad
+    assert not violations, violations
