@@ -176,8 +176,15 @@ def _q_multi_window(spark, sf_dir):
     return _querier(spark, sf_dir).multi_bbox(MULTI_WINDOWS)
 
 
+def _q_zonal(spark, sf_dir):
+    """GIS zonal statistics over a table of polygon zones."""
+    return _querier(spark, sf_dir).zonal(ZONES)
+
+
 LOD_LEVEL, THIN_DENOM = 5, 4
 LOD_PYRAMID_LEVELS = [4, 7, 10]
+#: zonal-statistics zones: the three polygon test shapes as a zone table
+ZONES = [(1, POLY_L), (2, POLY_HOLE), (3, POLY_DIAMOND)]
 
 # batch kNN-join query poses: interior points, an edge case near the
 # extent boundary, and one outside (no in-radius points -> absent)
@@ -857,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pc_voxel_lod": _lod.voxel_downsample_sql(_SFC_CTE, LOD_LEVEL),
         "pc_lod_pyramid": _lod.lod_pyramid_sql(_SFC_CTE, LOD_PYRAMID_LEVELS),
+        "pc_zonal_stats": _mw.zonal_stats_sql(_PTS, ZONES),
         "pc_thin": _lod.thin_points_sql(_SFC_CTE, THIN_DENOM),
         "pc_metadata_agg": (
             f"{_PTS} SELECT count(*) AS point_count, "
@@ -969,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_lod_pyramid": _q_lod_pyramid,
         "pc_classify": _q_pc_classify,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "pc_zonal_stats": _q_zonal,
         "text_repetition": _q_text_repetition,
         "text_decontaminate": _q_text_decontaminate,
         "pc_multi_window": _q_multi_window,

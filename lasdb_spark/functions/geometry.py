@@ -183,6 +183,32 @@ def point_in_polygon_col(
 MAX_NATIVE_EDGES = 128
 
 
+def point_in_polygon_sql(
+    rings: list[list[tuple[float, float]]], xcol: str = "x", ycol: str = "y"
+) -> str:
+    """The SAME even-odd XOR chain as :func:`point_in_polygon_col`,
+    emitted as ANSI SQL with identical literals and operation order —
+    the generic oracle twin (the window-query oracles hand-derive
+    closed forms for their fixed test shapes; batch zonal joins need
+    arbitrary polygons)."""
+    expr = "FALSE"
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            crosses = f"(({y1!r} > {ycol}) <> ({y2!r} > {ycol}))"
+            xint = (
+                f"(({x2 - x1!r}) * ({ycol} - ({y1!r})) / ({y2 - y1!r})"
+                f" + ({x1!r}))"
+            )
+            term = f"({crosses} AND ({xcol} < {xint}))"
+            expr = f"({expr} <> {term})"
+    return expr
+
+
 def parse_wkt_linestring(wkt: str) -> list[tuple[float, float]]:
     """Parse ``LINESTRING (x y, x y, ...)`` → [(x, y), ...]."""
     s = wkt.strip()

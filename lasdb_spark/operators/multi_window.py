@@ -231,3 +231,112 @@ FROM points p JOIN wins w
   ON p.x BETWEEN w.x0 AND w.x1 AND p.y BETWEEN w.y0 AND w.y1
 GROUP BY 1
 """.strip()
+
+
+def zonal_stats(
+    df: DataFrame,
+    meta: DatasetMeta,
+    zones,
+    layout: str = "flat",
+    budget: int = DEFAULT_CELL_BUDGET,
+) -> DataFrame:
+    """(zone_id, n_points, z_min, z_max, z_avg) for a TABLE of polygon
+    zones — classic GIS zonal statistics ("stats per parcel /
+    footprint") in ONE scan of the cloud.
+
+    ``zones`` is an iterable of (zone_id, wkt) where wkt is a POLYGON
+    (holes allowed) or MULTIPOLYGON. Plan shape =
+    :func:`multi_bbox_stats`: every zone's bbox maps to covering cells
+    of one shared Morton level (driver-side pure planning), the points
+    side derives its cell with one shift of the stored key, the join
+    is a broadcast HASH join on cell equality, and the bbox refine
+    runs map-side. The EXACT containment test is then a single CASE
+    over zone_id dispatching each zone's native even-odd expression —
+    still whole-stage codegen, no Python; the combined edge count is
+    capped (``MAX_NATIVE_EDGES`` per zone, same contract as the
+    single-polygon window path). z_avg uses exact centi-unit integer
+    sums (order-independent, hash-stable).
+
+    Scale: work is |points in covered cells| + |zones|; the zone table
+    is bounded by the broadcast budget exactly like windows. Zones may
+    overlap (points count toward each); empty zones are absent."""
+    from ..functions.geometry import (
+        MAX_NATIVE_EDGES,
+        point_in_polygon_col,
+        polygon_bbox,
+        wkt_rings,
+    )
+
+    spark = df.sparkSession
+    rings_by_zone = {}
+    windows = []
+    for zone_id, wkt in zones:
+        rings = wkt_rings(wkt)
+        n_edges = sum(len(r) for r in rings)
+        if n_edges > MAX_NATIVE_EDGES:
+            raise ValueError(
+                f"zone {zone_id}: {n_edges} edges exceeds the native "
+                f"limit {MAX_NATIVE_EDGES}"
+            )
+        rings_by_zone[int(zone_id)] = rings
+        x0, x1, y0, y1 = polygon_bbox(rings)
+        windows.append((int(zone_id), x0, x1, y0, y1))
+    shift, rows = plan_window_cells(windows, meta, budget)
+    out_schema = (
+        "zone_id long, n_points long, z_min double, z_max double, "
+        "z_avg double"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    cdf = spark.createDataFrame(
+        [(z, cell) for z, cell, *_ in rows], "zone_id long, cell long"
+    )
+    pts = unpack_blocks(df, meta) if layout == "block" else df
+    lo = min(c for _, c, *_ in rows) << (2 * shift)
+    hi = ((max(c for _, c, *_ in rows) + 1) << (2 * shift)) - 1
+    inside = None
+    for z, rings in rings_by_zone.items():
+        test = point_in_polygon_col(rings, F.col("x"), F.col("y"))
+        cond = F.when(F.col("zone_id") == z, test)
+        inside = cond if inside is None else inside.when(
+            F.col("zone_id") == z, test
+        )
+    joined = (
+        pts.filter(F.col("sfc_key").between(lo, hi))
+        .withColumn("cell", F.shiftright(F.col("sfc_key"), 2 * shift))
+        .join(F.broadcast(cdf), "cell")
+        .filter(inside)
+    )
+    zq = F.round(F.col("z") * 100).cast("long")
+    return (
+        joined.select("zone_id", zq.alias("zq"))
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.min("zq") / 100.0).alias("z_min"),
+            (F.max("zq") / 100.0).alias("z_max"),
+            F.round(F.sum("zq") / (F.count(F.lit(1)) * 100.0), 6).alias(
+                "z_avg"
+            ),
+        )
+    )
+
+
+def zonal_stats_sql(points_cte: str, zones) -> str:
+    """Oracle twin: per-zone UNION ALL of brute-force aggregates, each
+    zone's containment from the generic even-odd SQL generator (same
+    literals and operation order as the native Column)."""
+    from ..functions.geometry import point_in_polygon_sql, wkt_rings
+
+    tiers = []
+    for zone_id, wkt in zones:
+        pip = point_in_polygon_sql(wkt_rings(wkt))
+        tiers.append(f"""
+SELECT {int(zone_id)} AS zone_id, count(*) AS n_points,
+       min(zq) / 100.0 AS z_min, max(zq) / 100.0 AS z_max,
+       round(sum(zq) / (count(*) * 100.0), 6) AS z_avg
+FROM (SELECT CAST(round(z * 100) AS BIGINT) AS zq
+      FROM points WHERE {pip}) t
+HAVING count(*) > 0""".strip())
+    union = "\nUNION ALL\n".join(tiers)
+    return f"{points_cte}\n{union}".strip()

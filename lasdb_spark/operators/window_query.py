@@ -283,6 +283,19 @@ class WindowQuerier:
 
         return lod_pyramid(self.df, self.meta, levels, layout=self.layout)
 
+    def zonal(self, zones, budget: int | None = None) -> DataFrame:
+        """Per-polygon-zone stats in one scan (see
+        :func:`lasdb_spark.operators.multi_window.zonal_stats`)."""
+        from .multi_window import DEFAULT_CELL_BUDGET, zonal_stats
+
+        return zonal_stats(
+            self.df,
+            self.meta,
+            zones,
+            layout=self.layout,
+            budget=budget or DEFAULT_CELL_BUDGET,
+        )
+
     def query(
         self, mode: str, geometry, minz=None, maxz=None, k: int | None = None
     ) -> DataFrame:

@@ -219,3 +219,50 @@ def test_point_knn_join_plan(spark, sf_dir):
     assert "Sort [q_id" in s  # window sort is q_id-partitioned...
     assert "Exchange rangepartitioning" not in s  # ...never global
     assert "PushedFilters" in s and "sfc_key" in s.split("PushedFilters")[1][:400]
+
+
+@pytest.mark.spark
+def test_zonal_stats_match_per_polygon_queries(spark, sf_dir):
+    """Zonal statistics must equal the independent single-polygon
+    window query per zone (count AND exact centi-unit z range), and
+    the plan must be the broadcast-hash-join shape with the coarse key
+    range pushed to the scan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.points import points_df
+
+    base = tempfile.mkdtemp(prefix="lasdb_zonal_")
+    pts = points_df(spark, sf_dir)
+    ingest_points(pts, "zn", base)
+    q = WindowQuerier(*load_dataset(spark, base, "zn"))
+    zones = [
+        (1, "POLYGON ((85150.005 446150.005, 85649.995 446150.005, "
+            "85649.995 446649.995, 85150.005 446649.995, "
+            "85150.005 446150.005))"),
+        (2, "POLYGON ((85400.005 446400.005, 85899.995 446400.005, "
+            "85899.995 446899.995, 85400.005 446899.995, "
+            "85400.005 446400.005), (85500.005 446500.005, "
+            "85799.995 446500.005, 85799.995 446799.995, "
+            "85500.005 446799.995, 85500.005 446500.005))"),  # hole
+        (3, "POLYGON ((10.0 10.0, 20.0 10.0, 20.0 20.0, 10.0 20.0, "
+            "10.0 10.0))"),  # empty (outside extent)
+    ]
+    got = {r.zone_id: r for r in q.zonal(zones).collect()}
+    assert set(got) == {1, 2}
+    for zid, wkt in zones[:2]:
+        ref = q.polygon(wkt)
+        assert got[zid].n_points == ref.count()
+        zmin, zmax = ref.agg(F.min("z"), F.max("z")).first()
+        assert abs(got[zid].z_min - zmin) < 1e-9
+        assert abs(got[zid].z_max - zmax) < 1e-9
+    plan = (
+        q.zonal(zones)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
