@@ -187,3 +187,32 @@ def test_pipeline_materialize_identical(spark, sf_dir):
     assert lazy.exceptAll(mat).count() == 0
     assert mat.exceptAll(lazy).count() == 0
     assert mat.count() > 0
+
+
+def test_retention_matches_python_reference(spark, sf_dir):
+    """Cohort triangle recomputed driver-side from the raw events."""
+    from collections import defaultdict
+
+    from lasdb_spark.operators.relational import user_retention
+    from lasdb_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir)
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in user_retention(ev).collect()
+    }
+    from datetime import timezone
+
+    days = defaultdict(set)
+    for r in ev.select("user_id", "ts").collect():
+        # same integer day arithmetic: epoch millis floor-div. The
+        # collected naive datetime is session-UTC wall time — pin the
+        # tz explicitly so .timestamp() doesn't apply the SYSTEM zone
+        ms = int(r.ts.replace(tzinfo=timezone.utc).timestamp() * 1000)
+        days[r.user_id].add(ms // 86400000)
+    want = defaultdict(int)
+    for _, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            want[(c, d - c)] += 1
+    assert got == dict(want)
