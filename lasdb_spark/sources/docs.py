@@ -78,6 +78,28 @@ def documents_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return _normalize(spark.read.json(path))
 
 
+#: explicit schema for the streaming reader (readStream cannot infer);
+#: lines missing a field read as NULL and the normalizer fills them
+_JSONL_STREAM_SCHEMA = "doc_id long, lang string, source string, text string"
+
+
+def documents_stream_from_jsonl(
+    spark: SparkSession, dir_path: str
+) -> DataFrame:
+    """Streaming twin of :func:`documents_from_jsonl`: watch a
+    directory for new JSONL files (one file = one micro-batch locally;
+    swap for Kafka in production) and emit canonically-normalized
+    documents. Feeds :func:`lasdb_spark.streaming.dedup.stream_curate`
+    directly — continuous corpus ingestion with the same gates and the
+    same deterministic content ids as the batch path."""
+    raw = (
+        spark.readStream.schema(_JSONL_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.jsonl")
+        .json(dir_path)
+    )
+    return _normalize(raw)
+
+
 def documents_from_csv(
     spark: SparkSession, path: str, sep: str = ","
 ) -> DataFrame:

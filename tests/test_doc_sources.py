@@ -69,3 +69,68 @@ def test_missing_text_column_raises(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError, match="text"):
         _normalize(df)
+
+
+def test_jsonl_stream_converges_to_batch(spark, tmp_path):
+    """Streaming JSONL ingestion (files arriving as micro-batches)
+    must end at the same normalized corpus and the same exact-dedup
+    keeper table as one batch read of the full directory."""
+    import json
+
+    from lasdb_spark.sources.docs import (
+        documents_from_jsonl,
+        documents_stream_from_jsonl,
+    )
+    from lasdb_spark.streaming.dedup import stream_exact_dedup
+    from lasdb_spark.streaming.events import run_to_memory
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    batches = [
+        [{"doc_id": 1, "lang": "en", "text": "alpha beta gamma"},
+         {"text": "shared duplicate body"}],
+        [{"doc_id": 3, "lang": "de", "text": "vier funf sechs"},
+         {"doc_id": 9, "text": "shared duplicate body"}],
+    ]
+    for i, rows in enumerate(batches):
+        (d / f"part{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+    stream = documents_stream_from_jsonl(spark, str(d))
+    run_to_memory(stream.select("doc_id", "lang", "text"), "docs_stream",
+                  output_mode="append")
+    got = {
+        (r.doc_id, r.lang, r.text)
+        for r in spark.sql("SELECT * FROM docs_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.lang, r.text)
+        for r in documents_from_jsonl(spark, str(d) + "/*.jsonl").collect()
+    }
+    assert got == want and len(got) == 4
+
+    from pyspark.sql import functions as F
+
+    dedup_stream = stream_exact_dedup(
+        documents_stream_from_jsonl(spark, str(d)).withColumn(
+            "n_chars", F.length("text")
+        )
+    )
+    run_to_memory(dedup_stream, "docs_dedup_stream")
+    table = {
+        r.text_hash: (r.keeper_doc_id, r.n_docs)
+        for r in spark.sql(
+            "SELECT * FROM docs_dedup_stream"
+        ).collect()
+    }
+    # the duplicated body collapses to ONE keeper (min content id wins
+    # over the explicit 9 or vice versa — deterministic either way)
+    from lasdb_spark.operators.dedup import exact_dedup
+
+    batch = {
+        r.text_hash: (r.keeper_doc_id, r.n_docs)
+        for r in exact_dedup(
+            documents_from_jsonl(spark, str(d) + "/*.jsonl")
+        ).collect()
+    }
+    assert table == batch
