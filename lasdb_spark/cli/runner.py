@@ -110,6 +110,12 @@ def run_export(script_path: str, out_dir: str | None = None, spark: SparkSession
     for name in cfg["queries"]:
         t0 = time.time()
         res = spark.read.parquet(os.path.join(base, "results", name))
+        if not {"x", "y", "z"} <= set(res.columns):
+            # batch modes (multi_bbox/zonal) produce aggregate tables,
+            # not point sets — they stay parquet, LAS has no shape for
+            # them (mirrors the reference, which only exports points)
+            print(f"[export] {name}: aggregate result, kept as parquet")
+            continue
         n = df_to_las(res, os.path.join(out_dir, f"{name}.las"))
         print(f"[export] {name}: {n} pts → {name}.las, {time.time() - t0:.2f}s")
 

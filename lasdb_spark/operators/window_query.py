@@ -313,4 +313,10 @@ class WindowQuerier:
         if mode == "polyline":
             wkt, dist = geometry
             return self.polyline_buffer(wkt, dist, minz, maxz)
+        if mode == "multi_bbox":
+            # geometry = [[win_id, x0, x1, y0, y1], ...]
+            return self.multi_bbox([tuple(w) for w in geometry])
+        if mode == "zonal":
+            # geometry = [[zone_id, wkt], ...]
+            return self.zonal([tuple(z) for z in geometry])
         raise ValueError(f"unknown query mode {mode!r}")

@@ -139,6 +139,14 @@ def test_cli_import_query_export(spark, tmp_path):
                         "geometry": [[85500.0, 446700.0], 150.0]},
             "A3_NN": {"source_dataset": "t1", "mode": "nn",
                        "geometry": [85500.0, 446700.0], "k": 50},
+            "A4_MW": {"source_dataset": "t1", "mode": "multi_bbox",
+                       "geometry": [[1] + bbox,
+                                    [2, 10.0, 20.0, 10.0, 20.0]]},
+            "A5_ZN": {"source_dataset": "t1", "mode": "zonal",
+                       "geometry": [[1,
+                           "POLYGON ((85200.005 446300.005, "
+                           "85599.995 446300.005, 85599.995 446899.995, "
+                           "85200.005 446899.995, 85200.005 446300.005))"]]},
         },
     }
     (tmp_path / "imp.json").write_text(json.dumps(imp))
