@@ -939,14 +939,16 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so every query gets a driver CORRECTNESS row over a
-    2-round window: the driver checks ~50 entries per round in dict
-    order, so entries with no driver row yet lead, one representative
-    per operator family fills the rest of the window, and variant
-    diagnostics whose core op is already represented (and which hold
-    green rows from round 2 plus the pytest oracle mirror in
-    tests/test_entry_oracle.py, which always runs all entries) sit at
-    the tail."""
+    """89 entries, ordered so every query gets a driver CORRECTNESS
+    row over a rolling window: the driver checks ~50 entries per round
+    in dict order, so entries with no driver row yet lead (the 15 the
+    r2 window cut off, then everything new in round 3), one
+    representative per operator family fills the rest of the window,
+    and variant diagnostics whose core op is already represented (and
+    which hold green rows from earlier rounds plus the pytest oracle
+    mirror in tests/test_entry_oracle.py, which always runs ALL
+    entries value-exact) sit at the tail. Next round: rotate the tail
+    variants into the lead block so their driver rows refresh."""
     return {
         # --- no driver row yet (r2 window cut them off) ---
         "rel_brand_revenue": _q_rel_brand_revenue,
