@@ -941,68 +941,19 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """89 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order, so entries with no driver row yet lead (the 15 the
-    r2 window cut off, then everything new in round 3), one
-    representative per operator family fills the rest of the window,
-    and variant diagnostics whose core op is already represented (and
-    which hold green rows from earlier rounds plus the pytest oracle
-    mirror in tests/test_entry_oracle.py, which always runs ALL
-    entries value-exact) sit at the tail. Next round: rotate the tail
-    variants into the lead block so their driver rows refresh."""
+    in dict order. Round-4 rotation (the rotation r3's docstring
+    promised): `corpus_token_budget` leads (its determinism fix needs
+    a fresh driver row), then the 39 entries whose last driver row was
+    r2 data (everything r3's window cut off), then 10 r3-green family
+    representatives to fill the window; the 49 remaining r3-green
+    entries sit at the tail (their green rows are from THIS data
+    generation, and the pytest oracle mirror in
+    tests/test_entry_oracle.py always runs ALL entries value-exact).
+    Next round: rotate the tail back into the lead block."""
     return {
-        # --- no driver row yet (r2 window cut them off) ---
-        "rel_brand_revenue": _q_rel_brand_revenue,
-        "rel_supplier_volume": _q_rel_supplier_volume,
-        "rel_anti_join": _q_rel_anti_join,
-        "rel_market_share": _q_rel_market_share,
-        "rel_skyline": _q_rel_skyline,
-        "rel_hourly_rollup": _q_rel_hourly,
-        "rel_asof_error_click": _q_rel_asof,
-        "rel_json_extract": _q_rel_json,
-        "rel_event_funnel": _q_rel_funnel,
-        "rel_pricing_rollup": _q_rel_rollup,
-        "rel_set_ops": _q_rel_setops,
-        "rel_exists_semijoin": _q_rel_exists,
-        "rel_percentiles": _q_rel_percentiles,
-        "rel_month_momentum": _q_rel_momentum,
-        "rel_distinct_customers": _q_rel_distinct,
-        # --- new this round (need their first driver row) ---
-        "text_tfidf": _q_text_tfidf,
-        "semdedup_pairs": _q_semdedup_pairs,
-        "semdedup_keepers": _q_semdedup_keepers,
-        "pc_shape": _q_pc_shape,
-        "text_bm25": _q_text_bm25,
-        "rel_retention": _q_rel_retention,
-        "text_surprisal": _q_text_surprisal,
-        "text_chunks": _q_text_chunks,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "pc_lod_pyramid": _q_lod_pyramid,
-        "pc_classify": _q_pc_classify,
-        "dedup_lsh_recall": _q_dedup_lsh_recall,
-        "pc_zonal_stats": _q_zonal,
-        "text_repetition": _q_text_repetition,
-        "text_decontaminate": _q_text_decontaminate,
-        "pc_multi_window": _q_multi_window,
-        "pc_voxel_lod": _q_voxel_lod,
-        "pc_thin": _q_thin,
+        # --- fixed this round; needs a fresh driver row ---
         "corpus_token_budget": _q_token_budget,
-        "doc_search": _q_doc_search,
-        "pc_knn_join": _q_knn_join_pc,
-        "pc_hag": _q_pc_hag,
-        "pc_outliers": _q_pc_outliers,
-        "corpus_pack": _q_corpus_pack,
-        # --- one representative per family ---
-        "pc_bbox": _q_bbox,
-        "pc_circle": _q_circle,
-        "pc_polygon_l": _q_polygon_l,
-        "pc_polygon_hole": _q_polygon_hole,
-        "pc_bbox_block": _q_bbox_block,
-        "pc_knn": _q_knn,
-        "pc_flat_points": _q_flat_points,
-        "pc_block_pack": _q_block_pack,
-        "pc_histogram": _q_histogram,
-        "pc_grid_zstats": _q_grid_zstats,
-        "pc_metadata_agg": _q_metadata_agg,
+        # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1028,7 +979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_revenue_by_nation": _q_rel_revenue_nation,
         "rel_top_orders_per_customer": _q_rel_top_orders,
         "rel_sessionize_events": _q_rel_sessionize,
-        # --- variant diagnostics (r2 rows green; pytest mirror covers) ---
         "pc_bbox_maxz": _q_bbox_maxz,
         "pc_bbox_minz": _q_bbox_minz,
         "pc_bbox_empty": _q_bbox_empty,
@@ -1043,6 +993,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
         "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
+        # --- r3-green family representatives (fill the window) ---
+        "pc_bbox": _q_bbox,
+        "pc_knn": _q_knn,
+        "pc_flat_points": _q_flat_points,
+        "pc_block_pack": _q_block_pack,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "pc_shape": _q_pc_shape,
+        "text_tfidf": _q_text_tfidf,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "corpus_pack": _q_corpus_pack,
+        # --- r3-green tail (fresh rows on this data generation) ---
+        "pc_circle": _q_circle,
+        "pc_polygon_l": _q_polygon_l,
+        "pc_polygon_hole": _q_polygon_hole,
+        "pc_bbox_block": _q_bbox_block,
+        "pc_histogram": _q_histogram,
+        "pc_grid_zstats": _q_grid_zstats,
+        "pc_metadata_agg": _q_metadata_agg,
+        "rel_supplier_volume": _q_rel_supplier_volume,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_market_share": _q_rel_market_share,
+        "rel_skyline": _q_rel_skyline,
+        "rel_hourly_rollup": _q_rel_hourly,
+        "rel_asof_error_click": _q_rel_asof,
+        "rel_json_extract": _q_rel_json,
+        "rel_event_funnel": _q_rel_funnel,
+        "rel_pricing_rollup": _q_rel_rollup,
+        "rel_set_ops": _q_rel_setops,
+        "rel_exists_semijoin": _q_rel_exists,
+        "rel_percentiles": _q_rel_percentiles,
+        "rel_month_momentum": _q_rel_momentum,
+        "rel_distinct_customers": _q_rel_distinct,
+        "semdedup_keepers": _q_semdedup_keepers,
+        "text_bm25": _q_text_bm25,
+        "rel_retention": _q_rel_retention,
+        "text_surprisal": _q_text_surprisal,
+        "text_chunks": _q_text_chunks,
+        "pc_lod_pyramid": _q_lod_pyramid,
+        "pc_classify": _q_pc_classify,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "pc_zonal_stats": _q_zonal,
+        "text_repetition": _q_text_repetition,
+        "text_decontaminate": _q_text_decontaminate,
+        "pc_multi_window": _q_multi_window,
+        "pc_voxel_lod": _q_voxel_lod,
+        "pc_thin": _q_thin,
+        "doc_search": _q_doc_search,
+        "pc_knn_join": _q_knn_join_pc,
+        "pc_hag": _q_pc_hag,
+        "pc_outliers": _q_pc_outliers,
     }
 
 

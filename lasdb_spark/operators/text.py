@@ -314,9 +314,22 @@ def token_budget_sample(
     for lang, b in sorted(budgets.items()):
         budget = F.when(F.col("lang") == lang, F.lit(int(b))).otherwise(budget)
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
         .filter(F.col("cum_tokens") <= budget)
-        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            "cum_tokens",
+        )
+        # Deterministic output order + byte-identical integer types on
+        # both sides (DuckDB's windowed sum(BIGINT) is HUGEINT — cast
+        # back to BIGINT in the oracle too) so the driver's value hash
+        # is reproducible.
+        .orderBy("lang", "cum_tokens", "doc_id")
     )
 
 
@@ -334,12 +347,15 @@ def token_budget_sample_sql(
     return f"""
 WITH s AS (SELECT doc_id, lang, {n_tok} AS n_tokens, {quality} AS quality
            FROM documents),
-c AS (SELECT *, sum(n_tokens) OVER (
+c AS (SELECT *, CAST(sum(n_tokens) OVER (
         PARTITION BY lang ORDER BY quality DESC, doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_tokens
       FROM s)
-SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM c
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       cum_tokens FROM c
 WHERE cum_tokens <= (CASE {whens} ELSE {int(default_budget)} END)
+ORDER BY lang, cum_tokens, doc_id
 """.strip()
 
 
