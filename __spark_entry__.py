@@ -627,15 +627,21 @@ def _q_ann_knn_join_multiprobe(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
-    from lasdb_spark.operators.multimodal import binary_corpus, decode_stub_features
+    # REAL container decode: genuine PGM bytes parsed back to
+    # integer-exact pixel statistics (stub retired for images, r4)
+    from lasdb_spark.operators.multimodal import (
+        decode_image_features,
+        make_image_corpus,
+    )
 
-    return decode_stub_features(binary_corpus(_docs(spark, sf_dir)))
+    return decode_image_features(make_image_corpus(_docs(spark, sf_dir)))
 
 
 def _q_mm_resize(spark, sf_dir):
-    from lasdb_spark.operators.multimodal import binary_corpus, resize_stub
+    # REAL nearest-neighbor resample over decoded pixels
+    from lasdb_spark.operators.multimodal import make_image_corpus, resize_images
 
-    return resize_stub(binary_corpus(_docs(spark, sf_dir)))
+    return resize_images(make_image_corpus(_docs(spark, sf_dir)))
 
 
 def _q_mm_frames(spark, sf_dir):
@@ -907,8 +913,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_join_multiprobe": _similarity.knn_join_lsh_multiprobe_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "ann_ivf_trained": _similarity.topk_ivf_trained_sql(),
-        "mm_features": _multimodal.features_sql(),
-        "mm_resize": _multimodal.resize_sql(),
+        "mm_features": _multimodal.image_features_sql(),
+        "mm_resize": _multimodal.resize_images_sql(),
         "mm_frame_sample": _multimodal.frame_sample_sql(),
         "rel_pricing_summary": _rel.pricing_summary_sql(),
         "rel_revenue_by_nation": _rel.revenue_by_nation_sql(),

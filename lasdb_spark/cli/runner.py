@@ -45,34 +45,83 @@ def _load_script(path: str) -> dict:
         return json.load(f)
 
 
+def _find_laz_error(exc: BaseException) -> str | None:
+    """Spark wraps executor exceptions; recognize a LazUnsupportedError
+    by its guidance text anywhere in the cause chain / message."""
+    seen = 0
+    cur: BaseException | None = exc
+    while cur is not None and seen < 10:
+        if "LAZ-compressed input" in str(cur):
+            msg = str(cur)
+            start = msg.find("LAZ-compressed input")
+            return msg[start:].splitlines()[0]
+        cur = cur.__cause__ or cur.__context__
+        seen += 1
+    return None
+
+
 def run_import(script_path: str, spark: SparkSession | None = None) -> None:
-    """Mirror of reference importer.py: per-dataset LAS → encoded store."""
-    from ..operators.ingest import ingest_points
+    """Mirror of reference importer.py: per-dataset LAS → encoded store.
+
+    LAZ tiles decompress inline when a laspy LAZ backend is installed;
+    without one the dataset fails with a one-line actionable message
+    (install laspy[lazrs] or decompress first) instead of an executor
+    stack trace, and the run exits nonzero after trying every
+    dataset."""
     from ..sources.las import las_to_df
 
     cfg = _load_script(script_path)
     base = cfg["config"].get("base_path", os.environ.get("LASDB_BASE", "/tmp/lasdb"))
     spark = spark or build_session("lasdb_import")
+    failed: list[str] = []
     for name, imp in cfg["imports"].items():
         t0 = time.time()
         path = imp["path"]
         if imp.get("mode", "file") == "dir":
-            path = os.path.join(path, "*.las")
+            # Hadoop glob: match .las AND .laz tiles (real AHN
+            # distributions ship LAZ; the reader decompresses when a
+            # laspy LAZ backend is installed)
+            path = os.path.join(path, "*.la[sz]")
         pts = las_to_df(spark, path)
-        meta = ingest_points(
-            pts,
-            name,
-            base,
-            srid=imp.get("srid", 28992),
-            scales=tuple(imp.get("scales", (1.0, 1.0, 1.0))),
-            offsets=tuple(imp.get("offsets", (0.0, 0.0, 0.0))),
-            ratio=imp.get("ratio", 0.7),
-        )
+        try:
+            meta = _run_one_import(pts, name, base, imp)
+        except Exception as exc:
+            laz = _find_laz_error(exc)
+            if laz is None:
+                raise
+            # graceful, actionable CLI behavior instead of an executor
+            # stack trace: say what to install / how to decompress
+            print(f"[import] {name}: FAILED — {laz}")
+            failed.append(name)
+            continue
         print(
             f"[import] {name}: {meta.point_count} pts, "
             f"head/tail={meta.head_length}/{meta.tail_length}, "
             f"{time.time() - t0:.2f}s"
         )
+    if failed:
+        raise SystemExit(
+            f"import failed for {', '.join(failed)}: LAZ input needs a "
+            "decompression backend (see messages above)"
+        )
+
+
+def _run_one_import(pts, name: str, base: str, imp: dict):
+    from ..operators.ingest import ingest_points
+
+    return ingest_points(
+        pts,
+        name,
+        base,
+        srid=imp.get("srid", 28992),
+        scales=tuple(imp.get("scales", (1.0, 1.0, 1.0))),
+        offsets=tuple(imp.get("offsets", (0.0, 0.0, 0.0))),
+        ratio=imp.get("ratio", 0.7),
+        # reference importer emits histogram_<nblocks>.csv at ingest
+        # (pcsfc/point_processor.py:74-79) — our import CLI matches,
+        # as histogram_<name>/ Parquet next to the store
+        write_histogram=imp.get("histogram", True),
+    )
 
 
 def run_query(script_path: str, spark: SparkSession | None = None) -> None:

@@ -130,24 +130,19 @@ def pretraining_corpus_sql(
     n_buckets: int = 32,
 ) -> str:
     """Oracle twin of :func:`pretraining_corpus` — each stage's SQL
-    generator is reused by retargeting its ``FROM documents`` source
-    at the previous stage's survivor CTE (every generator in this
-    package spells its corpus source exactly that way; CTE shadowing
-    would be cleaner but DuckDB's binder reports a same-name CTE whose
-    lineage reaches the shadowed table as a circular reference)."""
+    generator takes a ``src`` table parameter, so the composition
+    points every stage at the previous stage's survivor CTE instead
+    of the raw table (CTE shadowing would be cleaner but DuckDB's
+    binder reports a same-name CTE whose lineage reaches the shadowed
+    table as a circular reference)."""
     from .decontaminate import contamination_report_sql
     from .text import pack_sequences_sql, token_budget_sample_sql
 
-    def retarget(sql: str, src: str) -> str:
-        return sql.replace("FROM documents", f"FROM {src}")
-
-    curated_sql = retarget(
-        curate_corpus_sql(min_quality, tau, rates), "clean"
+    curated_sql = curate_corpus_sql(min_quality, tau, rates, src="clean")
+    budget_sql = token_budget_sample_sql(
+        budgets or {}, default_budget, src="surv"
     )
-    budget_sql = retarget(
-        token_budget_sample_sql(budgets or {}, default_budget), "surv"
-    )
-    packed_sql = retarget(pack_sequences_sql(seq_len, n_buckets), "kept")
+    packed_sql = pack_sequences_sql(seq_len, n_buckets, src="kept")
     return f"""
 WITH contam AS ({contamination_report_sql()}),
 clean AS (
@@ -170,14 +165,15 @@ def curate_corpus_sql(
     min_quality: float = MIN_QUALITY,
     tau: float = JACCARD_TAU,
     rates: dict | None = None,
+    src: str = "documents",
 ) -> str:
     return f"""
 WITH q AS (
-  SELECT doc_id, quality FROM ({quality_scores_sql()})
+  SELECT doc_id, quality FROM ({quality_scores_sql(src=src)})
   WHERE quality >= {min_quality}),
-clusters AS ({dedup_clusters_sql(tau)}),
+clusters AS ({dedup_clusters_sql(tau, src=src)}),
 keepers AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
-sampled AS ({stratified_sample_sql(rates)})
+sampled AS ({stratified_sample_sql(rates, src=src)})
 SELECT s.doc_id, s.lang, s.source, q.quality
 FROM sampled s
 JOIN keepers k ON k.doc_id = s.doc_id

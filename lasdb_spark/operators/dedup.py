@@ -157,12 +157,14 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def shingles_sql(n: int = SHINGLE_N) -> str:
-    """DuckDB twin: lateral unnest(range) over the token array."""
+def shingles_sql(n: int = SHINGLE_N, src: str = "documents") -> str:
+    """DuckDB twin: lateral unnest(range) over the token array.
+    ``src`` retargets the corpus source (composed pipeline oracles
+    point it at a survivor CTE instead of the raw table)."""
     parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
     return f"""
 SELECT DISTINCT doc_id, {parts} AS shingle
-FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents) d,
+FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM {src}) d,
      LATERAL (SELECT unnest(range(1, len(toks) - {n - 2}))) AS s(i)
 """.strip()
 
@@ -564,7 +566,10 @@ def _minhash_banded_pairs(
 
 
 def minhash_lsh_pairs_sql(
-    tau: float = JACCARD_TAU, n_perms: int = N_PERMS, band_size: int = BAND_SIZE
+    tau: float = JACCARD_TAU,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+    src: str = "documents",
 ) -> str:
     coeffs = minhash_perm_coeffs(n_perms)
     mins = ", ".join(
@@ -582,7 +587,7 @@ def minhash_lsh_pairs_sql(
         for b in range(n_bands)
     )
     return f"""
-WITH sh AS ({shingles_sql()}),
+WITH sh AS ({shingles_sql(src=src)}),
 sid AS (SELECT doc_id, {md5_int60_sql('shingle')} % {MERSENNE31} AS sid FROM sh),
 sig AS (SELECT doc_id, {mins} FROM sid GROUP BY 1),
 bands AS ({band_rows}),
@@ -773,8 +778,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     where a near-dup cluster is connected as a sorted CHAIN (diameter =
     cluster size): plain propagation needs one round per hop and a
     1000-doc boilerplate cluster would silently split at any round
-    cap; halving closes it in ~10. Each round is one job — the
-    convergence count materializes the new labels into cache — and
+    cap; halving closes it in ~10. Each round is ONE job: the previous
+    label rides along as a ``prev`` column, so the convergence check is
+    a count over the round's own output (materializing it into cache)
+    instead of a second join against the old labels — and
     ``localCheckpoint`` truncates lineage every few rounds."""
     spark = pairs.sparkSession
     try:
@@ -788,9 +795,14 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # the cached edge side never re-shuffles. localCheckpoint (eager)
     # materializes it once and drops the upstream (LSH) lineage from
     # the loop's plans.
+    # Materialize the pair list ONCE before the symmetric union: the
+    # union's two branches are separate subtrees, so checkpointing the
+    # union directly would evaluate the (expensive, e.g. MinHash)
+    # upstream twice — exchange reuse does not cross union branches
+    # reliably.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = (
-        pairs.select("doc_a", "doc_b")
-        .unionByName(
+        pairs.unionByName(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
@@ -798,62 +810,37 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .repartition(nparts, "doc_b")
         .localCheckpoint()
     )
-    labels = (
+    # Size the loop's shuffles to the EDGE COUNT, not the session
+    # default: the dup subgraph is usually orders of magnitude smaller
+    # than the corpus, and per-round latency on a small graph is pure
+    # task/stage overhead at the session's partition count. The count
+    # is a scan of the checkpoint just built (cheap); at scale the
+    # clamp keeps nparts unchanged, so behavior only differs where the
+    # graph is small enough for overhead to dominate.
+    n_edges = edges.count()
+    tgt = max(2, min(nparts, (n_edges // 500_000) + 1))
+    if tgt < nparts:
+        edges = edges.repartition(tgt, "doc_b").localCheckpoint()
+    # ``store`` is the persisted frame backing ``labels`` (labels may
+    # be a projection over it) — unpersist must target the store.
+    store = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .cache()
     )
-    since_ckpt = 0
-    converged = False
-    for _ in range(_CC_MAX_ROUNDS):
-        nbr = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = labels.join(
-            nbr, labels["doc_id"] == nbr["doc_a"], "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
-        )
-        # path halving: follow the label one more hop. cluster_id is
-        # always itself a labelled node (labels start as self and only
-        # ever move to other nodes' ids), so the self-join resolves.
-        grand = labels.select(
-            F.col("doc_id").alias("gp_node"), F.col("cluster_id").alias("gp_label")
-        )
-        new_labels = stepped.join(
-            grand, stepped["cluster_id"] == grand["gp_node"], "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("gp_label"), F.col("cluster_id")),
-            ).alias("cluster_id"),
-        )
-        since_ckpt += 1
-        if since_ckpt >= 4:
-            new_labels = new_labels.localCheckpoint()
-            since_ckpt = 0
+    labels = store
+    # Scope the session shuffle-partition conf to the loop (restored
+    # in the finally below): every per-round join/agg plans at ``tgt``.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(tgt))
+    try:
+        converged, labels, store = _cc_loop(edges, labels, store, 0)
+    finally:
+        if old_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
         else:
-            new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        old = labels
-        labels = new_labels
-        old.unpersist()  # new_labels is materialized by the count above
-        if changed == 0:
-            converged = True
-            break
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if not converged:
         import warnings
 
@@ -867,14 +854,89 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # Pin the converged labels and release every loop-held cache so
     # repeated clustering runs in one session don't accumulate blocks.
     final = labels.localCheckpoint()
-    labels.unpersist()
+    store.unpersist()
     return final
+
+
+def _cc_loop(edges, labels, store, since_ckpt):
+    """The min-label-propagation rounds of
+    :func:`connected_components` (split out so the caller can scope
+    session confs around it). Returns (converged, labels, store).
+
+    Round 1's convergence count is skipped: any nonempty edge list
+    relabels at least the larger endpoint of its minimum edge, so
+    round 1 can never be the converged round — its output stays a
+    lazily-cached plan that round 2's single count materializes
+    together with its own."""
+    converged = False
+    pending = []  # cache-marked but not-yet-counted round outputs
+    for rnd in range(_CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr, labels["doc_id"] == nbr["doc_a"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+            F.col("cluster_id").alias("prev"),
+        )
+        # path halving: follow the label one more hop. cluster_id is
+        # always itself a labelled node (labels start as self and only
+        # ever move to other nodes' ids), so the self-join resolves.
+        grand = labels.select(
+            F.col("doc_id").alias("gp_node"), F.col("cluster_id").alias("gp_label")
+        )
+        stamped = stepped.join(
+            grand, stepped["cluster_id"] == grand["gp_node"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("gp_label"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+            "prev",
+        )
+        since_ckpt += 1
+        if since_ckpt >= 4:
+            stamped = stamped.localCheckpoint()
+            since_ckpt = 0
+        else:
+            stamped = stamped.cache()
+        if rnd == 0:
+            # No action this round (see docstring); keep the previous
+            # store alive until something downstream is materialized.
+            pending.append(store)
+            store = stamped
+            labels = stamped.select("doc_id", "cluster_id")
+            continue
+        # ONE action per round: counting moved labels over the round's
+        # own output both decides convergence and materializes the
+        # cache the next round reads from.
+        changed = stamped.filter(
+            F.col("cluster_id") != F.col("prev")
+        ).count()
+        for p in pending:  # safe now: stamped is materialized
+            p.unpersist()
+        pending.clear()
+        store.unpersist()
+        store = stamped
+        labels = stamped.select("doc_id", "cluster_id")
+        if changed == 0:
+            converged = True
+            break
+    return converged, labels, store
 
 
 def dedup_clusters(
     docs: DataFrame,
     tau: float = JACCARD_TAU,
-    candidates: str = "all",
+    candidates: str = "adjacent",
     collapse: str = "auto",
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over the verified
@@ -888,7 +950,16 @@ def dedup_clusters(
     via one anti-join. See :func:`connected_components` for the loop.
     ``collapse``/``candidates`` pass through to
     :func:`minhash_lsh_pairs` (the corpus-level collapse stat is
-    memoized, so layered calls pay it once)."""
+    memoized, so layered calls pay it once).
+
+    ``candidates`` defaults to ``'adjacent'`` here (unlike the pair
+    diagnostics): clustering only needs CONNECTIVITY, not every edge,
+    and the linear per-bucket candidate chain preserves the components
+    while cutting the verify-join quadratically on wide buckets
+    (test-gated: tests/test_dedup.py
+    test_adjacent_candidates_preserve_clusters; path halving keeps
+    chain diameters cheap). Pass ``candidates='all'`` to cluster over
+    the full verified pair set."""
     pairs = minhash_lsh_pairs(
         docs, tau, collapse=collapse, candidates=candidates
     ).select("doc_a", "doc_b")
@@ -901,16 +972,18 @@ def dedup_clusters(
     return final.unionByName(singletons)
 
 
-def dedup_clusters_sql(tau: float = JACCARD_TAU) -> str:
+def dedup_clusters_sql(
+    tau: float = JACCARD_TAU, src: str = "documents"
+) -> str:
     """Recursive-CTE oracle: min label over the reachability closure."""
     return f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(tau)}) p),
+  SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(tau, src=src)}) p),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs),
 reach AS (
-  SELECT doc_id, doc_id AS label FROM documents
+  SELECT doc_id, doc_id AS label FROM {src}
   UNION
   SELECT e.dst AS doc_id, r.label
   FROM reach r JOIN edges e ON e.src = r.doc_id)

@@ -199,6 +199,9 @@ def ingest_points(
     layout: str = "flat",
     target_partitions: int | None = None,
     write_histogram: bool = False,
+    sink: str = "parquet",
+    jdbc_url: str | None = None,
+    jdbc_properties: dict | None = None,
 ) -> DatasetMeta:
     """Full ingest: metadata pass + encoded write, sorted by key.
 
@@ -208,7 +211,15 @@ def ingest_points(
     ``write_histogram`` also emits the per-block count side output the
     reference writes at ingest (histogram_<n>.csv,
     pcsfc/point_processor.py:74-79) as ``histogram_<name>`` Parquet.
-    """
+
+    ``sink='jdbc'`` mirrors the reference's actual load target (the
+    reference COPYs blocks into PostgreSQL, db/__init__.py:95-107):
+    the same sorted batches go through ``df.write.jdbc`` into table
+    ``pc_record_<name>`` at ``jdbc_url`` (one INSERT batch per
+    partition — the driver jar must be on the Spark classpath; index
+    creation stays on the DB side, e.g. the reference's B-tree DDL
+    db/__init__.py:118-126). Metadata/histogram side outputs still
+    land under ``base_path`` so the planner works identically."""
     meta = compute_metadata(points, name, srid, scales, offsets, ratio)
     df = attach_sfc(points, meta)
     out = os.path.join(base_path, f"pc_record_{name}")
@@ -216,25 +227,57 @@ def ingest_points(
         1, min(256, meta.point_count // 500_000 + 1)
     )
     if layout == "flat":
-        (
+        sorted_df = (
             df.select("x", "y", "z", "sfc_key")
             .repartitionByRange(nparts, "sfc_key")
             .sortWithinPartitions("sfc_key")
-            .write.mode("overwrite")
-            .parquet(out)
         )
     elif layout == "block":
-        (
+        sorted_df = (
             pack_blocks(df)
             .repartitionByRange(nparts, "sfc_head")
             .sortWithinPartitions("sfc_head")
-            .write.mode("overwrite")
-            .parquet(out)
         )
     else:
         raise ValueError(f"unknown layout {layout!r}")
+    if sink == "jdbc":
+        if not jdbc_url:
+            raise ValueError("sink='jdbc' requires jdbc_url")
+        # block-layout arrays map to SQL ARRAY columns (PostgreSQL);
+        # databases without array types need the flat layout
+        sorted_df.write.mode("overwrite").jdbc(
+            jdbc_url, f"pc_record_{name}", properties=jdbc_properties or {}
+        )
+    elif sink == "parquet":
+        sorted_df.write.mode("overwrite").parquet(out)
+    else:
+        raise ValueError(f"unknown sink {sink!r}")
     if write_histogram:
-        block_histogram(df).write.mode("overwrite").parquet(
+        # Derive the histogram from the JUST-WRITTEN store when it is
+        # local Parquet: the read-back scans one column of sorted
+        # Parquet (block layout is even map-only — array sizes, no
+        # shuffle) instead of re-running the quantize/encode pass over
+        # source points, which at 100 TB is the difference between a
+        # column scan and a second full ingest pass. A JDBC sink falls
+        # back to aggregating the encode lineage.
+        if sink == "parquet":
+            stored = points.sparkSession.read.parquet(out)
+            if layout == "block":
+                hist = stored.select(
+                    "sfc_head",
+                    F.size("sfc_tail").cast("long").alias("num_tail"),
+                )
+            else:
+                hist = block_histogram(
+                    stored.select(
+                        F.shiftright(
+                            "sfc_key", meta.tail_length
+                        ).alias("sfc_head")
+                    )
+                )
+        else:
+            hist = block_histogram(df)
+        hist.write.mode("overwrite").parquet(
             os.path.join(base_path, f"histogram_{name}")
         )
     save_metadata(meta, base_path, layout)

@@ -278,6 +278,11 @@ def zonal_stats(
                 f"zone {zone_id}: {n_edges} edges exceeds the native "
                 f"limit {MAX_NATIVE_EDGES}"
             )
+        if int(zone_id) in rings_by_zone:
+            # A duplicate id would silently drop all but the last
+            # polygon from the containment CASE while its bbox cells
+            # still joined (double-counting points) — refuse instead.
+            raise ValueError(f"duplicate zone_id {zone_id}")
         rings_by_zone[int(zone_id)] = rings
         x0, x1, y0, y1 = polygon_bbox(rings)
         windows.append((int(zone_id), x0, x1, y0, y1))

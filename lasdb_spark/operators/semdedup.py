@@ -64,13 +64,12 @@ def _trained_assign(
             "nrm"
         ),
     )
-    cents = embs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias(
-            "cnrm"
-        ),
-    )
+    from .similarity import seed_centroids
+
+    # rank-based seed (n_cells LOWEST vec_ids) — robust to sparse /
+    # content-hash id spaces, identical to vec_id < n_cells for the
+    # dense 0-based ids of the driver testdata
+    cents = seed_centroids(embs, n_cells)
     for _ in range(max(1, n_iters)):
         assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
             "vec_id", "embedding", "nrm", F.col("cid").alias("cell")

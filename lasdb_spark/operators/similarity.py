@@ -421,6 +421,26 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
+def seed_centroids(embs: DataFrame, n_cells: int) -> DataFrame:
+    """(cid, ce, cnrm) — deterministic centroid seed: the ``n_cells``
+    LOWEST vec_ids by rank, not ``vec_id < n_cells``, so corpora with
+    sparse or content-hash ids (e.g. the docs.py sources) still seed
+    exactly ``n_cells`` centroids instead of silently training fewer.
+    Rank = value for dense 0-based ids, so every existing oracle is
+    unchanged. TakeOrdered on a unique key — deterministic, tiny."""
+    return (
+        embs.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.sqrt(
+                fold_dot_col(F.col("embedding"), F.col("embedding"))
+            ).alias("cnrm"),
+        )
+    )
+
+
 def topk_ivf(
     embs: DataFrame,
     query_vec_id: int = 0,
@@ -437,11 +457,7 @@ def topk_ivf(
     broadcast of the tiny centroid set + windows partitioned by
     vec_id; at scale the cell id becomes a partition/cluster key so a
     probe is a partition-pruned scan."""
-    cents = embs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("cnrm"),
-    )
+    cents = seed_centroids(embs, n_cells)
     wn = embs.select(
         "vec_id",
         "embedding",
@@ -563,11 +579,7 @@ def topk_ivf_trained(
         "embedding",
         F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    cents = embs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("cnrm"),
-    )
+    cents = seed_centroids(embs, n_cells)
     for _ in range(max(1, n_iters)):
         assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
             "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
@@ -615,7 +627,7 @@ def ivf_train_ctes(
     ctes = [
         f"wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
         f"""c0 AS (SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
-       FROM embeddings WHERE vec_id < {n_cells})""",
+       FROM embeddings ORDER BY vec_id LIMIT {n_cells})""",
     ]
     for t in range(n_iters):
         ctes.append(f"""r{t} AS (
@@ -696,7 +708,7 @@ def topk_ivf_sql(
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
-  FROM embeddings WHERE vec_id < {n_cells}),
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
 wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
 ranked AS (
   SELECT w.vec_id, w.embedding, w.nrm, c.cid,

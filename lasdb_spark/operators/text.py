@@ -90,7 +90,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores_sql() -> str:
+def quality_scores_sql(src: str = "documents") -> str:
     n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
     n_stop = f"len(regexp_extract_all(text, '\\b({STOPWORDS_EN})\\b'))"
     stop_ratio = f"({n_stop} / CAST(greatest({n_tok}, 1) AS DOUBLE))"
@@ -99,7 +99,7 @@ SELECT doc_id,
   {n_tok} AS n_tokens,
   round({stop_ratio}, 6) AS stop_ratio,
   round(least({n_tok}, 100) / 100.0 * 0.6 + {stop_ratio} * 0.4, 6) AS quality
-FROM documents
+FROM {src}
 """.strip()
 
 
@@ -257,7 +257,9 @@ def stratified_sample(docs: DataFrame, rates: dict | None = None) -> DataFrame:
     )
 
 
-def stratified_sample_sql(rates: dict | None = None) -> str:
+def stratified_sample_sql(
+    rates: dict | None = None, src: str = "documents"
+) -> str:
     from ..functions.hashing import md5_int60_sql
 
     rates = SAMPLE_RATES if rates is None else rates
@@ -266,7 +268,7 @@ def stratified_sample_sql(rates: dict | None = None) -> str:
     )
     bucket = f"{md5_int60_sql('CAST(doc_id AS VARCHAR)')} % 100"
     return (
-        f"SELECT doc_id, lang, source FROM documents "
+        f"SELECT doc_id, lang, source FROM {src} "
         f"WHERE {bucket} < (CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END)"
     )
 
@@ -334,7 +336,9 @@ def token_budget_sample(
 
 
 def token_budget_sample_sql(
-    budgets: dict[str, int], default_budget: int = 0
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    src: str = "documents",
 ) -> str:
     n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
     n_stop = f"len(regexp_extract_all(text, '\\b({STOPWORDS_EN})\\b'))"
@@ -346,7 +350,7 @@ def token_budget_sample_sql(
     )
     return f"""
 WITH s AS (SELECT doc_id, lang, {n_tok} AS n_tokens, {quality} AS quality
-           FROM documents),
+           FROM {src}),
 c AS (SELECT *, CAST(sum(n_tokens) OVER (
         PARTITION BY lang ORDER BY quality DESC, doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -405,14 +409,16 @@ def pack_sequences(
     )
 
 
-def pack_sequences_sql(seq_len: int = 512, n_buckets: int = 32) -> str:
+def pack_sequences_sql(
+    seq_len: int = 512, n_buckets: int = 32, src: str = "documents"
+) -> str:
     from ..functions.hashing import md5_int60_sql
 
     n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
     bucket = f"{md5_int60_sql('CAST(doc_id AS VARCHAR)')} % {int(n_buckets)}"
     return f"""
 WITH s AS (SELECT doc_id, {bucket} AS bucket, {n_tok} AS n_tokens
-           FROM documents),
+           FROM {src}),
 c AS (SELECT *, COALESCE(sum(n_tokens) OVER (
         PARTITION BY bucket ORDER BY doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum

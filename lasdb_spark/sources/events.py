@@ -30,15 +30,26 @@ def _with_ts(df: DataFrame) -> DataFrame:
         # matches DuckDB epoch_us()
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # µs timestamp (read as TIMESTAMP_NTZ): produce the same TIMESTAMP
-    # type the nanos path yields, epoch = the naive value taken as UTC.
-    # to_utc_timestamp interprets the wall-clock in the GIVEN zone, so
-    # this is session-timezone-independent — exactly DuckDB epoch_us().
+    # type the nanos path yields.  NOTE: the implicit NTZ->TIMESTAMP
+    # cast inside to_utc_timestamp interprets the wall clock in
+    # spark.sql.session.timeZone, so this expression is only correct
+    # under a UTC session — which events_df/events_stream pin (and
+    # which downstream consumers need anyway: hour()/date_trunc() over
+    # the resulting TIMESTAMP also read the session zone).
     return df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    # The DuckDB oracle compares epochs assuming UTC wall clocks; an
+    # uncontrolled (driver) session in another zone would skew both the
+    # NTZ cast above and every hour()/date_trunc() over ts.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch events table with ``ts`` as a proper µs TIMESTAMP."""
     spark.conf.set(_NANOS_CONF, "true")
+    _pin_utc(spark)
     return _with_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
@@ -50,6 +61,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one driver-side footer read) so the stream tracks whichever ``ts``
     encoding the files carry."""
     spark.conf.set(_NANOS_CONF, "true")
+    _pin_utc(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory; glob-filter to the table
     return _with_ts(

@@ -35,6 +35,32 @@ try:  # optional, not in this container
 except Exception:  # pragma: no cover
     HAVE_LASPY = False
 
+
+def laz_backend_available() -> bool:
+    """True when laspy can decompress LAZ (lazrs or laszip backend
+    installed) — the optional dependency that turns the LAZ read path
+    on (`pip install laspy[lazrs]` in a real deployment)."""
+    if not HAVE_LASPY:
+        return False
+    try:  # pragma: no cover - backend not in this container
+        from laspy import LazBackend
+
+        return any(b.is_available() for b in LazBackend)
+    except Exception:  # pragma: no cover
+        return False
+
+
+class LazUnsupportedError(ValueError):
+    """LAZ input hit a reader with no decompression backend."""
+
+
+_LAZ_GUIDANCE = (
+    "LAZ-compressed input: install laspy with a LAZ backend "
+    "(`pip install laspy[lazrs]`) so the reader decompresses inline, "
+    "or decompress first (`laszip -i tile.laz -o tile.las` / "
+    "`las2las`) and import the .las files"
+)
+
 # LAS 1.2 public header block: signature, ids, guid, version, strings,
 # dates, layout, counts, then 12 doubles (scales ×3, offsets ×3,
 # max/min x y z interleaved) = 227 bytes exactly.
@@ -160,14 +186,19 @@ def parse_las_header(buf: bytes) -> dict:
 
 def read_las_bytes(buf: bytes) -> np.ndarray:
     """Full point scan from bytes → (n, 3) float64 of real-world x/y/z
-    (reference S2: integer grid × scale + offset)."""
+    (reference S2: integer grid × scale + offset). LAZ payloads route
+    through laspy when a decompression backend is installed (the
+    reference reads AHN tiles via laspy, pipeline/import_data.py:27-29,
+    which handles LAZ the same way); otherwise the error says exactly
+    how to proceed."""
     hdr = parse_las_header(buf)
     if hdr["compressed"]:
-        raise ValueError(
-            "LAZ-compressed input: the built-in codec reads uncompressed "
-            "LAS only; decompress first (laszip / las2las) or install "
-            "laspy[lazrs] so the laspy path handles it"
-        )
+        if laz_backend_available():  # pragma: no cover - no backend here
+            import io
+
+            las = laspy.read(io.BytesIO(buf))
+            return np.vstack((las.x, las.y, las.z)).T
+        raise LazUnsupportedError(_LAZ_GUIDANCE)
     n = hdr["point_count"]
     rl = hdr["point_record_length"]
     dt = point_dtype(hdr["point_format"])
@@ -288,7 +319,7 @@ def scan_las_metadata(path_or_dir: str) -> list[dict]:
         paths = sorted(
             p
             for p in _glob.glob(os.path.join(path_or_dir, "*"))
-            if p.lower().endswith(".las")
+            if p.lower().endswith((".las", ".laz"))
         )
     else:
         paths = [path_or_dir]

@@ -70,7 +70,12 @@ def test_adjacent_candidates_preserve_clusters(spark):
     n_adj = minhash_lsh_pairs(docs, candidates="adjacent").count()
     assert n_all == 40 * 39 // 2  # every variant pair verifies (jac 11/13)
     assert 39 <= n_adj < n_all / 4  # linear-ish, not quadratic
-    cl_all = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    # candidates='all' must be explicit now that the clustering default
+    # is 'adjacent' — this test is the gate for that default
+    cl_all = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, candidates="all").collect()
+    }
     cl_adj = {
         r.doc_id: r.cluster_id
         for r in dedup_clusters(docs, candidates="adjacent").collect()

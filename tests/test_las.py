@@ -54,6 +54,72 @@ def test_las_extra_bytes_record(tmp_path):
     np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
 
 
+def _fake_laz(tmp_path, n=20):
+    """A LAS file with the LAZ compression bit set on the point-format
+    id (the LAZ container convention: header stays plain LAS)."""
+    import struct
+
+    xyz = _cloud(n)
+    p = str(tmp_path / "tile.laz")
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=3)
+    raw = bytearray(open(p, "rb").read())
+    pf = struct.unpack_from("<B", raw, 104)[0]
+    struct.pack_into("<B", raw, 104, pf | 0x80)
+    with open(p, "wb") as f:
+        f.write(bytes(raw))
+    return p
+
+
+def test_laz_detection_and_guidance(tmp_path):
+    """Header scan flags compression; the point read either
+    decompresses (laspy backend installed) or raises the actionable
+    guidance error — never garbage points."""
+    p = _fake_laz(tmp_path)
+    hdr = las.read_las_header_file(p)
+    assert hdr["compressed"] and hdr["point_format"] == 3
+    if las.laz_backend_available():  # pragma: no cover - not here
+        pytest.skip("real LAZ decode needs a true LAZ stream fixture")
+    with pytest.raises(las.LazUnsupportedError, match="laspy\\[lazrs\\]"):
+        las.read_las_bytes(open(p, "rb").read())
+
+
+@pytest.mark.skipif(
+    not las.laz_backend_available(),
+    reason="laspy LAZ backend not installed in this container — the "
+    "decompress path is exercised wherever laspy[lazrs] is present",
+)
+def test_laz_roundtrip_with_backend(tmp_path):  # pragma: no cover
+    import laspy
+
+    xyz = _cloud(100)
+    src = str(tmp_path / "t.las")
+    las.write_las(xyz, src, scales=(0.01, 0.01, 0.01))
+    lz = str(tmp_path / "t.laz")
+    laspy.convert(laspy.read(src)).write(lz)
+    back = las.read_las_file(lz)
+    np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
+
+
+@pytest.mark.spark
+def test_cli_import_laz_graceful(tmp_path, spark, capsys):
+    """run_import on a LAZ tile without a backend: one-line actionable
+    failure + nonzero exit, no stack trace requirement on the user."""
+    from lasdb_spark.cli import runner
+
+    p = _fake_laz(tmp_path)
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("backend present: import would succeed")
+    imp = {
+        "config": {"base_path": str(tmp_path / "store")},
+        "imports": {"ahn_tile": {"mode": "file", "path": p}},
+    }
+    (tmp_path / "imp.json").write_text(json.dumps(imp))
+    with pytest.raises(SystemExit, match="ahn_tile"):
+        runner.run_import(str(tmp_path / "imp.json"), spark)
+    out = capsys.readouterr().out
+    assert "FAILED" in out and "laspy[lazrs]" in out
+
+
 def test_las_rejects_garbage(tmp_path):
     p = str(tmp_path / "bad.las")
     with open(p, "wb") as f:
@@ -155,6 +221,12 @@ def test_cli_import_query_export(spark, tmp_path):
     runner.run_import(str(tmp_path / "imp.json"), spark)
     runner.run_query(str(tmp_path / "qry.json"), spark)
     runner.run_export(str(tmp_path / "qry.json"), str(tmp_path / "out"), spark)
+
+    # import emits the reference's ingest-time histogram side output
+    # (pcsfc/point_processor.py:74-79) next to the store
+    hist = spark.read.parquet(os.path.join(base, "histogram_t1"))
+    assert hist.columns == ["sfc_head", "num_tail"]
+    assert hist.agg({"num_tail": "sum"}).collect()[0][0] == 3000
 
     res = spark.read.parquet(os.path.join(base, "results", "A1_S_RCT"))
     got = res.count()

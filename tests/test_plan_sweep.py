@@ -33,8 +33,10 @@ BOUNDED_GLOBAL_WINDOW = {
     "rel_month_momentum",  # lag over per-month aggregates (≤ months)
 }
 
-#: Python-eval exemptions: the honest multimodal stub (Arrow plumbing
-#: is the thing under test; decode is a documented fake)
+#: Python-eval exemptions: multimodal decode — mm_features/mm_resize
+#: now parse REAL PGM/PPM/BMP containers with numpy inside mapInPandas
+#: (Arrow batches are the designed decode path: bytes in, records
+#: out); mm_frame_sample remains the documented video stub
 PYTHON_EVAL_OK = {"mm_features", "mm_resize", "mm_frame_sample"}
 
 
