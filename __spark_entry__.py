@@ -338,6 +338,20 @@ def _q_pc_classify(spark, sf_dir):
     return classify_by_hag(points_df(spark, sf_dir), HAG_CELL)
 
 
+def _q_pc_slope(spark, sf_dir):
+    """Central-difference DEM gradient (slope/aspect precursor)."""
+    from lasdb_spark.operators.grid import dem_gradient
+
+    return dem_gradient(points_df(spark, sf_dir), HAG_CELL)
+
+
+def _q_text_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (lexical-diversity signal)."""
+    from lasdb_spark.operators.text import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
 def _q_dedup_lsh_recall(spark, sf_dir):
     """LSH banding recall audited against the exact pair sweep."""
     from lasdb_spark.operators.dedup import lsh_recall_report
@@ -860,6 +874,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pc_grid_zstats": _grid.grid_zstats_sql(_PTS),
         "pc_hag": _grid.height_above_ground_sql(_PTS, HAG_CELL),
+        "pc_slope": _grid.dem_gradient_sql(_PTS, HAG_CELL),
+        "text_entropy": _text.token_entropy_sql(),
         "pc_classify": _grid.classify_by_hag_sql(_PTS, HAG_CELL),
         "dedup_lsh_recall": _dedup.lsh_recall_report_sql(),
         "pc_outliers": _outliers.radius_outliers_sql(_PTS),
@@ -945,20 +961,24 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """89 entries, ordered so every query gets a driver CORRECTNESS
+    """91 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
-    a fresh driver row), then the 39 entries whose last driver row was
-    r2 data (everything r3's window cut off), then 10 r3-green family
-    representatives to fill the window; the 49 remaining r3-green
-    entries sit at the tail (their green rows are from THIS data
-    generation, and the pytest oracle mirror in
-    tests/test_entry_oracle.py always runs ALL entries value-exact).
-    Next round: rotate the tail back into the lead block."""
+    a fresh driver row) with the two operators NEW in r4 (pc_slope,
+    text_entropy), then the 39 entries whose last driver row was r2
+    data (everything r3's window cut off), then r3-green family
+    representatives to fill the window; the remaining r3-green entries
+    sit at the tail (their green rows are from THIS data generation,
+    and the pytest oracle mirror in tests/test_entry_oracle.py always
+    runs ALL entries value-exact). Next round: rotate the tail back
+    into the lead block."""
     return {
         # --- fixed this round; needs a fresh driver row ---
         "corpus_token_budget": _q_token_budget,
+        # --- new this round (need their first driver row) ---
+        "pc_slope": _q_pc_slope,
+        "text_entropy": _q_text_entropy,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -5,13 +5,23 @@ Ingests the derived point cloud into the real persisted layout (flat
 Parquet, range-partitioned and sorted by sfc_key) and times a query
 suite shaped like the reference benchmarks (scripts/query_*.json:
 small/large rects, circle, polygon-with-hole, thin D21-style rect,
-z-slab composite, kNN — reference suites A1–D21), plus ingest itself.
+z-slab composite, kNN — reference suites A1–D21), plus ingest itself,
+the LLM-pipeline operator suite, and the continuous-ingest path.
 
 Each entry reports the MEDIAN of ``LASDB_BENCH_RUNS`` (default 3)
-repetitions in one session: single runs at this corpus size are
-dominated by per-plan codegen JIT (±20-40% swings that masquerade as
-regressions), and the median of three absorbs both that first-run cost
+repetitions after one unmeasured warm-up: single runs at this corpus
+size are dominated by per-plan codegen JIT (±20-40% swings that
+masquerade as regressions), and the median absorbs that first-run cost
 and stray GC pauses while staying robust to one outlier.
+
+The suite runs in FOUR sections, each in a FRESH SparkSession
+(restarting the JVM-side state between sections): cumulative old-gen
+garbage from ~100 executed plans otherwise inflates whatever runs
+late in the suite by 2-5x regardless of order — measured r4:
+dedup_clusters 7.0 s vs 15.9 s and semdedup_pairs 5.9 s vs 17.3 s for
+the SAME code in back-to-back suite runs that only moved section
+order, while solo probes stayed flat. Per-rep forced GC is not enough;
+a fresh session is. Section startup (~10 s) is unmeasured.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
@@ -31,13 +41,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+N_RUNS = int(os.environ.get("LASDB_BENCH_RUNS", "3"))
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
 
+def _session(cpus: int):
     from pyspark.sql import SparkSession
 
     spark = (
@@ -53,187 +60,222 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def _timed(spark, fn) -> float:
+    """Median wall-clock of N_RUNS calls after ONE unmeasured warm-up.
+
+    The warm-up absorbs the entry's one-time costs — whole-stage
+    codegen compilation (multi-second for the widest dedup plans) and
+    JIT — so the medians report steady-state latency, which is the
+    quantity that scales with data volume. Between reps: drop leaked
+    SQL caches AND force a JVM GC — the allocation-heavy entries are
+    otherwise GC-bound at sf0.1 (an in-session A/B measured the SAME
+    minhash call at 3.3 s in a clean JVM and up to 35 s in a dirty
+    one)."""
+    ts = []
+    for rep in range(N_RUNS + 1):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn()
+        if rep > 0:  # rep 0 is the unmeasured warm-up
+            ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 4)
+
+
+def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
+    """Ingest + the reference-shaped window-query suite (A1–D21)."""
     from lasdb_spark.operators.ingest import ingest_points, load_dataset
     from lasdb_spark.operators.window_query import WindowQuerier
     from lasdb_spark.sources.points import points_df
 
-    n_runs = int(os.environ.get("LASDB_BENCH_RUNS", "3"))
+    pts = points_df(spark, sf_dir)
+    pts.count()  # warm the session/JIT before the measured runs
+
+    timings["ingest"] = _timed(
+        spark, lambda: ingest_points(pts, "bench", base, target_partitions=cpus)
+    )
+    df, meta, layout = load_dataset(spark, base, "bench")
+    df.limit(1).count()  # touch the stored table (open footers) once
+    q = WindowQuerier(df, meta, layout)
+    # one unmeasured window query to JIT the scan+filter codegen
+    q.bbox([85150.0, 85160.0, 446200.0, 446210.0]).count()
+
+    timings["ingest_block"] = _timed(
+        spark,
+        lambda: ingest_points(
+            pts, "benchblk", base, target_partitions=cpus, layout="block"
+        ),
+    )
+    dfb, metab, layb = load_dataset(spark, base, "benchblk")
+    dfb.limit(1).count()
+    qb = WindowQuerier(dfb, metab, layb)
+
+    poly_hole = (
+        "POLYGON ((85100.005 446100.005, 85899.995 446100.005, "
+        "85899.995 447399.995, 85100.005 447399.995, 85100.005 446100.005), "
+        "(85299.995 446499.995, 85700.005 446499.995, 85700.005 447000.005, "
+        "85299.995 447000.005, 85299.995 446499.995))"
+    )
+    polyline = (
+        "LINESTRING (85150.005 446150.005, 85450.005 446650.005, "
+        "85300.005 447100.005, 85800.005 447300.005)"
+    )
+    # batch spatial join: a 6x6 grid of windows over the extent in ONE
+    # scan (vs 36 independent bbox jobs)
+    mw_wins = [
+        (6 * i + j + 1,
+         85100.005 + 130.0 * i, 85100.005 + 130.0 * i + 125.0,
+         446100.005 + 215.0 * j, 446100.005 + 215.0 * j + 210.0)
+        for i in range(6)
+        for j in range(6)
+    ]
+    suite = {
+        "bbox_small": lambda: q.bbox([85200.0, 85250.0, 446300.0, 446400.0]),
+        "bbox_large": lambda: q.bbox([85100.0, 85900.0, 446100.0, 447400.0]),
+        "bbox_empty": lambda: q.bbox([10.0, 20.0, 10.0, 20.0]),
+        "circle_med": lambda: q.circle([85500.0, 446700.0], 200.0),
+        "poly_hole": lambda: q.polygon(poly_hole),
+        "thin_rect": lambda: q.bbox([85500.0, 85501.0, 446000.0, 447500.0]),
+        "bbox_zslab": lambda: q.bbox(
+            [85100.0, 85900.0, 446100.0, 447400.0], minz=0.0, maxz=10.0
+        ),
+        "knn_1000": lambda: q.knn([85500.0, 446700.0], 1000),
+        "polyline_buf": lambda: q.polyline_buffer(polyline, 120.003),
+        "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
+        "multi_window_36": lambda: q.multi_bbox(mw_wins),
+        "lod_pyramid": lambda: q.lod_pyramid([4, 7, 10]),
+    }
+    for name, fn in suite.items():
+        timings[name] = _timed(spark, lambda fn=fn: fn().count())
+
+
+def _section_corpus(spark, sf_dir, timings) -> None:
+    """LLM-pipeline operators on the documents/embeddings tables."""
+    from lasdb_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.similarity import knn_join_lsh
+    from lasdb_spark.operators.text import (
+        quality_scores,
+        surprisal_scores,
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs.count(), embs.count()
+
+    suite = {
+        "text_quality": lambda: quality_scores(docs),
+        "text_tfidf": lambda: tfidf_top_terms(docs),
+        "text_surprisal": lambda: surprisal_scores(docs),
+        "text_bm25": lambda: bm25_search(docs, "fast hash join vector"),
+        "dedup_exact": lambda: exact_dedup(docs),
+        "dedup_minhash": lambda: minhash_lsh_pairs(docs),
+        "dedup_clusters": lambda: dedup_clusters(docs),
+        "ann_knn_join": lambda: knn_join_lsh(embs),
+    }
+    for name, fn in suite.items():
+        timings[name] = _timed(spark, lambda fn=fn: fn().count())
+
+
+def _section_heavy(spark, sf_dir, timings) -> None:
+    """The two most expensive operator families, isolated in their own
+    session so their allocation volume cannot inflate anything else
+    (and nothing inflates them)."""
+    from lasdb_spark.operators.features import neighborhood_shape
+    from lasdb_spark.operators.semdedup import semantic_pairs
+    from lasdb_spark.sources.points import points_df
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs.count()
+    pts = points_df(spark, sf_dir)
+    pts.count()
+    timings["semdedup_pairs"] = _timed(
+        spark, lambda: semantic_pairs(embs).count()
+    )
+    timings["pc_shape"] = _timed(
+        spark, lambda: neighborhood_shape(pts).count()
+    )
+
+
+def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
+    """Continuous ingest: micro-batch append stream + compaction pass
+    (the LSM-ish maintenance path — O(1) appends degrade pruning until
+    compact_dataset restores the global key order)."""
+    from lasdb_spark.operators.ingest import (
+        compact_dataset,
+        load_dataset,
+        save_metadata,
+    )
+    from lasdb_spark.sources.points import points_df
+    from lasdb_spark.streaming.ingest import (
+        read_point_stream,
+        stream_ingest_points,
+    )
+
+    pts = points_df(spark, sf_dir)
+    _, meta, _ = load_dataset(spark, base, "bench")
+    stage = tempfile.mkdtemp(prefix="lasdb_bench_stream_")
+    try:
+        src = os.path.join(stage, "src")
+        pts.select("x", "y", "z").repartition(8).write.parquet(src)
+        # a streaming file sink dedups by batchId in _spark_metadata,
+        # so every repetition needs a FRESH store + checkpoint pair
+        # (and compaction must see the freshly-appended store)
+        stream_ts, compact_ts = [], []
+        for rep in range(N_RUNS):
+            sbase = os.path.join(stage, f"store{rep}")
+            os.makedirs(sbase, exist_ok=True)
+            save_metadata(meta, sbase, layout="flat")
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            sq = stream_ingest_points(
+                read_point_stream(spark, src),
+                meta,
+                sbase,
+                os.path.join(stage, f"ckpt{rep}"),
+            )
+            sq.awaitTermination()
+            stream_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            compact_dataset(spark, sbase, meta.name, target_partitions=cpus)
+            compact_ts.append(time.perf_counter() - t0)
+        timings["stream_ingest"] = round(statistics.median(stream_ts), 4)
+        timings["compaction"] = round(statistics.median(compact_ts), 4)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
 
     base = tempfile.mkdtemp(prefix="lasdb_bench_")
     timings: dict[str, float] = {}
-
-    def timed(fn) -> float:
-        """Median wall-clock of n_runs calls after ONE unmeasured
-        warm-up call.
-
-        The warm-up absorbs the entry's one-time costs — whole-stage
-        codegen compilation (multi-second for the widest dedup plans)
-        and JIT — so the medians report steady-state latency, which is
-        the quantity that scales with data volume (the bench's stated
-        contract since the r3 methodology note in BASELINE.md). Between
-        reps: drop leaked SQL caches AND force a JVM GC — the
-        allocation-heavy entries are otherwise GC-bound at sf0.1 (an
-        in-session A/B measured the SAME minhash call at 3.3 s in a
-        clean JVM and up to 35 s right after the point-cloud section
-        filled the old gen)."""
-        ts = []
-        for rep in range(n_runs + 1):
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            fn()
-            if rep > 0:  # rep 0 is the unmeasured warm-up
-                ts.append(time.perf_counter() - t0)
-        return round(statistics.median(ts), 4)
-
+    sections = [
+        lambda s: _section_point_cloud(s, sf_dir, cpus, base, timings),
+        lambda s: _section_corpus(s, sf_dir, timings),
+        lambda s: _section_heavy(s, sf_dir, timings),
+        lambda s: _section_streaming(s, sf_dir, cpus, base, timings),
+    ]
     try:
-        pts = points_df(spark, sf_dir)
-        pts.count()  # warm the session/JIT before the measured runs
-
-        timings["ingest"] = timed(
-            lambda: ingest_points(pts, "bench", base, target_partitions=cpus)
-        )
-
-        df, meta, layout = load_dataset(spark, base, "bench")
-        df.limit(1).count()  # touch the stored table (open footers) once
-        q = WindowQuerier(df, meta, layout)
-        # one unmeasured window query to JIT the scan+filter codegen
-        # (shape not in the suite; steady-state is what we measure)
-        q.bbox([85150.0, 85160.0, 446200.0, 446210.0]).count()
-
-        poly_hole = (
-            "POLYGON ((85100.005 446100.005, 85899.995 446100.005, "
-            "85899.995 447399.995, 85100.005 447399.995, 85100.005 446100.005), "
-            "(85299.995 446499.995, 85700.005 446499.995, 85700.005 447000.005, "
-            "85299.995 447000.005, 85299.995 446499.995))"
-        )
-        # block layout: same cloud through pack/unpack (G3/Q4 path)
-        timings["ingest_block"] = timed(
-            lambda: ingest_points(
-                pts, "benchblk", base, target_partitions=cpus, layout="block"
-            )
-        )
-        dfb, metab, layb = load_dataset(spark, base, "benchblk")
-        dfb.limit(1).count()
-        qb = WindowQuerier(dfb, metab, layb)
-
-        polyline = (
-            "LINESTRING (85150.005 446150.005, 85450.005 446650.005, "
-            "85300.005 447100.005, 85800.005 447300.005)"
-        )
-        # batch spatial join: a 6x6 grid of windows over the extent in
-        # ONE scan (vs 36 independent bbox jobs)
-        mw_wins = [
-            (6 * i + j + 1,
-             85100.005 + 130.0 * i, 85100.005 + 130.0 * i + 125.0,
-             446100.005 + 215.0 * j, 446100.005 + 215.0 * j + 210.0)
-            for i in range(6)
-            for j in range(6)
-        ]
-        suite = {
-            "bbox_small": lambda: q.bbox([85200.0, 85250.0, 446300.0, 446400.0]),
-            "bbox_large": lambda: q.bbox([85100.0, 85900.0, 446100.0, 447400.0]),
-            "bbox_empty": lambda: q.bbox([10.0, 20.0, 10.0, 20.0]),
-            "circle_med": lambda: q.circle([85500.0, 446700.0], 200.0),
-            "poly_hole": lambda: q.polygon(poly_hole),
-            "thin_rect": lambda: q.bbox([85500.0, 85501.0, 446000.0, 447500.0]),
-            "bbox_zslab": lambda: q.bbox(
-                [85100.0, 85900.0, 446100.0, 447400.0], minz=0.0, maxz=10.0
-            ),
-            "knn_1000": lambda: q.knn([85500.0, 446700.0], 1000),
-            "polyline_buf": lambda: q.polyline_buffer(polyline, 120.003),
-            "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
-            "multi_window_36": lambda: q.multi_bbox(mw_wins),
-            "lod_pyramid": lambda: q.lod_pyramid([4, 7, 10]),
-        }
-        # LLM-pipeline operators on the documents/embeddings tables.
-        # Drop cached blocks from the point-cloud section first: the
-        # dedup/ANN pipelines build their own caches, and leftover
-        # storage-layout blocks only add GC/eviction pressure that
-        # shows up as noise in their timings.
-        spark.catalog.clearCache()
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        docs.count(), embs.count()
-
-        from lasdb_spark.operators.dedup import (
-            dedup_clusters,
-            exact_dedup,
-            minhash_lsh_pairs,
-        )
-        from lasdb_spark.operators.search import bm25_search
-        from lasdb_spark.operators.similarity import knn_join_lsh
-        from lasdb_spark.operators.text import (
-            quality_scores,
-            surprisal_scores,
-            tfidf_top_terms,
-        )
-
-        suite.update(
-            {
-                "text_quality": lambda: quality_scores(docs),
-                "text_tfidf": lambda: tfidf_top_terms(docs),
-                "text_surprisal": lambda: surprisal_scores(docs),
-                "text_bm25": lambda: bm25_search(docs, "fast hash join vector"),
-                "dedup_exact": lambda: exact_dedup(docs),
-                "dedup_minhash": lambda: minhash_lsh_pairs(docs),
-                "dedup_clusters": lambda: dedup_clusters(docs),
-                "ann_knn_join": lambda: knn_join_lsh(embs),
-            }
-        )
-
-        for name, fn in suite.items():
-            # Each query builds (and leaks, by design of the bench) its
-            # own internal caches; timed() drops leftovers before every
-            # repetition so one entry's GC pressure cannot bleed into
-            # the next — observed as sporadic 5-8x outliers on
-            # whichever query ran last.
-            timings[name] = timed(lambda fn=fn: fn().count())
-
-        # continuous ingest: micro-batch append stream + compaction pass
-        # (the LSM-ish maintenance path — O(1) appends degrade pruning
-        # until compact_dataset restores the global key order)
-        from lasdb_spark.operators.ingest import compact_dataset
-        from lasdb_spark.streaming.ingest import (
-            read_point_stream,
-            stream_ingest_points,
-        )
-
-        stage = tempfile.mkdtemp(prefix="lasdb_bench_stream_")
-        try:
-            src = os.path.join(stage, "src")
-            pts.select("x", "y", "z").repartition(8).write.parquet(src)
-            from lasdb_spark.operators.ingest import save_metadata
-
-            # a streaming file sink dedups by batchId in _spark_metadata,
-            # so every repetition needs a FRESH store + checkpoint pair
-            # (and compaction must see the freshly-appended store)
-            stream_ts, compact_ts = [], []
-            for rep in range(n_runs):
-                sbase = os.path.join(stage, f"store{rep}")
-                os.makedirs(sbase, exist_ok=True)
-                save_metadata(meta, sbase, layout="flat")
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                sq = stream_ingest_points(
-                    read_point_stream(spark, src),
-                    meta,
-                    sbase,
-                    os.path.join(stage, f"ckpt{rep}"),
-                )
-                sq.awaitTermination()
-                stream_ts.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                compact_dataset(spark, sbase, meta.name, target_partitions=cpus)
-                compact_ts.append(time.perf_counter() - t0)
-            timings["stream_ingest"] = round(statistics.median(stream_ts), 4)
-            timings["compaction"] = round(statistics.median(compact_ts), 4)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+        for section in sections:
+            spark = _session(cpus)
+            try:
+                section(spark)
+            finally:
+                spark.stop()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-        spark.stop()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -244,7 +286,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "n_runs": n_runs,
+                "n_runs": N_RUNS,
                 "stat": "median_per_query",
             }
         )

@@ -851,10 +851,14 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-    # Pin the converged labels and release every loop-held cache so
-    # repeated clustering runs in one session don't accumulate blocks.
+    # Pin the converged labels and release every loop-held block —
+    # including the pairs/edges checkpoints, which are dead weight once
+    # `final` is materialized — so repeated clustering runs in one
+    # session don't accumulate storage.
     final = labels.localCheckpoint()
     store.unpersist()
+    edges.unpersist()
+    pairs.unpersist()
     return final
 
 

@@ -146,6 +146,71 @@ FROM ({height_above_ground_sql(points_cte, cell)})
 """.strip()
 
 
+def dem_gradient(points: DataFrame, cell: float = CELL) -> DataFrame:
+    """(cell_x, cell_y, ground_z, dzdx_cm, dzdy_cm) — central-difference
+    elevation gradient over the gridded ground surface (the raster
+    derivative every slope/aspect/drainage product starts from; AHN
+    ships exactly such DTM derivatives). ``dzdx_cm`` = ground(east) −
+    ground(west) in exact centi-units, NULL at surface edges where a
+    neighbor cell is missing — integers, so the oracle matches
+    bit-for-bit.
+
+    Scale: the cloud collapses to the DEM (one groupBy, map-side
+    partials, |cells| ∝ area); the four neighbor lookups are
+    equi-joins of that small table against shifted copies of itself on
+    the SAME (cell_x, cell_y) key — co-partitioned after one exchange,
+    and broadcast-able whenever the extent is bounded. No window over
+    points, no second pass over the cloud."""
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    zq = F.round(F.col("z") * 100).cast("long")
+    dem = (
+        points.select(cx.alias("cell_x"), cy.alias("cell_y"), zq.alias("gq"))
+        .groupBy("cell_x", "cell_y")
+        .agg(F.min("gq").alias("gq"))
+    )
+
+    def shifted(dx: int, dy: int, alias: str) -> DataFrame:
+        return dem.select(
+            (F.col("cell_x") - dx).alias("cell_x"),
+            (F.col("cell_y") - dy).alias("cell_y"),
+            F.col("gq").alias(alias),
+        )
+
+    return (
+        dem.join(shifted(1, 0, "eq"), ["cell_x", "cell_y"], "left")
+        .join(shifted(-1, 0, "wq"), ["cell_x", "cell_y"], "left")
+        .join(shifted(0, 1, "nq"), ["cell_x", "cell_y"], "left")
+        .join(shifted(0, -1, "sq"), ["cell_x", "cell_y"], "left")
+        .select(
+            "cell_x",
+            "cell_y",
+            (F.col("gq") / 100.0).alias("ground_z"),
+            (F.col("eq") - F.col("wq")).alias("dzdx_cm"),
+            (F.col("nq") - F.col("sq")).alias("dzdy_cm"),
+        )
+    )
+
+
+def dem_gradient_sql(points_cte: str, cell: float = CELL) -> str:
+    """Oracle twin of :func:`dem_gradient`."""
+    return f"""
+{points_cte}, dem AS (
+  SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y,
+         min(CAST(round(z * 100) AS BIGINT)) AS gq
+  FROM points GROUP BY 1, 2)
+SELECT d.cell_x, d.cell_y, d.gq / 100.0 AS ground_z,
+       e.gq - w.gq AS dzdx_cm,
+       n.gq - s.gq AS dzdy_cm
+FROM dem d
+LEFT JOIN dem e ON e.cell_x = d.cell_x + 1 AND e.cell_y = d.cell_y
+LEFT JOIN dem w ON w.cell_x = d.cell_x - 1 AND w.cell_y = d.cell_y
+LEFT JOIN dem n ON n.cell_x = d.cell_x AND n.cell_y = d.cell_y + 1
+LEFT JOIN dem s ON s.cell_x = d.cell_x AND s.cell_y = d.cell_y - 1
+""".strip()
+
+
 def grid_zstats_sql(points_cte: str, cell: float = CELL) -> str:
     """Oracle twin; ``points_cte`` is a WITH prefix defining ``points``."""
     return f"""

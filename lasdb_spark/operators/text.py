@@ -781,6 +781,68 @@ FROM per_doc
 """.strip()
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, entropy) — Shannon entropy (nats)
+    of each document's own unigram distribution: the lexical-diversity
+    quality signal (low entropy = repetitive boilerplate / keyword
+    stuffing, independent of the corpus model that surprisal uses).
+    H = ln(n) − Σ c·ln(c) / n over per-doc term counts c.
+
+    Scale: one token shuffle to per-(doc, term) counts (map-side
+    partials, doc-scoped keys), then one per-doc aggregation of the
+    collapsed table. The Σ c·ln(c) term is cast to DECIMAL(20,10) and
+    summed exactly (order-independent — same discipline as
+    :func:`surprisal_scores`), so the rounded entropy is reproducible
+    under any partitioning and hash-matchable by the oracle."""
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    contrib = (
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    ).cast("decimal(20,10)")
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.sum(contrib).alias("s_dec"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log(n) - F.col("s_dec").cast("double") / n, 6
+        ).alias("entropy"),
+    )
+
+
+def token_entropy_sql() -> str:
+    pat = WORD_RE.replace("'", "''")
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS c FROM terms GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  AS DECIMAL(20,10))) AS s_dec
+  FROM tf GROUP BY 1)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS INT) AS n_distinct,
+       round(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(s_dec AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS entropy
+FROM per_doc
+""".strip()
+
+
 def tfidf_top_terms_sql(k: int = TFIDF_K) -> str:
     pat = WORD_RE.replace("'", "''")
     return f"""

@@ -1,4 +1,6 @@
-"""LAS point-cloud source & sink (ASPRS LAS 1.2 pf0-3 and 1.4 pf6-8).
+"""LAS point-cloud source & sink (ASPRS LAS 1.2 pf0-3 and 1.4 pf6-8;
+waveform formats 4/5/9/10 read their point attributes too — the
+waveform payload itself lives in VLRs and is skipped).
 
 The reference shells out to ``laspy`` (pipeline/import_data.py:25-36,
 pcsfc/point_processor.py:32-33, exporter.py:39-96). This container has
@@ -108,8 +110,20 @@ _CORE14_FIELDS = [
 _RGB_FIELDS = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
 
 
+#: waveform formats = a base format plus appended waveform-packet
+#: fields (descriptor u1, byte offset u8, size u4, return-point f4,
+#: Xt/Yt/Zt f4×3 — 29 bytes). The attribute prefix is bit-identical to
+#: the base format, so xyz/attribute extraction reuses the base dtype
+#: and the header's record length covers the tail — the waveform
+#: payload itself lives in (E)VLRs and is not needed for point reads.
+_WAVEFORM_BASE = {4: 1, 5: 3, 9: 6, 10: 7}
+
+
 def point_dtype(point_format: int) -> np.dtype:
-    """numpy dtype for a LAS point record format (0-3, 6-8)."""
+    """numpy dtype of the decoded attribute prefix for a LAS point
+    record format (0-10; waveform formats 4/5/9/10 decode their base
+    format's fields — see ``_WAVEFORM_BASE``)."""
+    point_format = _WAVEFORM_BASE.get(point_format, point_format)
     if 0 <= point_format <= 3:
         fields = list(_CORE_FIELDS)
         if point_format in (1, 3):
@@ -124,15 +138,8 @@ def point_dtype(point_format: int) -> np.dtype:
         if point_format == 8:
             fields.append(("nir", "<u2"))
         return np.dtype(fields)
-    if point_format in (4, 5, 9, 10):
-        raise ValueError(
-            f"LAS point format {point_format} carries waveform packets, "
-            "which this codec does not decode; strip waveforms (e.g. "
-            "las2las -set_point_type) or install laspy to read them"
-        )
     raise ValueError(
-        f"unsupported LAS point format {point_format} "
-        "(supported: 0-3 and 6-8)"
+        f"unsupported LAS point format {point_format} (supported: 0-10)"
     )
 
 
@@ -244,6 +251,12 @@ def write_las(
     """Write LAS: point formats 0-3 as v1.2 (reference exporter
     defaults: exporter.py:76-89 — pf3, scales 0.1, offsets 0) and
     formats 6-8 as v1.4 (375-byte header, 64-bit count)."""
+    if point_format in _WAVEFORM_BASE:
+        raise ValueError(
+            f"point format {point_format} is read-only here: writing it "
+            "requires waveform packets this engine does not produce — "
+            f"export as format {_WAVEFORM_BASE[point_format]} instead"
+        )
     dt = point_dtype(point_format)
     v14 = point_format >= 6
     hdr_size = _HEADER14_SIZE if v14 else _HEADER_SIZE

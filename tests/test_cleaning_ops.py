@@ -50,6 +50,37 @@ def test_hag_ground_is_cell_min(spark):
 
 
 # ---------------------------------------------------------------------------
+# DEM gradient
+# ---------------------------------------------------------------------------
+@pytest.mark.spark
+def test_dem_gradient_central_difference(spark):
+    """3x1 strip of cells with known ground minima: the center cell's
+    dzdx is east-minus-west in exact centi-units; edge cells (missing
+    a neighbor) are NULL in that axis."""
+    from lasdb_spark.operators.grid import dem_gradient
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 1.0, 2.0), (2.0, 2.0, 5.0),     # cell (0,0): min 2.0
+            (7.0, 1.0, 10.0),                      # cell (1,0): 10.0
+            (12.0, 1.0, 3.5), (13.0, 3.0, 4.0),   # cell (2,0): 3.5
+        ],
+        "x double, y double, z double",
+    )
+    rows = {
+        (r.cell_x, r.cell_y): r for r in dem_gradient(df, 5.0).collect()
+    }
+    assert rows[(0, 0)].ground_z == 2.0
+    # center cell: east(3.5) - west(2.0) = 1.5 m = 150 centi-units
+    assert rows[(1, 0)].dzdx_cm == 150
+    # strip edges lack an east or west neighbor → NULL gradient
+    assert rows[(0, 0)].dzdx_cm is None
+    assert rows[(2, 0)].dzdx_cm is None
+    # no north/south neighbors anywhere on a 3x1 strip
+    assert all(r.dzdy_cm is None for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
 # radius outliers
 # ---------------------------------------------------------------------------
 @pytest.mark.spark

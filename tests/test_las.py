@@ -54,6 +54,33 @@ def test_las_extra_bytes_record(tmp_path):
     np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
 
 
+@pytest.mark.parametrize("pf,base,extra", [(4, 1, 29), (5, 3, 29),
+                                           (9, 6, 29), (10, 7, 29)])
+def test_waveform_formats_read_xyz(tmp_path, pf, base, extra):
+    """Formats 4/5/9/10 = base format + appended waveform-packet
+    fields; the xyz/attribute prefix decodes identically, the tail is
+    skipped via the header's record length."""
+    import struct
+
+    xyz = _cloud(40)
+    p = str(tmp_path / "b.las")
+    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=base)
+    raw = bytearray(open(p, "rb").read())
+    hdr = las.parse_las_header(bytes(raw))
+    off, rl, n = hdr["offset_to_points"], hdr["point_record_length"], 40
+    recs = b"".join(
+        bytes(raw[off + i * rl : off + (i + 1) * rl]) + b"\x00" * extra
+        for i in range(n)
+    )
+    struct.pack_into("<B", raw, 104, pf)
+    struct.pack_into("<H", raw, 105, rl + extra)
+    back = las.read_las_bytes(bytes(raw[:off]) + recs)
+    np.testing.assert_allclose(back, np.round(xyz, 2), atol=0.005 + 1e-9)
+    # writing waveform formats is refused with guidance
+    with pytest.raises(ValueError, match="read-only"):
+        las.write_las(xyz, str(tmp_path / "w.las"), point_format=pf)
+
+
 def _fake_laz(tmp_path, n=20):
     """A LAS file with the LAZ compression bit set on the point-format
     id (the LAZ container convention: header stays plain LAS)."""
@@ -144,16 +171,11 @@ def test_laz_detected_with_actionable_error(tmp_path):
         las.read_las_bytes(bytes(raw))
 
 
-def test_waveform_formats_rejected_with_clear_error(tmp_path):
-    """pf 4/5/9/10 carry waveform packets the codec cannot decode."""
-    xyz = _cloud(50)
-    p = str(tmp_path / "t.las")
-    las.write_las(xyz, p, scales=(0.01, 0.01, 0.01), point_format=1)
-    raw = bytearray(open(p, "rb").read())
-    raw[104] = 4
-    with pytest.raises(ValueError, match="waveform"):
-        las.read_las_bytes(bytes(raw))
-    with pytest.raises(ValueError, match="supported: 0-3 and 6-8"):
+def test_unknown_point_format_rejected():
+    """Formats past the spec's 0-10 fail loudly (waveform formats
+    4/5/9/10 decode their attribute prefix since r4 — see
+    test_waveform_formats_read_xyz)."""
+    with pytest.raises(ValueError, match="supported: 0-10"):
         las.point_dtype(11)
 
 

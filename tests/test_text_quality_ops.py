@@ -41,6 +41,31 @@ def test_decontaminate_removes_overlapping_docs(spark):
 
 
 @pytest.mark.spark
+def test_token_entropy_reference_values(spark):
+    """Entropy against hand-computed Shannon values: uniform text hits
+    ln(n_distinct), single-token boilerplate hits exactly 0, and a
+    skewed mix lands between."""
+    import math
+
+    from lasdb_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform: H = ln(4)
+            (2, "spam spam spam"),   # one token: H = 0
+            (3, "x x x y"),          # skewed: ln(4) - (3 ln 3)/4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 4
+    assert out[1].entropy == round(math.log(4), 6)
+    assert out[2].entropy == 0.0 and out[2].n_distinct == 1
+    assert out[3].entropy == round(math.log(4) - 3 * math.log(3) / 4, 6)
+    assert 0 < out[3].entropy < out[1].entropy
+
+
+@pytest.mark.spark
 def test_repetition_stats_signals(spark):
     from lasdb_spark.operators.text import repetition_stats
 
