@@ -108,3 +108,129 @@ def test_spark_decode_matches_bytes(spark):
         cc = (np.arange(32) * w) // 32
         assert rs[i].sum_resized == img[rr][:, cc].sum()
         assert rs[i].scale_x == round(32 / w, 6)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio (RIFF/WAVE PCM16) decode
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_and_chunk_walk():
+    from lasdb_spark.operators.multimodal import (
+        _encode_wav,
+        _parse_wav,
+        _test_waveform,
+    )
+
+    s = _test_waveform(7, 100)
+    buf = _encode_wav(s, 16000, 2)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    # the LIST chunk sits before data, so a fixed-44-byte-offset reader
+    # would land inside INFO — the parser must chunk-walk
+    assert buf.index(b"LIST") < buf.index(b"data")
+    rate, ch, decoded = _parse_wav(buf)
+    assert (rate, ch) == (16000, 2)
+    assert list(decoded) == list(s)
+
+
+def test_wav_odd_data_length_word_aligned():
+    from lasdb_spark.operators.multimodal import _encode_wav, _parse_wav
+
+    s = np.array([1, -2, 3], dtype=np.int64)  # 6 bytes: even, add junk
+    buf = _encode_wav(s, 8000, 1)
+    # declared RIFF size must cover everything after the 8-byte header
+    declared = int.from_bytes(buf[4:8], "little")
+    assert declared == len(buf) - 8
+    rate, ch, decoded = _parse_wav(buf)
+    assert list(decoded) == [1, -2, 3]
+
+
+def test_wav_malformed_raises():
+    from lasdb_spark.operators.multimodal import _encode_wav, _parse_wav
+
+    with pytest.raises(ValueError):
+        _parse_wav(b"RIFFxxxxAIFF")  # not WAVE
+    buf = bytearray(_encode_wav(np.zeros(4, np.int64), 8000, 1))
+    buf[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError):
+        _parse_wav(bytes(buf))
+
+
+@pytest.mark.spark
+def test_spark_audio_decode_matches_bytes(spark):
+    from lasdb_spark.operators.multimodal import (
+        _test_waveform,
+        decode_audio_features,
+        make_audio_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x", 10 + 13 * i) for i in range(6)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_audio_features(make_audio_corpus(docs)).collect()
+    }
+    for i in range(6):
+        ch = i % 2 + 1
+        n_frames = (10 + 13 * i) % 1000 + 250
+        s = _test_waveform(i, n_frames * ch)
+        r = rows[i]
+        assert (r.sample_rate, r.channels) == (8000 + (i % 4) * 4000, ch)
+        assert r.n_frames == n_frames
+        assert r.duration_ms == n_frames * 1000 // r.sample_rate
+        assert (r.sum_amp, r.sum_sq) == (s.sum(), (s * s).sum())
+        assert (r.min_amp, r.max_amp) == (s.min(), s.max())
+        nonneg = s >= 0
+        assert r.zero_cross == int((nonneg[1:] != nonneg[:-1]).sum())
+
+
+# ---------------------------------------------------------------------------
+# REAL video (concatenated-PGM) frame sampling
+# ---------------------------------------------------------------------------
+@pytest.mark.spark
+def test_spark_frame_sample_matches_bytes(spark):
+    from lasdb_spark.operators.multimodal import (
+        make_video_corpus,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x", 10 + 13 * i) for i in range(6)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = sample_frames(make_video_corpus(docs), stride=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(6):
+        n_frames = i % 24 + 4
+        n_chars = 10 + 13 * i
+        w, h = n_chars % 24 + 8, (n_chars * 3) % 24 + 8
+        sampled = sorted(by_doc[i], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in sampled] == list(range(0, n_frames, 4))
+        px = np.arange(w * h, dtype=np.int64)
+        for r in sampled:
+            gray = (i * 31 + r.frame_idx * 97 + px * 7) % 256
+            assert (r.width, r.height) == (w, h)
+            assert r.sum_px == gray.sum()
+            assert (r.min_px, r.max_px) == (gray.min(), gray.max())
+
+
+@pytest.mark.spark
+def test_frame_stream_malformed_raises(spark):
+    from lasdb_spark.operators.multimodal import (
+        make_video_corpus,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", 20)], "doc_id long, text string, n_chars long"
+    )
+    corrupted = make_video_corpus(docs).selectExpr(
+        "doc_id",
+        # flip the first frame's magic: P5 -> Q5
+        "concat(cast('Q' as binary), substring(payload, 2)) as payload",
+        "meta",
+    )
+    with pytest.raises(Exception, match="bad frame header"):
+        sample_frames(corrupted).collect()
