@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lasdb_spark.operators import change as _change
 from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
@@ -395,6 +396,72 @@ def _docs(spark, sf_dir):
 
 def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+#: The synthetic corpus carries no PII, so the PII entries plant
+#: deterministic contact strings first. One dialect-neutral SQL CASE
+#: (Spark evaluates it via F.expr, DuckDB verbatim in a CTE) keeps the
+#: injected bytes identical on both sides; doc_id % 4 == 3 rows stay
+#: untouched so the operators also see PII-free documents.
+PII_INJECT = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN text || ' contact user' || CAST(doc_id AS STRING) "
+    "|| '@example.com now' "
+    "WHEN 1 THEN text || ' call 415-' "
+    "|| lpad(CAST((doc_id * 7) % 1000 AS STRING), 3, '0') || '-' "
+    "|| lpad(CAST((doc_id * 13) % 10000 AS STRING), 4, '0') "
+    "WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS STRING) "
+    "|| '.' || CAST((doc_id * 3) % 256 AS STRING) || '.7 logged' "
+    "ELSE text END"
+)
+
+
+CHANGE_CELL = 25.0  # epoch-diff cell edge (m) for the demo extent
+
+#: epoch B = deterministic perturbation of the derived cloud: cells of
+#: "demolished" points (centi-key % 10 == 0) vanish, "new construction"
+#: points (key 1 or 2) gain 3 m — both expressible identically in
+#: Spark Columns and the oracle CTE.
+_CHANGE_KEY_SQL = (
+    "(CAST(round(x * 100) AS BIGINT) + CAST(round(y * 100) AS BIGINT)) % 10"
+)
+
+
+def _q_pc_change(spark, sf_dir):
+    """AHN-style epoch change detection on a perturbed second survey."""
+    from lasdb_spark.operators.change import epoch_diff
+
+    pts = points_df(spark, sf_dir)
+    key = (
+        F.round(F.col("x") * 100).cast("long")
+        + F.round(F.col("y") * 100).cast("long")
+    ) % 10
+    epoch_b = (
+        pts.withColumn("_k", key)
+        .where(F.col("_k") != 0)
+        .withColumn(
+            "z",
+            F.when(F.col("_k").isin(1, 2), F.col("z") + 3.0).otherwise(
+                F.col("z")
+            ),
+        )
+        .drop("_k")
+    )
+    return epoch_diff(pts, epoch_b, cell=CHANGE_CELL)
+
+
+def _q_text_pii_stats(spark, sf_dir):
+    from lasdb_spark.operators.text import pii_stats
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(PII_INJECT))
+    return pii_stats(docs)
+
+
+def _q_text_pii_redact(spark, sf_dir):
+    from lasdb_spark.operators.text import pii_redact
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(PII_INJECT))
+    return pii_redact(docs)
 
 
 def _q_text_tokens(spark, sf_dir):
@@ -945,6 +1012,22 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": _multimodal.resize_images_sql(),
         "mm_frame_sample": _multimodal.sample_frames_sql(),
         "mm_audio": _multimodal.audio_features_sql(),
+        "pc_change": _change.epoch_diff_sql(
+            _PTS
+            + f""", epoch_b AS (
+  SELECT x, y,
+         CASE WHEN {_CHANGE_KEY_SQL} IN (1, 2) THEN z + 3.0 ELSE z END AS z
+  FROM points WHERE {_CHANGE_KEY_SQL} <> 0)""",
+            cell=CHANGE_CELL,
+        ),
+        "text_pii_stats": (
+            f"WITH pii_docs AS (SELECT doc_id, {PII_INJECT} AS text "
+            "FROM documents)\n" + _text.pii_stats_sql("pii_docs")
+        ),
+        "text_pii_redact": (
+            f"WITH pii_docs AS (SELECT doc_id, {PII_INJECT} AS text "
+            "FROM documents)\n" + _text.pii_redact_sql("pii_docs")
+        ),
         "rel_pricing_summary": _rel.pricing_summary_sql(),
         "rel_revenue_by_nation": _rel.revenue_by_nation_sql(),
         "rel_top_orders_per_customer": _rel.top_orders_per_customer_sql(),
@@ -993,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_slope": _q_pc_slope,
         "text_entropy": _q_text_entropy,
         "mm_audio": _q_mm_audio,
+        "text_pii_stats": _q_text_pii_stats,
+        "text_pii_redact": _q_text_pii_redact,
+        "pc_change": _q_pc_change,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

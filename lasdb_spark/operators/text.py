@@ -862,3 +862,89 @@ SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
   FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
 WHERE term_rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+#: (name, pattern, replacement) — applied IN ORDER for redaction, so
+#: e.g. a dotted phone number is consumed before the IPv4 pattern can
+#: see it. Patterns are kept to the Java-regex ∩ RE2 common dialect
+#: (no lookaround, no backrefs) so the DuckDB oracle and a future
+#: native scan agree; tests/test_regex_parity.py fuzzes that parity.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_email, n_phone, n_ipv4, n_ssn, n_pii) — per-document
+    PII hit census, the detection half of a redaction pass (the
+    RefinedWeb/Dolma-style pipeline stage that gates or scrubs
+    documents before training).
+
+    Pure regexp built-ins, map-only, zero shuffles — safe at 100 TB."""
+    t = F.col("text")
+    counts = [
+        _n_matches(t, pat).cast("int").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    out = docs.select("doc_id", *counts)
+    total = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS)
+    return out.withColumn("n_pii", total.cast("int"))
+
+
+def pii_stats_sql(src: str = "documents") -> str:
+    cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+  {cols},
+  CAST({total} AS INT) AS n_pii
+FROM {src}
+""".strip()
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, n_redacted): scrub every PII match with its
+    ``<TYPE>`` placeholder, keeping the document otherwise intact.
+    The patterns apply in PII_PATTERNS order (emails first, so their
+    digit runs never half-match the phone/IP patterns).
+
+    Map-only chained ``regexp_replace`` — JVM-side codegen, and the
+    redacted text is byte-compared against the DuckDB oracle."""
+    t = F.col("text")
+    n = F.lit(0)
+    for name, pat, _ in PII_PATTERNS:
+        n = n + _n_matches(t, pat)
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        "doc_id", red.alias("text"), n.cast("int").alias("n_redacted")
+    )
+
+
+def pii_redact_sql(src: str = "documents") -> str:
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+  {red} AS text,
+  CAST({total} AS INT) AS n_redacted
+FROM {src}
+""".strip()

@@ -1,0 +1,70 @@
+"""Epoch change detection (operators/change.py) — classification
+semantics on hand-built two-epoch clouds, plus the no-scale-killer
+plan property (cell tables join, never point tables)."""
+
+import pytest
+
+
+def _cloud(spark, rows):
+    return spark.createDataFrame(rows, "x double, y double, z double")
+
+
+@pytest.mark.spark
+def test_epoch_diff_classifications(spark):
+    from lasdb_spark.operators.change import epoch_diff
+
+    # cell edge 10 m → cell ids are floor(x/10), floor(y/10)
+    a = _cloud(spark, [
+        (5.0, 5.0, 10.0), (5.1, 5.1, 12.0),   # cell (0,0): zmax 12
+        (15.0, 5.0, 8.0),                     # cell (1,0): removed in B
+        (25.0, 5.0, 3.0),                     # cell (2,0): raised in B
+        (35.0, 5.0, 9.0),                     # cell (3,0): lowered in B
+        (45.0, 5.0, 1.0),                     # cell (4,0): stable (dz 0.5)
+    ])
+    b = _cloud(spark, [
+        (5.0, 5.0, 12.3),                     # (0,0): dz 0.3 → stable
+        (25.0, 5.0, 6.0),                     # (2,0): dz 3.0 → raised
+        (35.0, 5.0, 7.0),                     # (3,0): dz -2.0 → lowered
+        (45.0, 5.0, 1.5),                     # (4,0): dz exactly thresh
+        (55.0, 5.0, 4.0),                     # (5,0): added
+    ])
+    out = {
+        (r.cell_x, r.cell_y): r
+        for r in epoch_diff(a, b, cell=10.0, z_thresh=0.5).collect()
+    }
+    assert len(out) == 6
+    assert out[(0, 0)].change == "stable"
+    assert out[(1, 0)].change == "removed"
+    assert out[(2, 0)].change == "raised"
+    assert out[(3, 0)].change == "lowered"
+    # dz == z_thresh exactly is NOT change (strict inequality)
+    assert out[(4, 0)].change == "stable"
+    assert out[(5, 0)].change == "added"
+
+    r = out[(1, 0)]
+    assert (r.n_a, r.n_b) == (1, 0) and r.zmax_b is None and r.dz is None
+    r = out[(5, 0)]
+    assert (r.n_a, r.n_b) == (0, 1) and r.zmax_a is None and r.dz is None
+    r = out[(0, 0)]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert (r.zmax_a, r.zmax_b, r.dz) == (12.0, 12.3, 0.3)
+
+
+@pytest.mark.spark
+def test_epoch_diff_joins_cell_tables_not_points(spark):
+    """The full-outer join must sit ABOVE both aggregations (cell
+    summaries join, area-sized), never below them (point tables join,
+    corpus-sized) — the property that carries to 100 TB."""
+    from lasdb_spark.operators.change import epoch_diff
+
+    a = _cloud(spark, [(5.0, 5.0, 1.0)])
+    b = _cloud(spark, [(5.0, 5.0, 2.0)])
+    plan = epoch_diff(a, b)._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.find("Join FullOuter")
+    assert join_at != -1
+    # both aggregates appear BELOW (after, in tree print order) the join
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("Aggregate", i)
+    ]
+    assert len(agg_positions) >= 2
+    assert all(p > join_at for p in agg_positions)

@@ -13,9 +13,12 @@ import duckdb
 import pytest
 
 from lasdb_spark.operators.dedup import SHINGLE_N
-from lasdb_spark.operators.text import BPE_RE, PUNCT_RE, TOKEN_RE
+from lasdb_spark.operators.text import BPE_RE, PII_PATTERNS, PUNCT_RE, TOKEN_RE
 
 WORDS = ["the", "value", "spark", "merge", "a", "Straße?", "don't", "x1",
+         "bob@host.org", "a.b-c@mail.example.co", "415-555-0199",
+         "123.456.7890", "10.0.0.7", "999.999.999.999", "123-45-6789",
+         "not@an@email", "1.2.3", "@tag", "v1.2.3.4beta",
          "42", "3.14", "--", "...", "(key)", "über", "数据", "一鿿中",
          "it's", "O'Neil", "a,b;c", "#tag", "[1]", "{j}", "'quoted'"]
 SPACES = [" ", "  ", "\t", "\n", " \n ", "\r\n"]
@@ -35,7 +38,10 @@ def _corpus(n=200, seed=11):
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("pattern", [TOKEN_RE, PUNCT_RE, BPE_RE])
+@pytest.mark.parametrize(
+    "pattern",
+    [TOKEN_RE, PUNCT_RE, BPE_RE] + [p for _, p, _ in PII_PATTERNS],
+)
 def test_regexp_extract_all_counts_agree(spark, pattern):
     rows = [(i, s) for i, s in enumerate(_corpus())]
     sdf = spark.createDataFrame(rows, "doc_id int, text string")

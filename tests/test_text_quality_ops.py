@@ -241,3 +241,34 @@ def test_retention_matches_python_reference(spark, sf_dir):
         for d in ds:
             want[(c, d - c)] += 1
     assert got == dict(want)
+
+
+@pytest.mark.spark
+def test_pii_detection_and_redaction(spark):
+    from lasdb_spark.operators.text import pii_redact, pii_stats
+
+    rows = [
+        (0, "reach me at jane.doe+spam@mail.example.co or 415-555-0199"),
+        (1, "server 10.0.0.7 and 192.168.1.255 pinged"),
+        (2, "ssn 123-45-6789 but build 1.2.3 and v10.20.30.40"),
+        (3, "clean text with nothing to hide"),
+        (4, "double a@b.io c@d.io and dotted phone 123.456.7890"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (st[0].n_email, st[0].n_phone) == (1, 1)
+    assert st[1].n_ipv4 == 2
+    # 1.2.3 has too few octets, and v10.20.30.40 has no \b before the
+    # first octet ('v' and '1' are both word chars) — only the SSN hits
+    assert (st[2].n_ssn, st[2].n_ipv4) == (1, 0)
+    assert st[3].n_pii == 0
+    assert (st[4].n_email, st[4].n_phone) == (2, 1)
+
+    red = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert red[0].text == "reach me at <EMAIL> or <PHONE>"
+    assert red[1].text == "server <IPV4> and <IPV4> pinged"
+    assert red[2].text == "ssn <SSN> but build 1.2.3 and v10.20.30.40"
+    assert red[3].text == rows[3][1] and red[3].n_redacted == 0
+    # the dotted phone is consumed by the phone pass BEFORE the ipv4
+    # pattern could see "123.456.7890" (order-dependence armor)
+    assert red[4].text == "double <EMAIL> <EMAIL> and dotted phone <PHONE>"
