@@ -695,6 +695,13 @@ def _q_ann_ivf_trained(spark, sf_dir):
     return topk_ivf_trained(_embs(spark, sf_dir))
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (32× candidate-set compression)."""
+    from lasdb_spark.operators.similarity import topk_pq
+
+    return topk_pq(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -1012,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": _multimodal.resize_images_sql(),
         "mm_frame_sample": _multimodal.sample_frames_sql(),
         "mm_audio": _multimodal.audio_features_sql(),
+        "ann_pq_topk": _similarity.topk_pq_sql(),
         "pc_change": _change.epoch_diff_sql(
             _PTS
             + f""", epoch_b AS (
@@ -1057,12 +1065,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """91 entries, ordered so every query gets a driver CORRECTNESS
+    """95 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
-    a fresh driver row) with the two operators NEW in r4 (pc_slope,
-    text_entropy), then the 39 entries whose last driver row was r2
+    a fresh driver row) with the six operators NEW in r4 (pc_slope,
+    text_entropy, mm_audio, text_pii_stats, text_pii_redact,
+    pc_change), then the 39 entries whose last driver row was r2
     data (everything r3's window cut off), then r3-green family
     representatives to fill the window; the remaining r3-green entries
     sit at the tail (their green rows are from THIS data generation,
@@ -1079,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_stats": _q_text_pii_stats,
         "text_pii_redact": _q_text_pii_redact,
         "pc_change": _q_pc_change,
+        "ann_pq_topk": _q_ann_pq,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

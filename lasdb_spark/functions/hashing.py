@@ -81,3 +81,35 @@ def fold_dot_col(a: Column, b: Column, n: int | None = None) -> Column:
     for i in range(n):
         acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
     return acc
+
+
+def fold_l2_col(a: Column, b: Column) -> Column:
+    """Left-folded squared-L2 distance Σ (a[i]-b[i])² over two array
+    columns (sequential fold — same FP addition order as
+    :func:`fold_l2_sql`, so results are bit-identical)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def fold_l2_sql(
+    a_expr: str, b_expr: str, n: int, a_off: str = "0", b_off: str = "0"
+) -> str:
+    """DuckDB twin of :func:`fold_l2_col` with optional element-offset
+    expressions (1-based lists: element i reads ``[off + i]``), so the
+    oracle can index a subvector of a stored embedding without
+    materializing the slice.
+
+    NOTE: duplicates every expr textually 2n×; feed simple refs."""
+    acc = "0.0"
+    for i in range(1, n + 1):
+        d = (
+            f"(CAST(({a_expr})[({a_off}) + {i}] AS DOUBLE) - "
+            f"CAST(({b_expr})[({b_off}) + {i}] AS DOUBLE))"
+        )
+        acc = f"({acc} + {d} * {d})"
+    return acc

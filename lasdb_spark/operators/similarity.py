@@ -758,3 +758,191 @@ SELECT vec_id, cos, rank FROM (
          CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
   FROM cand) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — Jégou et al., TPAMI 2011
+# ---------------------------------------------------------------------------
+#: subspace count (64-dim → 8 subvectors of 8 components) and codes
+#: per subspace. Memory story at 100 TB: a PQ-encoded corpus stores
+#: M small codes per vector instead of the float vector — here 8
+#: codes ≈ 8 bytes vs 256 bytes of float32, a 32× compression of the
+#: candidate-scan working set; the codebook (M×K subvectors) stays
+#: broadcast-sized at any corpus scale.
+PQ_M = 8
+PQ_K = 16
+
+
+def _pq_subspace_ids(m: int):
+    return F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("m")
+
+
+def _pq_books(embs: DataFrame, m: int, n_codes: int, dim: int) -> DataFrame:
+    """(m, code, cvec) — per-subspace codebooks seeded from the
+    ``n_codes`` lowest vec_ids (rank-based, sparse-id safe; codes are
+    dense 1..K). A real deployment k-means-refines each subspace's
+    codebook — the encode/ADC PLAN below is identical either way, and
+    seeding keeps the whole index reproducible across engines."""
+    sub_dim = dim // m
+    seeds = (
+        embs.orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("code"),
+            "embedding",
+        )
+    )
+    return seeds.select("code", _pq_subspace_ids(m), "embedding").select(
+        "m",
+        "code",
+        F.slice(
+            "embedding", F.col("m") * sub_dim + 1, sub_dim
+        ).alias("cvec"),
+    )
+
+
+def pq_encode(
+    embs: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, m, code) — each vector compressed to ``m`` codebook
+    ids (nearest codeword per subspace by squared L2).
+
+    Scale: one broadcast of the M×K codebook, map-side distance to
+    every codeword (N·M·K rows before the per-(vec,subspace) argmin —
+    a constant 128× fan-out here, independent of N), zero shuffles of
+    the corpus. The argmin window partitions by (vec_id, m) so no key
+    concentrates."""
+    from ..functions.hashing import fold_l2_col
+
+    sub_dim = dim // m
+    if books is None:
+        books = _pq_books(embs, m, n_codes, dim)
+    vecs = embs.select("vec_id", _pq_subspace_ids(m), "embedding").select(
+        "vec_id",
+        "m",
+        F.slice("embedding", F.col("m") * sub_dim + 1, sub_dim).alias("svec"),
+    )
+    d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(d2.asc(), F.col("code"))
+    )
+    return (
+        vecs.join(F.broadcast(books), "m")
+        .select("vec_id", "m", "code", rk.alias("rk"))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def topk_pq(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """PQ/ADC top-k: encode the corpus once, build the query's
+    asymmetric-distance table (query subvector → every codeword,
+    M·K entries), then score every vector as the SUM of its codes'
+    table entries — no float vector is touched after encoding.
+
+    (vec_id, approx_d2, rank), ascending approximate distance.
+    Exactness armor: per-subspace distances round to 1e-6 and sum as
+    micro-unit BIGINTs, so the total is order-independent and the
+    DuckDB oracle hash-matches bit-for-bit.
+
+    Scale: the encoded table (vec_id, m, code) is the only corpus-
+    sized input; the distance table broadcasts (M·K rows), the
+    per-vector sum is one map-side-partial groupBy on vec_id, and the
+    top-k is TakeOrdered — never a full sort."""
+    from ..functions.hashing import fold_l2_col
+
+    dim = EMB_DIM
+    sub_dim = dim // m
+    books = _pq_books(embs, m, n_codes, dim)
+    codes = pq_encode(embs, m, n_codes, dim, books=books)
+    qsub = (
+        embs.where(F.col("vec_id") == query_vec_id)
+        .select(_pq_subspace_ids(m), "embedding")
+        .select(
+            "m",
+            F.slice(
+                "embedding", F.col("m") * sub_dim + 1, sub_dim
+            ).alias("qvec"),
+        )
+    )
+    dtab = qsub.join(F.broadcast(books), "m").select(
+        "m",
+        "code",
+        F.round(
+            F.round(fold_l2_col(F.col("qvec"), F.col("cvec")), 6) * 1e6
+        )
+        .cast("long")
+        .alias("qd2q"),
+    )
+    approx = (
+        codes.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("qd2q").cast("double") / 1e6).alias("approx_d2"))
+    )
+    top = approx.orderBy(F.col("approx_d2").asc(), "vec_id").limit(k)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+    )
+    return top.withColumn("rank", rank.cast("int"))
+
+
+def topk_pq_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> str:
+    """Oracle twin of :func:`topk_pq` — codebooks, encode argmin, ADC
+    table and micro-unit sum reproduced over the stored embeddings
+    (subvectors read via element offsets, no slice materialization)."""
+    from ..functions.hashing import fold_l2_sql
+
+    sub_dim = dim // m
+    off = f"ms.m * {sub_dim}"
+    enc_d2 = fold_l2_sql("v.ve", "b.ce", sub_dim, a_off="v.moff", b_off="b.moff")
+    q_d2 = fold_l2_sql("q.qv", "b.ce", sub_dim, a_off="b.moff", b_off="b.moff")
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code, embedding
+  FROM embeddings ORDER BY vec_id LIMIT {n_codes}),
+books AS (
+  SELECT ms.m, {off} AS moff, s.code, s.embedding AS ce
+  FROM seeds s, LATERAL (SELECT unnest(range(0, {m}))) AS ms(m)),
+vecs AS (
+  SELECT e.vec_id, ms.m, {off} AS moff, e.embedding AS ve
+  FROM embeddings e, LATERAL (SELECT unnest(range(0, {m}))) AS ms(m)),
+cand AS (
+  SELECT v.vec_id, v.m, b.code,
+         round({enc_d2}, 6) AS d2
+  FROM vecs v JOIN books b ON v.m = b.m),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+    FROM cand) WHERE rk = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+dtab AS (
+  SELECT b.m, b.code,
+         CAST(round(round({q_d2}, 6) * 1e6) AS BIGINT) AS qd2q
+  FROM books b CROSS JOIN q),
+approx AS (
+  SELECT c.vec_id, CAST(sum(d.qd2q) AS DOUBLE) / 1e6 AS approx_d2
+  FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+  WHERE c.vec_id != {query_vec_id} GROUP BY c.vec_id)
+SELECT vec_id, approx_d2, rank FROM (
+  SELECT vec_id, approx_d2,
+         CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT) AS rank
+  FROM approx) WHERE rank <= {k}
+""".strip()

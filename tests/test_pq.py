@@ -1,0 +1,89 @@
+"""Product-quantization ANN (similarity.py: pq_encode / topk_pq) —
+reconstruction semantics on a codebook-exact corpus, ADC ranking vs a
+numpy reference, and the TakeOrdered/broadcast plan shape."""
+
+import numpy as np
+import pytest
+
+DIM = 64
+M = 8
+K = 16
+
+
+def _mk_vec(rng):
+    return [round(float(v), 3) for v in rng.uniform(-1, 1, DIM)]
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.mark.spark
+def test_codebook_exact_corpus_reconstructs_exact_l2(spark):
+    """When every corpus vector IS a codebook seed, PQ encoding is
+    lossless, so the ADC distance equals the exact squared L2 and the
+    ranking matches brute force."""
+    from lasdb_spark.operators.similarity import topk_pq
+
+    rng = np.random.default_rng(7)
+    vecs = [_mk_vec(rng) for _ in range(K)]  # all 16 become seeds
+    embs = _embs(spark, vecs)
+    got = {r.vec_id: r for r in topk_pq(embs, query_vec_id=0, k=K).collect()}
+
+    q = np.array(vecs[0], dtype=np.float32).astype(np.float64)
+    exact = {}
+    for i in range(1, K):
+        v = np.array(vecs[i], dtype=np.float32).astype(np.float64)
+        exact[i] = ((q - v) ** 2).sum()
+    assert set(got) == set(exact)
+    for i, r in got.items():
+        # per-subspace 1e-6 rounding accumulates over M=8 terms
+        assert abs(r.approx_d2 - exact[i]) < 1e-4
+    want_order = sorted(exact, key=lambda i: (exact[i], i))
+    got_order = [i for i, _ in sorted(
+        ((r.vec_id, r.rank) for r in got.values()), key=lambda t: t[1]
+    )]
+    assert got_order == want_order
+
+
+@pytest.mark.spark
+def test_duplicate_of_query_ranks_first(spark):
+    from lasdb_spark.operators.similarity import topk_pq
+
+    rng = np.random.default_rng(11)
+    vecs = [_mk_vec(rng) for _ in range(40)]
+    vecs.append(list(vecs[0]))  # vec_id 40 duplicates the query
+    out = topk_pq(_embs(spark, vecs), query_vec_id=0, k=5).collect()
+    first = min(out, key=lambda r: r.rank)
+    assert first.vec_id == 40 and first.approx_d2 == 0.0
+
+
+@pytest.mark.spark
+def test_pq_encode_one_code_per_subspace(spark):
+    from lasdb_spark.operators.similarity import pq_encode
+
+    rng = np.random.default_rng(3)
+    embs = _embs(spark, [_mk_vec(rng) for _ in range(30)])
+    codes = pq_encode(embs).collect()
+    assert len(codes) == 30 * M
+    assert {(r.vec_id, r.m) for r in codes} == {
+        (i, m) for i in range(30) for m in range(M)
+    }
+    assert all(1 <= r.code <= K for r in codes)
+
+
+@pytest.mark.spark
+def test_pq_plan_take_ordered_and_broadcasts(spark, sf_dir):
+    """ADC scoring must broadcast the codebook/distance tables and end
+    in TakeOrdered — no full sort, no shuffle of the encoded corpus
+    for the join."""
+    from lasdb_spark.operators.similarity import topk_pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = topk_pq(embs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
