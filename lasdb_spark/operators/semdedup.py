@@ -109,7 +109,11 @@ def semantic_pairs(
     )
     return (
         a.join(
-            b,
+            # SHUFFLE_HASH: sort-merge would sort both assignment
+            # sides by cell (order unused downstream); the hash build
+            # side holds one CELL's vectors per key — bounded by the
+            # n_cells sizing knob, never by the corpus.
+            b.hint("SHUFFLE_HASH"),
             (F.col("cell") == F.col("cell_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )

@@ -30,14 +30,18 @@ BOUNDED_GLOBAL_WINDOW = {
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_trained",
+    # rank after limit(k) + codebook numbering over the n_codes-row
+    # seed table (16 rows by construction)
+    "ann_pq_topk",
     "rel_month_momentum",  # lag over per-month aggregates (≤ months)
 }
 
-#: Python-eval exemptions: multimodal decode — mm_features/mm_resize
-#: now parse REAL PGM/PPM/BMP containers with numpy inside mapInPandas
-#: (Arrow batches are the designed decode path: bytes in, records
-#: out); mm_frame_sample remains the documented video stub
-PYTHON_EVAL_OK = {"mm_features", "mm_resize", "mm_frame_sample"}
+#: Python-eval exemptions: multimodal decode — mm_features/mm_resize/
+#: mm_frame_sample/mm_audio parse REAL containers (PGM/PPM/BMP images,
+#: concatenated-PGM frame streams, RIFF/WAVE PCM16) with numpy inside
+#: mapInPandas; Arrow batches are the designed decode path (bytes in,
+#: records out), not a hot-path scalar UDF
+PYTHON_EVAL_OK = {"mm_features", "mm_resize", "mm_frame_sample", "mm_audio"}
 
 
 def _global_window(plan: str) -> bool:
