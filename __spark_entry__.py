@@ -27,6 +27,7 @@ from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
+from lasdb_spark.operators import profile as _profile
 from lasdb_spark.operators import outliers as _outliers
 from lasdb_spark.operators import semdedup as _semdedup
 from lasdb_spark.operators import features as _features
@@ -448,6 +449,15 @@ def _q_pc_change(spark, sf_dir):
         .drop("_k")
     )
     return epoch_diff(pts, epoch_b, cell=CHANGE_CELL)
+
+
+def _q_pc_profile(spark, sf_dir):
+    """Corridor elevation profile along the benchmark alignment."""
+    from lasdb_spark.operators.profile import corridor_profile
+
+    return corridor_profile(
+        points_df(spark, sf_dir), POLYLINE, POLYLINE_DIST, step=50.0
+    )
 
 
 def _q_text_pii_stats(spark, sf_dir):
@@ -1020,6 +1030,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _multimodal.sample_frames_sql(),
         "mm_audio": _multimodal.audio_features_sql(),
         "ann_pq_topk": _similarity.topk_pq_sql(),
+        "pc_profile": _profile.corridor_profile_sql(
+            _PTS, POLYLINE, POLYLINE_DIST, step=50.0
+        ),
         "pc_change": _change.epoch_diff_sql(
             _PTS
             + f""", epoch_b AS (
@@ -1065,13 +1078,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """95 entries, ordered so every query gets a driver CORRECTNESS
+    """97 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
-    a fresh driver row) with the six operators NEW in r4 (pc_slope,
+    a fresh driver row) with the eight operators NEW in r4 (pc_slope,
     text_entropy, mm_audio, text_pii_stats, text_pii_redact,
-    pc_change), then the 39 entries whose last driver row was r2
+    pc_change, ann_pq_topk, pc_profile), then the 39 entries whose
+    last driver row was r2
     data (everything r3's window cut off), then r3-green family
     representatives to fill the window; the remaining r3-green entries
     sit at the tail (their green rows are from THIS data generation,
@@ -1089,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_text_pii_redact,
         "pc_change": _q_pc_change,
         "ann_pq_topk": _q_ann_pq,
+        "pc_profile": _q_pc_profile,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

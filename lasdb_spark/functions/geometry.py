@@ -290,3 +290,96 @@ def circle_predicate(x: Column, y: Column, cx: float, cy: float, r: float) -> Co
     dx = x - F.lit(float(cx))
     dy = y - F.lit(float(cy))
     return (dx * dx + dy * dy) <= F.lit(float(r) * float(r))
+
+
+def _segment_stations(pts: list[tuple[float, float]]):
+    """Per-segment constants plus python-float cumulative chainage
+    (ax, ay, dx, dy, l2, cum, seg_len) — precomputed so Spark and the
+    SQL oracle embed IDENTICAL literals."""
+    import math
+
+    out, cum = [], 0.0
+    for ax, ay, dx, dy, l2 in _segments(pts):
+        seg_len = math.sqrt(l2)
+        out.append((ax, ay, dx, dy, l2, cum, seg_len))
+        cum = cum + seg_len
+    return out
+
+
+def station_stage_cols(pts: list[tuple[float, float]], x: Column, y: Column):
+    """Per-segment (d2_i, st_i) Columns: squared distance to segment i
+    and the chainage (distance along the polyline) of the clamped
+    projection onto it. Kept as a NAMED projection stage (linear-size
+    expressions) so the argmin fold can reference columns instead of
+    duplicating subtrees."""
+    cols = []
+    for i, (ax, ay, dx, dy, l2, cum, seg_len) in enumerate(
+        _segment_stations(pts)
+    ):
+        if l2 == 0.0:
+            ddx, ddy = x - F.lit(ax), y - F.lit(ay)
+            d2 = ddx * ddx + ddy * ddy
+            st = F.lit(cum)
+        else:
+            t = ((x - F.lit(ax)) * F.lit(dx) + (y - F.lit(ay)) * F.lit(dy)) / F.lit(l2)
+            tc = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+            cx = F.lit(ax) + tc * F.lit(dx)
+            cy = F.lit(ay) + tc * F.lit(dy)
+            d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+            st = F.lit(cum) + tc * F.lit(seg_len)
+        cols.append(d2.alias(f"d2_{i}"))
+        cols.append(st.alias(f"st_{i}"))
+    return cols
+
+
+def station_fold_cols(n_segments: int):
+    """(station, d2) argmin over the named stage columns of
+    :func:`station_stage_cols`. The min distance is computed with
+    ``least`` (exactly one of the d2_i, no rounding), then the station
+    is selected by first-match equality — the EARLIEST segment wins
+    exact ties, deterministically and dialect-identically."""
+    d2s = [F.col(f"d2_{i}") for i in range(n_segments)]
+    dmin = d2s[0] if n_segments == 1 else F.least(*d2s)
+    st = F.when(d2s[0] == dmin, F.col("st_0"))
+    for i in range(1, n_segments):
+        st = st.when(d2s[i] == dmin, F.col(f"st_{i}"))
+    return st, dmin
+
+
+def station_stage_sql(
+    pts: list[tuple[float, float]], x: str = "x", y: str = "y"
+) -> list[str]:
+    """SQL twin of :func:`station_stage_cols` — ``d2_i``/``st_i``
+    select-list items with the same literals and operation order."""
+    items = []
+    for i, (ax, ay, dx, dy, l2, cum, seg_len) in enumerate(
+        _segment_stations(pts)
+    ):
+        if l2 == 0.0:
+            d2 = f"(({x} - {ax!r})*({x} - {ax!r}) + ({y} - {ay!r})*({y} - {ay!r}))"
+            st = repr(cum)
+        else:
+            t = f"((({x} - {ax!r}) * {dx!r} + ({y} - {ay!r}) * {dy!r}) / {l2!r})"
+            tc = f"least(greatest({t}, 0.0), 1.0)"
+            cx = f"({ax!r} + {tc} * {dx!r})"
+            cy = f"({ay!r} + {tc} * {dy!r})"
+            d2 = f"(({x} - {cx})*({x} - {cx}) + ({y} - {cy})*({y} - {cy}))"
+            st = f"({cum!r} + {tc} * {seg_len!r})"
+        items.append(f"{d2} AS d2_{i}")
+        items.append(f"{st} AS st_{i}")
+    return items
+
+
+def station_fold_sql(n_segments: int) -> tuple[str, str]:
+    """SQL twin of :func:`station_fold_cols` (station_expr, dmin_expr).
+    ``station_expr`` references a column named ``dmin`` — the caller
+    materializes ``dmin_expr AS dmin`` in an intermediate stage so the
+    text stays linear in the segment count."""
+    if n_segments == 1:
+        dmin = "d2_0"
+    else:
+        dmin = "least(" + ", ".join(f"d2_{i}" for i in range(n_segments)) + ")"
+    st = "CASE " + " ".join(
+        f"WHEN d2_{i} = dmin THEN st_{i}" for i in range(n_segments)
+    ) + " END"
+    return st, dmin
