@@ -451,13 +451,24 @@ def _q_pc_change(spark, sf_dir):
     return epoch_diff(pts, epoch_b, cell=CHANGE_CELL)
 
 
+def _q_dedup_chunk_pairs(spark, sf_dir):
+    """Cross-document duplicated passages (chunk-level MinHash)."""
+    from lasdb_spark.operators.dedup import chunk_neardup_pairs
+
+    return chunk_neardup_pairs(_docs(spark, sf_dir))
+
+
 def _q_pc_profile(spark, sf_dir):
-    """Corridor elevation profile along the benchmark alignment."""
+    """Corridor elevation profile along the benchmark alignment,
+    composed the intended way: the stored layout's key-range-pruned
+    polyline selection feeds the profile, so the membership predicate
+    runs over pruned row groups instead of the whole cloud (the
+    coordinate roundtrip through the store is value-exact — same
+    guarantee every pc_* oracle already rests on)."""
     from lasdb_spark.operators.profile import corridor_profile
 
-    return corridor_profile(
-        points_df(spark, sf_dir), POLYLINE, POLYLINE_DIST, step=50.0
-    )
+    sel = _querier(spark, sf_dir).polyline_buffer(POLYLINE, POLYLINE_DIST)
+    return corridor_profile(sel, POLYLINE, POLYLINE_DIST, step=50.0)
 
 
 def _q_text_pii_stats(spark, sf_dir):
@@ -1030,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _multimodal.sample_frames_sql(),
         "mm_audio": _multimodal.audio_features_sql(),
         "ann_pq_topk": _similarity.topk_pq_sql(),
+        "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
         ),
@@ -1104,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_change": _q_pc_change,
         "ann_pq_topk": _q_ann_pq,
         "pc_profile": _q_pc_profile,
+        "dedup_chunk_pairs": _q_dedup_chunk_pairs,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -147,21 +147,61 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
         "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
         "multi_window_36": lambda: q.multi_bbox(mw_wins),
         "lod_pyramid": lambda: q.lod_pyramid([4, 7, 10]),
+        # corridor profile over the pruned polyline selection (r4)
+        "profile": lambda: _profile(q, polyline),
+        # epoch change detection vs a perturbed second survey (r4)
+        "epoch_diff": lambda: _epoch_diff(pts),
     }
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
 
+def _profile(q, polyline):
+    from lasdb_spark.operators.profile import corridor_profile
+
+    sel = q.polyline_buffer(polyline, 120.003)
+    return corridor_profile(sel, polyline, 120.003, step=50.0)
+
+
+def _epoch_diff(pts):
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.change import epoch_diff
+
+    key = (
+        F.round(F.col("x") * 100).cast("long")
+        + F.round(F.col("y") * 100).cast("long")
+    ) % 10
+    epoch_b = (
+        pts.withColumn("_k", key)
+        .where(F.col("_k") != 0)
+        .withColumn(
+            "z",
+            F.when(F.col("_k").isin(1, 2), F.col("z") + 3.0).otherwise(
+                F.col("z")
+            ),
+        )
+        .drop("_k")
+    )
+    return epoch_diff(pts, epoch_b, cell=25.0)
+
+
 def _section_corpus(spark, sf_dir, timings) -> None:
     """LLM-pipeline operators on the documents/embeddings tables."""
     from lasdb_spark.operators.dedup import (
+        chunk_neardup_pairs,
         dedup_clusters,
         exact_dedup,
         minhash_lsh_pairs,
     )
+    from lasdb_spark.operators.multimodal import (
+        decode_audio_features,
+        make_audio_corpus,
+    )
     from lasdb_spark.operators.search import bm25_search
-    from lasdb_spark.operators.similarity import knn_join_lsh
+    from lasdb_spark.operators.similarity import knn_join_lsh, topk_pq
     from lasdb_spark.operators.text import (
+        pii_redact,
         quality_scores,
         surprisal_scores,
         tfidf_top_terms,
@@ -179,7 +219,11 @@ def _section_corpus(spark, sf_dir, timings) -> None:
         "dedup_exact": lambda: exact_dedup(docs),
         "dedup_minhash": lambda: minhash_lsh_pairs(docs),
         "dedup_clusters": lambda: dedup_clusters(docs),
+        "dedup_chunks": lambda: chunk_neardup_pairs(docs),
         "ann_knn_join": lambda: knn_join_lsh(embs),
+        "ann_pq_topk": lambda: topk_pq(embs),
+        "mm_audio": lambda: decode_audio_features(make_audio_corpus(docs)),
+        "text_pii": lambda: pii_redact(docs),
     }
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())

@@ -1200,3 +1200,83 @@ SELECT n_exact, n_lsh, n_exact - n_common AS n_missed,
                   ELSE 1.0 END, 6) AS recall
 FROM ne CROSS JOIN nl CROSS JOIN c
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (sub-document) near-dup: duplicated passages ACROSS docs
+# ---------------------------------------------------------------------------
+#: composite chunk key = doc_id * CHUNK_KEY + chunk_id. Preconditions
+#: (documented, not silently truncated): doc_id < 2^63 / CHUNK_KEY
+#: ≈ 9.2e9 and chunk_id < CHUNK_KEY — far above any real corpus's
+#: per-document chunk count.
+CHUNK_KEY = 1_000_000_000
+
+
+def chunk_neardup_pairs(
+    docs: DataFrame, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """(doc_a, chunk_a, doc_b, chunk_b, jac) — near-duplicate PASSAGES
+    across different documents: chunk every doc into overlapping token
+    windows (text.chunk_documents), then run the banded-MinHash
+    pipeline over the chunk corpus and keep only cross-document hits.
+
+    Whole-document MinHash misses a page that copies one paragraph
+    from another source (the shared shingles drown in the rest); this
+    is the RefinedWeb-style passage-granularity pass that catches it.
+    Within-document pairs are EXCLUDED by construction — consecutive
+    windows overlap by design (stride < chunk), so intra-doc "dups"
+    are artifacts of the chunking, not signal.
+
+    Scale: chunking is map-only fan-out (~len/stride rows); the
+    MinHash stage inherits every scale property of
+    :func:`minhash_lsh_pairs` (banded candidates, exact-dup collapse
+    armor) over the chunk corpus."""
+    from .text import chunk_documents
+
+    chunks = chunk_documents(docs)
+    cdocs = chunks.select(
+        (F.col("doc_id") * CHUNK_KEY + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(cdocs, tau)
+    da = F.expr(f"doc_a div {CHUNK_KEY}")
+    db = F.expr(f"doc_b div {CHUNK_KEY}")
+    return (
+        pairs.select(
+            da.alias("da"),
+            (F.col("doc_a") % CHUNK_KEY).cast("int").alias("chunk_a"),
+            db.alias("db"),
+            (F.col("doc_b") % CHUNK_KEY).cast("int").alias("chunk_b"),
+            "jac",
+        )
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            "chunk_a",
+            F.col("db").alias("doc_b"),
+            "chunk_b",
+            "jac",
+        )
+    )
+
+
+def chunk_neardup_pairs_sql(tau: float = JACCARD_TAU) -> str:
+    """Oracle twin — composes the chunking SQL with the MinHash SQL
+    over a chunk-keyed CTE (stage generators take ``src`` parameters,
+    per the curate.py composition rule)."""
+    from .text import chunk_documents_sql
+
+    return f"""
+WITH chunks AS ({chunk_documents_sql()}),
+cdocs AS (
+  SELECT doc_id * {CHUNK_KEY} + chunk_id AS doc_id, chunk AS text
+  FROM chunks),
+cpairs AS ({minhash_lsh_pairs_sql(tau, src="cdocs")})
+SELECT doc_a // {CHUNK_KEY} AS doc_a,
+       CAST(doc_a % {CHUNK_KEY} AS INT) AS chunk_a,
+       doc_b // {CHUNK_KEY} AS doc_b,
+       CAST(doc_b % {CHUNK_KEY} AS INT) AS chunk_b,
+       jac
+FROM cpairs
+WHERE doc_a // {CHUNK_KEY} != doc_b // {CHUNK_KEY}
+""".strip()

@@ -267,3 +267,41 @@ def test_jaccard_search_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_chunk_neardup_finds_shared_passage(spark):
+    """Two documents that share ONE verbatim paragraph inside
+    otherwise-unrelated text: whole-document MinHash at tau=0.8 misses
+    them, the chunk-level pass finds the passage; intra-document
+    window overlap never surfaces as a pair."""
+    from lasdb_spark.operators.dedup import (
+        chunk_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    rng = __import__("random").Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def para(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    # one full chunk window (64 tokens) starting on a stride boundary
+    # (96 = 2×48) so the window at offset 96 IS the shared paragraph in
+    # both docs; unaligned placement would split it across windows and
+    # dilute per-chunk Jaccard below tau
+    shared = para(64)
+    rows = [
+        (0, para(96) + " " + shared + " " + para(128)),
+        (1, para(96) + " " + shared + " " + para(128)),
+        (2, para(288)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    whole = minhash_lsh_pairs(docs).collect()
+    assert whole == []  # document-level pass is blind to the passage
+
+    pairs = chunk_neardup_pairs(docs).collect()
+    assert pairs, "chunk-level pass must surface the shared paragraph"
+    assert all(r.doc_a != r.doc_b for r in pairs)
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
