@@ -458,6 +458,25 @@ def _q_dedup_chunk_pairs(spark, sf_dir):
     return chunk_neardup_pairs(_docs(spark, sf_dir))
 
 
+def _q_text_bigram(spark, sf_dir):
+    """Interpolated bigram-LM surprisal (order-sensitive fluency)."""
+    from lasdb_spark.operators.text import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+def _q_dedup_crosscorpus(spark, sf_dir):
+    """Near-dup join between two large corpora (even/odd doc_id
+    halves stand in for crawl-vs-training-set; neither broadcastable)."""
+    from lasdb_spark.operators.dedup import crosscorpus_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    return crosscorpus_neardup_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _q_pc_profile(spark, sf_dir):
     """Corridor elevation profile along the benchmark alignment,
     composed the intended way: the stored layout's key-range-pruned
@@ -1042,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio": _multimodal.audio_features_sql(),
         "ann_pq_topk": _similarity.topk_pq_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
+        "text_bigram_surprisal": _text.bigram_surprisal_sql(),
+        "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
         ),
@@ -1090,7 +1111,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """97 entries, ordered so every query gets a driver CORRECTNESS
+    """100 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1117,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "pc_profile": _q_pc_profile,
         "dedup_chunk_pairs": _q_dedup_chunk_pairs,
+        "text_bigram_surprisal": _q_text_bigram,
+        "dedup_crosscorpus": _q_dedup_crosscorpus,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1280,3 +1280,70 @@ SELECT doc_a // {CHUNK_KEY} AS doc_a,
 FROM cpairs
 WHERE doc_a // {CHUNK_KEY} != doc_b // {CHUNK_KEY}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup join: BOTH sides large (neither broadcastable)
+# ---------------------------------------------------------------------------
+def crosscorpus_neardup_pairs(
+    docs_a: DataFrame, docs_b: DataFrame, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """(a_id, b_id, jac) — near-duplicate documents ACROSS two large
+    corpora (e.g. a new crawl vs the existing training set). Distinct
+    from :mod:`decontaminate` in scale shape: decontamination
+    broadcasts a small eval set; here NEITHER side fits in a
+    broadcast, so both flow through one shared banded-MinHash pipeline
+    (side encoded in the low id bit) and only cross-side pairs
+    survive.
+
+    Scale: identical to :func:`minhash_lsh_pairs` over |A|+|B| docs —
+    one shingle shuffle, banded candidates, verify-candidates-only,
+    exact-dup collapse armor (an A document byte-identical to a B
+    document collapses to one banded representative and the pair is
+    restored by group expansion, which is why the side filter runs on
+    the FINAL pairs, after expansion — filtering candidates would drop
+    groups whose representatives share a side). Id space: both inputs
+    must have doc_id < 2^62 (the side bit doubles ids); ids may
+    overlap between corpora — the side bit disambiguates."""
+    u = docs_a.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        docs_b.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    pairs = minhash_lsh_pairs(u, tau)
+    cross = pairs.filter(F.col("doc_a") % 2 != F.col("doc_b") % 2)
+    a_key = F.when(
+        F.col("doc_a") % 2 == 0, F.col("doc_a")
+    ).otherwise(F.col("doc_b"))
+    b_key = F.when(
+        F.col("doc_a") % 2 == 1, F.col("doc_a")
+    ).otherwise(F.col("doc_b"))
+    return cross.select(
+        a_key.alias("ak"), b_key.alias("bk"), "jac"
+    ).select(
+        F.expr("ak div 2").alias("a_id"),
+        F.expr("bk div 2").alias("b_id"),
+        "jac",
+    )
+
+
+def crosscorpus_neardup_pairs_sql(
+    tau: float = JACCARD_TAU,
+    src_a: str = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+    src_b: str = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+) -> str:
+    """Oracle twin: the same side-bit union feeds the plain banded
+    pipeline (the Spark collapse is output-identical by design), then
+    the cross-side filter + id unpack."""
+    return f"""
+WITH corpus_u AS (
+  SELECT doc_id * 2 AS doc_id, text FROM ({src_a})
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, text FROM ({src_b})),
+upairs AS ({minhash_lsh_pairs_sql(tau, src="corpus_u")})
+SELECT (CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END) // 2 AS a_id,
+       (CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END) // 2 AS b_id,
+       jac
+FROM upairs
+WHERE doc_a % 2 != doc_b % 2
+""".strip()

@@ -948,3 +948,118 @@ SELECT doc_id,
   CAST({total} AS INT) AS n_redacted
 FROM {src}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# bigram language model: interpolated surprisal (KenLM-style fluency)
+# ---------------------------------------------------------------------------
+#: interpolation weight on the bigram term; the unigram floor keeps
+#: p > 0 for every observed continuation (the model is self-trained, so
+#: every token in scope IS observed). Shared python-float literals with
+#: the SQL twin.
+BIGRAM_LAMBDA = 0.9
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_bigram_surprisal) — mean surprisal
+    −ln p(w2|w1) under the corpus's own interpolated bigram model
+    p = λ·c(w1,w2)/c(w1·) + (1−λ)·c(·w2)/N. The order-sensitive
+    fluency signal the unigram model (:func:`surprisal_scores`) cannot
+    see: shuffled or templated word salad shares the unigram profile
+    of fluent text but scores high here, because its CONTINUATIONS are
+    globally rare.
+
+    Scale: bigram extraction is map-only (explode an index sequence
+    over the token array — no window shuffle, mirrors
+    :func:`chunk_documents`); one shuffle collapses to per-(doc,
+    bigram) counts, the model tables aggregate THAT collapsed table,
+    and the model joins run on collapsed keys. Per-doc sums use the
+    DECIMAL(20,10) exact-sum discipline of :func:`surprisal_scores`,
+    so scores are reproducible under any partitioning. Docs with < 2
+    tokens have no bigrams and are absent (same convention as empty
+    docs in chunking)."""
+    lam, ulam = BIGRAM_LAMBDA, 1.0 - BIGRAM_LAMBDA
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+    )
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    idx = F.explode(
+        F.when(
+            F.col("n") >= 2, F.sequence(F.lit(1), F.col("n") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    pos = base.select("doc_id", "toks", idx.alias("i"))
+    big = pos.select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    # cached: the collapsed per-(doc, bigram) table feeds the model
+    # tables (c12 -> c1/uni -> total) AND the per-doc scoring join —
+    # without it Spark re-runs the raw token shuffle five times (same
+    # shared-intermediate discipline as the minhash signature cache)
+    tf = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).cache()
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = c12.groupBy("w2").agg(F.sum("c12").alias("cnt2"))
+    total = uni.agg(F.sum("cnt2").alias("total"))
+    p = F.lit(lam) * (
+        F.col("c12").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(ulam) * (
+        F.col("cnt2").cast("double") / F.col("total").cast("double")
+    )
+    contrib = (F.col("tf").cast("double") * -F.log(p)).cast("decimal(20,10)")
+    per_doc = (
+        tf.join(c12.join(c1, "w1"), ["w1", "w2"])
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum(contrib).alias("s_dec"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("s_dec").cast("double") / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("avg_bigram_surprisal"),
+    )
+
+
+def bigram_surprisal_sql(src: str = "documents") -> str:
+    pat = WORD_RE.replace("'", "''")
+    lam, ulam = BIGRAM_LAMBDA, 1.0 - BIGRAM_LAMBDA
+    p = (
+        f"{lam!r} * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) "
+        f"+ {ulam!r} * (CAST(cnt2 AS DOUBLE) / CAST(total AS DOUBLE))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pat}') AS toks,
+         len(regexp_extract_all(lower(text), '{pat}')) AS n
+  FROM {src}),
+big AS (
+  SELECT doc_id, toks[CAST(s.i AS INT)] AS w1,
+         toks[CAST(s.i AS INT) + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(range(1, n))) AS s(i)
+  WHERE n >= 2),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+uni AS (SELECT w2, sum(c12) AS cnt2 FROM c12 GROUP BY 1),
+tot AS (SELECT sum(cnt2) AS total FROM uni),
+per_doc AS (
+  SELECT t.doc_id, sum(t.tf) AS n_bigrams,
+         sum(CAST(CAST(t.tf AS DOUBLE) * -ln({p}) AS DECIMAL(20,10)))
+           AS s_dec
+  FROM tf t
+  JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN uni USING (w2)
+  CROSS JOIN tot
+  GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(CAST(s_dec AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS avg_bigram_surprisal
+FROM per_doc
+""".strip()

@@ -305,3 +305,32 @@ def test_chunk_neardup_finds_shared_passage(spark):
     assert pairs, "chunk-level pass must surface the shared paragraph"
     assert all(r.doc_a != r.doc_b for r in pairs)
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+
+
+@pytest.mark.spark
+def test_crosscorpus_neardup_pairs(spark):
+    """Cross-side pairs only; byte-identical A/B docs survive the
+    exact-dup collapse; overlapping id spaces are disambiguated by the
+    side bit; a near-dup pair WITHIN one corpus never appears."""
+    from lasdb_spark.operators.dedup import crosscorpus_neardup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    a = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        # id 0 reused on purpose: side bit must keep it distinct
+        [(0, base), (7, "totally unrelated words here " * 8)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): r.jac
+        for r in crosscorpus_neardup_pairs(a, b).collect()
+    }
+    # A0 == B0 byte-identical (collapse path), A1 near-dup of B0;
+    # the A0~A1 within-corpus pair is excluded by construction
+    assert set(got) == {(0, 0), (1, 0)}
+    assert got[(0, 0)] == 1.0
+    assert 0.8 <= got[(1, 0)] < 1.0

@@ -272,3 +272,55 @@ def test_pii_detection_and_redaction(spark):
     # the dotted phone is consumed by the phone pass BEFORE the ipv4
     # pattern could see "123.456.7890" (order-dependence armor)
     assert red[4].text == "double <EMAIL> <EMAIL> and dotted phone <PHONE>"
+
+
+@pytest.mark.spark
+def test_bigram_surprisal_exact_and_order_sensitivity(spark):
+    """Exact parity with a pure-python reference model, plus the
+    signal the operator exists for: a token-shuffled doc shares its
+    unigram profile with the fluent docs but carries globally-rare
+    transitions, so it must score strictly higher."""
+    import math
+    from collections import Counter
+
+    from lasdb_spark.operators.text import (
+        BIGRAM_LAMBDA,
+        WORD_RE,
+        bigram_surprisal,
+    )
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(5)] + [
+        (5, "mat the on sat cat the"),  # same unigrams, scrambled order
+        (6, "solo"),  # < 2 tokens -> no bigrams -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert 6 not in got
+
+    import re
+
+    def toks(t):
+        return re.findall(WORD_RE, t.lower())
+
+    bigs = {
+        i: list(zip(toks(t)[:-1], toks(t)[1:])) for i, t in rows if i != 6
+    }
+    c12 = Counter(b for bs in bigs.values() for b in bs)
+    c1 = Counter()
+    uni = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        uni[w2] += c
+    total = sum(uni.values())
+    lam, ulam = BIGRAM_LAMBDA, 1.0 - BIGRAM_LAMBDA
+    for i, bs in bigs.items():
+        want = sum(
+            -math.log(
+                lam * (c12[b] / c1[b[0]]) + ulam * (uni[b[1]] / total)
+            )
+            for b in bs
+        ) / len(bs)
+        assert got[i].n_bigrams == len(bs)
+        assert abs(got[i].avg_bigram_surprisal - want) < 1e-5, i
+    assert got[5].avg_bigram_surprisal > got[0].avg_bigram_surprisal
