@@ -5,7 +5,10 @@ waveform payload itself lives in VLRs and is skipped).
 The reference shells out to ``laspy`` (pipeline/import_data.py:25-36,
 pcsfc/point_processor.py:32-33, exporter.py:39-96). This container has
 no laspy, so a minimal pure-numpy codec for the public LAS 1.2 spec is
-included; ``laspy`` is used instead when importable.
+included; ``laspy`` is used instead when importable. LAZ-compressed
+tiles decode through laspy[lazrs] when present, else through the
+in-repo pure-python LASzip codec (``laszip_codec.py``, legacy formats
+0-3) — no hard stop either way.
 
 Distributed read: Spark has no LAS datasource, so files arrive via
 ``spark.read.format("binaryFile")`` (one row per file: path + content)
@@ -178,6 +181,8 @@ def parse_las_header(buf: bytes) -> dict:
         count = tail[3] or count  # 64-bit count supersedes legacy
     return {
         "version": version,
+        "header_size": f[13],
+        "n_vlrs": f[15],
         "point_format": f[16] & 0x3F,  # high bits flag LAZ compression
         # LAZ convention: compressed files set bit 7 of the format id
         # (record layouts are otherwise identical to plain LAS)
@@ -205,6 +210,26 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
 
             las = laspy.read(io.BytesIO(buf))
             return np.vstack((las.x, las.y, las.z)).T
+        if hdr["point_format"] in (0, 1, 2, 3):
+            # dependency-free fallback: the in-repo LASzip codec
+            # (sources/laszip_codec.py) decodes chunked LAZ for the
+            # legacy formats; slower than laspy[lazrs] but no longer a
+            # hard stop on a bare container
+            from .laszip_codec import decompress_laz_points
+
+            try:
+                pts = decompress_laz_points(buf, hdr)
+            except ValueError as exc:
+                raise LazUnsupportedError(
+                    f"{exc}; {_LAZ_GUIDANCE}"
+                ) from exc
+            sx, sy, sz = hdr["scales"]
+            ox, oy, oz = hdr["offsets"]
+            out = np.empty((len(pts), 3), dtype=np.float64)
+            out[:, 0] = pts["X"] * sx + ox
+            out[:, 1] = pts["Y"] * sy + oy
+            out[:, 2] = pts["Z"] * sz + oz
+            return out
         raise LazUnsupportedError(_LAZ_GUIDANCE)
     n = hdr["point_count"]
     rl = hdr["point_record_length"]

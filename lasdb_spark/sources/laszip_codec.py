@@ -1,0 +1,1451 @@
+"""Pure-python LASzip codec: chunked arithmetic-coded LAZ for LAS 1.2
+point formats 0-3 (POINT10 + GPSTIME11 + RGB12, item version 2).
+
+Why this exists: real AHN distributions ship LAZ, the reference reads
+them through laspy (pipeline/import_data.py:27-29), and laspy + a LAZ
+backend is the FAST path here too (sources/las.py tries it first).
+This module is the dependency-free fallback so a bare container can
+still ingest LAZ tiles instead of hard-stopping.
+
+Implemented from public knowledge of the LASzip format: the open
+LASzip sources/format description (laszip.org, Apache-2.0) and the
+paper "LASzip: lossless compression of LiDAR data" (Isenburg, PE&RS
+2013). Components: Amir Said's FastAC range coder with LASzip's
+adaptive bit/symbol models, the k-bit IntegerCompressor, streaming
+median-of-5 coordinate predictors, and the v2 per-item models.
+
+Both directions are implemented and every layer is round-trip tested
+(tests/test_laszip_codec.py). The encoder exists to make the decoder
+testable in a container with no external LAZ binary; interop has NOT
+been validated against external laszip binaries in this environment —
+the container has none — so treat foreign-file decode as best-effort
+and the laspy path as authoritative when available.
+
+Performance: this is sequential, model-adaptive, per-point python — a
+fallback, not the scale path. Parallelism at scale comes from Spark
+partitioning file-per-task (sources/las.py mapInPandas), exactly like
+the uncompressed reader; within a file, LASzip chunks (50k points)
+are independent after the raw seed point, so a chunk-parallel variant
+is possible but not worth it below the laspy path's speed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+AC_MIN_LENGTH = 0x01000000
+AC_MAX_LENGTH = 0xFFFFFFFF
+BM_LENGTH_SHIFT = 13
+BM_MAX_COUNT = 1 << BM_LENGTH_SHIFT
+DM_LENGTH_SHIFT = 15
+DM_MAX_COUNT = 1 << DM_LENGTH_SHIFT
+U32 = 0xFFFFFFFF
+
+
+class ArithmeticBitModel:
+    __slots__ = (
+        "bit_0_prob",
+        "bit_0_count",
+        "bit_count",
+        "update_cycle",
+        "bits_until_update",
+    )
+
+    def __init__(self):
+        self.init()
+
+    def init(self):
+        self.bit_0_count = 1
+        self.bit_count = 2
+        self.bit_0_prob = 1 << (BM_LENGTH_SHIFT - 1)
+        self.update_cycle = self.bits_until_update = 4
+
+    def update(self):
+        self.bit_count += self.update_cycle
+        if self.bit_count > BM_MAX_COUNT:
+            self.bit_count = (self.bit_count + 1) >> 1
+            self.bit_0_count = (self.bit_0_count + 1) >> 1
+            if self.bit_0_count == self.bit_count:
+                self.bit_count += 1
+        scale = 0x80000000 // self.bit_count
+        self.bit_0_prob = (self.bit_0_count * scale) >> (
+            31 - BM_LENGTH_SHIFT
+        )
+        self.update_cycle = (5 * self.update_cycle) >> 2
+        if self.update_cycle > 64:
+            self.update_cycle = 64
+        self.bits_until_update = self.update_cycle
+
+
+class ArithmeticModel:
+    """Adaptive multi-symbol model; `compress` skips the decoder
+    lookup table (encoder side)."""
+
+    __slots__ = (
+        "symbols",
+        "compress",
+        "distribution",
+        "symbol_count",
+        "decoder_table",
+        "total_count",
+        "update_cycle",
+        "symbols_until_update",
+        "last_symbol",
+        "table_size",
+        "table_shift",
+    )
+
+    def __init__(self, symbols: int, compress: bool):
+        self.symbols = symbols
+        self.compress = compress
+        self.last_symbol = symbols - 1
+        if (not compress) and symbols > 16:
+            table_bits = 3
+            while symbols > (1 << (table_bits + 2)):
+                table_bits += 1
+            self.table_size = 1 << table_bits
+            self.table_shift = DM_LENGTH_SHIFT - table_bits
+            self.decoder_table = [0] * (self.table_size + 2)
+        else:
+            self.table_size = self.table_shift = 0
+            self.decoder_table = None
+        self.distribution = [0] * symbols
+        self.symbol_count = [1] * symbols
+        self.total_count = 0
+        self.update_cycle = symbols
+        self._update()
+        self.symbols_until_update = self.update_cycle = (symbols + 6) >> 1
+
+    def _update(self):
+        self.total_count += self.update_cycle
+        if self.total_count > DM_MAX_COUNT:
+            self.total_count = 0
+            for n in range(self.symbols):
+                self.symbol_count[n] = (self.symbol_count[n] + 1) >> 1
+                self.total_count += self.symbol_count[n]
+        scale = 0x80000000 // self.total_count
+        if self.table_size == 0:
+            acc = 0
+            for k in range(self.symbols):
+                self.distribution[k] = (scale * acc) >> (
+                    31 - DM_LENGTH_SHIFT
+                )
+                acc += self.symbol_count[k]
+        else:
+            acc = 0
+            s = 0
+            for k in range(self.symbols):
+                self.distribution[k] = (scale * acc) >> (
+                    31 - DM_LENGTH_SHIFT
+                )
+                acc += self.symbol_count[k]
+                w = self.distribution[k] >> self.table_shift
+                while s < w:
+                    s += 1
+                    self.decoder_table[s] = k - 1
+            self.decoder_table[0] = 0
+            while s <= self.table_size:
+                s += 1
+                self.decoder_table[s] = self.symbols - 1
+        self.update_cycle = (5 * self.update_cycle) >> 2
+        max_cycle = (self.symbols + 6) << 3
+        if self.update_cycle > max_cycle:
+            self.update_cycle = max_cycle
+        self.symbols_until_update = self.update_cycle
+
+
+class ArithmeticEncoder:
+    def __init__(self):
+        self.out = bytearray()
+        self.base = 0
+        self.length = AC_MAX_LENGTH
+
+    def _propagate_carry(self):
+        p = len(self.out) - 1
+        while p >= 0 and self.out[p] == 0xFF:
+            self.out[p] = 0
+            p -= 1
+        if p >= 0:
+            self.out[p] += 1
+
+    def _renorm(self):
+        while True:
+            self.out.append((self.base >> 24) & 0xFF)
+            self.base = (self.base << 8) & U32
+            self.length = (self.length << 8) & U32
+            if self.length >= AC_MIN_LENGTH:
+                break
+
+    def encode_bit(self, m: ArithmeticBitModel, bit: int):
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if bit == 0:
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            init_base = self.base
+            self.base = (self.base + x) & U32
+            self.length -= x
+            if init_base > self.base:
+                self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m.update()
+
+    def encode_symbol(self, m: ArithmeticModel, sym: int):
+        init_base = self.base
+        if sym == m.last_symbol:
+            x = m.distribution[sym] * (self.length >> DM_LENGTH_SHIFT)
+            self.base = (self.base + x) & U32
+            self.length -= x
+        else:
+            self.length >>= DM_LENGTH_SHIFT
+            x = m.distribution[sym] * self.length
+            self.base = (self.base + x) & U32
+            self.length = m.distribution[sym + 1] * self.length - x
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m._update()
+
+    def write_bits(self, bits: int, sym: int):
+        if bits > 19:
+            self.write_short(sym & 0xFFFF)
+            sym >>= 16
+            bits -= 16
+        init_base = self.base
+        self.length >>= bits
+        self.base = (self.base + sym * self.length) & U32
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_byte(self, b: int):
+        self.write_bits(8, b & 0xFF)
+
+    def write_short(self, s: int):
+        self.write_bits(16, s & 0xFFFF)
+
+    def write_int(self, v: int):
+        self.write_bits(32, v & U32)
+
+    def done(self) -> bytes:
+        init_base = self.base
+        if self.length > 2 * AC_MIN_LENGTH:
+            self.base = (self.base + AC_MIN_LENGTH) & U32
+            self.length = AC_MIN_LENGTH >> 1
+        else:
+            self.base = (self.base + (AC_MIN_LENGTH >> 1)) & U32
+            self.length = AC_MIN_LENGTH >> 9
+        if init_base > self.base:
+            self._propagate_carry()
+        self._renorm()
+        return bytes(self.out)
+
+
+class ArithmeticDecoder:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+        self.value = 0
+        for _ in range(4):
+            self.value = (self.value << 8) | self._byte()
+        self.length = AC_MAX_LENGTH
+
+    def _byte(self) -> int:
+        # reads past the chunk end return 0: the encoder's flush means
+        # trailing renorm reads never affect decoded symbols
+        if self.pos < len(self.buf):
+            b = self.buf[self.pos]
+            self.pos += 1
+            return b
+        self.pos += 1
+        return 0
+
+    def _renorm(self):
+        while True:
+            self.value = ((self.value << 8) | self._byte()) & U32
+            self.length = (self.length << 8) & U32
+            if self.length >= AC_MIN_LENGTH:
+                break
+
+    def decode_bit(self, m: ArithmeticBitModel) -> int:
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if self.value < x:
+            sym = 0
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            sym = 1
+            self.value -= x
+            self.length -= x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m.update()
+        return sym
+
+    def decode_symbol(self, m: ArithmeticModel) -> int:
+        y = self.length
+        if m.decoder_table is not None:
+            self.length >>= DM_LENGTH_SHIFT
+            dv = self.value // self.length
+            t = dv >> m.table_shift
+            sym = m.decoder_table[t]
+            n = m.decoder_table[t + 1] + 1
+            while n > sym + 1:
+                k = (sym + n) >> 1
+                if m.distribution[k] > dv:
+                    n = k
+                else:
+                    sym = k
+            x = m.distribution[sym] * self.length
+            if sym != m.last_symbol:
+                y = m.distribution[sym + 1] * self.length
+        else:
+            self.length >>= DM_LENGTH_SHIFT
+            x = sym = 0
+            n = m.symbols
+            k = n >> 1
+            while True:
+                z = self.length * m.distribution[k]
+                if z > self.value:
+                    n = k
+                    y = z
+                else:
+                    sym = k
+                    x = z
+                k = (sym + n) >> 1
+                if k == sym:
+                    break
+        self.value -= x
+        self.length = y - x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m._update()
+        return sym
+
+    def read_bits(self, bits: int) -> int:
+        if bits > 19:
+            low = self.read_short()
+            return (self.read_bits(bits - 16) << 16) | low
+        self.length >>= bits
+        sym = self.value // self.length
+        self.value -= sym * self.length
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        return sym
+
+    def read_byte(self) -> int:
+        return self.read_bits(8)
+
+    def read_short(self) -> int:
+        return self.read_bits(16)
+
+    def read_int(self) -> int:
+        return self.read_bits(32)
+
+
+def _i32(v: int) -> int:
+    v &= U32
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+class IntegerCompressor:
+    """LASzip k-bit integer corrector: a symbol model selects the
+    magnitude class k, the residual within the class goes through a
+    per-k model (low bits raw above ``bits_high``)."""
+
+    def __init__(self, coder, bits: int = 16, contexts: int = 1,
+                 bits_high: int = 8):
+        self.bits = bits
+        self.contexts = contexts
+        self.bits_high = bits_high
+        if 0 < bits < 32:
+            self.corr_bits = bits
+            self.corr_range = 1 << bits
+        else:
+            self.corr_bits = 32
+            self.corr_range = 0
+        if self.corr_range:
+            self.corr_min = -(self.corr_range // 2)
+            self.corr_max = self.corr_min + self.corr_range - 1
+        else:
+            self.corr_min = -(1 << 31)
+            self.corr_max = (1 << 31) - 1
+        self.coder = coder
+        self.k = 0
+        compress = isinstance(coder, ArithmeticEncoder)
+        self.m_bits = [
+            ArithmeticModel(self.corr_bits + 1, compress)
+            for _ in range(contexts)
+        ]
+        self.m_corrector0 = ArithmeticBitModel()
+        self.m_corrector = [None] + [
+            ArithmeticModel(
+                1 << (k if k <= bits_high else bits_high), compress
+            )
+            for k in range(1, self.corr_bits)
+        ]
+
+    # --- encoder side -----------------------------------------------
+    def compress(self, pred: int, real: int, context: int = 0):
+        corr = real - pred
+        if self.corr_range == 0:
+            # 32-bit correctors use C's wrapping I32 subtraction
+            corr = _i32(corr)
+        elif corr < self.corr_min:
+            corr += self.corr_range
+        elif corr > self.corr_max:
+            corr -= self.corr_range
+        self._write_corrector(corr, self.m_bits[context])
+
+    def _write_corrector(self, c: int, m_bits: ArithmeticModel):
+        c1 = -c if c <= 0 else c - 1
+        k = 0
+        while c1:
+            c1 >>= 1
+            k += 1
+        self.k = k
+        self.coder.encode_symbol(m_bits, k)
+        if k:
+            if k < 32:
+                if c >= 0:
+                    c -= 1
+                else:
+                    c += (1 << k) - 1
+                if k <= self.bits_high:
+                    self.coder.encode_symbol(self.m_corrector[k], c)
+                else:
+                    k1 = k - self.bits_high
+                    self.coder.encode_symbol(self.m_corrector[k], c >> k1)
+                    self.coder.write_bits(k1, c & ((1 << k1) - 1))
+        else:
+            self.coder.encode_bit(self.m_corrector0, c)
+
+    # --- decoder side -----------------------------------------------
+    def decompress(self, pred: int, context: int = 0) -> int:
+        real = pred + self._read_corrector(self.m_bits[context])
+        if self.corr_range == 0:
+            return _i32(real)
+        if real < 0:
+            real += self.corr_range
+        elif real >= self.corr_range:
+            real -= self.corr_range
+        return real
+
+    def _read_corrector(self, m_bits: ArithmeticModel) -> int:
+        k = self.coder.decode_symbol(m_bits)
+        self.k = k
+        if k:
+            if k < 32:
+                if k <= self.bits_high:
+                    c = self.coder.decode_symbol(self.m_corrector[k])
+                else:
+                    k1 = k - self.bits_high
+                    c = self.coder.decode_symbol(self.m_corrector[k])
+                    c = (c << k1) | self.coder.read_bits(k1)
+                if c >= (1 << (k - 1)):
+                    c += 1
+                else:
+                    c -= (1 << k) - 1
+            else:
+                c = self.corr_min
+        else:
+            c = self.coder.decode_bit(self.m_corrector0)
+        return c
+
+
+class StreamingMedian5:
+    """LASzip's streaming median-of-5 coordinate-difference predictor
+    (alternating insertion halves)."""
+
+    __slots__ = ("values", "high")
+
+    def __init__(self):
+        self.values = [0, 0, 0, 0, 0]
+        self.high = True
+
+    def add(self, v: int):
+        va = self.values
+        if self.high:
+            if v < va[2]:
+                va[4] = va[3]
+                va[3] = va[2]
+                if v < va[0]:
+                    va[2] = va[1]
+                    va[1] = va[0]
+                    va[0] = v
+                elif v < va[1]:
+                    va[2] = va[1]
+                    va[1] = v
+                else:
+                    va[2] = v
+            else:
+                if v < va[3]:
+                    va[4] = va[3]
+                    va[3] = v
+                else:
+                    va[4] = v
+                self.high = False
+        else:
+            if va[2] < v:
+                va[0] = va[1]
+                va[1] = va[2]
+                if va[4] < v:
+                    va[2] = va[3]
+                    va[3] = va[4]
+                    va[4] = v
+                elif va[3] < v:
+                    va[2] = va[3]
+                    va[3] = v
+                else:
+                    va[2] = v
+            else:
+                if va[1] < v:
+                    va[0] = va[1]
+                    va[1] = v
+                else:
+                    va[0] = v
+                self.high = True
+
+    def get(self) -> int:
+        return self.values[2]
+
+
+def _u8_fold(n: int) -> int:
+    return n & 0xFF
+
+
+def _u8_clamp(n: int) -> int:
+    return 0 if n <= 0 else (255 if n >= 255 else n)
+
+
+# LASzip context tables for return-number/number-of-returns pairs
+NUMBER_RETURN_MAP = [
+    [15, 14, 13, 12, 11, 10, 9, 8],
+    [14, 0, 1, 3, 6, 10, 10, 9],
+    [13, 1, 2, 4, 7, 11, 11, 10],
+    [12, 3, 4, 5, 8, 12, 12, 11],
+    [11, 6, 7, 8, 9, 13, 13, 12],
+    [10, 10, 11, 12, 13, 14, 14, 13],
+    [9, 10, 11, 12, 13, 14, 15, 14],
+    [8, 9, 10, 11, 12, 13, 14, 15],
+]
+NUMBER_RETURN_LEVEL = [
+    [0, 1, 2, 3, 4, 5, 6, 7],
+    [1, 0, 1, 2, 3, 4, 5, 6],
+    [2, 1, 0, 1, 2, 3, 4, 5],
+    [3, 2, 1, 0, 1, 2, 3, 4],
+    [4, 3, 2, 1, 0, 1, 2, 3],
+    [5, 4, 3, 2, 1, 0, 1, 2],
+    [6, 5, 4, 3, 2, 1, 0, 1],
+    [7, 6, 5, 4, 3, 2, 1, 0],
+]
+
+
+class Point10:
+    """One POINT10 record as mutable plain fields."""
+
+    __slots__ = (
+        "x", "y", "z", "intensity", "flags", "classification",
+        "scan_angle_rank", "user_data", "point_source_id",
+    )
+
+    FMT = struct.Struct("<iiiHBBbBH")
+
+    def __init__(self, x=0, y=0, z=0, intensity=0, flags=0,
+                 classification=0, scan_angle_rank=0, user_data=0,
+                 point_source_id=0):
+        self.x = x
+        self.y = y
+        self.z = z
+        self.intensity = intensity
+        self.flags = flags
+        self.classification = classification
+        self.scan_angle_rank = scan_angle_rank
+        self.user_data = user_data
+        self.point_source_id = point_source_id
+
+    def pack(self) -> bytes:
+        return self.FMT.pack(
+            self.x, self.y, self.z, self.intensity, self.flags,
+            self.classification, self.scan_angle_rank, self.user_data,
+            self.point_source_id,
+        )
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "Point10":
+        return cls(*cls.FMT.unpack(raw))
+
+    def copy(self) -> "Point10":
+        p = Point10()
+        for f in self.__slots__:
+            setattr(p, f, getattr(self, f))
+        return p
+
+
+class Point10V2:
+    """POINT10 item, version 2 codec (symmetric: pass an encoder or a
+    decoder as ``coder``)."""
+
+    def __init__(self, coder):
+        self.coder = coder
+        compress = isinstance(coder, ArithmeticEncoder)
+        self.compress = compress
+        self.m_changed_values = ArithmeticModel(64, compress)
+        self.ic_intensity = IntegerCompressor(coder, 16, 4)
+        self.m_scan_angle_rank = [
+            ArithmeticModel(256, compress) for _ in range(2)
+        ]
+        self.ic_point_source_id = IntegerCompressor(coder, 16)
+        self.m_bit_byte = [None] * 256
+        self.m_classification = [None] * 256
+        self.m_user_data = [None] * 256
+        self.ic_dx = IntegerCompressor(coder, 32, 2)
+        self.ic_dy = IntegerCompressor(coder, 32, 22)
+        self.ic_z = IntegerCompressor(coder, 32, 20)
+        self.last = None
+
+    def init(self, first: Point10):
+        self.last = first.copy()
+        self.last_x_diff_median5 = [StreamingMedian5() for _ in range(16)]
+        self.last_y_diff_median5 = [StreamingMedian5() for _ in range(16)]
+        self.last_intensity = [0] * 16
+        self.last_height = [0] * 8
+
+    def _model(self, bank, idx):
+        if bank[idx] is None:
+            bank[idx] = ArithmeticModel(256, self.compress)
+        return bank[idx]
+
+    # --- encode ------------------------------------------------------
+    def write(self, cur: Point10):
+        enc = self.coder
+        last = self.last
+        r = cur.flags & 0x07
+        n = (cur.flags >> 3) & 0x07
+        m = NUMBER_RETURN_MAP[n][r]
+        lvl = NUMBER_RETURN_LEVEL[n][r]
+        changed = (
+            ((last.flags != cur.flags) << 5)
+            | ((last.classification != cur.classification) << 4)
+            | ((last.scan_angle_rank != cur.scan_angle_rank) << 3)
+            | ((last.user_data != cur.user_data) << 2)
+            | ((self.last_intensity[m] != cur.intensity) << 1)
+            | (last.point_source_id != cur.point_source_id)
+        )
+        enc.encode_symbol(self.m_changed_values, changed)
+        if changed & 32:
+            enc.encode_symbol(
+                self._model(self.m_bit_byte, last.flags), cur.flags
+            )
+        if changed & 16:
+            enc.encode_symbol(
+                self._model(self.m_classification, last.classification),
+                cur.classification,
+            )
+        if changed & 8:
+            f = (cur.flags >> 6) & 1
+            enc.encode_symbol(
+                self.m_scan_angle_rank[f],
+                _u8_fold(cur.scan_angle_rank - last.scan_angle_rank),
+            )
+        if changed & 4:
+            enc.encode_symbol(
+                self._model(self.m_user_data, last.user_data),
+                cur.user_data,
+            )
+        if changed & 2:
+            self.ic_intensity.compress(
+                self.last_intensity[m], cur.intensity, m if m < 3 else 3
+            )
+            self.last_intensity[m] = cur.intensity
+        if changed & 1:
+            self.ic_point_source_id.compress(
+                last.point_source_id, cur.point_source_id
+            )
+        # x
+        median = self.last_x_diff_median5[m].get()
+        diff = cur.x - last.x
+        self.ic_dx.compress(median, diff, 1 if n == 1 else 0)
+        self.last_x_diff_median5[m].add(diff)
+        # y (context folds in how hard x was to predict)
+        k_bits = self.ic_dx.k
+        median = self.last_y_diff_median5[m].get()
+        diff = cur.y - last.y
+        ctx = (1 if n == 1 else 0) + (
+            (k_bits & 0xFE) if k_bits < 20 else 20
+        )
+        self.ic_dy.compress(median, diff, ctx)
+        self.last_y_diff_median5[m].add(diff)
+        # z predicted from last height at this return level
+        k_bits = (self.ic_dx.k + self.ic_dy.k) // 2
+        ctx = (k_bits & 0xFE) if k_bits < 18 else 18
+        self.ic_z.compress(self.last_height[lvl], cur.z, ctx)
+        self.last_height[lvl] = cur.z
+        self.last = cur.copy()
+
+    # --- decode ------------------------------------------------------
+    def read(self) -> Point10:
+        dec = self.coder
+        last = self.last
+        changed = dec.decode_symbol(self.m_changed_values)
+        if changed & 32:
+            last.flags = dec.decode_symbol(
+                self._model(self.m_bit_byte, last.flags)
+            )
+        if changed & 16:
+            last.classification = dec.decode_symbol(
+                self._model(self.m_classification, last.classification)
+            )
+        if changed & 8:
+            f = (last.flags >> 6) & 1
+            sym = dec.decode_symbol(self.m_scan_angle_rank[f])
+            sar = _u8_fold(sym + (last.scan_angle_rank & 0xFF))
+            last.scan_angle_rank = sar - 256 if sar >= 128 else sar
+        if changed & 4:
+            last.user_data = dec.decode_symbol(
+                self._model(self.m_user_data, last.user_data)
+            )
+        r = last.flags & 0x07
+        n = (last.flags >> 3) & 0x07
+        m = NUMBER_RETURN_MAP[n][r]
+        lvl = NUMBER_RETURN_LEVEL[n][r]
+        if changed & 2:
+            last.intensity = self.ic_intensity.decompress(
+                self.last_intensity[m], m if m < 3 else 3
+            )
+            self.last_intensity[m] = last.intensity
+        else:
+            last.intensity = self.last_intensity[m]
+        if changed & 1:
+            last.point_source_id = self.ic_point_source_id.decompress(
+                last.point_source_id
+            )
+        median = self.last_x_diff_median5[m].get()
+        diff = _i32(self.ic_dx.decompress(median, 1 if n == 1 else 0))
+        last.x = _i32(last.x + diff)
+        self.last_x_diff_median5[m].add(diff)
+        k_bits = self.ic_dx.k
+        median = self.last_y_diff_median5[m].get()
+        ctx = (1 if n == 1 else 0) + (
+            (k_bits & 0xFE) if k_bits < 20 else 20
+        )
+        diff = _i32(self.ic_dy.decompress(median, ctx))
+        last.y = _i32(last.y + diff)
+        self.last_y_diff_median5[m].add(diff)
+        k_bits = (self.ic_dx.k + self.ic_dy.k) // 2
+        ctx = (k_bits & 0xFE) if k_bits < 18 else 18
+        last.z = _i32(self.ic_z.decompress(self.last_height[lvl], ctx))
+        self.last_height[lvl] = last.z
+        return last.copy()
+
+
+# ---------------------------------------------------------------------------
+# GPSTIME11 item, version 2
+# ---------------------------------------------------------------------------
+GPSTIME_MULTI = 500
+GPSTIME_MULTI_MINUS = -10
+GPSTIME_MULTI_UNCHANGED = GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 1  # 511
+GPSTIME_MULTI_CODE_FULL = GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 2  # 512
+GPSTIME_MULTI_TOTAL = GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 6  # 516
+I64_MIN, I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _i64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fits_i32(v: int) -> bool:
+    return -(1 << 31) <= v <= (1 << 31) - 1
+
+
+def _i32_quantize(f: float) -> int:
+    return int(f + 0.5) if f >= 0 else -int(0.5 - f)
+
+
+class GpsTime11V2:
+    """GPSTIME11 v2: four interleaved time sequences, each predicted
+    by a quantized multiple of its last integer difference. Times are
+    handled as raw u64 bit patterns of the f64 (lossless)."""
+
+    def __init__(self, coder):
+        self.coder = coder
+        compress = isinstance(coder, ArithmeticEncoder)
+        self.m_gpstime_multi = ArithmeticModel(GPSTIME_MULTI_TOTAL, compress)
+        self.m_gpstime_0diff = ArithmeticModel(6, compress)
+        self.ic_gpstime = IntegerCompressor(coder, 32, 9)
+
+    def init(self, first_u64: int):
+        self.last = 0
+        self.next = 0
+        self.last_gpstime = [first_u64, 0, 0, 0]
+        self.last_gpstime_diff = [0, 0, 0, 0]
+        self.multi_extreme_counter = [0, 0, 0, 0]
+
+    # --- encode ------------------------------------------------------
+    def write(self, t_u64: int):
+        enc, last = self.coder, self.last
+        if self.last_gpstime_diff[last] == 0:
+            if t_u64 == self.last_gpstime[last]:
+                enc.encode_symbol(self.m_gpstime_0diff, 0)
+                return
+            diff64 = _i64(t_u64 - self.last_gpstime[last])
+            if _fits_i32(diff64):
+                enc.encode_symbol(self.m_gpstime_0diff, 1)
+                self.ic_gpstime.compress(0, diff64 & U32, 0)
+                self.last_gpstime_diff[last] = diff64
+                self.multi_extreme_counter[last] = 0
+                self.last_gpstime[last] = t_u64
+                return
+            for i in range(1, 4):
+                od = _i64(t_u64 - self.last_gpstime[(last + i) & 3])
+                if _fits_i32(od) or self.last_gpstime[(last + i) & 3] == t_u64:
+                    enc.encode_symbol(self.m_gpstime_0diff, i + 2)
+                    self.last = (last + i) & 3
+                    self.write(t_u64)
+                    return
+            enc.encode_symbol(self.m_gpstime_0diff, 2)
+            self.ic_gpstime.compress(
+                (self.last_gpstime[last] >> 32) & U32, (t_u64 >> 32) & U32, 8
+            )
+            enc.write_int(t_u64 & U32)
+            self.next = (self.next + 1) & 3
+            self.last = self.next
+            self.last_gpstime[self.last] = t_u64
+            self.last_gpstime_diff[self.last] = 0
+            self.multi_extreme_counter[self.last] = 0
+            return
+        # last integer difference was non-zero
+        if t_u64 == self.last_gpstime[last]:
+            enc.encode_symbol(self.m_gpstime_multi, GPSTIME_MULTI_UNCHANGED)
+            return
+        diff64 = _i64(t_u64 - self.last_gpstime[last])
+        if _fits_i32(diff64):
+            diff = diff64
+            multi_f = diff / self.last_gpstime_diff[last]
+            multi = _i32_quantize(multi_f)
+            if multi == 1:
+                enc.encode_symbol(self.m_gpstime_multi, 1)
+                self.ic_gpstime.compress(
+                    self.last_gpstime_diff[last] & U32, diff & U32, 1
+                )
+                self.multi_extreme_counter[last] = 0
+            elif multi > 0:
+                if multi < GPSTIME_MULTI:
+                    enc.encode_symbol(self.m_gpstime_multi, multi)
+                    pred = multi * self.last_gpstime_diff[last]
+                    ctx = 2 if multi < 10 else 3
+                    self.ic_gpstime.compress(pred & U32, diff & U32, ctx)
+                else:
+                    enc.encode_symbol(self.m_gpstime_multi, GPSTIME_MULTI)
+                    pred = GPSTIME_MULTI * self.last_gpstime_diff[last]
+                    self.ic_gpstime.compress(pred & U32, diff & U32, 4)
+                    self.multi_extreme_counter[last] += 1
+                    if self.multi_extreme_counter[last] > 3:
+                        self.last_gpstime_diff[last] = diff
+                        self.multi_extreme_counter[last] = 0
+            elif multi < 0:
+                if multi > GPSTIME_MULTI_MINUS:
+                    enc.encode_symbol(
+                        self.m_gpstime_multi, GPSTIME_MULTI - multi
+                    )
+                    pred = multi * self.last_gpstime_diff[last]
+                    self.ic_gpstime.compress(pred & U32, diff & U32, 5)
+                else:
+                    enc.encode_symbol(
+                        self.m_gpstime_multi,
+                        GPSTIME_MULTI - GPSTIME_MULTI_MINUS,
+                    )
+                    pred = GPSTIME_MULTI_MINUS * self.last_gpstime_diff[last]
+                    self.ic_gpstime.compress(pred & U32, diff & U32, 6)
+                    self.multi_extreme_counter[last] += 1
+                    if self.multi_extreme_counter[last] > 3:
+                        self.last_gpstime_diff[last] = diff
+                        self.multi_extreme_counter[last] = 0
+            else:
+                enc.encode_symbol(self.m_gpstime_multi, 0)
+                self.ic_gpstime.compress(0, diff & U32, 7)
+                self.multi_extreme_counter[last] += 1
+                if self.multi_extreme_counter[last] > 3:
+                    self.last_gpstime_diff[last] = diff
+                    self.multi_extreme_counter[last] = 0
+            self.last_gpstime[last] = t_u64
+            return
+        for i in range(1, 4):
+            od = _i64(t_u64 - self.last_gpstime[(last + i) & 3])
+            if _fits_i32(od) or self.last_gpstime[(last + i) & 3] == t_u64:
+                enc.encode_symbol(
+                    self.m_gpstime_multi, GPSTIME_MULTI_CODE_FULL + i
+                )
+                self.last = (last + i) & 3
+                self.write(t_u64)
+                return
+        enc.encode_symbol(self.m_gpstime_multi, GPSTIME_MULTI_CODE_FULL)
+        self.ic_gpstime.compress(
+            (self.last_gpstime[last] >> 32) & U32, (t_u64 >> 32) & U32, 8
+        )
+        enc.write_int(t_u64 & U32)
+        self.next = (self.next + 1) & 3
+        self.last = self.next
+        self.last_gpstime[self.last] = t_u64
+        self.last_gpstime_diff[self.last] = 0
+        self.multi_extreme_counter[self.last] = 0
+
+    # --- decode ------------------------------------------------------
+    def read(self) -> int:
+        dec, last = self.coder, self.last
+        if self.last_gpstime_diff[last] == 0:
+            multi = dec.decode_symbol(self.m_gpstime_0diff)
+            if multi == 0:
+                return self.last_gpstime[last]
+            if multi == 1:
+                diff = _i32(self.ic_gpstime.decompress(0, 0))
+                self.last_gpstime_diff[last] = diff
+                self.multi_extreme_counter[last] = 0
+                self.last_gpstime[last] = (
+                    self.last_gpstime[last] + diff
+                ) & ((1 << 64) - 1)
+                return self.last_gpstime[last]
+            if multi == 2:
+                hi = self.ic_gpstime.decompress(
+                    (self.last_gpstime[last] >> 32) & U32, 8
+                )
+                t = ((hi & U32) << 32) | dec.read_int()
+                self.next = (self.next + 1) & 3
+                self.last = self.next
+                self.last_gpstime[self.last] = t
+                self.last_gpstime_diff[self.last] = 0
+                self.multi_extreme_counter[self.last] = 0
+                return t
+            # multi > 2: switch sequence, read again
+            self.last = (last + multi - 2) & 3
+            return self.read()
+        multi = dec.decode_symbol(self.m_gpstime_multi)
+        if multi == GPSTIME_MULTI_UNCHANGED:
+            return self.last_gpstime[last]
+        if multi < GPSTIME_MULTI_UNCHANGED:
+            if multi == 1:
+                diff = _i32(
+                    self.ic_gpstime.decompress(
+                        self.last_gpstime_diff[last] & U32, 1
+                    )
+                )
+                self.multi_extreme_counter[last] = 0
+            elif multi == 0:
+                diff = _i32(self.ic_gpstime.decompress(0, 7))
+                self.multi_extreme_counter[last] += 1
+                if self.multi_extreme_counter[last] > 3:
+                    self.last_gpstime_diff[last] = diff
+                    self.multi_extreme_counter[last] = 0
+            elif multi < GPSTIME_MULTI:
+                pred = multi * self.last_gpstime_diff[last]
+                ctx = 2 if multi < 10 else 3
+                diff = _i32(self.ic_gpstime.decompress(pred & U32, ctx))
+            elif multi == GPSTIME_MULTI:
+                pred = GPSTIME_MULTI * self.last_gpstime_diff[last]
+                diff = _i32(self.ic_gpstime.decompress(pred & U32, 4))
+                self.multi_extreme_counter[last] += 1
+                if self.multi_extreme_counter[last] > 3:
+                    self.last_gpstime_diff[last] = diff
+                    self.multi_extreme_counter[last] = 0
+            elif multi < GPSTIME_MULTI - GPSTIME_MULTI_MINUS:
+                neg = GPSTIME_MULTI - multi  # in [-9, -1]
+                pred = neg * self.last_gpstime_diff[last]
+                diff = _i32(self.ic_gpstime.decompress(pred & U32, 5))
+            else:  # multi == GPSTIME_MULTI - GPSTIME_MULTI_MINUS (510)
+                pred = GPSTIME_MULTI_MINUS * self.last_gpstime_diff[last]
+                diff = _i32(self.ic_gpstime.decompress(pred & U32, 6))
+                self.multi_extreme_counter[last] += 1
+                if self.multi_extreme_counter[last] > 3:
+                    self.last_gpstime_diff[last] = diff
+                    self.multi_extreme_counter[last] = 0
+            self.last_gpstime[last] = (
+                self.last_gpstime[last] + diff
+            ) & ((1 << 64) - 1)
+            return self.last_gpstime[last]
+        if multi == GPSTIME_MULTI_CODE_FULL:
+            hi = self.ic_gpstime.decompress(
+                (self.last_gpstime[last] >> 32) & U32, 8
+            )
+            t = ((hi & U32) << 32) | dec.read_int()
+            self.next = (self.next + 1) & 3
+            self.last = self.next
+            self.last_gpstime[self.last] = t
+            self.last_gpstime_diff[self.last] = 0
+            self.multi_extreme_counter[self.last] = 0
+            return t
+        # multi > CODE_FULL: switch sequence, read again
+        self.last = (last + multi - GPSTIME_MULTI_CODE_FULL) & 3
+        return self.read()
+
+
+# ---------------------------------------------------------------------------
+# RGB12 item, version 2
+# ---------------------------------------------------------------------------
+class Rgb12V2:
+    """RGB12 v2: per-byte change flags; green/blue predicted from the
+    red byte deltas when flagged as differing."""
+
+    def __init__(self, coder):
+        self.coder = coder
+        compress = isinstance(coder, ArithmeticEncoder)
+        self.m_byte_used = ArithmeticModel(128, compress)
+        self.m_rgb_diff = [
+            ArithmeticModel(256, compress) for _ in range(6)
+        ]
+
+    def init(self, rgb):
+        self.last = list(rgb)
+
+    def write(self, rgb):
+        enc, last = self.coder, self.last
+        r, g, b = rgb
+        sym = 0
+        if (r & 0xFF) != (last[0] & 0xFF):
+            sym |= 1
+        if (r >> 8) != (last[0] >> 8):
+            sym |= 2
+        if (g & 0xFF) != (last[1] & 0xFF):
+            sym |= 4
+        if (g >> 8) != (last[1] >> 8):
+            sym |= 8
+        if (b & 0xFF) != (last[2] & 0xFF):
+            sym |= 16
+        if (b >> 8) != (last[2] >> 8):
+            sym |= 32
+        if not (r == g == b):
+            sym |= 64
+        enc.encode_symbol(self.m_byte_used, sym)
+        if sym & 1:
+            enc.encode_symbol(
+                self.m_rgb_diff[0], _u8_fold((r & 0xFF) - (last[0] & 0xFF))
+            )
+        if sym & 2:
+            enc.encode_symbol(
+                self.m_rgb_diff[1], _u8_fold((r >> 8) - (last[0] >> 8))
+            )
+        if sym & 64:
+            diff = (r & 0xFF) - (last[0] & 0xFF)
+            if sym & 4:
+                enc.encode_symbol(
+                    self.m_rgb_diff[2],
+                    _u8_fold(
+                        (g & 0xFF) - _u8_clamp(diff + (last[1] & 0xFF))
+                    ),
+                )
+            if sym & 16:
+                diff = (diff + (g & 0xFF) - (last[1] & 0xFF)) // 2
+                enc.encode_symbol(
+                    self.m_rgb_diff[4],
+                    _u8_fold(
+                        (b & 0xFF) - _u8_clamp(diff + (last[2] & 0xFF))
+                    ),
+                )
+            diff = (r >> 8) - (last[0] >> 8)
+            if sym & 8:
+                enc.encode_symbol(
+                    self.m_rgb_diff[3],
+                    _u8_fold((g >> 8) - _u8_clamp(diff + (last[1] >> 8))),
+                )
+            if sym & 32:
+                diff = (diff + (g >> 8) - (last[1] >> 8)) // 2
+                enc.encode_symbol(
+                    self.m_rgb_diff[5],
+                    _u8_fold((b >> 8) - _u8_clamp(diff + (last[2] >> 8))),
+                )
+        self.last = [r, g, b]
+
+    def read(self):
+        dec, last = self.coder, self.last
+        sym = dec.decode_symbol(self.m_byte_used)
+        if sym & 1:
+            r_lo = _u8_fold(
+                dec.decode_symbol(self.m_rgb_diff[0]) + (last[0] & 0xFF)
+            )
+        else:
+            r_lo = last[0] & 0xFF
+        if sym & 2:
+            r_hi = _u8_fold(
+                dec.decode_symbol(self.m_rgb_diff[1]) + (last[0] >> 8)
+            )
+        else:
+            r_hi = last[0] >> 8
+        r = r_lo | (r_hi << 8)
+        if sym & 64:
+            diff = r_lo - (last[0] & 0xFF)
+            if sym & 4:
+                g_lo = _u8_fold(
+                    dec.decode_symbol(self.m_rgb_diff[2])
+                    + _u8_clamp(diff + (last[1] & 0xFF))
+                )
+            else:
+                g_lo = last[1] & 0xFF
+            if sym & 16:
+                diff = (diff + g_lo - (last[1] & 0xFF)) // 2
+                b_lo = _u8_fold(
+                    dec.decode_symbol(self.m_rgb_diff[4])
+                    + _u8_clamp(diff + (last[2] & 0xFF))
+                )
+            else:
+                b_lo = last[2] & 0xFF
+            diff = r_hi - (last[0] >> 8)
+            if sym & 8:
+                g_hi = _u8_fold(
+                    dec.decode_symbol(self.m_rgb_diff[3])
+                    + _u8_clamp(diff + (last[1] >> 8))
+                )
+            else:
+                g_hi = last[1] >> 8
+            if sym & 32:
+                diff = (diff + g_hi - (last[1] >> 8)) // 2
+                b_hi = _u8_fold(
+                    dec.decode_symbol(self.m_rgb_diff[5])
+                    + _u8_clamp(diff + (last[2] >> 8))
+                )
+            else:
+                b_hi = last[2] >> 8
+            g = g_lo | (g_hi << 8)
+            b = b_lo | (b_hi << 8)
+        else:
+            g = b = r
+        self.last = [r, g, b]
+        return (r, g, b)
+
+
+# ---------------------------------------------------------------------------
+# container: laszip VLR, chunked point stream, chunk table
+# ---------------------------------------------------------------------------
+import numpy as np
+
+LASZIP_USER_ID = b"laszip encoded\x00\x00"
+LASZIP_RECORD_ID = 22204
+COMPRESSOR_POINTWISE_CHUNKED = 2
+DEFAULT_CHUNK_SIZE = 50000
+ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12 = 6, 7, 8
+_VLR_HDR = struct.Struct("<H16sHH32s")
+
+#: laszip item lists per legacy point format
+FORMAT_ITEMS = {
+    0: [(ITEM_POINT10, 20, 2)],
+    1: [(ITEM_POINT10, 20, 2), (ITEM_GPSTIME11, 8, 2)],
+    2: [(ITEM_POINT10, 20, 2), (ITEM_RGB12, 6, 2)],
+    3: [(ITEM_POINT10, 20, 2), (ITEM_GPSTIME11, 8, 2),
+        (ITEM_RGB12, 6, 2)],
+}
+
+
+def build_laszip_vlr(point_format: int,
+                     chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
+    items = FORMAT_ITEMS[point_format]
+    payload = struct.pack(
+        "<HHBBHIIqqH",
+        COMPRESSOR_POINTWISE_CHUNKED,
+        0,  # arithmetic coder
+        2, 4, 3,  # laszip version the stream layout follows
+        0,  # options
+        chunk_size,
+        -1, -1,  # no special EVLRs
+        len(items),
+    ) + b"".join(struct.pack("<HHH", *it) for it in items)
+    return _VLR_HDR.pack(
+        0, LASZIP_USER_ID, LASZIP_RECORD_ID, len(payload),
+        b"lasdb_spark laszip".ljust(32, b"\x00"),
+    ) + payload
+
+
+def parse_laszip_vlr(buf: bytes, header_size: int,
+                     offset_to_points: int) -> dict | None:
+    """Scan the VLR block for the laszip record; None when absent."""
+    pos = header_size
+    while pos + _VLR_HDR.size <= offset_to_points:
+        _, user_id, record_id, rec_len, _ = _VLR_HDR.unpack(
+            buf[pos:pos + _VLR_HDR.size]
+        )
+        pos += _VLR_HDR.size
+        if user_id == LASZIP_USER_ID and record_id == LASZIP_RECORD_ID:
+            p = buf[pos:pos + rec_len]
+            (compressor, coder, vmaj, vmin, vrev, options, chunk_size,
+             n_evlrs, evlr_off, num_items) = struct.unpack(
+                "<HHBBHIIqqH", p[:34]
+            )
+            items = [
+                struct.unpack("<HHH", p[34 + 6 * i:40 + 6 * i])
+                for i in range(num_items)
+            ]
+            return {
+                "compressor": compressor,
+                "coder": coder,
+                "version": (vmaj, vmin, vrev),
+                "chunk_size": chunk_size,
+                "items": items,
+            }
+        pos += rec_len
+    return None
+
+
+def _item_codecs(coder, items):
+    codecs = []
+    for typ, _size, ver in items:
+        if ver != 2:
+            raise ValueError(f"laszip item version {ver} not supported")
+        if typ == ITEM_POINT10:
+            codecs.append(("p10", Point10V2(coder)))
+        elif typ == ITEM_GPSTIME11:
+            codecs.append(("gps", GpsTime11V2(coder)))
+        elif typ == ITEM_RGB12:
+            codecs.append(("rgb", Rgb12V2(coder)))
+        else:
+            raise ValueError(f"laszip item type {typ} not supported")
+    return codecs
+
+
+_GPS = struct.Struct("<d")
+_RGB = struct.Struct("<HHH")
+
+
+def _compress_chunk(rows, items) -> bytes:
+    """rows: list of (point10_bytes, gps_u64|None, rgb|None); the first
+    row is stored raw, the rest arithmetic-coded."""
+    out = bytearray()
+    first = rows[0]
+    out += first[0]
+    if first[1] is not None:
+        out += struct.pack("<Q", first[1])
+    if first[2] is not None:
+        out += _RGB.pack(*first[2])
+    enc = ArithmeticEncoder()
+    codecs = _item_codecs(enc, items)
+    for kind, c in codecs:
+        if kind == "p10":
+            c.init(Point10.unpack(first[0]))
+        elif kind == "gps":
+            c.init(first[1])
+        else:
+            c.init(first[2])
+    for row in rows[1:]:
+        for kind, c in codecs:
+            if kind == "p10":
+                c.write(Point10.unpack(row[0]))
+            elif kind == "gps":
+                c.write(row[1])
+            else:
+                c.write(row[2])
+    out += enc.done()
+    return bytes(out)
+
+
+def _decompress_chunk(buf: bytes, start: int, n_points: int, items,
+                      out_rows: list) -> None:
+    pos = start
+    p10 = Point10.unpack(buf[pos:pos + 20])
+    pos += 20
+    gps = rgb = None
+    has_gps = any(t == ITEM_GPSTIME11 for t, _, _ in items)
+    has_rgb = any(t == ITEM_RGB12 for t, _, _ in items)
+    if has_gps:
+        gps = struct.unpack("<Q", buf[pos:pos + 8])[0]
+        pos += 8
+    if has_rgb:
+        rgb = _RGB.unpack(buf[pos:pos + 6])
+        pos += 6
+    out_rows.append((p10.copy(), gps, rgb))
+    if n_points == 1:
+        return
+    dec = ArithmeticDecoder(buf, pos)
+    codecs = _item_codecs(dec, items)
+    for kind, c in codecs:
+        if kind == "p10":
+            c.init(p10)
+        elif kind == "gps":
+            c.init(gps)
+        else:
+            c.init(rgb)
+    for _ in range(n_points - 1):
+        row = [None, None, None]
+        for kind, c in codecs:
+            if kind == "p10":
+                row[0] = c.read()
+            elif kind == "gps":
+                row[1] = c.read()
+            else:
+                row[2] = c.read()
+        out_rows.append(tuple(row))
+
+
+def _write_chunk_table(chunk_lens: list[int]) -> bytes:
+    out = struct.pack("<II", 0, len(chunk_lens))
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 2)
+    prev = 0
+    for ln in chunk_lens:
+        ic.compress(prev, ln, 1)
+        prev = ln
+    return out + enc.done()
+
+
+def _read_chunk_table(buf: bytes, pos: int, expect: int) -> list[int]:
+    _version, n = struct.unpack("<II", buf[pos:pos + 8])
+    dec = ArithmeticDecoder(buf, pos + 8)
+    ic = IntegerCompressor(dec, 32, 2)
+    lens = []
+    prev = 0
+    for _ in range(n):
+        prev = ic.decompress(prev, 1)
+        lens.append(prev)
+    if expect and n != expect:
+        raise ValueError(
+            f"laszip chunk table has {n} entries, expected {expect}"
+        )
+    return lens
+
+
+def compress_points_to_laz(
+    pts: np.ndarray,
+    point_format: int,
+    scales=(0.1, 0.1, 0.1),
+    offsets=(0.0, 0.0, 0.0),
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+) -> bytes:
+    """Full LAZ file from a structured point array (las.point_dtype
+    layout) — LAS 1.2 header with the compression bit, laszip VLR,
+    chunked stream, chunk table."""
+    if point_format not in FORMAT_ITEMS:
+        raise ValueError(
+            f"LAZ write supports legacy formats 0-3, got {point_format}"
+        )
+    items = FORMAT_ITEMS[point_format]
+    n = len(pts)
+    has_gps = point_format in (1, 3)
+    has_rgb = point_format in (2, 3)
+    rows = []
+    gps_u64 = (
+        pts["gps_time"].view(np.uint64) if has_gps else None
+    )
+    for i in range(n):
+        r = pts[i]
+        p10 = Point10.FMT.pack(
+            int(r["X"]), int(r["Y"]), int(r["Z"]), int(r["intensity"]),
+            int(r["flags"]), int(r["classification"]),
+            int(r["scan_angle"]), int(r["user_data"]),
+            int(r["point_source_id"]),
+        )
+        rows.append((
+            p10,
+            int(gps_u64[i]) if has_gps else None,
+            (int(r["red"]), int(r["green"]), int(r["blue"]))
+            if has_rgb else None,
+        ))
+    chunks = [
+        _compress_chunk(rows[i:i + chunk_size], items)
+        for i in range(0, n, chunk_size)
+    ] if n else []
+    record_len = sum(sz for _, sz, _ in items)
+    vlr = build_laszip_vlr(point_format, chunk_size)
+    from .las import _HEADER_FMT, _HEADER_SIZE  # header layout shared
+
+    offset_to_points = _HEADER_SIZE + len(vlr)
+    if n:
+        gx = pts["X"] * scales[0] + offsets[0]
+        gy = pts["Y"] * scales[1] + offsets[1]
+        gz = pts["Z"] * scales[2] + offsets[2]
+        mins = (gx.min(), gy.min(), gz.min())
+        maxs = (gx.max(), gy.max(), gz.max())
+    else:
+        mins = maxs = (0.0, 0.0, 0.0)
+    header = struct.pack(
+        _HEADER_FMT,
+        b"LASF", 0, 0, 0, 0, 0, b"\x00" * 8,
+        1, 2,
+        b"lasdb_spark".ljust(32, b"\x00"),
+        b"lasdb_spark laszip".ljust(32, b"\x00"),
+        1, 2026,
+        _HEADER_SIZE,
+        offset_to_points,
+        1,  # one VLR: the laszip record
+        point_format | 0x80,  # compression bit
+        record_len,
+        n,
+        n, 0, 0, 0, 0,
+        float(scales[0]), float(scales[1]), float(scales[2]),
+        float(offsets[0]), float(offsets[1]), float(offsets[2]),
+        float(maxs[0]), float(mins[0]),
+        float(maxs[1]), float(mins[1]),
+        float(maxs[2]), float(mins[2]),
+    )
+    chunk_table_offset = offset_to_points + 8 + sum(
+        len(c) for c in chunks
+    )
+    return b"".join([
+        header, vlr, struct.pack("<q", chunk_table_offset), *chunks,
+        _write_chunk_table([len(c) for c in chunks]),
+    ])
+
+
+def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
+    """Decode a chunked LAZ payload to the las.point_dtype(fmt)
+    structured array. ``hdr`` is las.parse_las_header output (needs
+    header_size/offset/count/format)."""
+    from .las import point_dtype
+
+    fmt = hdr["point_format"]
+    if fmt not in FORMAT_ITEMS:
+        raise ValueError(
+            f"LAZ decode supports legacy formats 0-3, got {fmt}"
+        )
+    vlr = parse_laszip_vlr(
+        buf, hdr.get("header_size", 227), hdr["offset_to_points"]
+    )
+    if vlr is None:
+        raise ValueError("compressed LAS without a laszip VLR")
+    if vlr["compressor"] != COMPRESSOR_POINTWISE_CHUNKED:
+        raise ValueError(
+            f"laszip compressor {vlr['compressor']} not supported "
+            "(only pointwise-chunked, the LAS 1.2 default)"
+        )
+    n = hdr["point_count"]
+    chunk_size = vlr["chunk_size"]
+    items = vlr["items"]
+    pos = hdr["offset_to_points"]
+    (table_off,) = struct.unpack("<q", buf[pos:pos + 8])
+    pos += 8
+    n_chunks = (n + chunk_size - 1) // chunk_size if n else 0
+    if table_off <= 0 or table_off > len(buf) - 8:
+        raise ValueError("laszip chunk table offset out of range")
+    lens = _read_chunk_table(buf, table_off, n_chunks)
+    rows: list = []
+    remaining = n
+    for ln in lens:
+        take = min(chunk_size, remaining)
+        _decompress_chunk(buf, pos, take, items, rows)
+        pos += ln
+        remaining -= take
+    out = np.zeros(n, dtype=point_dtype(fmt))
+    has_gps = fmt in (1, 3)
+    has_rgb = fmt in (2, 3)
+    for i, (p, gps, rgb) in enumerate(rows):
+        o = out[i]
+        o["X"], o["Y"], o["Z"] = p.x, p.y, p.z
+        o["intensity"] = p.intensity
+        o["flags"] = p.flags
+        o["classification"] = p.classification
+        o["scan_angle"] = p.scan_angle_rank
+        o["user_data"] = p.user_data
+        o["point_source_id"] = p.point_source_id
+        if has_gps:
+            out["gps_time"].view(np.uint64)[i] = gps
+        if has_rgb:
+            o["red"], o["green"], o["blue"] = rgb
+    return out

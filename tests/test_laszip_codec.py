@@ -1,0 +1,275 @@
+"""Round-trip gates for the pure-python LASzip codec — every layer
+(range coder, integer corrector, per-item models, chunked container)
+plus the las.py read-path integration. No Spark needed."""
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from lasdb_spark.sources import las
+from lasdb_spark.sources.laszip_codec import (
+    ArithmeticDecoder,
+    ArithmeticEncoder,
+    ArithmeticModel,
+    GpsTime11V2,
+    IntegerCompressor,
+    Point10,
+    Point10V2,
+    Rgb12V2,
+    compress_points_to_laz,
+    decompress_laz_points,
+)
+
+
+def test_coder_roundtrip_mixed_ops():
+    rng = random.Random(42)
+    enc = ArithmeticEncoder()
+    m = ArithmeticModel(33, True)
+    ops = []
+    for _ in range(3000):
+        if rng.random() < 0.5:
+            s = rng.randrange(33)
+            ops.append(("sym", s))
+            enc.encode_symbol(m, s)
+        else:
+            v = rng.randrange(1 << 32)
+            ops.append(("int", v))
+            enc.write_int(v)
+    buf = enc.done()
+    dec = ArithmeticDecoder(buf)
+    md = ArithmeticModel(33, False)
+    for kind, want in ops:
+        got = dec.decode_symbol(md) if kind == "sym" else dec.read_int()
+        assert got == want
+
+
+def test_integer_compressor_wrapping_32bit():
+    """32-bit correctors must emulate C's wrapping I32 arithmetic —
+    differences past 2^31 (the GPS-time full-resync path) included."""
+    rng = random.Random(1)
+    vals = [0, (1 << 31) - 1, -(1 << 31), 123]
+    vals += [rng.randrange(-(1 << 31), 1 << 31) for _ in range(2000)]
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 2)
+    prev = 0
+    for v in vals:
+        ic.compress(prev & 0xFFFFFFFF, v & 0xFFFFFFFF, 1)
+        prev = v
+    buf = enc.done()
+    dec = ArithmeticDecoder(buf)
+    icd = IntegerCompressor(dec, 32, 2)
+    prev = 0
+    for v in vals:
+        got = icd.decompress(prev & 0xFFFFFFFF, 1)
+        assert (got - v) % (1 << 32) == 0, (v, got)
+        prev = v
+
+
+def _random_points(rng, n):
+    pts = []
+    x, y, z = 10_000_000, 20_000_000, 50_000
+    for _ in range(n):
+        x += int(rng.gauss(0, 50))
+        y += int(rng.gauss(0, 50))
+        z += int(rng.gauss(0, 20))
+        nr = rng.randrange(1, 6)
+        r = rng.randrange(1, nr + 1)
+        flags = (
+            r | (nr << 3) | (rng.randrange(2) << 6)
+            | (rng.randrange(2) << 7)
+        )
+        pts.append(
+            Point10(
+                x, y, z, rng.randrange(3000), flags, rng.randrange(32),
+                rng.randrange(-90, 91), rng.randrange(256),
+                rng.randrange(100),
+            )
+        )
+    return pts
+
+
+def test_point10_v2_roundtrip():
+    pts = _random_points(random.Random(5), 2000)
+    enc = ArithmeticEncoder()
+    c = Point10V2(enc)
+    c.init(pts[0])
+    for p in pts[1:]:
+        c.write(p)
+    buf = enc.done()
+    dec = ArithmeticDecoder(buf)
+    d = Point10V2(dec)
+    d.init(pts[0])
+    for want in pts[1:]:
+        assert d.read().pack() == want.pack()
+    # and it actually compresses structured data
+    assert len(buf) < 20 * len(pts)
+
+
+def test_gpstime11_v2_roundtrip_with_resyncs():
+    rng = random.Random(7)
+
+    def f2u(f):
+        return struct.unpack("<Q", struct.pack("<d", f))[0]
+
+    ts, t = [], 300000.0
+    for _ in range(3000):
+        r = rng.random()
+        if r < 0.01:
+            t += rng.uniform(100, 10000)  # flight-line break
+        elif r < 0.1:
+            pass  # same pulse
+        else:
+            t += 5e-6 * rng.choice([1, 1, 2, 700])
+        ts.append(f2u(t))
+    # adversarial: arbitrary doubles force the 64-bit full path
+    ts += [f2u(rng.uniform(-1e12, 1e12)) for _ in range(500)]
+    enc = ArithmeticEncoder()
+    g = GpsTime11V2(enc)
+    g.init(ts[0])
+    for v in ts[1:]:
+        g.write(v)
+    dec = ArithmeticDecoder(enc.done())
+    gd = GpsTime11V2(dec)
+    gd.init(ts[0])
+    for want in ts[1:]:
+        assert gd.read() == want
+
+
+def test_rgb12_v2_roundtrip():
+    rng = random.Random(9)
+    rgbs = [(0, 0, 0)]
+    for _ in range(2000):
+        if rng.random() < 0.3:
+            v = rng.randrange(65536)
+            rgbs.append((v, v, v))  # grayscale branch (sym bit 6 off)
+        else:
+            r0, g0, b0 = rgbs[-1]
+            rgbs.append(tuple(
+                max(0, min(65535, c + rng.randrange(-300, 300)))
+                for c in (r0, g0, b0)
+            ))
+    enc = ArithmeticEncoder()
+    c = Rgb12V2(enc)
+    c.init(rgbs[0])
+    for v in rgbs[1:]:
+        c.write(v)
+    dec = ArithmeticDecoder(enc.done())
+    d = Rgb12V2(dec)
+    d.init(rgbs[0])
+    for want in rgbs[1:]:
+        assert d.read() == want
+
+
+def _cloud_struct(fmt, n, seed=3):
+    rng = np.random.default_rng(seed)
+    dt = las.point_dtype(fmt)
+    pts = np.zeros(n, dtype=dt)
+    pts["X"] = np.cumsum(rng.integers(-80, 80, n)) + 10_000_000
+    pts["Y"] = np.cumsum(rng.integers(-80, 80, n)) + 20_000_000
+    pts["Z"] = np.cumsum(rng.integers(-20, 20, n)) + 50_000
+    pts["intensity"] = rng.integers(0, 4000, n)
+    nret = rng.integers(1, 6, n)
+    rnum = (rng.random(n) * nret).astype(int) + 1
+    pts["flags"] = (
+        rnum | (nret << 3) | (rng.integers(0, 2, n) << 6)
+        | (rng.integers(0, 2, n) << 7)
+    ).astype(np.uint8)
+    pts["classification"] = rng.integers(0, 20, n)
+    pts["scan_angle"] = rng.integers(-30, 31, n)
+    pts["user_data"] = rng.integers(0, 5, n)
+    pts["point_source_id"] = rng.integers(0, 8, n)
+    if fmt in (1, 3):
+        pts["gps_time"] = 300000.0 + np.cumsum(rng.random(n) * 1e-5)
+    if fmt in (2, 3):
+        v = rng.integers(0, 65536, n)
+        pts["red"] = v
+        pts["green"] = np.clip(
+            v + rng.integers(-200, 200, n), 0, 65535
+        )
+        pts["blue"] = v
+    return pts
+
+
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3])
+def test_laz_file_roundtrip_all_formats(fmt):
+    # chunk_size 1000 with 2500 points crosses chunk boundaries (the
+    # chunk-table repositioning path) without a 50k-point test cost
+    pts = _cloud_struct(fmt, 2500)
+    laz = compress_points_to_laz(pts, fmt, chunk_size=1000)
+    hdr = las.parse_las_header(laz)
+    assert hdr["compressed"] and hdr["point_format"] == fmt
+    assert hdr["point_count"] == len(pts)
+    got = decompress_laz_points(laz, hdr)
+    for f in pts.dtype.names:
+        assert np.array_equal(got[f], pts[f]), (fmt, f)
+
+
+def test_read_las_bytes_decodes_laz_without_laspy():
+    """The reader integration: a real chunked LAZ stream yields the
+    same scaled xyz as the uncompressed write of the same cloud."""
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("laspy backend present; fallback not exercised")
+    pts = _cloud_struct(3, 1500)
+    laz = compress_points_to_laz(
+        pts, 3, scales=(0.01, 0.01, 0.01), offsets=(1000.0, 2000.0, 0.0)
+    )
+    xyz = las.read_las_bytes(laz)
+    assert xyz.shape == (1500, 3)
+    assert np.allclose(xyz[:, 0], pts["X"] * 0.01 + 1000.0)
+    assert np.allclose(xyz[:, 1], pts["Y"] * 0.01 + 2000.0)
+    assert np.allclose(xyz[:, 2], pts["Z"] * 0.01)
+
+
+def test_read_las_bytes_laz_without_vlr_still_guides():
+    """A compression-bit file with no laszip VLR (the old fake-LAZ
+    shape) must keep raising the actionable guidance error."""
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("laspy backend present")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.las")
+        las.write_las(np.zeros((5, 3)), p)
+        buf = bytearray(open(p, "rb").read())
+    # set the compression bit on the point format byte
+    fmt_off = struct.calcsize("<4sHHIHH8sBB32s32sHHHII")
+    buf[fmt_off] |= 0x80
+    with pytest.raises(las.LazUnsupportedError, match="laspy"):
+        las.read_las_bytes(bytes(buf))
+
+
+@pytest.mark.spark
+def test_las_to_df_mixed_las_and_laz_dir(spark, tmp_path):
+    """Distributed read over a directory with one .las and one .laz
+    tile (the real AHN shape): both decode, union is exact."""
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("laspy path would shadow the in-repo codec")
+    import os
+
+    pts = _cloud_struct(1, 800)
+    laz = compress_points_to_laz(
+        pts, 1, scales=(0.01, 0.01, 0.01), offsets=(0.0, 0.0, 0.0)
+    )
+    with open(tmp_path / "a.laz", "wb") as f:
+        f.write(laz)
+    xyz_b = np.stack(
+        [pts["X"] * 0.01 + 5.0, pts["Y"] * 0.01, pts["Z"] * 0.01], axis=1
+    )
+    las.write_las(
+        xyz_b, str(tmp_path / "b.las"), scales=(0.01, 0.01, 0.01)
+    )
+    df = las.las_to_df(spark, os.path.join(str(tmp_path), "*"))
+    got = sorted(
+        (round(r.x, 2), round(r.y, 2), round(r.z, 2))
+        for r in df.collect()
+    )
+    want = sorted(
+        [
+            (round(x * 0.01, 2), round(y * 0.01, 2), round(z * 0.01, 2))
+            for x, y, z in zip(pts["X"], pts["Y"], pts["Z"])
+        ]
+        + [(round(x, 2), round(y, 2), round(z, 2)) for x, y, z in xyz_b]
+    )
+    assert got == want
