@@ -24,6 +24,7 @@ from lasdb_spark.operators import change as _change
 from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
+from lasdb_spark.operators import graph as _graph
 from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
@@ -475,6 +476,20 @@ def _q_dedup_crosscorpus(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+def _q_event_pagerank(spark, sf_dir):
+    """Damped PageRank over the event-type transition graph."""
+    from lasdb_spark.operators.graph import event_type_pagerank
+
+    return event_type_pagerank(_ev(spark, sf_dir))
+
+
+def _q_quality_ensemble(spark, sf_dir):
+    """Calibrated logistic keep/drop gate over the quality signals."""
+    from lasdb_spark.operators.text import quality_ensemble
+
+    return quality_ensemble(_docs(spark, sf_dir))
 
 
 def _q_pc_profile(spark, sf_dir):
@@ -1063,6 +1078,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
+        "text_quality_ensemble": _text.quality_ensemble_sql(),
+        "rel_event_pagerank": _graph.event_type_pagerank_sql(),
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
         ),
@@ -1111,7 +1128,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """100 entries, ordered so every query gets a driver CORRECTNESS
+    """102 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1140,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_pairs": _q_dedup_chunk_pairs,
         "text_bigram_surprisal": _q_text_bigram,
         "dedup_crosscorpus": _q_dedup_crosscorpus,
+        "text_quality_ensemble": _q_quality_ensemble,
+        "rel_event_pagerank": _q_event_pagerank,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

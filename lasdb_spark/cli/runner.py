@@ -165,8 +165,12 @@ def run_export(script_path: str, out_dir: str | None = None, spark: SparkSession
             # them (mirrors the reference, which only exports points)
             print(f"[export] {name}: aggregate result, kept as parquet")
             continue
-        n = df_to_las(res, os.path.join(out_dir, f"{name}.las"))
-        print(f"[export] {name}: {n} pts → {name}.las, {time.time() - t0:.2f}s")
+        ext = "laz" if cfg["config"].get("format") == "laz" else "las"
+        n = df_to_las(res, os.path.join(out_dir, f"{name}.{ext}"))
+        print(
+            f"[export] {name}: {n} pts → {name}.{ext}, "
+            f"{time.time() - t0:.2f}s"
+        )
 
 
 def main() -> None:

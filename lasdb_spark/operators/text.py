@@ -1063,3 +1063,91 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          AS avg_bigram_surprisal
 FROM per_doc
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# ensemble quality score: one calibrated keep/drop signal
+# ---------------------------------------------------------------------------
+#: logistic weights over the component signals (shared python-float
+#: literals with the SQL twin). Chosen so typical fluent prose lands
+#: near the top of the logistic's linear range: quality and lexical
+#: entropy push up, repetition signals push down.
+ENSEMBLE_WEIGHTS = {
+    "bias": -2.0,
+    "quality": 3.0,
+    "entropy": 0.8,
+    "dup_token_ratio": -2.5,
+    "top_bigram_frac": -3.0,
+}
+ENSEMBLE_KEEP = 0.5
+
+
+def quality_ensemble(docs: DataFrame) -> DataFrame:
+    """(doc_id, score, keep) — one calibrated document-quality score:
+    a fixed-weight logistic over the component signals
+    (:func:`quality_scores`, :func:`token_entropy`,
+    :func:`repetition_stats`), the single gate a curation pipeline
+    thresholds on instead of four ad-hoc ones.
+
+    Determinism: each component is already oracle-exact and ROUNDED
+    (6 dp) before it enters the combination, so the logistic sees
+    bit-identical inputs in both engines; the weights are shared
+    python-float literals and the output rounds once more.
+
+    Scale: composes the three component plans joined on doc_id — three
+    token-level passes. They share the same tokenize step, so a
+    single-pass fusion is possible; it is deliberately NOT done here
+    because each component is independently oracle-gated and the
+    ensemble must see exactly their published (rounded) outputs.
+    Docs with no tokens get entropy 0 via the outer join coalesce
+    (token_entropy omits empty docs)."""
+    q = quality_scores(docs).select("doc_id", "quality")
+    e = token_entropy(docs).select("doc_id", "entropy")
+    r = repetition_stats(docs).select(
+        "doc_id", "dup_token_ratio", "top_bigram_frac"
+    )
+    w = ENSEMBLE_WEIGHTS
+    joined = (
+        q.join(e, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(w["bias"])
+                + F.lit(w["quality"]) * F.col("quality")
+                + F.lit(w["entropy"]) * F.coalesce(F.col("entropy"), F.lit(0.0))
+                + F.lit(w["dup_token_ratio"])
+                * F.coalesce(F.col("dup_token_ratio"), F.lit(0.0))
+                + F.lit(w["top_bigram_frac"])
+                * F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+            ).alias("z"),
+        )
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    return joined.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= F.lit(ENSEMBLE_KEEP)).alias("keep"),
+    )
+
+
+def quality_ensemble_sql(src: str = "documents") -> str:
+    w = ENSEMBLE_WEIGHTS
+    z = (
+        f"{w['bias']!r} + {w['quality']!r} * q.quality "
+        f"+ {w['entropy']!r} * coalesce(e.entropy, 0.0) "
+        f"+ {w['dup_token_ratio']!r} * coalesce(r.dup_token_ratio, 0.0) "
+        f"+ {w['top_bigram_frac']!r} * coalesce(r.top_bigram_frac, 0.0)"
+    )
+    return f"""
+WITH q AS ({quality_scores_sql(src)}),
+e AS ({token_entropy_sql()}),
+r AS ({repetition_stats_sql()}),
+z AS (
+  SELECT q.doc_id, {z} AS z
+  FROM q LEFT JOIN e ON q.doc_id = e.doc_id
+         LEFT JOIN r ON q.doc_id = r.doc_id)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= {ENSEMBLE_KEEP!r} AS keep
+FROM z
+""".strip()

@@ -383,11 +383,35 @@ def union_metadata(headers: list[dict]) -> dict:
     }
 
 
+def write_laz(
+    xyz: np.ndarray,
+    path: str,
+    scales=(0.1, 0.1, 0.1),
+    offsets=(0.0, 0.0, 0.0),
+) -> None:
+    """Compressed export: xyz → chunked LAZ (format 0) via the in-repo
+    LASzip codec. Same grid quantization as :func:`write_las`."""
+    from .laszip_codec import compress_points_to_laz
+
+    xyz = np.asarray(xyz, dtype=np.float64).reshape(-1, 3)
+    pts = np.zeros(len(xyz), dtype=point_dtype(0))
+    for i, (s, o) in enumerate(zip(scales, offsets)):
+        pts[("X", "Y", "Z")[i]] = np.round(
+            (xyz[:, i] - o) / s
+        ).astype(np.int64)
+    buf = compress_points_to_laz(pts, 0, scales, offsets)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(buf)
+
+
 def df_to_las(df, path: str, scales=(0.1, 0.1, 0.1), offsets=(0.0, 0.0, 0.0)) -> int:
-    """Driver-side LAS export for window-query-sized results (S10).
+    """Driver-side LAS/LAZ export for window-query-sized results
+    (S10); a ``.laz`` path compresses through the in-repo codec.
     Returns point count."""
     pdf = df.select("x", "y", "z").toPandas()
-    write_las(pdf.to_numpy(), path, scales, offsets)
+    writer = write_laz if path.lower().endswith(".laz") else write_las
+    writer(pdf.to_numpy(), path, scales, offsets)
     return len(pdf)
 
 

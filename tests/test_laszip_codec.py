@@ -273,3 +273,20 @@ def test_las_to_df_mixed_las_and_laz_dir(spark, tmp_path):
         + [(round(x, 2), round(y, 2), round(z, 2)) for x, y, z in xyz_b]
     )
     assert got == want
+
+
+@pytest.mark.spark
+def test_df_to_las_laz_export_roundtrip(spark, tmp_path):
+    """S10 compressed export: a query-result DataFrame written as .laz
+    reads back point-exact at grid precision."""
+    rows = [(100.0 + i * 0.5, 200.0 + i * 0.3, 10.0 + (i % 7))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    p = str(tmp_path / "out.laz")
+    n = las.df_to_las(df, p, scales=(0.01, 0.01, 0.01))
+    assert n == 300
+    hdr = las.read_las_header_file(p)
+    assert hdr["compressed"] and hdr["point_count"] == 300
+    xyz = las.read_las_bytes(open(p, "rb").read())
+    got = sorted(map(tuple, np.round(xyz, 2)))
+    assert got == sorted(rows)

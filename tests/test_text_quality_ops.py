@@ -324,3 +324,25 @@ def test_bigram_surprisal_exact_and_order_sensitivity(spark):
         assert got[i].n_bigrams == len(bs)
         assert abs(got[i].avg_bigram_surprisal - want) < 1e-5, i
     assert got[5].avg_bigram_surprisal > got[0].avg_bigram_surprisal
+
+
+@pytest.mark.spark
+def test_quality_ensemble_discriminates(spark):
+    """The calibrated gate keeps fluent varied prose and drops
+    repetitive keyword spam; empty docs score without NULLs."""
+    from lasdb_spark.operators.text import quality_ensemble
+
+    fluent = (
+        "the quick brown fox jumps over a lazy dog while morning "
+        "light spreads across the quiet valley and is slowly warming "
+        "every rooftop of the old town with gentle amber color"
+    ) * 3
+    spam = "buy cheap pills " * 60
+    rows = [(0, fluent), (1, spam), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_ensemble(docs).collect()}
+    assert len(got) == 3
+    assert got[0].keep is True
+    assert got[1].keep is False
+    assert got[2].keep is False and got[2].score is not None
+    assert got[0].score > got[1].score > 0.0
