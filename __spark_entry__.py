@@ -25,6 +25,7 @@ from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import graph as _graph
+from lasdb_spark.operators import interval as _interval
 from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import lod as _lod
 from lasdb_spark.operators import multi_window as _mw
@@ -476,6 +477,20 @@ def _q_dedup_crosscorpus(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+def _q_sliding_rates(spark, sf_dir):
+    """Overlapping 1 h windows sliding every 15 min (F.window)."""
+    from lasdb_spark.operators.relational import sliding_event_rates
+
+    return sliding_event_rates(_ev(spark, sf_dir))
+
+
+def _q_incident_impact(spark, sf_dir):
+    """Interval join: traffic inside ±5 min of every error event."""
+    from lasdb_spark.operators.interval import incident_impact
+
+    return incident_impact(_ev(spark, sf_dir))
 
 
 def _q_event_pagerank(spark, sf_dir):
@@ -1080,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
         "text_quality_ensemble": _text.quality_ensemble_sql(),
         "rel_event_pagerank": _graph.event_type_pagerank_sql(),
+        "rel_interval_join": _interval.incident_impact_sql(),
+        "rel_sliding_rates": _rel.sliding_event_rates_sql(),
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
         ),
@@ -1128,7 +1145,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """102 entries, ordered so every query gets a driver CORRECTNESS
+    """104 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1159,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_crosscorpus": _q_dedup_crosscorpus,
         "text_quality_ensemble": _q_quality_ensemble,
         "rel_event_pagerank": _q_event_pagerank,
+        "rel_interval_join": _q_incident_impact,
+        "rel_sliding_rates": _q_sliding_rates,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

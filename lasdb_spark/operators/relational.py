@@ -640,3 +640,50 @@ SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue,
        round(CAST(rev_d / sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
 FROM rev
 """.strip()
+
+
+SLIDE_WIN_MS = 3_600_000  # 1 hour window
+SLIDE_STEP_MS = 900_000  # sliding every 15 minutes
+
+
+def sliding_event_rates(events: DataFrame) -> DataFrame:
+    """(window_start_ms, event_type, n) — OVERLAPPING 1-hour windows
+    every 15 minutes (each event lands in 4 windows): the smoothed
+    rate curve dashboards want, vs :func:`hourly_event_rollup`'s
+    tumbling buckets. Uses the native ``F.window`` slide — the same
+    expression runs unchanged under readStream + watermark (the
+    streaming mirror in streaming/events.py:windowed_counts is the
+    tumbling special case).
+
+    Scale: windowing explodes each row into win/slide = 4 bucket rows
+    map-side, then ONE partial-aggregated shuffle on (window, type) —
+    identical shape to any rollup; no per-window scans."""
+    w = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_event_rates_sql() -> str:
+    """Oracle: explicit window-start enumeration — an event at epoch
+    ms m belongs to starts floor(m/step)*step - j*step for
+    j in 0..win/step-1 (exactly Spark's sliding-window assignment
+    with epoch-aligned, UTC-pinned windows)."""
+    n_buckets = SLIDE_WIN_MS // SLIDE_STEP_MS
+    return f"""
+{EV_CTE},
+e AS (SELECT epoch_ms(ts) AS ms, event_type FROM ev),
+b AS (
+  SELECT (ms // {SLIDE_STEP_MS}) * {SLIDE_STEP_MS}
+         - CAST(j.j AS BIGINT) * {SLIDE_STEP_MS} AS window_start_ms,
+         event_type
+  FROM e, LATERAL (SELECT unnest(range(0, {n_buckets}))) AS j(j))
+SELECT window_start_ms, event_type, count(*) AS n
+FROM b GROUP BY 1, 2
+""".strip()
