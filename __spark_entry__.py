@@ -39,6 +39,7 @@ from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
 from lasdb_spark.operators import similarity as _similarity
 from lasdb_spark.operators import text as _text
+from lasdb_spark.operators import topics as _topics
 from lasdb_spark.operators.ingest import (
     DatasetMeta,
     attach_sfc,
@@ -476,6 +477,22 @@ def _q_dedup_crosscorpus(spark, sf_dir):
     return crosscorpus_neardup_pairs(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _q_corpus_topics(spark, sf_dir):
+    """k-means topic clusters labeled by distinctive terms."""
+    from lasdb_spark.operators.topics import corpus_topics
+
+    return corpus_topics(_docs(spark, sf_dir), _embs(spark, sf_dir))
+
+
+def _q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced curation sample (per-cluster quota)."""
+    from lasdb_spark.operators.topics import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _docs(spark, sf_dir), _embs(spark, sf_dir)
     )
 
 
@@ -1097,6 +1114,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_event_pagerank": _graph.event_type_pagerank_sql(),
         "rel_interval_join": _interval.incident_impact_sql(),
         "rel_sliding_rates": _rel.sliding_event_rates_sql(),
+        "corpus_topics": _topics.corpus_topics_sql(),
+        "corpus_cluster_sample": _topics.cluster_balanced_sample_sql(),
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
         ),
@@ -1145,20 +1164,23 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """104 entries, ordered so every query gets a driver CORRECTNESS
+    """106 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
-    a fresh driver row) with the eight operators NEW in r4 (pc_slope,
-    text_entropy, mm_audio, text_pii_stats, text_pii_redact,
-    pc_change, ann_pq_topk, pc_profile), then the 39 entries whose
-    last driver row was r2
+    a fresh driver row) with the FIFTEEN operators new in r4
+    (pc_slope, text_entropy, mm_audio, text_pii_stats,
+    text_pii_redact, pc_change, ann_pq_topk, pc_profile,
+    dedup_chunk_pairs, text_bigram_surprisal, dedup_crosscorpus,
+    text_quality_ensemble, rel_event_pagerank, rel_interval_join,
+    rel_sliding_rates, corpus_topics, corpus_cluster_sample),
+    then the entries whose last driver row was r2
     data (everything r3's window cut off), then r3-green family
-    representatives to fill the window; the remaining r3-green entries
-    sit at the tail (their green rows are from THIS data generation,
-    and the pytest oracle mirror in tests/test_entry_oracle.py always
-    runs ALL entries value-exact). Next round: rotate the tail back
-    into the lead block."""
+    representatives; the remaining r3-green entries sit at the tail
+    (their green rows are from THIS data generation, and the pytest
+    oracle mirror in tests/test_entry_oracle.py always runs ALL
+    entries value-exact). Next round: rotate the tail back into the
+    lead block."""
     return {
         # --- fixed this round; needs a fresh driver row ---
         "corpus_token_budget": _q_token_budget,
@@ -1178,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_event_pagerank": _q_event_pagerank,
         "rel_interval_join": _q_incident_impact,
         "rel_sliding_rates": _q_sliding_rates,
+        "corpus_topics": _q_corpus_topics,
+        "corpus_cluster_sample": _q_cluster_sample,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -190,10 +190,12 @@ def _section_corpus(spark, sf_dir, timings) -> None:
     """LLM-pipeline operators on the documents/embeddings tables."""
     from lasdb_spark.operators.dedup import (
         chunk_neardup_pairs,
+        crosscorpus_neardup_pairs,
         dedup_clusters,
         exact_dedup,
         minhash_lsh_pairs,
     )
+    from pyspark.sql import functions as F
     from lasdb_spark.operators.multimodal import (
         decode_audio_features,
         make_audio_corpus,
@@ -201,15 +203,23 @@ def _section_corpus(spark, sf_dir, timings) -> None:
     from lasdb_spark.operators.search import bm25_search
     from lasdb_spark.operators.similarity import knn_join_lsh, topk_pq
     from lasdb_spark.operators.text import (
+        bigram_surprisal,
         pii_redact,
+        quality_ensemble,
         quality_scores,
         surprisal_scores,
         tfidf_top_terms,
     )
 
+    from lasdb_spark.operators.graph import event_type_pagerank
+    from lasdb_spark.operators.interval import incident_impact
+    from lasdb_spark.operators.relational import sliding_event_rates
+    from lasdb_spark.sources.events import events_df
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    docs.count(), embs.count()
+    ev = events_df(spark, sf_dir)
+    docs.count(), embs.count(), ev.count()
 
     suite = {
         "text_quality": lambda: quality_scores(docs),
@@ -224,6 +234,16 @@ def _section_corpus(spark, sf_dir, timings) -> None:
         "ann_pq_topk": lambda: topk_pq(embs),
         "mm_audio": lambda: decode_audio_features(make_audio_corpus(docs)),
         "text_pii": lambda: pii_redact(docs),
+        # r4 second batch
+        "text_bigram": lambda: bigram_surprisal(docs),
+        "text_ensemble": lambda: quality_ensemble(docs),
+        "dedup_crosscorpus": lambda: crosscorpus_neardup_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
+        "ev_pagerank": lambda: event_type_pagerank(ev),
+        "ev_interval_join": lambda: incident_impact(ev),
+        "ev_sliding_rates": lambda: sliding_event_rates(ev),
     }
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())

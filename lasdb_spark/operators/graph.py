@@ -19,9 +19,11 @@ of unrolled rounds. The SQL twin unrolls the same iterations as CTEs
 generated from the same constants.
 
 Scale: ONE corpus-sized shuffle (user_id window for consecutive
-pairs → transition counts); everything after operates on the
-event-type vocabulary (k rows) — iterations add plan depth on
-broadcast-joined tiny tables, never another big shuffle. For a
+pairs → transition counts), cached; each iteration is then
+broadcast-joined tiny tables with its result localCheckpoint-ed —
+NOT left lazy, because a round references the previous ranks twice
+(inflow + dangling mass) and an un-materialized lineage re-executes
+the events shuffle ~3^n times (measured 8.8 s → <1 s at sf0.1). For a
 billion-NODE graph this dataframe loop is the wrong shape (use the
 bucketed label-propagation pattern of dedup.connected_components);
 for vocabulary-sized graphs it is optimal.
@@ -57,20 +59,29 @@ def event_type_pagerank(
         )
         .filter(F.col("dst").isNotNull())
     )
-    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    # the corpus-sized work happens ONCE: cache the vocabulary-sized
+    # aggregates, and cut each round's lineage with a localCheckpoint —
+    # every iteration references r twice (inflow + dangling mass), so
+    # an un-materialized plan re-executes the events shuffle ~3^n
+    # times (measured: 8.8 s -> sub-second at sf0.1)
+    cnt = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
     tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
     edges = cnt.join(tot, "src").select(
         "src", "dst",
         (F.col("c").cast("double") / F.col("t").cast("double")).alias("p"),
-    )
-    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    ).cache()
+    nodes = events.select(
+        F.col("event_type").alias("node")
+    ).distinct().cache()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     # r0 = 1/N, rounded like every later iteration
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node",
         F.round(F.lit(1.0) / F.col("n").cast("double"), 12).alias("rank"),
         "n",
-    )
+    ).localCheckpoint()
     has_out = tot.select(F.col("src").alias("node"))
     for _ in range(max(1, n_iters)):
         inflow = (
@@ -114,6 +125,7 @@ def event_type_pagerank(
                 ).alias("rank"),
                 "n",
             )
+            .localCheckpoint()
         )
     return r.select(
         "node", F.round(F.col("rank"), 6).alias("rank")

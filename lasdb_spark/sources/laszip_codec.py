@@ -675,15 +675,16 @@ class Point10V2:
             self.ic_point_source_id.compress(
                 last.point_source_id, cur.point_source_id
             )
-        # x
+        # x — diffs wrap like C I32 subtraction so the median
+        # predictor sees the SAME value the decoder will reconstruct
         median = self.last_x_diff_median5[m].get()
-        diff = cur.x - last.x
+        diff = _i32(cur.x - last.x)
         self.ic_dx.compress(median, diff, 1 if n == 1 else 0)
         self.last_x_diff_median5[m].add(diff)
         # y (context folds in how hard x was to predict)
         k_bits = self.ic_dx.k
         median = self.last_y_diff_median5[m].get()
-        diff = cur.y - last.y
+        diff = _i32(cur.y - last.y)
         ctx = (1 if n == 1 else 0) + (
             (k_bits & 0xFE) if k_bits < 20 else 20
         )

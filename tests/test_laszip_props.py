@@ -1,0 +1,130 @@
+"""Property-based round-trip gates for the LASzip codec: hypothesis
+drives the coder and item models through arbitrary sequences, not just
+the LiDAR-shaped fixtures of test_laszip_codec.py."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lasdb_spark.sources.laszip_codec import (
+    ArithmeticDecoder,
+    ArithmeticEncoder,
+    ArithmeticModel,
+    GpsTime11V2,
+    IntegerCompressor,
+    Point10,
+    Point10V2,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, (1 << 32) - 1)),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_coder_roundtrip_property(ops):
+    """Any interleaving of adaptive symbols, raw 13-bit and raw 32-bit
+    writes decodes byte-exact."""
+    enc = ArithmeticEncoder()
+    m = ArithmeticModel(17, True)
+    recorded = []
+    for kind, v in ops:
+        if kind == 0:
+            s = v % 17
+            enc.encode_symbol(m, s)
+            recorded.append(("sym", s))
+        elif kind == 1:
+            enc.write_bits(13, v & 0x1FFF)
+            recorded.append(("b13", v & 0x1FFF))
+        else:
+            enc.write_int(v)
+            recorded.append(("int", v))
+    dec = ArithmeticDecoder(enc.done())
+    md = ArithmeticModel(17, False)
+    for kind, want in recorded:
+        if kind == "sym":
+            assert dec.decode_symbol(md) == want
+        elif kind == "b13":
+            assert dec.read_bits(13) == want
+        else:
+            assert dec.read_int() == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(-(1 << 31), (1 << 31) - 1), min_size=1, max_size=300
+    )
+)
+def test_integer_compressor_property(vals):
+    """Arbitrary i32 sequences survive the 32-bit corrector with the
+    previous value as predictor (the hardest context: unbounded
+    deltas)."""
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 1)
+    prev = 0
+    for v in vals:
+        ic.compress(prev & 0xFFFFFFFF, v & 0xFFFFFFFF, 0)
+        prev = v
+    dec = ArithmeticDecoder(enc.done())
+    icd = IntegerCompressor(dec, 32, 1)
+    prev = 0
+    for v in vals:
+        got = icd.decompress(prev & 0xFFFFFFFF, 0)
+        assert (got - v) % (1 << 32) == 0
+        prev = v
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, (1 << 64) - 1), min_size=2, max_size=200
+    )
+)
+def test_gpstime_property_arbitrary_u64(ts):
+    """GPSTIME11 must round-trip ANY u64 bit-pattern sequence — every
+    resync/multi/sequence-switch branch is fair game."""
+    enc = ArithmeticEncoder()
+    g = GpsTime11V2(enc)
+    g.init(ts[0])
+    for v in ts[1:]:
+        g.write(v)
+    dec = ArithmeticDecoder(enc.done())
+    gd = GpsTime11V2(dec)
+    gd.init(ts[0])
+    for want in ts[1:]:
+        assert gd.read() == want
+
+
+_point = st.builds(
+    Point10,
+    x=st.integers(-(1 << 31), (1 << 31) - 1),
+    y=st.integers(-(1 << 31), (1 << 31) - 1),
+    z=st.integers(-(1 << 31), (1 << 31) - 1),
+    intensity=st.integers(0, 65535),
+    flags=st.integers(0, 255),
+    classification=st.integers(0, 255),
+    scan_angle_rank=st.integers(-128, 127),
+    user_data=st.integers(0, 255),
+    point_source_id=st.integers(0, 65535),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_point, min_size=2, max_size=150))
+def test_point10_property_arbitrary_records(pts):
+    """POINT10 v2 round-trips arbitrary field combinations, including
+    out-of-spec flags bytes (return numbers 0/7 etc.) — the model
+    banks must handle every 8-bit pattern."""
+    enc = ArithmeticEncoder()
+    c = Point10V2(enc)
+    c.init(pts[0])
+    for p in pts[1:]:
+        c.write(p)
+    dec = ArithmeticDecoder(enc.done())
+    d = Point10V2(dec)
+    d.init(pts[0])
+    for want in pts[1:]:
+        assert d.read().pack() == want.pack()

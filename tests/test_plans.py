@@ -288,3 +288,50 @@ def test_semdedup_pair_join_keys_on_cell(spark, sf_dir):
     plan = _plan(semantic_pairs(embs))
     assert "CartesianProduct" not in plan
     assert "cell" in plan
+
+
+@pytest.mark.spark
+def test_bigram_surprisal_caches_collapsed_counts(spark, sf_dir):
+    """The per-(doc,bigram) count table must be computed ONCE and
+    reused by the model tables and the scoring join — the raw token
+    shuffle may not re-run per consumer."""
+    from lasdb_spark.operators.text import bigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bigram_surprisal(docs)
+    df.count()  # materialize the cache so the plan shows the reuse
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_crosscorpus_join_is_bucketed(spark, sf_dir):
+    """Cross-corpus near-dup: banded equi-joins only — no nested-loop
+    join between the two corpora, no python in the hot path."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.dedup import crosscorpus_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        crosscorpus_neardup_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_sliding_rates_single_shuffle(spark, sf_dir):
+    """Sliding windows are a map-side explode + ONE partial-aggregated
+    shuffle on (window, type)."""
+    from lasdb_spark.operators.relational import sliding_event_rates
+    from lasdb_spark.sources.events import events_df
+
+    plan = _plan(sliding_event_rates(events_df(spark, sf_dir)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
