@@ -415,11 +415,20 @@ def df_to_las(df, path: str, scales=(0.1, 0.1, 0.1), offsets=(0.0, 0.0, 0.0)) ->
     return len(pdf)
 
 
-def df_to_las_partitioned(df, out_dir: str, scales=(0.1, 0.1, 0.1), offsets=(0.0, 0.0, 0.0)):
-    """Distributed export: one LAS file per partition via mapInPandas
-    (for clouds too large to collect). Returns DataFrame of written
-    files (path, n_points)."""
+def df_to_las_partitioned(
+    df,
+    out_dir: str,
+    scales=(0.1, 0.1, 0.1),
+    offsets=(0.0, 0.0, 0.0),
+    compress: bool = False,
+):
+    """Distributed export: one LAS (or LAZ, ``compress=True``) file
+    per partition via mapInPandas (for clouds too large to collect).
+    Returns DataFrame of written files (path, n_points). Compression
+    runs per-task, so the pure-python codec's cost parallelizes
+    across partitions like the read side."""
     os.makedirs(out_dir, exist_ok=True)
+    ext, writer = ("laz", write_laz) if compress else ("las", write_las)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid
@@ -428,8 +437,8 @@ def df_to_las_partitioned(df, out_dir: str, scales=(0.1, 0.1, 0.1), offsets=(0.0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            p = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.las")
-            write_las(pdf[["x", "y", "z"]].to_numpy(), p, scales, offsets)
+            p = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.{ext}")
+            writer(pdf[["x", "y", "z"]].to_numpy(), p, scales, offsets)
             rows.append((p, len(pdf)))
         yield pd.DataFrame(rows, columns=["path", "n_points"])
 

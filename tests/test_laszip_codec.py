@@ -290,3 +290,24 @@ def test_df_to_las_laz_export_roundtrip(spark, tmp_path):
     xyz = las.read_las_bytes(open(p, "rb").read())
     got = sorted(map(tuple, np.round(xyz, 2)))
     assert got == sorted(rows)
+
+
+@pytest.mark.spark
+def test_partitioned_laz_export_roundtrip(spark, tmp_path):
+    """Distributed compressed export: per-partition .laz files read
+    back to the same point set."""
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("laspy path would shadow the in-repo codec")
+    import os
+
+    rows = [(float(i), float(2 * i), float(i % 50)) for i in range(900)]
+    df = spark.createDataFrame(rows, "x double, y double, z double").repartition(3)
+    out = str(tmp_path / "parts")
+    files = las.df_to_las_partitioned(
+        df, out, scales=(0.01, 0.01, 0.01), compress=True
+    ).collect()
+    assert sum(f.n_points for f in files) == 900
+    assert all(f.path.endswith(".laz") for f in files)
+    back = las.las_to_df(spark, os.path.join(out, "*"))
+    got = sorted((round(r.x, 2), round(r.y, 2), round(r.z, 2)) for r in back.collect())
+    assert got == sorted(rows)
