@@ -28,14 +28,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from lasdb_spark.sources.events import events_stream as read_event_stream  # noqa: F401
 
 
-def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts + value sums with a watermark.
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (default) or sliding (``slide=``) window counts +
+    value sums with a watermark — the streaming mirror of the batch
+    ``relational.sliding_event_rates`` / ``hourly_event_rollup`` pair.
 
-    At scale: state is bounded by the watermark horizon; the shuffle is
-    on (window, event_type) — same as the batch rollup."""
+    At scale: state is bounded by the watermark horizon × (window /
+    slide) open windows per key; the shuffle is on (window,
+    event_type) — same as the batch rollup."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), F.col("event_type"))
+        .groupBy(w, F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),

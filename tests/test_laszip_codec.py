@@ -311,3 +311,33 @@ def test_partitioned_laz_export_roundtrip(spark, tmp_path):
     back = las.las_to_df(spark, os.path.join(out, "*"))
     got = sorted((round(r.x, 2), round(r.y, 2), round(r.z, 2)) for r in back.collect())
     assert got == sorted(rows)
+
+
+@pytest.mark.spark
+def test_cli_import_real_laz_succeeds(spark, tmp_path, capsys):
+    """run_import over a REAL chunked LAZ tile now succeeds through
+    the in-repo codec (the graceful-failure path is reserved for
+    VLR-less / unsupported streams)."""
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("laspy path would shadow the in-repo codec")
+    import json
+
+    from lasdb_spark.cli import runner
+    from lasdb_spark.operators.ingest import load_dataset
+
+    pts = _cloud_struct(0, 600)
+    with open(tmp_path / "tile.laz", "wb") as f:
+        f.write(compress_points_to_laz(
+            pts, 0, scales=(0.01, 0.01, 0.01)
+        ))
+    imp = {
+        "config": {"base_path": str(tmp_path / "store")},
+        "imports": {
+            "ahn_tile": {"mode": "file", "path": str(tmp_path / "tile.laz")}
+        },
+    }
+    (tmp_path / "imp.json").write_text(json.dumps(imp))
+    runner.run_import(str(tmp_path / "imp.json"), spark)
+    df, meta, layout = load_dataset(spark, str(tmp_path / "store"), "ahn_tile")
+    assert meta.point_count == 600
+    assert df.count() == 600

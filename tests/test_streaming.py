@@ -168,3 +168,26 @@ def test_stream_store_compaction_matches_batch(spark, sf_dir, tmp_path):
         for r in cl.filter(F.col("doc_id") == F.col("cluster_id")).collect()
     }
     assert got == want and len(got) > 0
+
+
+@pytest.mark.spark
+def test_sliding_windowed_counts_match_batch(spark, sf_dir, event_stream):
+    """The sliding variant converges to the batch sliding_event_rates
+    on finite input (same epoch-aligned window starts)."""
+    from lasdb_spark.operators.relational import sliding_event_rates
+    from lasdb_spark.sources.events import events_df
+
+    se.run_to_memory(
+        se.windowed_counts(event_stream, slide="15 minutes"),
+        "slide_out",
+        "complete",
+    )
+    got = {
+        (r.hour_ms, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    batch = {
+        (r.window_start_ms, r.event_type): r.n
+        for r in sliding_event_rates(events_df(spark, sf_dir)).collect()
+    }
+    assert got == batch
