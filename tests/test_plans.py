@@ -335,3 +335,19 @@ def test_sliding_rates_single_shuffle(spark, sf_dir):
     plan = _plan(sliding_event_rates(events_df(spark, sf_dir)))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+@pytest.mark.spark
+def test_topics_joins_are_bounded(spark, sf_dir):
+    """Topic labeling: the only nested-loop allowed is the broadcast
+    of the tiny centroid/one-row tables (the k-means assignment
+    pattern semdedup already gates); no cartesian, no python."""
+    from lasdb_spark.operators.topics import corpus_topics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(corpus_topics(docs, embs))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # doc<->cluster membership and term scoring are hash equi-joins
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
