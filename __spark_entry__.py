@@ -480,6 +480,33 @@ def _q_dedup_crosscorpus(spark, sf_dir):
     )
 
 
+def _q_pc_epoch_shift(spark, sf_dir):
+    """Robust vertical datum-shift estimate between two surveys: the
+    second epoch is the first raised 0.35 m everywhere PLUS 3 m of
+    'construction' on ~20% of points — the outer median must report
+    0.35, rejecting the localized change."""
+    from lasdb_spark.operators.change import estimate_epoch_shift
+
+    pts = points_df(spark, sf_dir)
+    key = (
+        F.round(F.col("x") * 100).cast("long")
+        + F.round(F.col("y") * 100).cast("long")
+    ) % 10
+    epoch_b = (
+        pts.withColumn("_k", key)
+        .withColumn(
+            "z",
+            F.col("z")
+            + F.lit(0.35)
+            + F.when(F.col("_k").isin(1, 2), F.lit(3.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("_k")
+    )
+    return estimate_epoch_shift(pts, epoch_b, cell=CHANGE_CELL)
+
+
 def _q_corpus_topics(spark, sf_dir):
     """k-means topic clusters labeled by distinctive terms."""
     from lasdb_spark.operators.topics import corpus_topics
@@ -1115,6 +1142,15 @@ def oracle_sql() -> dict[str, str]:
         "rel_interval_join": _interval.incident_impact_sql(),
         "rel_sliding_rates": _rel.sliding_event_rates_sql(),
         "corpus_topics": _topics.corpus_topics_sql(),
+        "pc_epoch_shift": _change.estimate_epoch_shift_sql(
+            _PTS
+            + f""", epoch_b AS (
+  SELECT x, y,
+         z + 0.35 + (CASE WHEN {_CHANGE_KEY_SQL} IN (1, 2)
+                          THEN 3.0 ELSE 0.0 END) AS z
+  FROM points)""",
+            cell=CHANGE_CELL,
+        ),
         "corpus_cluster_sample": _topics.cluster_balanced_sample_sql(),
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
@@ -1164,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """106 entries, ordered so every query gets a driver CORRECTNESS
+    """107 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1173,7 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_pii_redact, pc_change, ann_pq_topk, pc_profile,
     dedup_chunk_pairs, text_bigram_surprisal, dedup_crosscorpus,
     text_quality_ensemble, rel_event_pagerank, rel_interval_join,
-    rel_sliding_rates, corpus_topics, corpus_cluster_sample),
+    rel_sliding_rates, corpus_topics, corpus_cluster_sample,
+    pc_epoch_shift),
     then the entries whose last driver row was r2
     data (everything r3's window cut off), then r3-green family
     representatives; the remaining r3-green entries sit at the tail
@@ -1201,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_interval_join": _q_incident_impact,
         "rel_sliding_rates": _q_sliding_rates,
         "corpus_topics": _q_corpus_topics,
+        "pc_epoch_shift": _q_pc_epoch_shift,
         "corpus_cluster_sample": _q_cluster_sample,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,

@@ -123,3 +123,77 @@ SELECT COALESCE(ga.cell_x, gb.cell_x) AS cell_x,
 FROM ga FULL OUTER JOIN gb
   ON ga.cell_x = gb.cell_x AND ga.cell_y = gb.cell_y
 """.strip()
+
+
+def estimate_epoch_shift(
+    cloud_a: DataFrame, cloud_b: DataFrame, cell: float = CELL
+) -> DataFrame:
+    """(n_cells, dz_shift) — robust vertical offset between two
+    surveys of one extent: per-cell MEDIAN elevation in each epoch,
+    then the MEDIAN of the per-cell differences over cells occupied in
+    both. Real change (construction, demolition) shifts a minority of
+    cells and is rejected by the outer median, so the estimate is the
+    datum/sensor offset — run it BEFORE :func:`epoch_diff`, which
+    assumes aligned epochs, and feed ``dz_shift`` back as a z
+    correction.
+
+    Exactness: medians run on centi-unit longs; for even counts both
+    engines average the two middle values — every intermediate is an
+    exact multiple of 0.005 m, so the rounded estimate hash-matches.
+
+    Scale: two map-side-partial groupBys collapse each epoch to
+    |cells| rows; the join and the final median see cell tables
+    bounded by area / cell², never by point count. The global median
+    funnels |cells| rows through one aggregation — area-bounded, the
+    same envelope every epoch_diff consumer already accepts."""
+    def med_cells(points: DataFrame):
+        return (
+            points.select(
+                F.floor(F.col("x") / cell).cast("long").alias("cell_x"),
+                F.floor(F.col("y") / cell).cast("long").alias("cell_y"),
+                F.round(F.col("z") * 100).cast("long").alias("zq"),
+            )
+            .groupBy("cell_x", "cell_y")
+            .agg(F.percentile(F.col("zq"), F.lit(0.5)).alias("med"))
+        )
+
+    a = med_cells(cloud_a)
+    b = med_cells(cloud_b)
+    dz = (
+        a.join(b.withColumnRenamed("med", "med_b"), ["cell_x", "cell_y"])
+        .select((F.col("med_b") - F.col("med")).alias("dzq"))
+    )
+    return dz.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.percentile(F.col("dzq"), F.lit(0.5)) / 100.0, 6
+        ).alias("dz_shift"),
+    )
+
+
+def estimate_epoch_shift_sql(
+    with_prefix: str,
+    cte_a: str = "points",
+    cte_b: str = "epoch_b",
+    cell: float = CELL,
+) -> str:
+    """Oracle twin of :func:`estimate_epoch_shift`."""
+    def grid(src: str) -> str:
+        return (
+            f"SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x, "
+            f"CAST(floor(y / {cell}) AS BIGINT) AS cell_y, "
+            f"median(CAST(round(z * 100) AS BIGINT)) AS med "
+            f"FROM {src} GROUP BY 1, 2"
+        )
+
+    return f"""
+{with_prefix},
+ma AS ({grid(cte_a)}),
+mb AS ({grid(cte_b)}),
+dz AS (
+  SELECT mb.med - ma.med AS dzq
+  FROM ma JOIN mb USING (cell_x, cell_y))
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(median(dzq) / 100.0, 6) AS dz_shift
+FROM dz
+""".strip()

@@ -68,3 +68,33 @@ def test_epoch_diff_joins_cell_tables_not_points(spark):
     ]
     assert len(agg_positions) >= 2
     assert all(p > join_at for p in agg_positions)
+
+
+@pytest.mark.spark
+def test_epoch_shift_rejects_local_change(spark):
+    """A global +0.2 m datum shift plus a 'new building' (+10 m on one
+    cell) must estimate 0.2 exactly — per-cell medians absorb point
+    noise, the outer median rejects the changed cell."""
+    from lasdb_spark.operators.change import estimate_epoch_shift
+
+    rows = []
+    for cx in range(5):
+        for cy in range(5):
+            for i in range(9):
+                rows.append(
+                    (cx * 50.0 + 5.0 * i, cy * 50.0 + 5.0 * i, 10.0 + i)
+                )
+    a = spark.createDataFrame(rows, "x double, y double, z double")
+    from pyspark.sql import functions as F
+
+    b = a.withColumn(
+        "z",
+        F.col("z")
+        + 0.2
+        + F.when((F.col("x") < 50.0) & (F.col("y") < 50.0), 10.0).otherwise(
+            0.0
+        ),
+    )
+    got = estimate_epoch_shift(a, b, cell=50.0).collect()[0]
+    assert got.n_cells == 25
+    assert got.dz_shift == 0.2
