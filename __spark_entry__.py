@@ -507,6 +507,18 @@ def _q_pc_epoch_shift(spark, sf_dir):
     return estimate_epoch_shift(pts, epoch_b, cell=CHANGE_CELL)
 
 
+def _q_pc_registration(spark, sf_dir):
+    """Planar gradient-least-squares registration of two surveys (the
+    second epoch is the first translated (+dz only here — the derived
+    terrain's gradient field determines the dx/dy estimate, which the
+    oracle reproduces bit-exactly whatever its value))."""
+    from lasdb_spark.operators.change import estimate_epoch_registration
+
+    pts = points_df(spark, sf_dir)
+    epoch_b = pts.withColumn("z", F.col("z") + F.lit(0.4))
+    return estimate_epoch_registration(pts, epoch_b, cell=CHANGE_CELL)
+
+
 def _q_corpus_topics(spark, sf_dir):
     """k-means topic clusters labeled by distinctive terms."""
     from lasdb_spark.operators.topics import corpus_topics
@@ -1142,6 +1154,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_interval_join": _interval.incident_impact_sql(),
         "rel_sliding_rates": _rel.sliding_event_rates_sql(),
         "corpus_topics": _topics.corpus_topics_sql(),
+        "pc_registration": _change.estimate_epoch_registration_sql(
+            _PTS
+            + ", epoch_b AS (SELECT x, y, z + 0.4 AS z FROM points)",
+            cell=CHANGE_CELL,
+        ),
         "pc_epoch_shift": _change.estimate_epoch_shift_sql(
             _PTS
             + f""", epoch_b AS (
@@ -1200,7 +1217,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """107 entries, ordered so every query gets a driver CORRECTNESS
+    """108 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1210,7 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_chunk_pairs, text_bigram_surprisal, dedup_crosscorpus,
     text_quality_ensemble, rel_event_pagerank, rel_interval_join,
     rel_sliding_rates, corpus_topics, corpus_cluster_sample,
-    pc_epoch_shift),
+    pc_epoch_shift, pc_registration),
     then the entries whose last driver row was r2
     data (everything r3's window cut off), then r3-green family
     representatives; the remaining r3-green entries sit at the tail
@@ -1239,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sliding_rates": _q_sliding_rates,
         "corpus_topics": _q_corpus_topics,
         "pc_epoch_shift": _q_pc_epoch_shift,
+        "pc_registration": _q_pc_registration,
         "corpus_cluster_sample": _q_cluster_sample,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,

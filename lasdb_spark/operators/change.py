@@ -197,3 +197,192 @@ SELECT CAST(count(*) AS BIGINT) AS n_cells,
        round(median(dzq) / 100.0, 6) AS dz_shift
 FROM dz
 """.strip()
+
+
+def estimate_epoch_registration(
+    cloud_a: DataFrame, cloud_b: DataFrame, cell: float = CELL
+) -> DataFrame:
+    """(n_cells, dx_shift, dy_shift, dz_shift) — full planar
+    registration between two surveys: solve B(x,y) ≈ A(x−dx, y−dy)+dz
+    by gradient least squares over the shared DEM grid. Linearizing,
+    each co-occupied cell contributes db ≈ −gx·dx − gy·dy + dz with
+    gx/gy the central-difference surface gradient of epoch A and db
+    the per-cell min-elevation difference; the 3×3 normal equations
+    are solved in closed form.
+
+    Exactness (the part that makes a least-squares fit hash-stable):
+    gradients and deltas stay in INTEGER centi-units, so every
+    normal-equation sum (Σgx², Σgx·gy, Σgx·db, …) is an exact BIGINT,
+    Cramer's rule runs on DECIMAL(38,0) integer determinants, and the
+    only float operations are the three final divisions — identical
+    in both engines. Determinant magnitude is bounded by
+    |cells|³·max(grad_cm)⁴·(200·cell)² — comfortably inside 1e38 for
+    survey-scale extents; at continental scale, register on a sampled
+    cell subset.
+
+    Scale: identical envelope to :func:`estimate_epoch_shift` — two
+    map-side-partial groupBys to |cells| rows, the gradient's
+    self-joins on the cell key, one one-row aggregation. Flat terrain
+    (singular system) yields NULL dx/dy; ``dz`` from
+    :func:`estimate_epoch_shift` is the robust fallback there."""
+    k = int(round(200 * cell))  # gradient denominator, integer by spec
+    if k != 200 * cell:
+        raise ValueError(f"cell must make 200*cell integral, got {cell}")
+
+    def dem(points: DataFrame):
+        return (
+            points.select(
+                F.floor(F.col("x") / cell).cast("long").alias("cell_x"),
+                F.floor(F.col("y") / cell).cast("long").alias("cell_y"),
+                F.round(F.col("z") * 100).cast("long").alias("gq"),
+            )
+            .groupBy("cell_x", "cell_y")
+            .agg(F.min("gq").alias("gq"))
+        )
+
+    da = dem(cloud_a)
+    db_ = dem(cloud_b)
+
+    def shifted(src, dx, dy, alias):
+        return src.select(
+            (F.col("cell_x") - dx).alias("cell_x"),
+            (F.col("cell_y") - dy).alias("cell_y"),
+            F.col("gq").alias(alias),
+        )
+
+    g = (
+        da.join(shifted(da, 1, 0, "eq"), ["cell_x", "cell_y"])
+        .join(shifted(da, -1, 0, "wq"), ["cell_x", "cell_y"])
+        .join(shifted(da, 0, 1, "nq"), ["cell_x", "cell_y"])
+        .join(shifted(da, 0, -1, "sq"), ["cell_x", "cell_y"])
+        .join(db_.withColumnRenamed("gq", "gqb"), ["cell_x", "cell_y"])
+        .select(
+            (F.col("eq") - F.col("wq")).alias("u"),  # dzdx centi-units
+            (F.col("nq") - F.col("sq")).alias("v"),  # dzdy centi-units
+            (F.col("gqb") - F.col("gq")).alias("d"),  # db centi-units
+        )
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u") * F.col("u")).alias("sxx"),
+        F.sum(F.col("u") * F.col("v")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+        F.sum("u").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("u") * F.col("d")).alias("sxd"),
+        F.sum(F.col("v") * F.col("d")).alias("syd"),
+        F.sum("d").alias("sd"),
+    )
+
+    dec = "decimal(38,0)"
+    def C(name):
+        return F.col(name).cast(dec)
+
+    kL = F.lit(k).cast(dec)
+    two_cell = F.lit(int(round(2 * cell))).cast(dec)  # = k/100
+    a11, a12, a13 = C("sxx"), C("sxy"), -kL * C("sx")
+    a22, a23 = C("syy"), -kL * C("sy")
+    a31, a32, a33 = -C("sx"), -C("sy"), kL * C("n")
+    b1, b2, b3 = -two_cell * C("sxd"), -two_cell * C("syd"), two_cell * C("sd")
+    det = (
+        a11 * (a22 * a33 - a23 * a32)
+        - a12 * (a12 * a33 - a23 * a31)
+        + a13 * (a12 * a32 - a22 * a31)
+    )
+    det_x = (
+        b1 * (a22 * a33 - a23 * a32)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a32 - a22 * b3)
+    )
+    det_y = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a31)
+        + a13 * (a12 * b3 - b2 * a31)
+    )
+    det_z = (
+        a11 * (a22 * b3 - b2 * a32)
+        - a12 * (a12 * b3 - b2 * a31)
+        + b1 * (a12 * a32 - a22 * a31)
+    )
+    nz = F.nullif(det.cast("double"), F.lit(0.0))
+    return s.select(
+        F.col("n").alias("n_cells"),
+        F.round(det_x.cast("double") / nz, 6).alias("dx_shift"),
+        F.round(det_y.cast("double") / nz, 6).alias("dy_shift"),
+        F.round(det_z.cast("double") / nz, 6).alias("dz_shift"),
+    )
+
+
+def estimate_epoch_registration_sql(
+    with_prefix: str,
+    cte_a: str = "points",
+    cte_b: str = "epoch_b",
+    cell: float = CELL,
+) -> str:
+    """Oracle twin of :func:`estimate_epoch_registration` — the same
+    integer sums and Cramer determinants, DECIMAL(38,0) on both
+    sides."""
+    k = int(round(200 * cell))
+    tc = int(round(2 * cell))
+
+    def dem(src: str) -> str:
+        return (
+            f"SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x, "
+            f"CAST(floor(y / {cell}) AS BIGINT) AS cell_y, "
+            f"min(CAST(round(z * 100) AS BIGINT)) AS gq "
+            f"FROM {src} GROUP BY 1, 2"
+        )
+
+    D = "CAST({} AS DECIMAL(38,0))"
+    a11, a12 = D.format("sxx"), D.format("sxy")
+    a13 = f"(-{k} * {D.format('sx')})"
+    a22, a23 = D.format("syy"), f"(-{k} * {D.format('sy')})"
+    a31, a32 = f"(-{D.format('sx')})", f"(-{D.format('sy')})"
+    a33 = f"({k} * {D.format('n')})"
+    b1 = f"(-{tc} * {D.format('sxd')})"
+    b2 = f"(-{tc} * {D.format('syd')})"
+    b3 = f"({tc} * {D.format('sd')})"
+    det = (
+        f"({a11} * ({a22} * {a33} - {a23} * {a32}) "
+        f"- {a12} * ({a12} * {a33} - {a23} * {a31}) "
+        f"+ {a13} * ({a12} * {a32} - {a22} * {a31}))"
+    )
+    det_x = (
+        f"({b1} * ({a22} * {a33} - {a23} * {a32}) "
+        f"- {a12} * ({b2} * {a33} - {a23} * {b3}) "
+        f"+ {a13} * ({b2} * {a32} - {a22} * {b3}))"
+    )
+    det_y = (
+        f"({a11} * ({b2} * {a33} - {a23} * {b3}) "
+        f"- {b1} * ({a12} * {a33} - {a23} * {a31}) "
+        f"+ {a13} * ({a12} * {b3} - {b2} * {a31}))"
+    )
+    det_z = (
+        f"({a11} * ({a22} * {b3} - {b2} * {a32}) "
+        f"- {a12} * ({a12} * {b3} - {b2} * {a31}) "
+        f"+ {b1} * ({a12} * {a32} - {a22} * {a31}))"
+    )
+    nz = f"nullif(CAST({det} AS DOUBLE), 0.0)"
+    return f"""
+{with_prefix},
+dem_a AS ({dem(cte_a)}),
+dem_b AS ({dem(cte_b)}),
+grads AS (
+  SELECT e.gq - w.gq AS u, n2.gq - s2.gq AS v, b.gq - d.gq AS d
+  FROM dem_a d
+  JOIN dem_a e ON e.cell_x = d.cell_x + 1 AND e.cell_y = d.cell_y
+  JOIN dem_a w ON w.cell_x = d.cell_x - 1 AND w.cell_y = d.cell_y
+  JOIN dem_a n2 ON n2.cell_x = d.cell_x AND n2.cell_y = d.cell_y + 1
+  JOIN dem_a s2 ON s2.cell_x = d.cell_x AND s2.cell_y = d.cell_y - 1
+  JOIN dem_b b ON b.cell_x = d.cell_x AND b.cell_y = d.cell_y),
+sums AS (
+  SELECT count(*) AS n, sum(u * u) AS sxx, sum(u * v) AS sxy,
+         sum(v * v) AS syy, sum(u) AS sx, sum(v) AS sy,
+         sum(u * d) AS sxd, sum(v * d) AS syd, sum(d) AS sd
+  FROM grads)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       round(CAST({det_x} AS DOUBLE) / {nz}, 6) AS dx_shift,
+       round(CAST({det_y} AS DOUBLE) / {nz}, 6) AS dy_shift,
+       round(CAST({det_z} AS DOUBLE) / {nz}, 6) AS dz_shift
+FROM sums
+""".strip()

@@ -98,3 +98,35 @@ def test_epoch_shift_rejects_local_change(spark):
     got = estimate_epoch_shift(a, b, cell=50.0).collect()[0]
     assert got.n_cells == 25
     assert got.dz_shift == 0.2
+
+
+@pytest.mark.spark
+def test_registration_recovers_planar_shift(spark):
+    """Curved surface + translation (5, -10, 0.4): dx/dy come back
+    exact, dz within the linearization bias; on a PERFECT plane the
+    system is singular (horizontal vs vertical shift indistinguishable)
+    and dx/dy must be NULL rather than garbage."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.change import estimate_epoch_registration
+
+    rows = [
+        (xi * 5.0, yi * 5.0,
+         0.02 * xi * 5.0 + 0.01 * yi * 5.0 + 0.0002 * xi * 5.0 * yi * 5.0)
+        for xi in range(100) for yi in range(100)
+    ]
+    a = spark.createDataFrame(rows, "x double, y double, z double")
+    b = a.select(
+        (F.col("x") + 5.0).alias("x"),
+        (F.col("y") - 10.0).alias("y"),
+        (F.col("z") + 0.4).alias("z"),
+    )
+    r = estimate_epoch_registration(a, b, cell=50.0).collect()[0]
+    assert (r.dx_shift, r.dy_shift) == (5.0, -10.0)
+    assert abs(r.dz_shift - 0.4) < 0.05
+
+    flat = [(x, y, 0.02 * x + 0.01 * y) for x, y, _ in rows]
+    fa = spark.createDataFrame(flat, "x double, y double, z double")
+    fb = fa.select("x", "y", (F.col("z") + 1.0).alias("z"))
+    rf = estimate_epoch_registration(fa, fb, cell=50.0).collect()[0]
+    assert rf.dx_shift is None and rf.dy_shift is None
