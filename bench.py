@@ -151,6 +151,9 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
         "profile": lambda: _profile(q, polyline),
         # epoch change detection vs a perturbed second survey (r4)
         "epoch_diff": lambda: _epoch_diff(pts),
+        # multi-survey alignment estimators (r4)
+        "epoch_shift": lambda: _epoch_shift(pts),
+        "registration": lambda: _registration(pts),
     }
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
@@ -184,6 +187,26 @@ def _epoch_diff(pts):
         .drop("_k")
     )
     return epoch_diff(pts, epoch_b, cell=25.0)
+
+
+def _epoch_shift(pts):
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.change import estimate_epoch_shift
+
+    return estimate_epoch_shift(
+        pts, pts.withColumn("z", F.col("z") + 0.35), cell=25.0
+    )
+
+
+def _registration(pts):
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.change import estimate_epoch_registration
+
+    return estimate_epoch_registration(
+        pts, pts.withColumn("z", F.col("z") + 0.4), cell=25.0
+    )
 
 
 def _section_corpus(spark, sf_dir, timings) -> None:
