@@ -1303,8 +1303,9 @@ def crosscorpus_neardup_pairs(
     restored by group expansion, which is why the side filter runs on
     the FINAL pairs, after expansion — filtering candidates would drop
     groups whose representatives share a side). Id space: both inputs
-    must have doc_id < 2^62 (the side bit doubles ids); ids may
-    overlap between corpora — the side bit disambiguates."""
+    must have NON-NEGATIVE doc_id < 2^62 (the side bit doubles ids,
+    and the parity filter assumes non-negative modulo semantics); ids
+    may overlap between corpora — the side bit disambiguates."""
     u = docs_a.select(
         (F.col("doc_id") * 2).alias("doc_id"), "text"
     ).unionByName(
