@@ -144,45 +144,6 @@ FROM documents
 """.strip()
 
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long"
-
-
-def frame_sample(corpus: DataFrame, stride: int = 10) -> DataFrame:
-    """Sample every ``stride``-th frame of each 'video' asset.
-
-    One input row fans out to n_frames/stride rows (the mapInPandas
-    contract real frame extraction needs — output cardinality differs
-    from input). Frame count/offsets derive deterministically from the
-    payload as in decode_stub_features."""
-
-    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, offs = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = int(doc_id % 30 + 1)
-                plen = len(payload)
-                for i in range(0, n_frames, stride):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    offs.append(plen * i // max(n_frames, 1))
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_off": offs},
-            ).astype({"doc_id": "int64", "frame_idx": "int32", "frame_off": "int64"})
-
-    return corpus.mapInPandas(_frames, schema=FRAME_SCHEMA)
-
-
-def frame_sample_sql(stride: int = 10) -> str:
-    plen = "octet_length(encode(text))"
-    return f"""
-SELECT doc_id,
-  CAST(i AS INT) AS frame_idx,
-  CAST({plen} * i // greatest(doc_id % 30 + 1, 1) AS BIGINT) AS frame_off
-FROM documents,
-     LATERAL (SELECT unnest(range(0, doc_id % 30 + 1, {stride}))) AS s(i)
-""".strip()
-
-
 # ---------------------------------------------------------------------------
 # REAL image containers: PGM / PPM / BMP encode + decode
 # ---------------------------------------------------------------------------
