@@ -24,9 +24,9 @@ VIDEO frame sampling is REAL over concatenated-PGM streams (the
 MJPEG-shaped frames-back-to-back layout): :func:`make_video_corpus` /
 :func:`sample_frames` walk per-frame headers and compute per-sampled-
 frame pixel statistics. Codec formats needing ffmpeg (mp4/h264, mp3)
-stay out of scope for this container; ``decode_stub_features`` et al.
-remain only as the documented legacy shape of the fan-out API
-(``require_real_decoder=True`` makes them fail loudly).
+stay out of scope for this container: every decoder here parses or
+FAILS LOUDLY on its container — malformed or codec-compressed
+payloads raise instead of yielding fabricated features.
 
 Scale: payloads stay columnar end-to-end; a 100 TB corpus maps one
 batch at a time with zero shuffles. Feature extraction is map-only, so
@@ -43,106 +43,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-FORMATS = ("png", "jpeg", "wav")
-
-FEATURE_SCHEMA = (
-    "doc_id long, format string, payload_len long, width int, height int, "
-    "n_frames int"
-)
-
-
-def binary_corpus(docs: DataFrame) -> DataFrame:
-    """Turn the documents table into a multimodal-shaped corpus:
-    (doc_id, payload binary, meta struct<format, declared_len>).
-
-    The payload is the UTF-8 text bytes (a stand-in for real assets);
-    the metadata struct mirrors how a real pipeline carries format tags
-    alongside opaque bytes."""
-    fmt = F.element_at(
-        F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
-    )
-    return docs.select(
-        "doc_id",
-        F.col("text").cast("binary").alias("payload"),
-        F.struct(
-            fmt.alias("format"), F.col("n_chars").alias("declared_len")
-        ).alias("meta"),
-    )
-
-
-def decode_stub_features(
-    corpus: DataFrame, require_real_decoder: bool = False
-) -> DataFrame:
-    """'Decode' payloads into per-asset features via mapInPandas.
-
-    Deterministic fake decode: features are pure functions of the byte
-    length, so the full Arrow path is exercised and an SQL oracle can
-    verify it. Set ``require_real_decoder`` to fail loudly where the
-    stub would silently stand in for a real decoder."""
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if require_real_decoder:
-            raise NotImplementedError(
-                "real image/audio decoding requires PIL/ffmpeg; "
-                "this environment ships the deterministic stub only"
-            )
-        for pdf in batches:
-            plen = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "format": [m["format"] for m in pdf["meta"]],
-                    "payload_len": plen,
-                    "width": (plen % 512).astype("int32"),
-                    "height": ((plen * 7) % 512).astype("int32"),
-                    "n_frames": (pdf["doc_id"] % 30 + 1).astype("int32"),
-                }
-            )
-
-    return corpus.mapInPandas(_decode, schema=FEATURE_SCHEMA)
-
-
-RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, scale_x double, scale_y double"
-
-
-def resize_stub(corpus: DataFrame, out_w: int = 224, out_h: int = 224) -> DataFrame:
-    """'Resize' each asset to (out_w, out_h) via mapInPandas.
-
-    Real deployment: decode → PIL/cv2 resize → re-encode; here the
-    stub derives the source dims exactly as ``decode_stub_features``
-    and emits the scale factors a resizer would apply. The Arrow batch
-    shape (bytes in, small records out) is the real contract."""
-
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            plen = pdf["payload"].map(len)
-            w = (plen % 512).astype("int64")
-            h = ((plen * 7) % 512).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "out_w": out_w,
-                    "out_h": out_h,
-                    # guard: stub dims of empty payloads are 0
-                    "scale_x": (out_w / w.clip(lower=1)).round(6),
-                    "scale_y": (out_h / h.clip(lower=1)).round(6),
-                }
-            )
-
-    return corpus.mapInPandas(_resize, schema=RESIZE_SCHEMA)
-
-
-def resize_sql(out_w: int = 224, out_h: int = 224) -> str:
-    plen = "octet_length(encode(text))"
-    return f"""
-SELECT doc_id,
-  {out_w} AS out_w, {out_h} AS out_h,
-  round({out_w} / CAST(greatest({plen} % 512, 1) AS DOUBLE), 6) AS scale_x,
-  round({out_h} / CAST(greatest(({plen} * 7) % 512, 1) AS DOUBLE), 6) AS scale_y
-FROM documents
-""".strip()
-
 
 # ---------------------------------------------------------------------------
 # REAL image containers: PGM / PPM / BMP encode + decode
@@ -420,22 +320,6 @@ SELECT doc_id,
        round({out_h} / CAST(h AS DOUBLE), 6) AS scale_y,
        CAST(sum((doc_id * 31 + src_px * 7) % 256) AS BIGINT) AS sum_resized
 FROM grid GROUP BY doc_id, w, h
-""".strip()
-
-
-def features_sql() -> str:
-    """Oracle twin of binary_corpus ∘ decode_stub_features (DuckDB)."""
-    fmt = (
-        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END"
-    )
-    return f"""
-SELECT doc_id,
-  {fmt} AS format,
-  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
-  CAST(octet_length(encode(text)) % 512 AS INT) AS width,
-  CAST((octet_length(encode(text)) * 7) % 512 AS INT) AS height,
-  CAST(doc_id % 30 + 1 AS INT) AS n_frames
-FROM documents
 """.strip()
 
 
