@@ -239,6 +239,16 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
             f"record length {rl} too small for point format "
             f"{hdr['point_format']} (needs {dt.itemsize})"
         )
+    # bound-check BEFORE the buffer view: a corrupt header's giant
+    # count must fail as a clean ValueError, not an OverflowError deep
+    # inside numpy
+    need = hdr["offset_to_points"] + n * rl
+    if hdr["offset_to_points"] < 0 or need > len(buf):
+        raise ValueError(
+            f"truncated LAS: header declares {n} x {rl}-byte points at "
+            f"offset {hdr['offset_to_points']} but the file has only "
+            f"{len(buf)} bytes"
+        )
     raw = np.frombuffer(
         buf, dtype=np.uint8, count=n * rl, offset=hdr["offset_to_points"]
     ).reshape(n, rl)

@@ -1178,17 +1178,29 @@ def parse_laszip_vlr(buf: bytes, header_size: int,
                      offset_to_points: int) -> dict | None:
     """Scan the VLR block for the laszip record; None when absent."""
     pos = header_size
-    while pos + _VLR_HDR.size <= offset_to_points:
+    # a corrupt header can declare offsets past the file end: bound the
+    # scan by the ACTUAL buffer so malformed input fails as ValueError
+    limit = min(offset_to_points, len(buf))
+    while pos + _VLR_HDR.size <= limit:
         _, user_id, record_id, rec_len, _ = _VLR_HDR.unpack(
             buf[pos:pos + _VLR_HDR.size]
         )
         pos += _VLR_HDR.size
         if user_id == LASZIP_USER_ID and record_id == LASZIP_RECORD_ID:
             p = buf[pos:pos + rec_len]
+            if len(p) < 34:
+                raise ValueError(
+                    f"truncated laszip VLR payload ({len(p)} bytes)"
+                )
             (compressor, coder, vmaj, vmin, vrev, options, chunk_size,
              n_evlrs, evlr_off, num_items) = struct.unpack(
                 "<HHBBHIIqqH", p[:34]
             )
+            if len(p) < 34 + 6 * num_items:
+                raise ValueError(
+                    f"laszip VLR declares {num_items} items but carries "
+                    f"{len(p)} bytes"
+                )
             items = [
                 struct.unpack("<HHH", p[34 + 6 * i:40 + 6 * i])
                 for i in range(num_items)
@@ -1425,6 +1437,8 @@ def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
         )
     n = hdr["point_count"]
     chunk_size = vlr["chunk_size"]
+    if chunk_size <= 0:
+        raise ValueError(f"laszip chunk_size {chunk_size} invalid")
     items = vlr["items"]
     pos = hdr["offset_to_points"]
     (table_off,) = struct.unpack("<q", buf[pos:pos + 8])

@@ -341,3 +341,24 @@ def test_cli_import_real_laz_succeeds(spark, tmp_path, capsys):
     df, meta, layout = load_dataset(spark, str(tmp_path / "store"), "ahn_tile")
     assert meta.point_count == 600
     assert df.count() == 600
+
+
+def test_malformed_input_fails_cleanly():
+    """Fuzz gate: arbitrary byte soup — with or without a LASF
+    signature or the compression bit — must fail with ValueError (or
+    parse), never leak struct.error/OverflowError/IndexError from the
+    internals."""
+    rng = random.Random(20)
+    for _ in range(800):
+        n = rng.choice([0, 3, 100, 226, 227, 230, 300, 400])
+        buf = bytearray(rng.randrange(256) for _ in range(n))
+        r = rng.random()
+        if r < 0.6 and n >= 4:
+            buf[:4] = b"LASF"
+        if r < 0.3 and n >= 106:
+            buf[104] |= 0x80
+        for fn in (las.parse_las_header, las.read_las_bytes):
+            try:
+                fn(bytes(buf))
+            except ValueError:
+                pass
