@@ -38,6 +38,7 @@ from lasdb_spark.operators import skyline as _skyline
 from lasdb_spark.operators import relational as _rel
 from lasdb_spark.operators import multimodal as _multimodal
 from lasdb_spark.operators import similarity as _similarity
+from lasdb_spark.operators import sketch as _sketch
 from lasdb_spark.operators import text as _text
 from lasdb_spark.operators import topics as _topics
 from lasdb_spark.operators.ingest import (
@@ -1016,6 +1017,49 @@ def _polyline_sql_pred():
     return polyline_buffer_sql(parse_wkt_linestring(POLYLINE), POLYLINE_DIST)
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event_type (self-auditing)."""
+    from lasdb_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_ev(spark, sf_dir))
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per event_type, exact-integer
+    registers (engine-identical sketch state)."""
+    from lasdb_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_ev(spark, sf_dir))
+
+
+def _q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch estimates for the corpus's top tokens."""
+    from lasdb_spark.operators.sketch import cm_heavy_hitters
+
+    return cm_heavy_hitters(_docs(spark, sf_dir))
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (crawl hygiene, quality-ranked)."""
+    from lasdb_spark.operators.text import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir))
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-2 language mixing summary (sqrt-share rates)."""
+    from lasdb_spark.operators.text import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir))
+
+
+def _q_oov_rates(spark, sf_dir):
+    """Per-doc OOV rate under the corpus top-k vocabulary."""
+    from lasdb_spark.operators.text import oov_rates
+
+    return oov_rates(_docs(spark, sf_dir))
+
+
 def oracle_sql() -> dict[str, str]:
     (cx, cy), r = CIRCLE
     px, py = KNN_POINT
@@ -1213,11 +1257,17 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": _rel.customers_without_orders_sql(),
         "rel_market_share": _rel.nation_market_share_sql(),
         "rel_skyline": _skyline.pareto_orders_sql(),
+        "sketch_kmv": _sketch.kmv_distinct_sql(),
+        "sketch_hll": _sketch.hll_distinct_sql(),
+        "sketch_cm_tokens": _sketch.cm_heavy_hitters_sql(),
+        "corpus_domain_cap": _text.domain_cap_sql(),
+        "corpus_temp_mix": _text.temperature_mix_sql(),
+        "text_oov": _text.oov_rates_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """108 entries, ordered so every query gets a driver CORRECTNESS
+    """114 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1258,6 +1308,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_epoch_shift": _q_pc_epoch_shift,
         "pc_registration": _q_pc_registration,
         "corpus_cluster_sample": _q_cluster_sample,
+        # --- new in r4 second wave: sketches + corpus mixing ---
+        "sketch_kmv": _q_kmv_distinct,
+        "sketch_hll": _q_hll_distinct,
+        "sketch_cm_tokens": _q_cm_heavy_hitters,
+        "corpus_domain_cap": _q_domain_cap,
+        "corpus_temp_mix": _q_temperature_mix,
+        "text_oov": _q_oov_rates,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

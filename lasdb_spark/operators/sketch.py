@@ -1,0 +1,330 @@
+"""Distributed sketch aggregations: KMV, HyperLogLog, Count-Min.
+
+The reference has no approximate aggregation at all (SURVEY.md §2.5);
+at 100 TB these sketches are how an analytics engine answers
+distinct-count and heavy-hitter questions in one pass with bounded
+state. Every sketch here is DETERMINISTIC and engine-independent:
+
+- item hashing is the repo-standard 60-bit MD5 integer
+  (``functions.hashing``), identical in Spark and DuckDB, so the
+  oracle reproduces the *sketch state itself*, not just the answer;
+- register/counter math stays in exact BIGINT arithmetic (power-of-two
+  scaling instead of ``pow(2.0, -r)`` floats), so sums are
+  order-independent and shuffle-safe;
+- the only floating-point step is one final literal-times-integer
+  division, which IEEE rounds identically everywhere.
+
+Scale notes (local[32] now, 1000 executors later):
+
+- KMV: the candidate set is pre-shrunk map-side by a partial
+  ``min``-style aggregation (a distinct on (group, h)), then one
+  per-group sort bounded by the group's distinct cardinality. k is
+  tiny (64-1024); the whole reduced state is k longs per group.
+- HLL: fixed 2^b registers per group — ONE partial-agg shuffle of at
+  most groups x 2^b rows regardless of input size; this is the
+  linear-scan/constant-state sketch you'd run on the full crawl.
+- Count-Min: depth x width counters per group of interest; partial
+  aggregation compresses each map task to at most depth x width rows.
+
+Exact counterparts ride along in the same result row so the queries
+are self-auditing (estimate vs truth) — at production scale you would
+drop the exact column and keep the identical sketch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int60_col, md5_int60_sql
+
+POW2_60 = 1 << 60  # hash space size of the 60-bit MD5 integer
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(
+    events: DataFrame, k: int = 64, group: str = "event_type"
+) -> DataFrame:
+    """(group, exact_distinct, kmv_estimate) — distinct ``user_id``
+    per group, estimated from the k smallest distinct hash values.
+    ``exact_distinct`` counts the distinct hashes (collisions in the
+    60-bit space are negligible and identical in both engines), so
+    the row is a self-audit: estimate vs truth from one shared scan.
+
+    Beyer et al. (SIGMOD'07) KMV estimator: with U the k-th smallest
+    of n uniform hashes in [0, 2^60), E[n] ~= (k-1) * 2^60 / U. When a
+    group has fewer than k distinct values the sketch degenerates to
+    the exact count (every hash is kept).
+
+    Plan: one distinct pre-aggregation on (group, h) — partial
+    map-side combine shrinks each task to its local distinct set —
+    then a per-group rank bounded by k. The rank sort is over the
+    group's distinct hashes only; for extreme single-group
+    cardinalities, a coarse prefilter ``h < t`` with t sized from any
+    cardinality lower bound keeps the sorted set near k (not needed at
+    bench scale, documented for the 100 TB path).
+    """
+    hashed = events.select(
+        F.col(group),
+        md5_int60_col(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    exact = hashed.groupBy(group).agg(
+        F.count("*").alias("exact_distinct")
+    )
+    sk = kept.groupBy(group).agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth")
+    )
+    return (
+        sk.join(exact, group)
+        .select(
+            F.col(group),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(float(k - 1) * POW2_60) / F.col("kth"))
+            .alias("kmv_estimate"),
+        )
+        .orderBy(group)
+    )
+
+
+def kmv_distinct_sql(k: int = 64, group: str = "event_type") -> str:
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group}, {h} AS h FROM events),
+ranked AS (
+  SELECT {group}, h,
+         row_number() OVER (PARTITION BY {group} ORDER BY h) AS rn
+  FROM hashed),
+agg AS (
+  SELECT {group}, count(*) AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= {k} GROUP BY {group}),
+exact AS (
+  SELECT {group}, count(*) AS exact_distinct FROM hashed GROUP BY {group})
+SELECT a.{group}, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CASE WHEN a.n_kept < {k} THEN CAST(a.n_kept AS DOUBLE)
+            ELSE {float(k - 1) * POW2_60!r} / a.kth END AS kmv_estimate
+FROM agg a JOIN exact e USING ({group})
+ORDER BY {group}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    events: DataFrame, b: int = 10, group: str = "event_type"
+) -> DataFrame:
+    """(group, exact_distinct, hll_estimate, zero_registers) —
+    HyperLogLog distinct ``user_id`` per group with m = 2^b registers.
+
+    Register math is exact-integer: rho (1 + leading zeros of the
+    low 60-b hash bits) is derived from bit length via ``bin()``
+    (identical in Spark and DuckDB), and the harmonic-mean denominator
+    sums 2^(W - rho) as BIGINT (W = 61-b, the max rho), so the only
+    float op is the final literal/BIGINT division — bit-identical
+    across engines. The small-range ``m ln(m/V)`` correction is
+    deliberately omitted (ln is libm-dependent); ``zero_registers``
+    is emitted so a client can apply it.
+
+    Plan: one partial-agg shuffle to at most groups x m register rows,
+    one tiny group agg — THE constant-state one-pass distinct sketch
+    for the 100 TB corpus. ``exact_distinct`` rides along from a
+    second agg on the same shuffle key for self-audit.
+    """
+    m = 1 << b
+    rest_bits = 60 - b
+    w_max = rest_bits + 1  # rho when the low bits are all zero
+    h = md5_int60_col(F.col("user_id").cast("string"))
+    idx = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(w_max)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    regs = (
+        events.select(F.col(group), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    # exact 2^(W - r) in BIGINT: W = w_max, r in [1, w_max].
+    # F.shiftleft only takes a python-int shift, so the column-shift
+    # form goes through the SQL expression (still codegen'd).
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_max} - r)")
+    per_group = regs.groupBy(group).agg(
+        F.count("*").alias("present"),
+        F.sum(scaled).alias("s_present"),
+    )
+    alpha = _hll_alpha(m)
+    numer = float(alpha * m * m * (1 << w_max))
+    zero = F.lit(m) - F.col("present")
+    s_total = F.col("s_present") + zero.cast("long") * F.lit(1 << w_max)
+    exact = events.groupBy(group).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        per_group.join(exact, group)
+        .select(
+            F.col(group),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (F.lit(numer) / s_total).alias("hll_estimate"),
+            zero.cast("long").alias("zero_registers"),
+        )
+        .orderBy(group)
+    )
+
+
+def hll_distinct_sql(b: int = 10, group: str = "event_type") -> str:
+    m = 1 << b
+    rest_bits = 60 - b
+    w_max = rest_bits + 1
+    alpha = _hll_alpha(m)
+    numer = float(alpha * m * m * (1 << w_max))
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT {group}, {h} AS h, user_id FROM events),
+rows_rho AS (
+  SELECT {group}, h >> {rest_bits} AS idx,
+         CASE WHEN (h & {(1 << rest_bits) - 1}) = 0 THEN {w_max}
+              ELSE {rest_bits} - length(bin(h & {(1 << rest_bits) - 1})) + 1
+         END AS rho
+  FROM hashed),
+regs AS (
+  SELECT {group}, idx, max(rho) AS r FROM rows_rho GROUP BY {group}, idx),
+per_group AS (
+  SELECT {group}, count(*) AS present,
+         sum(CAST(1 AS BIGINT) << ({w_max} - r)) AS s_present
+  FROM regs GROUP BY {group}),
+exact AS (
+  SELECT {group}, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY {group})
+SELECT g.{group}, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       {numer!r} / (s_present + ({m} - present) * CAST({1 << w_max} AS BIGINT))
+         AS hll_estimate,
+       CAST({m} - present AS BIGINT) AS zero_registers
+FROM per_group g JOIN exact e USING ({group})
+ORDER BY {group}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+CM_WIDTH = 256
+CM_DEPTH = 3
+CM_TOPN = 20
+
+
+def cm_heavy_hitters(
+    docs: DataFrame,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+    top_n: int = CM_TOPN,
+) -> DataFrame:
+    """(token, exact_cnt, cm_estimate) — corpus-wide token counts of
+    the top-``top_n`` tokens, alongside their Count-Min estimate from
+    a depth x width sketch (Cormode & Muthukrishnan 2005).
+
+    The sketch state is depth x width BIGINT counters built in ONE
+    partial-agg pass over the exploded tokens (each map task emits at
+    most depth x width partials); estimates are the min over depth
+    rows — always >= the true count, integer-exact, order-independent.
+    Candidate selection (the exact top-n, ties broken by token) uses a
+    second agg on the same exploded scan; at 100 TB you would feed the
+    sketch's own candidates or a prior vocabulary instead.
+    """
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.col("text")), "\\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(top_n)
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    rows = toks.select("token", seeds).select(
+        "d",
+        (
+            md5_int60_col(
+                F.concat(F.col("token"), F.lit("#"), F.col("d"))
+            )
+            % width
+        ).alias("bucket"),
+    )
+    sketch = rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    probes = top.select("token", "exact_cnt", seeds).select(
+        "token",
+        "exact_cnt",
+        "d",
+        (
+            md5_int60_col(
+                F.concat(F.col("token"), F.lit("#"), F.col("d"))
+            )
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "token",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+def cm_heavy_hitters_sql(
+    width: int = CM_WIDTH, depth: int = CM_DEPTH, top_n: int = CM_TOPN
+) -> str:
+    h = md5_int60_sql("token || '#' || CAST(d AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+toks_f AS (SELECT token FROM toks WHERE token <> ''),
+exact AS (
+  SELECT token, count(*) AS exact_cnt FROM toks_f GROUP BY token),
+top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT {top_n}),
+seeds AS (SELECT unnest(range({depth})) AS d),
+rows_b AS (
+  SELECT d, {h} % {width} AS bucket
+  FROM toks_f CROSS JOIN seeds),
+sketch AS (
+  SELECT d, bucket, count(*) AS c FROM rows_b GROUP BY d, bucket),
+probes AS (
+  SELECT token, exact_cnt, d, {h} % {width} AS bucket
+  FROM top CROSS JOIN seeds)
+SELECT p.token, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(s.c) AS BIGINT) AS cm_estimate
+FROM probes p JOIN sketch s USING (d, bucket)
+GROUP BY p.token, p.exact_cnt
+ORDER BY exact_cnt DESC, token
+""".strip()

@@ -1151,3 +1151,269 @@ SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
        round(1.0 / (1.0 + exp(-z)), 6) >= {ENSEMBLE_KEEP!r} AS keep
 FROM z
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap (crawl-hygiene: no single site dominates the corpus)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 15
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """(doc_id, lang, source, quality) — keep at most ``cap`` documents
+    per source/domain, preferring higher quality (ties by doc_id).
+
+    The crawl-hygiene primitive (cf. RefinedWeb/C4 per-domain limits):
+    without it a handful of mega-domains dominate the mixture. One
+    shuffle on ``source`` + a per-source rank bounded by the domain's
+    own size. At 100 TB, pre-aggregate per-source counts first and
+    window ONLY the over-cap sources (most domains pass untouched) —
+    the under-cap majority short-circuits to a map-only filter; the
+    single-window form here is the correct semantics either way.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id", "lang", "source", quality_col().alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "lang", "source", "quality")
+    )
+
+
+def domain_cap_sql(cap: int = DOMAIN_CAP, src: str = "documents") -> str:
+    return f"""
+WITH q AS ({quality_scores_sql(src)}),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source, q.quality
+  FROM {src} d JOIN q ON d.doc_id = q.doc_id),
+ranked AS (
+  SELECT doc_id, lang, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM scored)
+SELECT doc_id, lang, source, quality FROM ranked WHERE rn <= {cap}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# temperature-based language mixing (multilingual sampling p^(1/2))
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_FRAC = 0.5  # fraction of total corpus tokens to keep
+TEMP_MIX_SCALE = 1_000_000  # hash-threshold resolution
+
+
+def temperature_mix(
+    docs: DataFrame, t_frac: float = TEMP_MIX_FRAC
+) -> DataFrame:
+    """(lang, n_tokens_total, keep_thr, kept_docs, kept_tokens) —
+    temperature-2 language mixing: sample each language with rate
+    proportional to sqrt(share) (the standard p^(1/alpha) rebalance
+    that up-weights low-resource languages), targeting ``t_frac`` of
+    total corpus tokens.
+
+    Engine-independent by construction: language weights are
+    floor(sqrt(n_l * 1e6)) in BIGINT (sqrt is IEEE correctly-rounded,
+    floor exact), weight/token totals are exact integer sums (no
+    float-order sensitivity), and the per-language keep threshold is
+    one fixed-shape double expression floored to an integer, so the
+    md5-hash document gate is bit-identical in Spark and DuckDB.
+
+    Plan: one token-count agg by lang (tiny), broadcast the 1-row
+    totals + per-lang thresholds back onto the doc scan, map-side
+    hash filter, final tiny agg — two scans of documents, no
+    doc-cardinality shuffle beyond the per-lang count.
+    """
+    from ..functions.hashing import md5_int60_col
+
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        _n_matches(F.col("text"), TOKEN_RE).alias("n_tok"),
+    )
+    lang_tot = tok.groupBy("lang").agg(
+        F.sum("n_tok").cast("long").alias("n_l")
+    )
+    lang_w = lang_tot.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_l").cast("double") * 1000000.0)).cast(
+            "long"
+        ),
+    )
+    totals = lang_w.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("n_l").cast("long").alias("n_total"),
+    )
+    thr = F.least(
+        F.lit(float(TEMP_MIX_SCALE)),
+        F.floor(
+            F.lit(t_frac)
+            * F.col("n_total").cast("double")
+            * float(TEMP_MIX_SCALE)
+            * F.col("w").cast("double")
+            / F.col("sw").cast("double")
+            / F.col("n_l").cast("double")
+        ).cast("double"),
+    ).cast("long")
+    lang_thr = lang_w.crossJoin(F.broadcast(totals)).select(
+        "lang", "n_l", thr.alias("keep_thr")
+    )
+    kept = (
+        tok.join(F.broadcast(lang_thr), "lang")
+        .filter(
+            md5_int60_col(F.col("doc_id").cast("string"))
+            % TEMP_MIX_SCALE
+            < F.col("keep_thr")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        lang_thr.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_l").alias("n_tokens_total"),
+            "keep_thr",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias(
+                "kept_docs"
+            ),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def temperature_mix_sql(
+    t_frac: float = TEMP_MIX_FRAC, src: str = "documents"
+) -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tok
+  FROM {src}),
+lang_tot AS (
+  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_l FROM tok GROUP BY lang),
+lang_w AS (
+  SELECT lang, n_l,
+         CAST(floor(sqrt(CAST(n_l AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM lang_tot),
+totals AS (
+  SELECT CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(n_l) AS BIGINT) AS n_total
+  FROM lang_w),
+lang_thr AS (
+  SELECT lang, n_l,
+         CAST(least(CAST({float(TEMP_MIX_SCALE)!r} AS DOUBLE),
+           CAST(floor(CAST({t_frac!r} AS DOUBLE)
+             * CAST(n_total AS DOUBLE)
+             * CAST({float(TEMP_MIX_SCALE)!r} AS DOUBLE)
+             * CAST(w AS DOUBLE)
+             / CAST(sw AS DOUBLE)
+             / CAST(n_l AS DOUBLE)) AS DOUBLE)) AS BIGINT) AS keep_thr
+  FROM lang_w CROSS JOIN totals),
+kept AS (
+  SELECT t.lang, CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(t.n_tok) AS BIGINT) AS kept_tokens
+  FROM tok t JOIN lang_thr lt ON t.lang = lt.lang
+  WHERE {h} % {TEMP_MIX_SCALE} < lt.keep_thr
+  GROUP BY t.lang)
+SELECT lt.lang, lt.n_l AS n_tokens_total, lt.keep_thr,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM lang_thr lt LEFT JOIN kept k ON lt.lang = k.lang
+ORDER BY lt.lang
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_SIZE = 30
+
+
+def oov_rates(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """(doc_id, n_tokens, oov_cnt, oov_ratio) — fraction of each
+    document's token occurrences outside the corpus's top
+    ``vocab_size`` vocabulary (ties broken by token).
+
+    The tokenizer-fit diagnostic: high OOV under the production vocab
+    flags documents the tokenizer will fragment. The vocabulary is a
+    tiny top-k (TakeOrdered — never a global sort) broadcast against
+    the exploded token stream; one (doc_id)-keyed agg follows. At
+    100 TB the vocab side is a fixed artifact (the real tokenizer
+    vocab), making this a pure map-side broadcast probe + one agg.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("oov_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_cnt",
+            F.round(
+                F.col("oov_cnt").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )
+
+
+def oov_rates_sql(
+    vocab_size: int = OOV_VOCAB_SIZE, src: str = "documents"
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM {src}),
+toks_f AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token, 1 AS in_vocab FROM (
+    SELECT token, count(*) AS cnt FROM toks_f GROUP BY token
+    ORDER BY cnt DESC, token LIMIT {vocab_size}))
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_cnt,
+       round(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_ratio
+FROM toks_f t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+""".strip()

@@ -1,0 +1,127 @@
+"""Sketch-operator semantics (KMV / HLL / Count-Min) + the new corpus
+mixing ops. Full-corpus cross-engine parity runs in the oracle mirror
+(test_entry_oracle.py); these pin the algorithmic guarantees on
+controlled inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, user_id long"
+    )
+
+
+@pytest.mark.spark
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct users degrade to the exact
+    count (the estimate IS the count)."""
+    from lasdb_spark.operators.sketch import kmv_distinct
+
+    ev = _mk_events(
+        spark, [("a", i) for i in range(10)] + [("b", 1), ("b", 1)]
+    )
+    out = {r.event_type: r for r in kmv_distinct(ev, k=64).collect()}
+    assert out["a"].exact_distinct == 10
+    assert out["a"].kmv_estimate == 10.0
+    assert out["b"].exact_distinct == 1
+    assert out["b"].kmv_estimate == 1.0
+
+
+@pytest.mark.spark
+def test_kmv_estimate_tracks_cardinality(spark):
+    """Above k, the estimator lands within ~3 standard errors
+    (se ~ n/sqrt(k)) of the truth."""
+    from lasdb_spark.operators.sketch import kmv_distinct
+
+    n = 5000
+    ev = _mk_events(spark, [("a", i) for i in range(n)])
+    (row,) = kmv_distinct(ev, k=256).collect()
+    assert row.exact_distinct == n
+    assert abs(row.kmv_estimate - n) < 3 * n / 16  # k=256 -> sqrt(k)=16
+
+
+@pytest.mark.spark
+def test_hll_estimate_and_registers(spark):
+    """HLL lands within ~3 * 1.04/sqrt(m) relative error, and the
+    zero-register count is consistent with m."""
+    from lasdb_spark.operators.sketch import hll_distinct
+
+    n = 5000
+    ev = _mk_events(spark, [("a", i) for i in range(n)] + [("b", 7)])
+    out = {r.event_type: r for r in hll_distinct(ev, b=10).collect()}
+    a = out["a"]
+    assert a.exact_distinct == n
+    rel = abs(a.hll_estimate - n) / n
+    assert rel < 3 * 1.04 / 32  # m=1024
+    assert 0 <= a.zero_registers < 1024
+    b = out["b"]
+    assert b.exact_distinct == 1 and b.zero_registers == 1023
+
+
+@pytest.mark.spark
+def test_cm_estimate_never_undercounts(spark):
+    """Count-Min is a one-sided estimator: estimate >= exact, always."""
+    from lasdb_spark.operators.sketch import cm_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = cm_heavy_hitters(docs, width=64, depth=3, top_n=3).collect()
+    assert {r.token for r in rows} == {"alpha", "beta", "gamma"}
+    for r in rows:
+        assert r.cm_estimate >= r.exact_cnt
+
+
+@pytest.mark.spark
+def test_domain_cap_keeps_best_per_source(spark, sf_dir):
+    from lasdb_spark.operators.text import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = domain_cap(docs, cap=3)
+    per_src = (
+        out.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_src <= 3
+    # kept docs are the top-quality ones: every kept quality >= the
+    # max quality among that source's dropped docs is NOT required
+    # (ties), but the per-source minimum kept >= per-source median is
+    # a safe sanity floor on real data; just check determinism here.
+    again = domain_cap(docs, cap=3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+@pytest.mark.spark
+def test_temperature_mix_upweights_rare_langs(spark, sf_dir):
+    """sqrt-share mixing keeps a HIGHER fraction of low-resource
+    languages than of the dominant one."""
+    from lasdb_spark.operators.text import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = temperature_mix(docs).collect()
+    assert rows, "expected per-lang rows"
+    by_tok = sorted(rows, key=lambda r: r.n_tokens_total)
+    # keep_thr is the per-lang keep probability (x 1e6): smallest
+    # language must get a rate >= the largest language's rate
+    assert by_tok[0].keep_thr >= by_tok[-1].keep_thr
+    for r in rows:
+        assert 0 <= r.kept_docs
+        assert r.kept_tokens <= r.n_tokens_total
+
+
+@pytest.mark.spark
+def test_oov_rates_with_tiny_vocab(spark):
+    from lasdb_spark.operators.text import oov_rates
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "y z z q")], "doc_id long, text string"
+    )
+    # vocab_size=1 -> vocab = {x} (count 3); doc 1 OOV = 1/4, doc 2 = 4/4
+    out = {r.doc_id: r for r in oov_rates(docs, vocab_size=1).collect()}
+    assert out[1].oov_cnt == 1 and out[1].n_tokens == 4
+    assert out[2].oov_cnt == 4
+    assert abs(out[1].oov_ratio - 0.25) < 1e-9
