@@ -1060,6 +1060,35 @@ def _q_oov_rates(spark, sf_dir):
     return oov_rates(_docs(spark, sf_dir))
 
 
+def _q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN with exact float re-rank."""
+    from lasdb_spark.operators.similarity import topk_sq8
+
+    return topk_sq8(_embs(spark, sf_dir))
+
+
+def _q_rel_cube(spark, sf_dir):
+    """Full CUBE subtotals over order status x priority."""
+    from lasdb_spark.operators.relational import order_cube
+
+    return order_cube(_t(spark, sf_dir, "orders"))
+
+
+def _q_rel_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency per event type per day."""
+    from lasdb_spark.operators.relational import max_concurrency
+
+    return max_concurrency(_ev(spark, sf_dir))
+
+
+def _q_bloom_probe(spark, sf_dir):
+    """Bloom-filter decontamination probe (approx membership with
+    audited false positives)."""
+    from lasdb_spark.operators.sketch import bloom_probe_report
+
+    return bloom_probe_report(_docs(spark, sf_dir))
+
+
 def oracle_sql() -> dict[str, str]:
     (cx, cy), r = CIRCLE
     px, py = KNN_POINT
@@ -1263,11 +1292,15 @@ def oracle_sql() -> dict[str, str]:
         "corpus_domain_cap": _text.domain_cap_sql(),
         "corpus_temp_mix": _text.temperature_mix_sql(),
         "text_oov": _text.oov_rates_sql(),
+        "ann_sq8_topk": _similarity.topk_sq8_sql(),
+        "rel_cube": _rel.order_cube_sql(),
+        "rel_concurrency": _rel.max_concurrency_sql(),
+        "sketch_bloom": _sketch.bloom_probe_report_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """114 entries, ordered so every query gets a driver CORRECTNESS
+    """118 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1315,6 +1348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_cap": _q_domain_cap,
         "corpus_temp_mix": _q_temperature_mix,
         "text_oov": _q_oov_rates,
+        "ann_sq8_topk": _q_ann_sq8,
+        "rel_cube": _q_rel_cube,
+        "rel_concurrency": _q_rel_concurrency,
+        "sketch_bloom": _q_bloom_probe,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

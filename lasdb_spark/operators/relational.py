@@ -687,3 +687,131 @@ b AS (
 SELECT window_start_ms, event_type, count(*) AS n
 FROM b GROUP BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+
+def order_cube(orders: DataFrame) -> DataFrame:
+    """(status, priority, sum_total, n_orders) — full CUBE over
+    (o_orderstatus, o_orderpriority): every combination of subtotals
+    including the cross-marginals ROLLUP cannot express.
+
+    Spark expands grouping sets MAP-SIDE into one shuffle (same cost
+    shape as a plain groupBy at 4x output keys); money sums stay
+    DECIMAL until the final cast, NULL group keys coalesce to 'ALL'
+    so both engines hash identical rows."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            "sum_total",
+            "n_orders",
+        )
+    )
+
+
+def order_cube_sql() -> str:
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# sweep-line max concurrency
+# ---------------------------------------------------------------------------
+
+DAY_MS = 86_400_000
+
+
+def max_concurrency(events: DataFrame) -> DataFrame:
+    """(event_type, day, max_concurrent, n_intervals) — peak number of
+    simultaneously-active intervals per event type per day, where each
+    event is active for ``value`` seconds from its timestamp.
+
+    Classic sweep-line as a window: +1 at each start, -1 at each end
+    (end-exclusive: at equal times the -1 sorts first), running sum,
+    max. Intervals are clipped at the day boundary (documented
+    semantics: an event's spill into the next day is not carried —
+    intervals here are <=490 s, so at most one midnight is involved).
+
+    Scale: the running sum partitions by (event_type, day) — thousands
+    of independent groups on a year of data, no global sort. A group
+    is one day of one event type; if that still skews, the standard
+    fix is a two-phase sweep (per-bucket sums + prefix offsets)."""
+    ms = F.unix_millis(F.col("ts"))
+    dur = F.round(F.col("value") * 1000.0).cast("long")
+    base = events.select(
+        "event_type",
+        ms.alias("s"),
+        (ms + dur).alias("e"),
+        F.expr(f"unix_millis(ts) div {DAY_MS}").alias("day"),
+    ).withColumn("day_end", (F.col("day") + 1) * F.lit(DAY_MS))
+    starts = base.select(
+        "event_type", "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = base.select(
+        "event_type",
+        "day",
+        F.least("e", "day_end").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.withColumn("c", F.sum("delta").over(w))
+    return (
+        run.groupBy("event_type", "day")
+        .agg(
+            F.max("c").cast("long").alias("max_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_intervals"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def max_concurrency_sql() -> str:
+    return f"""
+{EV_CTE},
+base AS (
+  SELECT event_type, epoch_ms(ts) AS s,
+         epoch_ms(ts) + CAST(round(value * 1000.0) AS BIGINT) AS e,
+         epoch_ms(ts) // {DAY_MS} AS day
+  FROM ev),
+deltas AS (
+  SELECT event_type, day, s AS t, 1 AS delta FROM base
+  UNION ALL
+  SELECT event_type, day, least(e, (day + 1) * {DAY_MS}) AS t, -1 AS delta
+  FROM base),
+run AS (
+  SELECT event_type, day, delta,
+         sum(delta) OVER (PARTITION BY event_type, day ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas)
+SELECT event_type, day,
+       CAST(max(c) AS BIGINT) AS max_concurrent,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_intervals
+FROM run GROUP BY event_type, day
+ORDER BY event_type, day
+""".strip()

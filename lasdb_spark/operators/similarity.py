@@ -946,3 +946,206 @@ SELECT vec_id, approx_d2, rank FROM (
          CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT) AS rank
   FROM approx) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) + exact re-rank
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255
+SQ8_CAND = 60  # candidate pool re-ranked exactly (3x TOPK)
+
+
+def _sq8_combined(embs: DataFrame, query_vec_id: int, dim: int):
+    """1-row broadcastable DataFrame with aligned per-dim arrays
+    (mns, steps, qv) — the quantization grid plus the query vector."""
+    pe = embs.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    bounds = pe.groupBy("pos").agg(
+        F.min(F.col("val").cast("double")).alias("mn"),
+        F.max(F.col("val").cast("double")).alias("mx"),
+    )
+    brow = bounds.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos",
+                    "mn",
+                    ((F.col("mx") - F.col("mn")) / float(SQ8_LEVELS)).alias(
+                        "step"
+                    ),
+                )
+            )
+        ).alias("bs")
+    ).select(
+        F.transform(F.col("bs"), lambda b: b.mn).alias("mns"),
+        F.transform(F.col("bs"), lambda b: b.step).alias("steps"),
+    )
+    q = embs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    return brow.crossJoin(q).select(
+        F.arrays_zip(
+            F.col("mns").alias("mn"),
+            F.col("steps").alias("step"),
+            F.col("qv").alias("qv"),
+        ).alias("grid")
+    )
+
+
+def topk_sq8(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cand: int = SQ8_CAND,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """SQ8 top-k: quantize every vector to int8 codes on a per-dim
+    [min, max] grid (the standard scalar-quantization index layout —
+    4x smaller than float32), score candidates by approximate L2 over
+    DECODED codes, then re-rank the best ``n_cand`` exactly on the
+    float vectors. (vec_id, approx_d2, d2, rank) ascending by exact d2.
+
+    Engine-exactness armor (mirrors :func:`topk_pq`): per-dim terms
+    round to 1e-6 and sum as micro-unit BIGINTs — order-independent,
+    so the DuckDB oracle hash-matches bit-for-bit.
+
+    Scale: the per-dim grid is a 2-phase agg (64 keys) broadcast back;
+    coding + approximate scoring are MAP-SIDE (one zip_with per row —
+    the corpus is never shuffled); candidate cut and final re-rank are
+    TakeOrdered over k-bounded sets. At 100 TB the codes would be a
+    materialized int8 column family read in place of the floats —
+    exactly this plan minus the on-the-fly encode."""
+    grid = _sq8_combined(embs, query_vec_id, dim)
+    term = lambda v, g: (
+        F.round(
+            F.round(
+                (
+                    g.qv.cast("double")
+                    - (
+                        g.mn
+                        + F.when(
+                            g.step > 0.0,
+                            F.least(
+                                F.lit(float(SQ8_LEVELS)),
+                                F.greatest(
+                                    F.lit(0.0),
+                                    F.round(
+                                        (v.cast("double") - g.mn) / g.step
+                                    ),
+                                ),
+                            ),
+                        ).otherwise(F.lit(0.0))
+                        * g.step
+                    )
+                )
+                * (
+                    g.qv.cast("double")
+                    - (
+                        g.mn
+                        + F.when(
+                            g.step > 0.0,
+                            F.least(
+                                F.lit(float(SQ8_LEVELS)),
+                                F.greatest(
+                                    F.lit(0.0),
+                                    F.round(
+                                        (v.cast("double") - g.mn) / g.step
+                                    ),
+                                ),
+                            ),
+                        ).otherwise(F.lit(0.0))
+                        * g.step
+                    )
+                ),
+                6,
+            )
+            * 1e6
+        ).cast("long")
+    )
+    approx = (
+        embs.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), F.col("grid"), term),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).cast("double")
+                / 1e6
+            ).alias("approx_d2"),
+        )
+    )
+    cand = approx.orderBy(F.col("approx_d2").asc(), "vec_id").limit(n_cand)
+    q = embs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    from ..functions.hashing import fold_l2_col
+
+    exact = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "approx_d2",
+        F.round(fold_l2_col(F.col("qvec"), F.col("embedding")), 6).alias(
+            "d2"
+        ),
+    )
+    top = exact.orderBy(F.col("d2").asc(), "vec_id").limit(k)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("d2").asc(), F.col("vec_id"))
+    )
+    return top.withColumn("rank", rank.cast("int"))
+
+
+def topk_sq8_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cand: int = SQ8_CAND,
+    dim: int = EMB_DIM,
+) -> str:
+    """Oracle twin of :func:`topk_sq8` — row-wise per-(vec, dim)
+    formulation; identical per-element doubles, BIGINT micro-sum, same
+    candidate cut, same exact re-rank fold."""
+    from ..functions.hashing import fold_l2_sql
+
+    code = (
+        "CASE WHEN b.step > 0.0 THEN "
+        f"least(CAST({float(SQ8_LEVELS)!r} AS DOUBLE), "
+        "greatest(CAST(0.0 AS DOUBLE), round((p.v - b.mn) / b.step))) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    d = f"(q.qv - (b.mn + ({code}) * b.step))"
+    rerank_d2 = fold_l2_sql("qq.qvec", "e.embedding", dim)
+    return f"""
+WITH pe AS (
+  SELECT vec_id, CAST(s.i AS INT) AS pos,
+         CAST(embedding[s.i + 1] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+b AS (
+  SELECT pos, min(v) AS mn, (max(v) - min(v)) / {float(SQ8_LEVELS)!r} AS step
+  FROM pe GROUP BY pos),
+qd AS (SELECT pos, v AS qv FROM pe WHERE vec_id = {query_vec_id}),
+terms AS (
+  SELECT p.vec_id,
+         CAST(round(round({d} * {d}, 6) * 1e6) AS BIGINT) AS t
+  FROM pe p JOIN b ON p.pos = b.pos JOIN qd q ON p.pos = q.pos
+  WHERE p.vec_id != {query_vec_id}),
+approx AS (
+  SELECT vec_id, CAST(sum(t) AS DOUBLE) / 1e6 AS approx_d2
+  FROM terms GROUP BY vec_id),
+cand AS (
+  SELECT vec_id, approx_d2 FROM approx
+  ORDER BY approx_d2, vec_id LIMIT {n_cand}),
+qq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}),
+exact AS (
+  SELECT c.vec_id, c.approx_d2, round({rerank_d2}, 6) AS d2
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id CROSS JOIN qq)
+SELECT vec_id, approx_d2, d2, rank FROM (
+  SELECT vec_id, approx_d2, d2,
+         CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT) AS rank
+  FROM exact) WHERE rank <= {k}
+""".strip()

@@ -328,3 +328,125 @@ FROM probes p JOIN sketch s USING (d, bucket)
 GROUP BY p.token, p.exact_cnt
 ORDER BY exact_cnt DESC, token
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe (approximate decontamination)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # filter bits
+BLOOM_K = 4  # hash functions per item
+
+
+def bloom_probe_report(
+    docs: DataFrame,
+    m_bits: int = BLOOM_M,
+    k_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_bloom_hits, n_true_hits) — probe every
+    corpus document's shingles against a Bloom filter built from the
+    benchmark slice's shingles (same deterministic every-97th-doc
+    benchmark as the exact decontamination pass).
+
+    The approximate-membership counterpart to ``decontaminate``: the
+    filter is ``m_bits`` of state TOTAL (vs the full benchmark
+    shingle set), the price is false positives — ``n_bloom_hits >=
+    n_true_hits`` always, and reporting both makes the false-positive
+    rate auditable per document. Deterministic across engines: bit
+    positions are md5-60bit(shingle + '#' + j) % m.
+
+    Plan: the filter's occupied positions are a <= m_bits row set
+    built once and BROADCAST; the corpus side fans each shingle to k
+    position probes map-side, then one doc_id agg. The true-hit count
+    rides on the same shuffle via the broadcast exact set (tiny by
+    the eval-set-is-small contract)."""
+    from .decontaminate import driver_benchmark
+    from .dedup import shingles
+
+    bench_sh = shingles(driver_benchmark(docs)).select("shingle").distinct()
+    jidx = F.explode(
+        F.array(*[F.lit(j) for j in range(k_hashes)])
+    ).alias("j")
+    positions = (
+        bench_sh.select("shingle", jidx)
+        .select(
+            (
+                md5_int60_col(
+                    F.concat(F.col("shingle"), F.lit("#"), F.col("j"))
+                )
+                % m_bits
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    probes = (
+        shingles(docs)
+        .select("doc_id", "shingle", jidx)
+        .select(
+            "doc_id",
+            "shingle",
+            (
+                md5_int60_col(
+                    F.concat(F.col("shingle"), F.lit("#"), F.col("j"))
+                )
+                % m_bits
+            ).alias("pos"),
+        )
+    )
+    per_shingle = (
+        probes.join(F.broadcast(positions), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            (F.sum(F.coalesce(F.col("set_bit"), F.lit(0))) == k_hashes)
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    truth = bench_sh.withColumn("true_hit", F.lit(1))
+    return (
+        per_shingle.join(F.broadcast(truth), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("true_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_true_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
+def bloom_probe_report_sql(
+    m_bits: int = BLOOM_M, k_hashes: int = BLOOM_K
+) -> str:
+    from .decontaminate import BENCH_MOD
+    from .dedup import shingles_sql
+
+    h = md5_int60_sql("shingle || '#' || CAST(j AS VARCHAR)")
+    return f"""
+WITH sh AS ({shingles_sql()}),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+seeds AS (SELECT unnest(range({k_hashes})) AS j),
+positions AS (
+  SELECT DISTINCT {h} % {m_bits} AS pos, 1 AS set_bit
+  FROM bench_sh CROSS JOIN seeds),
+probes AS (
+  SELECT s.doc_id, s.shingle, {h} % {m_bits} AS pos
+  FROM sh s CROSS JOIN seeds),
+per_shingle AS (
+  SELECT p.doc_id, p.shingle,
+         CAST(sum(coalesce(f.set_bit, 0)) = {k_hashes} AS INT) AS bloom_hit
+  FROM probes p LEFT JOIN positions f ON p.pos = f.pos
+  GROUP BY p.doc_id, p.shingle),
+truth AS (SELECT shingle, 1 AS true_hit FROM bench_sh)
+SELECT ps.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(ps.bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(coalesce(t.true_hit, 0)) AS BIGINT) AS n_true_hits
+FROM per_shingle ps LEFT JOIN truth t ON ps.shingle = t.shingle
+GROUP BY ps.doc_id
+HAVING sum(ps.bloom_hit) > 0
+""".strip()

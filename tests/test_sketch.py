@@ -125,3 +125,91 @@ def test_oov_rates_with_tiny_vocab(spark):
     assert out[1].oov_cnt == 1 and out[1].n_tokens == 4
     assert out[2].oov_cnt == 4
     assert abs(out[1].oov_ratio - 0.25) < 1e-9
+
+
+@pytest.mark.spark
+def test_bloom_probe_superset_of_truth(spark, sf_dir):
+    """Bloom membership can only over-report: n_bloom_hits >=
+    n_true_hits on every doc, and every truly-contaminated doc
+    appears (no false negatives)."""
+    from lasdb_spark.operators.sketch import bloom_probe_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = bloom_probe_report(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_true_hits
+        assert r.n_shingles >= r.n_bloom_hits
+
+    from lasdb_spark.operators.decontaminate import (
+        contamination_report,
+        driver_benchmark,
+    )
+
+    truth = {
+        r.doc_id
+        for r in contamination_report(docs, driver_benchmark(docs)).collect()
+    }
+    reported = {r.doc_id for r in rows}
+    assert truth <= reported
+
+
+@pytest.mark.spark
+def test_sq8_rerank_matches_bruteforce_head(spark, sf_dir):
+    """With a candidate pool 3x k, the exact re-rank reproduces the
+    brute-force neighbor list except where quantization loses a
+    candidate — on this corpus the top-5 must agree."""
+    from lasdb_spark.operators.similarity import topk_bruteforce, topk_sq8
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq = {r.rank: r.vec_id for r in topk_sq8(embs).collect()}
+    bf = {r.rank: r.vec_id for r in topk_bruteforce(embs).collect()}
+    head_sq = [sq[i] for i in sorted(sq) if i <= 5]
+    head_bf = [bf[i] for i in sorted(bf) if i <= 5]
+    assert head_sq == head_bf
+
+
+@pytest.mark.spark
+def test_order_cube_marginals_consistent(spark, sf_dir):
+    """CUBE grand total equals the sum of any one-dimensional
+    marginal's rows."""
+    from lasdb_spark.operators.relational import order_cube
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = order_cube(orders).collect()
+    total = [r for r in rows if r.status == "ALL" and r.priority == "ALL"]
+    assert len(total) == 1
+    by_status = [
+        r for r in rows if r.status != "ALL" and r.priority == "ALL"
+    ]
+    assert sum(r.n_orders for r in by_status) == total[0].n_orders
+    by_prio = [r for r in rows if r.status == "ALL" and r.priority != "ALL"]
+    assert sum(r.n_orders for r in by_prio) == total[0].n_orders
+
+
+@pytest.mark.spark
+def test_max_concurrency_hand_case(spark):
+    """Three overlapping intervals peak at 3; end-exclusive semantics:
+    an interval ending exactly when another starts does not overlap."""
+    import datetime as dt
+
+    from lasdb_spark.operators.relational import max_concurrency
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def ev(i, off_s, dur_s):
+        return (i, t0 + dt.timedelta(seconds=off_s), 1, "x", float(dur_s), "{}")
+
+    rows = spark.createDataFrame(
+        [
+            ev(1, 0, 100),   # [0, 100)
+            ev(2, 10, 100),  # [10, 110) -> overlap 2
+            ev(3, 20, 10),   # [20, 30)  -> overlap 3
+            ev(4, 100, 10),  # starts exactly at 1's end: no overlap with 1
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = max_concurrency(rows).collect()
+    assert len(out) == 1
+    assert out[0].max_concurrent == 3
+    assert out[0].n_intervals == 4
