@@ -33,6 +33,7 @@ BOUNDED_GLOBAL_WINDOW = {
     # rank after limit(k) + codebook numbering over the n_codes-row
     # seed table (16 rows by construction)
     "ann_pq_topk",
+    "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut
     "rel_month_momentum",  # lag over per-month aggregates (≤ months)
 }
 

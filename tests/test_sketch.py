@@ -213,3 +213,35 @@ def test_max_concurrency_hand_case(spark):
     assert len(out) == 1
     assert out[0].max_concurrent == 3
     assert out[0].n_intervals == 4
+
+
+@pytest.mark.spark
+def test_stream_hll_converges_to_batch(spark, sf_dir):
+    """After the finite stream drains, the streaming HLL registers
+    equal the batch sketch — estimate EXACTLY equal (same integer
+    registers, same IEEE division)."""
+    from lasdb_spark.operators.sketch import hll_distinct
+    from lasdb_spark.sources.events import events_stream
+    from lasdb_spark.streaming import events as se
+    from lasdb_spark.streaming.sketch import stream_hll_distinct
+
+    stream = events_stream(spark, sf_dir)
+    se.run_to_memory(
+        stream_hll_distinct(stream.select("event_type", "user_id")),
+        "hll_out",
+        "update",
+    )
+    # update mode may emit one row per (group, batch); keep the last
+    got_rows = spark.sql(
+        "SELECT * FROM hll_out"
+    ).collect()
+    got = {}
+    for r in got_rows:  # later rows overwrite earlier ones per group
+        got[r.event_type] = (r.hll_estimate, r.zero_registers)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        r.event_type: (r.hll_estimate, r.zero_registers)
+        for r in hll_distinct(ev).collect()
+    }
+    assert got == batch
