@@ -1081,6 +1081,14 @@ def _q_rel_concurrency(spark, sf_dir):
     return max_concurrency(_ev(spark, sf_dir))
 
 
+def _q_pc_normals(spark, sf_dir):
+    """Per-site unit surface normals (closed-form smallest-eigenvalue
+    eigenvector) + Weinmann verticality."""
+    from lasdb_spark.operators.features import surface_normals
+
+    return surface_normals(points_df(spark, sf_dir))
+
+
 def _q_bloom_probe(spark, sf_dir):
     """Bloom-filter decontamination probe (approx membership with
     audited false positives)."""
@@ -1296,11 +1304,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_cube": _rel.order_cube_sql(),
         "rel_concurrency": _rel.max_concurrency_sql(),
         "sketch_bloom": _sketch.bloom_probe_report_sql(),
+        "pc_normals": _features.surface_normals_sql(_PTS),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """118 entries, ordered so every query gets a driver CORRECTNESS
+    """119 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1352,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": _q_rel_cube,
         "rel_concurrency": _q_rel_concurrency,
         "sketch_bloom": _q_bloom_probe,
+        "pc_normals": _q_pc_normals,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -53,14 +53,12 @@ from .outliers import RADIUS
 _Q = 100.0
 
 
-def neighborhood_shape(
-    points: DataFrame, radius: float = RADIUS
-) -> DataFrame:
-    """(x, y, z, n, l1, l2, l3, linearity, planarity, sphericity) per
-    distinct site — eigenvalues (m², descending) of the 3D covariance
-    of the planimetric-``radius`` neighborhood, and the Weinmann shape
-    ratios. Degenerate neighborhoods (all mass at one point) report
-    zero eigenvalues and 0.0 ratios."""
+def _eigen_df(points: DataFrame, radius: float) -> DataFrame:
+    """Shared staged pipeline through the closed-form eigenvalues:
+    (x, y, z, n, cxx..cyz, qq, p2v, e1, e2, e3) per site, raw
+    centi-unit² doubles. Both :func:`neighborhood_shape` and
+    :func:`surface_normals` finish from this frame; Catalyst prunes
+    whichever carried columns a consumer does not touch."""
     r = float(radius)
     if r <= 0:
         raise ValueError(f"need radius > 0, got {radius}")
@@ -202,6 +200,7 @@ def neighborhood_shape(
         "y",
         "z",
         "n",
+        *covs,
         "qq",
         "p2v",
         "pp",
@@ -219,6 +218,7 @@ def neighborhood_shape(
         "y",
         "z",
         "n",
+        *covs,
         "qq",
         "p2v",
         F.when(deg, F.col("qq")).otherwise(l1r).alias("e1"),
@@ -227,17 +227,30 @@ def neighborhood_shape(
     # e2 via the trace identity on the ALREADY-SELECTED e1/e3 — in the
     # non-degenerate branch e1/e3 hold exactly the λ1/λ3 doubles the
     # SQL twin's 3q − λ1 − λ3 uses, so the arithmetic is identical
-    e = s5.select(
+    return s5.select(
         "x",
         "y",
         "z",
         "n",
+        *covs,
+        "p2v",
         "e1",
         F.when(F.col("p2v") <= F.lit(0.0), F.col("qq"))
         .otherwise(3.0 * F.col("qq") - F.col("e1") - F.col("e3"))
         .alias("e2"),
         "e3",
     )
+
+
+def neighborhood_shape(
+    points: DataFrame, radius: float = RADIUS
+) -> DataFrame:
+    """(x, y, z, n, l1, l2, l3, linearity, planarity, sphericity) per
+    distinct site — eigenvalues (m², descending) of the 3D covariance
+    of the planimetric-``radius`` neighborhood, and the Weinmann shape
+    ratios. Degenerate neighborhoods (all mass at one point) report
+    zero eigenvalues and 0.0 ratios."""
+    e = _eigen_df(points, radius)
     pos = F.col("e1") > 0.0
     return e.select(
         "x",
@@ -267,10 +280,141 @@ def neighborhood_shape(
     )
 
 
-def neighborhood_shape_sql(points_cte: str, radius: float = RADIUS) -> str:
-    """Oracle twin — the same cell grid, the same integer sums, the
-    same closed-form eigen expressions, token for token."""
-    r = float(radius)
+def surface_normals(points: DataFrame, radius: float = RADIUS) -> DataFrame:
+    """(x, y, z, n, nx, ny, nz, verticality) per site — the unit
+    surface normal of each planimetric-``radius`` neighborhood: the
+    eigenvector of the smallest covariance eigenvalue λ3, computed in
+    closed form as the largest cross product of rows of (C − λ3·I)
+    (the standard analytic eigenvector for a symmetric 3×3 — no
+    iteration, so the DuckDB twin reproduces it bit-for-bit).
+    ``verticality`` = 1 − |nz| (Weinmann): 0 on flat ground, →1 on
+    walls.
+
+    Orientation: normals flip to the +z hemisphere (then +y, +x on
+    exact-horizontal ties) — the deterministic convention every
+    downstream consumer needs. Isotropic/degenerate neighborhoods
+    (zero cross products) report the vertical (0, 0, 1).
+
+    Plan: identical shuffle shape to :func:`neighborhood_shape` (the
+    shared `_eigen_df` staged pipeline); everything past the one
+    site aggregation is map-side staged projections."""
+    e = _eigen_df(points, radius)
+    lam = F.col("e3")
+    a = e.select(
+        "x",
+        "y",
+        "z",
+        "n",
+        "cxy",
+        "cxz",
+        "cyz",
+        (F.col("cxx") - lam).alias("a11"),
+        (F.col("cyy") - lam).alias("a22"),
+        (F.col("czz") - lam).alias("a33"),
+    )
+    # cross products of the three row pairs of (C - λI)
+    v = a.select(
+        "x",
+        "y",
+        "z",
+        "n",
+        (F.col("cxy") * F.col("cyz") - F.col("cxz") * F.col("a22")).alias("vx12"),
+        (F.col("cxz") * F.col("cxy") - F.col("a11") * F.col("cyz")).alias("vy12"),
+        (F.col("a11") * F.col("a22") - F.col("cxy") * F.col("cxy")).alias("vz12"),
+        (F.col("cxy") * F.col("a33") - F.col("cxz") * F.col("cyz")).alias("vx13"),
+        (F.col("cxz") * F.col("cxz") - F.col("a11") * F.col("a33")).alias("vy13"),
+        (F.col("a11") * F.col("cyz") - F.col("cxy") * F.col("cxz")).alias("vz13"),
+        (F.col("a22") * F.col("a33") - F.col("cyz") * F.col("cyz")).alias("vx23"),
+        (F.col("cyz") * F.col("cxz") - F.col("cxy") * F.col("a33")).alias("vy23"),
+        (F.col("cxy") * F.col("cyz") - F.col("a22") * F.col("cxz")).alias("vz23"),
+    )
+
+    def n2(sfx):
+        return (
+            F.col(f"vx{sfx}") * F.col(f"vx{sfx}")
+            + F.col(f"vy{sfx}") * F.col(f"vy{sfx}")
+            + F.col(f"vz{sfx}") * F.col(f"vz{sfx}")
+        )
+
+    nn = v.select(
+        "x", "y", "z", "n",
+        *[c for c in v.columns if c.startswith("v")],
+        n2("12").alias("n12"),
+        n2("13").alias("n13"),
+        n2("23").alias("n23"),
+    )
+    pick12 = (F.col("n12") >= F.col("n13")) & (F.col("n12") >= F.col("n23"))
+    pick13 = F.col("n13") >= F.col("n23")
+
+    def chosen(axis):
+        return (
+            F.when(pick12, F.col(f"v{axis}12"))
+            .when(pick13, F.col(f"v{axis}13"))
+            .otherwise(F.col(f"v{axis}23"))
+        )
+
+    ch = nn.select(
+        "x", "y", "z", "n",
+        chosen("x").alias("wx"),
+        chosen("y").alias("wy"),
+        chosen("z").alias("wz"),
+        F.when(pick12, F.col("n12"))
+        .when(pick13, F.col("n13"))
+        .otherwise(F.col("n23"))
+        .alias("w2"),
+    )
+    flip = (
+        F.when(F.col("wz") < 0.0, F.lit(-1.0))
+        .when(
+            (F.col("wz") == 0.0) & (F.col("wy") < 0.0), F.lit(-1.0)
+        )
+        .when(
+            (F.col("wz") == 0.0)
+            & (F.col("wy") == 0.0)
+            & (F.col("wx") < 0.0),
+            F.lit(-1.0),
+        )
+        .otherwise(F.lit(1.0))
+    )
+    nrm = ch.select(
+        "x", "y", "z", "n", "wx", "wy", "wz", "w2",
+        F.sqrt(F.col("w2")).alias("nv"),
+        flip.alias("s"),
+    )
+    good = F.col("w2") > 0.0
+
+    def unit(axis, fallback):
+        return F.round(
+            F.when(
+                good, (F.col("s") * F.col(axis)) / F.col("nv")
+            ).otherwise(F.lit(fallback)),
+            6,
+        ) + 0.0
+
+    return nrm.select(
+        "x",
+        "y",
+        "z",
+        "n",
+        unit("wx", 0.0).alias("nx"),
+        unit("wy", 0.0).alias("ny"),
+        unit("wz", 1.0).alias("nz"),
+        (
+            F.round(
+                F.when(
+                    good,
+                    1.0 - F.abs((F.col("s") * F.col("wz")) / F.col("nv")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("verticality"),
+    )
+
+
+def _eigen_exprs() -> tuple[str, str, str]:
+    """The closed-form eigenvalue expressions over the covs columns —
+    shared by the shape and normals oracle twins."""
     q3 = "((cxx + cyy + czz) / 3.0)"
     p1 = "(cxy*cxy + cxz*cxz + cyz*cyz)"
     p2 = (
@@ -298,6 +442,13 @@ def neighborhood_shape_sql(points_cte: str, radius: float = RADIUS) -> str:
     e1 = f"CASE WHEN {deg} THEN {q3} ELSE {l1} END"
     e2 = f"CASE WHEN {deg} THEN {q3} ELSE {l2} END"
     e3 = f"CASE WHEN {deg} THEN {q3} ELSE {l3} END"
+    return e1, e2, e3
+
+
+def _eigen_cte_sql(points_cte: str, radius: float) -> str:
+    """CTE chain through the per-site covariances (token-for-token the
+    Spark `_eigen_df` arithmetic)."""
+    r = float(radius)
     return f"""
 {points_cte},
 sites AS (SELECT x, y, z, count(*) AS m FROM points GROUP BY 1, 2, 3),
@@ -339,7 +490,15 @@ covs AS (SELECT px AS x, py AS y, pz AS z, n,
     - (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sz AS DOUBLE)/CAST(n AS DOUBLE)) AS cxz,
   CAST(syz AS DOUBLE)/CAST(n AS DOUBLE)
     - (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sz AS DOUBLE)/CAST(n AS DOUBLE)) AS cyz
-  FROM sums),
+  FROM sums)""".strip()
+
+
+def neighborhood_shape_sql(points_cte: str, radius: float = RADIUS) -> str:
+    """Oracle twin — the same cell grid, the same integer sums, the
+    same closed-form eigen expressions, token for token."""
+    e1, e2, e3 = _eigen_exprs()
+    return f"""
+{_eigen_cte_sql(points_cte, radius)},
 eig AS (SELECT x, y, z, n, {e1} AS e1, {e2} AS e2, {e3} AS e3 FROM covs)
 SELECT x, y, z, n,
   round(e1 / 10000.0, 6) + 0.0 AS l1,
@@ -349,4 +508,56 @@ SELECT x, y, z, n,
   round(CASE WHEN e1 > 0.0 THEN (e2 - e3) / e1 ELSE 0.0 END, 6) + 0.0 AS planarity,
   round(CASE WHEN e1 > 0.0 THEN e3 / e1 ELSE 0.0 END, 6) + 0.0 AS sphericity
 FROM eig
+""".strip()
+
+
+def surface_normals_sql(points_cte: str, radius: float = RADIUS) -> str:
+    """Oracle twin of :func:`surface_normals` — staged CTEs mirroring
+    the Spark projections expression for expression."""
+    _, _, e3 = _eigen_exprs()
+    return f"""
+{_eigen_cte_sql(points_cte, radius)},
+eig AS (SELECT x, y, z, n, cxy, cxz, cyz, cxx, cyy, czz,
+               {e3} AS e3 FROM covs),
+a AS (SELECT x, y, z, n, cxy, cxz, cyz,
+             cxx - e3 AS a11, cyy - e3 AS a22, czz - e3 AS a33 FROM eig),
+v AS (SELECT x, y, z, n,
+             cxy*cyz - cxz*a22 AS vx12,
+             cxz*cxy - a11*cyz AS vy12,
+             a11*a22 - cxy*cxy AS vz12,
+             cxy*a33 - cxz*cyz AS vx13,
+             cxz*cxz - a11*a33 AS vy13,
+             a11*cyz - cxy*cxz AS vz13,
+             a22*a33 - cyz*cyz AS vx23,
+             cyz*cxz - cxy*a33 AS vy23,
+             cxy*cyz - a22*cxz AS vz23
+      FROM a),
+nn AS (SELECT v.*,
+              vx12*vx12 + vy12*vy12 + vz12*vz12 AS n12,
+              vx13*vx13 + vy13*vy13 + vz13*vz13 AS n13,
+              vx23*vx23 + vy23*vy23 + vz23*vz23 AS n23
+       FROM v),
+ch AS (SELECT x, y, z, n,
+  CASE WHEN n12 >= n13 AND n12 >= n23 THEN vx12
+       WHEN n13 >= n23 THEN vx13 ELSE vx23 END AS wx,
+  CASE WHEN n12 >= n13 AND n12 >= n23 THEN vy12
+       WHEN n13 >= n23 THEN vy13 ELSE vy23 END AS wy,
+  CASE WHEN n12 >= n13 AND n12 >= n23 THEN vz12
+       WHEN n13 >= n23 THEN vz13 ELSE vz23 END AS wz,
+  CASE WHEN n12 >= n13 AND n12 >= n23 THEN n12
+       WHEN n13 >= n23 THEN n13 ELSE n23 END AS w2
+  FROM nn),
+nrm AS (SELECT x, y, z, n, wx, wy, wz, w2, sqrt(w2) AS nv,
+  CASE WHEN wz < 0.0 THEN CAST(-1.0 AS DOUBLE)
+       WHEN wz = 0.0 AND wy < 0.0 THEN CAST(-1.0 AS DOUBLE)
+       WHEN wz = 0.0 AND wy = 0.0 AND wx < 0.0 THEN CAST(-1.0 AS DOUBLE)
+       ELSE CAST(1.0 AS DOUBLE) END AS s
+  FROM ch)
+SELECT x, y, z, n,
+  round(CASE WHEN w2 > 0.0 THEN (s * wx) / nv ELSE 0.0 END, 6) + 0.0 AS nx,
+  round(CASE WHEN w2 > 0.0 THEN (s * wy) / nv ELSE 0.0 END, 6) + 0.0 AS ny,
+  round(CASE WHEN w2 > 0.0 THEN (s * wz) / nv ELSE 1.0 END, 6) + 0.0 AS nz,
+  round(CASE WHEN w2 > 0.0 THEN 1.0 - abs((s * wz) / nv)
+        ELSE 0.0 END, 6) + 0.0 AS verticality
+FROM nrm
 """.strip()

@@ -67,3 +67,33 @@ def test_plan_never_cartesian(pts):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.spark
+def test_surface_normals_geometry(spark):
+    """A flat horizontal sheet points straight up (verticality 0); a
+    vertical wall's normal is horizontal (verticality 1)."""
+    from lasdb_spark.operators.features import surface_normals
+
+    sheet = [
+        (float(i), float(j), 5.0) for i in range(5) for j in range(5)
+    ]
+    # wall in the x-z plane, offset far from the sheet (different cells)
+    wall = [
+        (100.0 + float(i), 200.0, float(k))
+        for i in range(5)
+        for k in range(5)
+    ]
+    pts = spark.createDataFrame(
+        sheet + wall, "x double, y double, z double"
+    )
+    rows = surface_normals(pts, radius=10.0).collect()
+    by_site = {(r.x, r.y, r.z): r for r in rows}
+    flat = by_site[(2.0, 2.0, 5.0)]  # sheet interior
+    assert abs(flat.nz - 1.0) < 1e-6 and abs(flat.verticality) < 1e-6
+    wall_mid = by_site[(102.0, 200.0, 2.0)]
+    assert abs(wall_mid.verticality - 1.0) < 1e-6
+    assert abs(wall_mid.nz) < 1e-6
+    # unit length everywhere (within rounding)
+    for r in rows:
+        assert abs(r.nx**2 + r.ny**2 + r.nz**2 - 1.0) < 1e-4
