@@ -1081,6 +1081,20 @@ def _q_rel_concurrency(spark, sf_dir):
     return max_concurrency(_ev(spark, sf_dir))
 
 
+def _q_quantile_sketch(spark, sf_dir):
+    """Histogram quantile sketch vs exact order statistics."""
+    from lasdb_spark.operators.sketch import quantile_sketch
+
+    return quantile_sketch(_ev(spark, sf_dir))
+
+
+def _q_rel_gapfill(spark, sf_dir):
+    """Dense zero-filled hourly counts over the full time span."""
+    from lasdb_spark.operators.relational import gapfill_hourly
+
+    return gapfill_hourly(_ev(spark, sf_dir))
+
+
 def _q_pc_normals(spark, sf_dir):
     """Per-site unit surface normals (closed-form smallest-eigenvalue
     eigenvector) + Weinmann verticality."""
@@ -1305,11 +1319,13 @@ def oracle_sql() -> dict[str, str]:
         "rel_concurrency": _rel.max_concurrency_sql(),
         "sketch_bloom": _sketch.bloom_probe_report_sql(),
         "pc_normals": _features.surface_normals_sql(_PTS),
+        "sketch_quantiles": _sketch.quantile_sketch_sql(),
+        "rel_gapfill": _rel.gapfill_hourly_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """119 entries, ordered so every query gets a driver CORRECTNESS
+    """121 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1362,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_concurrency": _q_rel_concurrency,
         "sketch_bloom": _q_bloom_probe,
         "pc_normals": _q_pc_normals,
+        "sketch_quantiles": _q_quantile_sketch,
+        "rel_gapfill": _q_rel_gapfill,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -815,3 +815,69 @@ SELECT event_type, day,
 FROM run GROUP BY event_type, day
 ORDER BY event_type, day
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill
+# ---------------------------------------------------------------------------
+
+HOUR_MS = 3_600_000
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """(event_type, hour_ms, n_events) — hourly event counts on a
+    DENSE hour grid: every (type, hour) combination over the table's
+    full time span appears, zero-filled where nothing happened.
+
+    The timeseries-hygiene primitive rollups omit: downstream
+    windows/forecasts need explicit zeros, not missing rows. The hour
+    grid generates from one broadcast (min, max) row via sequence()
+    (never a driver loop); the dense frame is |types| x |hours| —
+    bounded output independent of event cardinality — left-joined
+    against the one-shuffle hourly counts."""
+    hdiv = F.expr(f"unix_millis(ts) div {HOUR_MS}")
+    hours = events.select(hdiv.alias("h"))
+    span = hours.agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    grid_h = span.select(
+        F.explode(F.sequence(F.col("h_min"), F.col("h_max"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    counts = (
+        events.select("event_type", hdiv.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return (
+        types.crossJoin(grid_h)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * HOUR_MS).alias("hour_ms"),
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+        )
+        .orderBy("event_type", "hour_ms")
+    )
+
+
+def gapfill_hourly_sql() -> str:
+    return f"""
+{EV_CTE},
+hours AS (SELECT epoch_ms(ts) // {HOUR_MS} AS h FROM ev),
+span AS (SELECT min(h) AS h_min, max(h) AS h_max FROM hours),
+grid_h AS (
+  SELECT unnest(range(h_min, h_max + 1)) AS h FROM span),
+types AS (SELECT DISTINCT event_type FROM ev),
+counts AS (
+  SELECT event_type, epoch_ms(ts) // {HOUR_MS} AS h,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2)
+SELECT t.event_type, g.h * {HOUR_MS} AS hour_ms,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM types t CROSS JOIN grid_h g
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h
+ORDER BY t.event_type, hour_ms
+""".strip()

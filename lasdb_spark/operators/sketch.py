@@ -450,3 +450,178 @@ FROM per_shingle ps LEFT JOIN truth t ON ps.shingle = t.shingle
 GROUP BY ps.doc_id
 HAVING sum(ps.bloom_hit) > 0
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def quantile_sketch(
+    events: DataFrame,
+    bins: int = HIST_BINS,
+    group: str = "event_type",
+) -> DataFrame:
+    """(group, n, p50_est, p50_exact, p95_est, p95_exact) — median and
+    p95 of ``value`` per group, estimated from a ``bins``-bucket
+    equi-width histogram next to the exact order statistics.
+
+    The fixed-state quantile sketch (the poor man's t-digest: one
+    (min, max) pre-pass + ``bins`` BIGINT counters per group, both
+    single-pass partial aggs — at 100 TB the histogram costs two scans
+    and O(groups x bins) state, while the exact rank selection costs a
+    per-group sort; shipping both makes the estimate's error visible).
+    Estimates are bucket midpoints; exact order statistics use the
+    ceil(p*n)-th smallest (value, event_id) — deterministic under
+    ties. All estimator arithmetic is one fixed-shape double
+    expression, so DuckDB hash-matches exactly.
+    """
+    from pyspark.sql import Window
+
+    v = F.col("value").cast("double")
+    stats = events.groupBy(group).agg(
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / float(bins)
+    binned = (
+        events.join(F.broadcast(stats), group)
+        .select(
+            F.col(group),
+            F.when(F.col("mx") > F.col("mn"),
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((v - F.col("mn")) / width),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy(group, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("c").over(wcum))
+
+    def kq(p):
+        return F.ceil(F.lit(p) * F.col("n").cast("double")).cast("long")
+
+    with_k = cum.join(F.broadcast(stats), group).select(
+        group, "bin", "cum", "mn", "mx", "n",
+        kq(0.5).alias("k50"), kq(0.95).alias("k95"),
+    )
+    sel = with_k.groupBy(group, "mn", "mx", "n", "k50", "k95").agg(
+        F.min(F.when(F.col("cum") >= F.col("k50"), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("cum") >= F.col("k95"), F.col("bin"))).alias("b95"),
+    )
+
+    def est(b):
+        return F.col("mn") + (F.col(b).cast("double") + 0.5) * (
+            (F.col("mx") - F.col("mn")) / float(bins)
+        )
+
+    # exact rank selection on the same (value, event_id) total order
+    ranked = events.select(
+        F.col(group), v.alias("val"), F.col("event_id"),
+        F.row_number().over(
+            Window.partitionBy(group).orderBy(v.asc(), F.col("event_id"))
+        ).alias("rn"),
+    )
+    exact = (
+        ranked.join(
+            F.broadcast(
+                stats.select(
+                    group, kq(0.5).alias("k50"), kq(0.95).alias("k95")
+                )
+            ),
+            group,
+        )
+        .groupBy(group)
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("k50"), F.col("val"))).alias(
+                "p50_exact"
+            ),
+            F.max(F.when(F.col("rn") == F.col("k95"), F.col("val"))).alias(
+                "p95_exact"
+            ),
+        )
+    )
+    return (
+        sel.join(exact, group)
+        .select(
+            F.col(group),
+            F.col("n"),
+            est("b50").alias("p50_est"),
+            "p50_exact",
+            est("b95").alias("p95_est"),
+            "p95_exact",
+        )
+        .orderBy(group)
+    )
+
+
+def quantile_sketch_sql(
+    bins: int = HIST_BINS, group: str = "event_type"
+) -> str:
+    width = f"((mx - mn) / CAST({float(bins)!r} AS DOUBLE))"
+    return f"""
+WITH stats AS (
+  SELECT {group}, min(CAST(value AS DOUBLE)) AS mn,
+         max(CAST(value AS DOUBLE)) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY {group}),
+binned AS (
+  SELECT e.{group},
+         CAST(CASE WHEN s.mx > s.mn THEN
+           least({bins - 1}, greatest(0,
+             floor((CAST(e.value AS DOUBLE) - s.mn) / {width})))
+         ELSE 0 END AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e JOIN stats s ON e.{group} = s.{group}
+  GROUP BY 1, 2),
+cum AS (
+  SELECT {group}, bin, c,
+         sum(c) OVER (PARTITION BY {group} ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM binned),
+ks AS (
+  SELECT {group}, mn, mx, n,
+         CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS k50,
+         CAST(ceil(CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS k95
+  FROM stats),
+sel AS (
+  SELECT c.{group}, k.mn, k.mx, k.n, k.k50, k.k95,
+         min(CASE WHEN c.cum >= k.k50 THEN c.bin END) AS b50,
+         min(CASE WHEN c.cum >= k.k95 THEN c.bin END) AS b95
+  FROM cum c JOIN ks k ON c.{group} = k.{group}
+  GROUP BY 1, 2, 3, 4, 5, 6),
+ranked AS (
+  SELECT {group}, CAST(value AS DOUBLE) AS val,
+         row_number() OVER (PARTITION BY {group}
+                            ORDER BY CAST(value AS DOUBLE), event_id) AS rn
+  FROM events),
+exact AS (
+  SELECT r.{group},
+         max(CASE WHEN r.rn = k.k50 THEN r.val END) AS p50_exact,
+         max(CASE WHEN r.rn = k.k95 THEN r.val END) AS p95_exact
+  FROM ranked r JOIN ks k ON r.{group} = k.{group}
+  GROUP BY r.{group})
+SELECT s.{group}, s.n,
+       s.mn + (CAST(s.b50 AS DOUBLE) + 0.5) * {width} AS p50_est,
+       e.p50_exact,
+       s.mn + (CAST(s.b95 AS DOUBLE) + 0.5) * {width} AS p95_est,
+       e.p95_exact
+FROM sel s JOIN exact e ON s.{group} = e.{group}
+ORDER BY s.{group}
+""".strip()

@@ -245,3 +245,42 @@ def test_stream_hll_converges_to_batch(spark, sf_dir):
         for r in hll_distinct(ev).collect()
     }
     assert got == batch
+
+
+@pytest.mark.spark
+def test_quantile_sketch_brackets_truth(spark, sf_dir):
+    """The histogram estimate lands within one bucket width of the
+    exact order statistic, and exact values are true data points."""
+    from lasdb_spark.operators.sketch import HIST_BINS, quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = {r.event_type: r for r in quantile_sketch(ev).collect()}
+    spans = {
+        r.event_type: (r["mn"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for et, r in vals.items():
+        mn, mx = spans[et]
+        w = (mx - mn) / HIST_BINS
+        assert abs(r.p50_est - r.p50_exact) <= w
+        assert abs(r.p95_est - r.p95_exact) <= w
+        assert r.p50_exact <= r.p95_exact
+
+
+@pytest.mark.spark
+def test_gapfill_dense_grid(spark, sf_dir):
+    """Every (type, hour) cell over the global span exists; zero rows
+    appear exactly where the sparse rollup has no row; totals agree."""
+    from lasdb_spark.operators.relational import gapfill_hourly
+    from lasdb_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir)
+    out = gapfill_hourly(ev)
+    n_types = ev.select("event_type").distinct().count()
+    hours = out.select("hour_ms").distinct().count()
+    assert out.count() == n_types * hours
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == ev.count()
+    assert out.filter(F.col("n_events") == 0).count() > 0
