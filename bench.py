@@ -267,6 +267,30 @@ def _section_corpus(spark, sf_dir, timings) -> None:
         "ev_interval_join": lambda: incident_impact(ev),
         "ev_sliding_rates": lambda: sliding_event_rates(ev),
     }
+    # r4 third batch: sketches, quantized ANN, mixing, sweeps
+    from lasdb_spark.operators.relational import (
+        gapfill_hourly,
+        max_concurrency,
+    )
+    from lasdb_spark.operators.similarity import topk_sq8
+    from lasdb_spark.operators.sketch import (
+        bloom_probe_report,
+        hll_distinct,
+        quantile_sketch,
+    )
+    from lasdb_spark.operators.text import temperature_mix
+
+    suite.update(
+        {
+            "sketch_hll": lambda: hll_distinct(ev),
+            "sketch_quantiles": lambda: quantile_sketch(ev),
+            "sketch_bloom": lambda: bloom_probe_report(docs),
+            "ann_sq8_topk": lambda: topk_sq8(embs),
+            "corpus_temp_mix": lambda: temperature_mix(docs),
+            "ev_concurrency": lambda: max_concurrency(ev),
+            "ev_gapfill": lambda: gapfill_hourly(ev),
+        }
+    )
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
@@ -297,6 +321,12 @@ def _section_heavy(spark, sf_dir, timings) -> None:
     )
     timings["pc_shape"] = _timed(
         spark, lambda: neighborhood_shape(pts).count()
+    )
+    # r4: same shuffle shape as pc_shape (shared _eigen_df pipeline)
+    from lasdb_spark.operators.features import surface_normals
+
+    timings["pc_normals"] = _timed(
+        spark, lambda: surface_normals(pts).count()
     )
     # r4: trains the same k-means as semdedup, so it lives in the
     # heavy section — its assignment cost dominates the labeling agg
