@@ -41,6 +41,7 @@ from lasdb_spark.operators import similarity as _similarity
 from lasdb_spark.operators import sketch as _sketch
 from lasdb_spark.operators import text as _text
 from lasdb_spark.operators import topics as _topics
+from lasdb_spark.operators import zorder as _zorder
 from lasdb_spark.operators.ingest import (
     DatasetMeta,
     attach_sfc,
@@ -1081,6 +1082,28 @@ def _q_rel_concurrency(spark, sf_dir):
     return max_concurrency(_ev(spark, sf_dir))
 
 
+#: Z-ordered events layout, written once per scale factor (same
+#: lazy-materialization pattern as the point-cloud _querier cache)
+_ZORDERED: dict[str, str] = {}
+ZQ_USERS, ZQ_HOURS = (30, 60), (473_452, 473_552)
+
+
+def _q_rel_zorder(spark, sf_dir):
+    """Multi-dim pruned (user x hour) query over the Z-ordered
+    events layout — the spatial engine's key machinery applied to a
+    relational table (lakehouse Z-ORDER BY)."""
+    import tempfile
+
+    from lasdb_spark.operators.zorder import write_zordered, zorder_query
+
+    path = _ZORDERED.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lasdb_zorder_") + "/events"
+        write_zordered(_ev(spark, sf_dir), path)
+        _ZORDERED[sf_dir] = path
+    return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
+
+
 def _q_quantile_sketch(spark, sf_dir):
     """Histogram quantile sketch vs exact order statistics."""
     from lasdb_spark.operators.sketch import quantile_sketch
@@ -1321,11 +1344,12 @@ def oracle_sql() -> dict[str, str]:
         "pc_normals": _features.surface_normals_sql(_PTS),
         "sketch_quantiles": _sketch.quantile_sketch_sql(),
         "rel_gapfill": _rel.gapfill_hourly_sql(),
+        "rel_zorder": _zorder.zorder_query_sql(ZQ_USERS, ZQ_HOURS),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """121 entries, ordered so every query gets a driver CORRECTNESS
+    """122 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1380,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_normals": _q_pc_normals,
         "sketch_quantiles": _q_quantile_sketch,
         "rel_gapfill": _q_rel_gapfill,
+        "rel_zorder": _q_rel_zorder,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
