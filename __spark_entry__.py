@@ -853,6 +853,19 @@ def _q_mm_features(spark, sf_dir):
     return decode_image_features(make_image_corpus(_docs(spark, sf_dir)))
 
 
+def _q_mm_png(spark, sf_dir):
+    """REAL PNG round-trip: zlib-compressed IDAT scanlines encoded and
+    decoded (chunk walk, inflate, unfilter) back to exact statistics."""
+    from lasdb_spark.operators.multimodal import (
+        decode_image_features,
+        make_image_corpus,
+    )
+
+    return decode_image_features(
+        make_image_corpus(_docs(spark, sf_dir), container="png")
+    )
+
+
 def _q_mm_resize(spark, sf_dir):
     # REAL nearest-neighbor resample over decoded pixels
     from lasdb_spark.operators.multimodal import make_image_corpus, resize_images
@@ -1345,11 +1358,12 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles": _sketch.quantile_sketch_sql(),
         "rel_gapfill": _rel.gapfill_hourly_sql(),
         "rel_zorder": _zorder.zorder_query_sql(ZQ_USERS, ZQ_HOURS),
+        "mm_png": _multimodal.image_features_sql("png"),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """122 entries, ordered so every query gets a driver CORRECTNESS
+    """123 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1405,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": _q_quantile_sketch,
         "rel_gapfill": _q_rel_gapfill,
         "rel_zorder": _q_rel_zorder,
+        "mm_png": _q_mm_png,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -95,14 +95,14 @@ def _encode_bmp(gray: np.ndarray, w: int, h: int) -> bytes:
 
 def make_image_corpus(docs: DataFrame, container: str = "pgm") -> DataFrame:
     """(doc_id, payload, meta) with REAL image bytes: each doc becomes
-    a ``container`` image (pgm | ppm | bmp) whose dimensions derive
+    a ``container`` image (pgm | ppm | bmp | png) whose dimensions derive
     from ``n_chars`` (w = n_chars%64+8, h = n_chars*7%64+8) and whose
     pixels are the deterministic test pattern — a stand-in for real
     assets that still exercises genuine container encode/decode.
 
     Map-only (one mapInPandas), no shuffle; at 100 TB the encode cost
     is embarrassingly parallel over input splits."""
-    if container not in ("pgm", "ppm", "bmp"):
+    if container not in ("pgm", "ppm", "bmp", "png"):
         raise ValueError(f"unknown container {container!r}")
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,6 +114,8 @@ def make_image_corpus(docs: DataFrame, container: str = "pgm") -> DataFrame:
                 gray = _test_pattern(int(doc_id), w * h)
                 if container == "bmp":
                     payloads.append(_encode_bmp(gray, w, h))
+                elif container == "png":
+                    payloads.append(_encode_png(gray, w, h))
                 else:
                     payloads.append(
                         _encode_pnm(gray, w, h, color=(container == "ppm"))
@@ -161,6 +163,143 @@ def _parse_pnm(buf: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, raster.astype(np.int64)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(gray: np.ndarray, w: int, h: int) -> bytes:
+    """Real 8-bit grayscale PNG: signature + IHDR + one zlib IDAT of
+    filter-0 scanlines + IEND, CRCs included — decodable by any PNG
+    reader (zlib is stdlib, so the full container round-trips without
+    external codecs)."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    rows = gray.reshape(h, w)
+    raw = b"".join(b"\x00" + rows[i].tobytes() for i in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_png(
+    raw: np.ndarray, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Undo PNG per-row filters (types 0-4). The corpus encoder emits
+    filter 0 only (fast path); the general types are implemented so
+    externally-produced PNGs decode too — rows are short, and the
+    sequential dependency is inherent to the filter spec."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = (line + (out[y - 1] if y else 0)) % 256
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) % 256
+            out[y] = cur
+        elif ftype == 3:  # Average
+            prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (left + prior[i]) // 2) % 256
+            out[y] = cur
+        elif ftype == 4:  # Paeth
+            prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+            out[y] = cur
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a non-interlaced 8-bit grayscale/RGB PNG: walk the chunk
+    stream, inflate the concatenated IDATs, undo row filters, return
+    (w, h, per-pixel gray) — RGB collapses via the same sum//3 rule as
+    the BMP path."""
+    import zlib
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = len(_PNG_SIG)
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in (0, 2):
+                raise ValueError(
+                    f"unsupported PNG color type {color_type} "
+                    "(8-bit gray/RGB only)"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 1 if color_type == 0 else 3
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    px = _unfilter_png(raw, h, stride, bpp)
+    if color_type == 2:
+        return w, h, px.reshape(-1, 3).sum(axis=1) // 3
+    return w, h, px.reshape(-1)
+
+
+def _sniff_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch a raw payload to the right container parser by magic
+    bytes (PGM/PPM, BMP, PNG)."""
+    if buf[:2] in (b"P5", b"P6"):
+        return _parse_pnm(buf)
+    if buf[:2] == b"BM":
+        return _parse_bmp(buf)
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return _parse_png(buf)
+    raise ValueError("unrecognized image container")
+
+
 def _parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Parse 24-bit uncompressed BMP honoring the pixel-data offset,
     4-byte row stride and bottom-up row order."""
@@ -188,7 +327,7 @@ def _parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_image_features(corpus: DataFrame) -> DataFrame:
-    """Decode REAL image payloads (PGM/PPM/BMP, sniffed from magic
+    """Decode REAL image payloads (PGM/PPM/BMP/PNG, sniffed from magic
     bytes) and emit integer-exact per-image pixel statistics — the
     'decode + feature-extract' stage of a multimodal pipeline, with the
     container parsing done for real on the raw bytes.
@@ -206,14 +345,10 @@ def decode_image_features(corpus: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
                 buf = bytes(payload)
-                if buf[:2] in (b"P5", b"P6"):
-                    w, h, gray = _parse_pnm(buf)
-                elif buf[:2] == b"BM":
-                    w, h, gray = _parse_bmp(buf)
-                else:
-                    raise ValueError(
-                        f"doc {doc_id}: unrecognized image container"
-                    )
+                try:
+                    w, h, gray = _sniff_decode(buf)
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from exc
                 out["doc_id"].append(doc_id)
                 out["format"].append(meta["format"])
                 out["width"].append(w)
@@ -230,18 +365,19 @@ def decode_image_features(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(_dec, schema=IMG_FEATURE_SCHEMA)
 
 
-def image_features_sql() -> str:
-    """Oracle twin of make_image_corpus('pgm') ∘ decode_image_features:
-    reproduces the decoded pixel statistics from the test-pattern
-    arithmetic (the Spark side derives them from the actual bytes)."""
-    return """
+def image_features_sql(container: str = "pgm") -> str:
+    """Oracle twin of make_image_corpus(container) ∘
+    decode_image_features: reproduces the decoded pixel statistics
+    from the test-pattern arithmetic (the Spark side derives them from
+    the actual bytes)."""
+    return f"""
 WITH dims AS (
   SELECT doc_id, n_chars % 64 + 8 AS w, (n_chars * 7) % 64 + 8 AS h
   FROM documents),
 px AS (
   SELECT doc_id, w, h, (doc_id * 31 + s.i * 7) % 256 AS g
   FROM dims, LATERAL (SELECT unnest(range(0, w * h))) AS s(i))
-SELECT doc_id, 'pgm' AS format,
+SELECT doc_id, '{container}' AS format,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(w * h AS BIGINT) AS n_px, CAST(sum(g) AS BIGINT) AS sum_px,
        CAST(min(g) AS INT) AS min_px, CAST(max(g) AS INT) AS max_px
@@ -271,14 +407,10 @@ def resize_images(
                     "scale_x", "scale_y", "sum_resized")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
-                if buf[:2] in (b"P5", b"P6"):
-                    w, h, gray = _parse_pnm(buf)
-                elif buf[:2] == b"BM":
-                    w, h, gray = _parse_bmp(buf)
-                else:
-                    raise ValueError(
-                        f"doc {doc_id}: unrecognized image container"
-                    )
+                try:
+                    w, h, gray = _sniff_decode(buf)
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from exc
                 img = gray.reshape(h, w)
                 rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cc = (np.arange(out_w, dtype=np.int64) * w) // out_w

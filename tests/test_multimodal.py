@@ -234,3 +234,106 @@ def test_frame_stream_malformed_raises(spark):
     )
     with pytest.raises(Exception, match="bad frame header"):
         sample_frames(corrupted).collect()
+
+
+@pytest.mark.spark
+def test_png_corpus_roundtrip(spark, sf_dir):
+    """PNG encode -> zlib decode -> features equal the PGM path's
+    (identical pixels, different container), and the resize path
+    accepts PNG payloads."""
+    from lasdb_spark.operators.multimodal import (
+        decode_image_features,
+        make_image_corpus,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    png = decode_image_features(
+        make_image_corpus(docs, container="png")
+    ).collect()
+    pgm = decode_image_features(
+        make_image_corpus(docs, container="pgm")
+    ).collect()
+    key = lambda rows: sorted(
+        (r.doc_id, r.width, r.height, r.n_px, r.sum_px, r.min_px, r.max_px)
+        for r in rows
+    )
+    assert key(png) == key(pgm) and png
+    assert all(r.format == "png" for r in png)
+
+    rz = resize_images(make_image_corpus(docs, container="png")).collect()
+    assert len(rz) == len(png)
+
+
+def test_png_filter_reconstruction():
+    """Decoder reconstructs all five PNG filter types (a hand-filtered
+    stream, not just the encoder's filter-0 fast path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lasdb_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 9, 5
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.int64)
+    for y, ft in enumerate([1, 2, 3, 4, 0]):
+        line = img[y].astype(np.int64)
+        enc = line.copy()
+        if ft == 1:
+            for i in range(w - 1, 0, -1):
+                enc[i] = (enc[i] - line[i - 1]) % 256
+        elif ft == 2:
+            enc = (line - prior) % 256
+        elif ft == 3:
+            for i in range(w):
+                left = line[i - 1] if i else 0
+                enc[i] = (line[i] - (left + prior[i]) // 2) % 256
+        elif ft == 4:
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b, c = prior[i], (prior[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                enc[i] = (line[i] - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    buf = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    w2, h2, out = _parse_png(buf)
+    assert (w2, h2) == (w, h)
+    assert (out.reshape(h, w) == img.astype(np.int64)).all()
+
+
+def test_png_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from lasdb_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    with _pytest.raises(ValueError):
+        _parse_png(b"not a png")
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        _parse_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr16))
