@@ -1117,6 +1117,14 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_kmv_set_ops(spark, sf_dir):
+    """Mergeable-sketch set algebra: union/intersection cardinality
+    estimated from per-type KMV sketches alone."""
+    from lasdb_spark.operators.sketch import kmv_set_ops
+
+    return kmv_set_ops(_ev(spark, sf_dir))
+
+
 def _q_quantile_sketch(spark, sf_dir):
     """Histogram quantile sketch vs exact order statistics."""
     from lasdb_spark.operators.sketch import quantile_sketch
@@ -1359,11 +1367,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_gapfill": _rel.gapfill_hourly_sql(),
         "rel_zorder": _zorder.zorder_query_sql(ZQ_USERS, ZQ_HOURS),
         "mm_png": _multimodal.image_features_sql("png"),
+        "sketch_kmv_setops": _sketch.kmv_set_ops_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """123 entries, ordered so every query gets a driver CORRECTNESS
+    """124 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation (the rotation r3's docstring
     promised): `corpus_token_budget` leads (its determinism fix needs
@@ -1420,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_gapfill": _q_rel_gapfill,
         "rel_zorder": _q_rel_zorder,
         "mm_png": _q_mm_png,
+        "sketch_kmv_setops": _q_kmv_set_ops,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -625,3 +625,179 @@ SELECT s.{group}, s.n,
 FROM sel s JOIN exact e ON s.{group} = e.{group}
 ORDER BY s.{group}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: union / intersection estimates across groups
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(events: DataFrame, k: int = 64) -> DataFrame:
+    """(type_a, type_b, union_exact, union_est, inter_exact, inter_est)
+    for every event-type pair — distinct-user cardinalities of unions
+    and intersections estimated purely FROM THE SKETCHES.
+
+    This is the property that makes KMV the warehouse workhorse:
+    sketches are MERGEABLE. |A∪B| is the KMV estimate of the k
+    smallest hashes of S_A ∪ S_B, and |A∩B| follows from the Jaccard
+    estimator (matches within the union's k-set) x the union estimate
+    (Beyer et al., SIGMOD'07) — no second pass over the data. The
+    exact counterparts ride along for self-audit; at 100 TB you'd
+    keep only the sketch path, whose input is groups x k longs.
+
+    Plan: ONE distinct pre-agg over (type, hash) builds every
+    per-type sketch; everything after operates on <= types x k rows
+    (broadcast-sized), so pair expansion is quadratic only in the
+    NUMBER OF GROUPS, never in users.
+    """
+    from pyspark.sql import Window
+
+    hashed = events.select(
+        F.col("event_type").alias("t"),
+        md5_int60_col(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    wt = Window.partitionBy("t").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k)
+        .select("t", "h")
+    )
+    # per-pair union of sketch slots, tagged by which side holds each
+    ta = sk.select(F.col("t").alias("type_a"), F.col("h"))
+    tb = sk.select(F.col("t").alias("type_b"), F.col("h"))
+    types = sk.select("t").distinct()
+    tpairs = (
+        types.select(F.col("t").alias("type_a"))
+        .crossJoin(types.select(F.col("t").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    slots = tpairs.join(ta, "type_a").select(
+        "type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionByName(
+        tpairs.join(tb, "type_b").select(
+            "type_a", "type_b", "h",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+    )
+    merged = slots.groupBy("type_a", "type_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    union_k = merged.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= k
+    )
+    est = union_k.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1) * POW2_60) / F.col("kth"))
+    # exact side: distinct (type, user) membership
+    mem = events.select("event_type", "user_id").distinct()
+    ma = mem.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    mb = mem.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    inter_exact = (
+        ma.join(mb, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("inter_exact"))
+    )
+    sizes = mem.groupBy("event_type").agg(F.count("*").alias("sz"))
+    union_exact = (
+        tpairs.join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("sz").alias("sa")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("sz").alias("sb")),
+            "type_b",
+        )
+    )
+    return (
+        est.join(union_exact, ["type_a", "type_b"])
+        .join(inter_exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.col("sa") + F.col("sb")
+                - F.coalesce(F.col("inter_exact"), F.lit(0))
+            )
+            .cast("long")
+            .alias("union_exact"),
+            union_est.alias("union_est"),
+            F.coalesce(F.col("inter_exact"), F.lit(0))
+            .cast("long")
+            .alias("inter_exact"),
+            (
+                (F.col("n_both").cast("double") / F.col("n_kept").cast("double"))
+                * union_est
+            ).alias("inter_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def kmv_set_ops_sql(k: int = 64) -> str:
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    lim = f"{float(k - 1) * POW2_60!r}"
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS t, {h} AS h FROM events),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {k}),
+types AS (SELECT DISTINCT t FROM sk),
+tpairs AS (
+  SELECT x.t AS type_a, y.t AS type_b
+  FROM types x JOIN types y ON x.t < y.t),
+slots AS (
+  SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+  FROM tpairs p JOIN sk s ON s.t = p.type_a
+  UNION ALL
+  SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+  FROM tpairs p JOIN sk s ON s.t = p.type_b),
+merged AS (
+  SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM slots GROUP BY 1, 2, 3),
+union_k AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM merged) WHERE rn <= {k}),
+est AS (
+  SELECT type_a, type_b, count(*) AS n_kept, max(h) AS kth,
+         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+  FROM union_k GROUP BY 1, 2),
+mem AS (SELECT DISTINCT event_type, user_id FROM events),
+inter_e AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS inter_exact
+  FROM mem a JOIN mem b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+sizes AS (SELECT event_type, count(*) AS sz FROM mem GROUP BY 1)
+SELECT e.type_a, e.type_b,
+       CAST(sa.sz + sb.sz - coalesce(i.inter_exact, 0) AS BIGINT)
+         AS union_exact,
+       CASE WHEN e.n_kept < {k} THEN CAST(e.n_kept AS DOUBLE)
+            ELSE {lim} / e.kth END AS union_est,
+       CAST(coalesce(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+       (CAST(e.n_both AS DOUBLE) / CAST(e.n_kept AS DOUBLE))
+         * (CASE WHEN e.n_kept < {k} THEN CAST(e.n_kept AS DOUBLE)
+                 ELSE {lim} / e.kth END) AS inter_est
+FROM est e
+JOIN sizes sa ON sa.event_type = e.type_a
+JOIN sizes sb ON sb.event_type = e.type_b
+LEFT JOIN inter_e i ON i.type_a = e.type_a AND i.type_b = e.type_b
+ORDER BY e.type_a, e.type_b
+""".strip()

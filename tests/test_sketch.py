@@ -284,3 +284,24 @@ def test_gapfill_dense_grid(spark, sf_dir):
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == ev.count()
     assert out.filter(F.col("n_events") == 0).count() > 0
+
+
+@pytest.mark.spark
+def test_kmv_set_ops_identities(spark, sf_dir):
+    """Sketch set algebra sanity: union >= each side's distinct,
+    inter <= min side, inclusion-exclusion holds exactly for the
+    exact columns, and estimates land within ~3 standard errors."""
+    from lasdb_spark.operators.sketch import kmv_distinct, kmv_set_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    singles = {
+        r.event_type: r.exact_distinct for r in kmv_distinct(ev).collect()
+    }
+    for r in kmv_set_ops(ev).collect():
+        sa, sb = singles[r.type_a], singles[r.type_b]
+        assert r.union_exact == sa + sb - r.inter_exact
+        assert r.union_exact >= max(sa, sb)
+        assert r.inter_exact <= min(sa, sb)
+        se = 3 * r.union_exact / 8  # k=64 -> sqrt(k)=8
+        assert abs(r.union_est - r.union_exact) <= se
+        assert abs(r.inter_est - r.inter_exact) <= se + 1
