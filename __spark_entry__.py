@@ -1374,22 +1374,19 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """124 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-4 rotation (the rotation r3's docstring
-    promised): `corpus_token_budget` leads (its determinism fix needs
-    a fresh driver row) with the FIFTEEN operators new in r4
-    (pc_slope, text_entropy, mm_audio, text_pii_stats,
-    text_pii_redact, pc_change, ann_pq_topk, pc_profile,
-    dedup_chunk_pairs, text_bigram_surprisal, dedup_crosscorpus,
-    text_quality_ensemble, rel_event_pagerank, rel_interval_join,
-    rel_sliding_rates, corpus_topics, corpus_cluster_sample,
-    pc_epoch_shift, pc_registration),
-    then the entries whose last driver row was r2
-    data (everything r3's window cut off), then r3-green family
-    representatives; the remaining r3-green entries sit at the tail
-    (their green rows are from THIS data generation, and the pytest
-    oracle mirror in tests/test_entry_oracle.py always runs ALL
-    entries value-exact). Next round: rotate the tail back into the
-    lead block."""
+    in dict order. Round-4 rotation: `corpus_token_budget` leads (its
+    determinism fix needs a fresh driver row), then every operator NEW
+    in r4 — the first wave (pc_slope … pc_registration,
+    corpus_cluster_sample) and the continuation waves (KMV/HLL/
+    Count-Min/Bloom/quantile sketches + KMV set algebra, domain cap,
+    temperature mix, OOV, SQ8 ANN, CUBE, sweep-line concurrency,
+    surface normals, gap-fill, relational Z-order, PNG decode) — all
+    of which need their FIRST driver row; the window's remaining slots
+    refresh the oldest r2-checked entries in order. Everything past
+    the window keeps its standing green row from a prior round AND is
+    re-proven value-exact every test run by the all-entries oracle
+    mirror (tests/test_entry_oracle.py). Next round: rotate the
+    still-unrefreshed r2 block plus the r3-green tail into the lead."""
     return {
         # --- fixed this round; needs a fresh driver row ---
         "corpus_token_budget": _q_token_budget,
