@@ -1117,6 +1117,20 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+CDC_SPLIT_MS = 1_705_276_800_000  # 2024-01-15T00:00Z
+
+
+def _q_rel_cdc(spark, sf_dir):
+    """MERGE INTO: snapshot of the first half of the stream + the
+    second half applied as a change batch (latest-wins, deletes)."""
+    from lasdb_spark.operators.relational import cdc_snapshot, merge_upsert
+
+    ev = _ev(spark, sf_dir)
+    ms = F.unix_millis(F.col("ts"))
+    target = cdc_snapshot(ev.filter(ms < CDC_SPLIT_MS))
+    return merge_upsert(target, ev.filter(ms >= CDC_SPLIT_MS))
+
+
 def _q_kmv_set_ops(spark, sf_dir):
     """Mergeable-sketch set algebra: union/intersection cardinality
     estimated from per-type KMV sketches alone."""
@@ -1368,11 +1382,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_zorder": _zorder.zorder_query_sql(ZQ_USERS, ZQ_HOURS),
         "mm_png": _multimodal.image_features_sql("png"),
         "sketch_kmv_setops": _sketch.kmv_set_ops_sql(),
+        "rel_cdc_merge": _rel.merge_upsert_sql(CDC_SPLIT_MS),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """124 entries, ordered so every query gets a driver CORRECTNESS
+    """125 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1427,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_zorder": _q_rel_zorder,
         "mm_png": _q_mm_png,
         "sketch_kmv_setops": _q_kmv_set_ops,
+        "rel_cdc_merge": _q_rel_cdc,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -881,3 +881,138 @@ FROM types t CROSS JOIN grid_h g
 LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h
 ORDER BY t.event_type, hour_ms
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# CDC: latest-wins snapshot + MERGE upsert
+# ---------------------------------------------------------------------------
+
+CDC_DELETE_TYPE = "error"
+
+
+def _cdc_changes(events: DataFrame) -> DataFrame:
+    """events as a change stream on a per-user profile: every event is
+    an upsert carrying (event_type, value), except ``error`` rows which
+    are deletes; (ms, event_id) is the total change order."""
+    ms = F.unix_millis(F.col("ts"))
+    return events.select(
+        F.col("user_id").alias("key"),
+        ms.alias("ms"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == CDC_DELETE_TYPE, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def _latest_wins(changes: DataFrame) -> DataFrame:
+    """Compact a change set to its final state: per key, the highest
+    (ms, seq) change decides; a winning delete removes the key. One
+    key-partitioned window — the standard CDC compaction shape (at
+    100 TB this is the MERGE job: key-shuffle bounded by change volume,
+    never a global sort)."""
+    w = Window.partitionBy("key").orderBy(
+        F.col("ms").desc(), F.col("seq").desc()
+    )
+    ranked = changes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            F.col("key").alias("user_id"),
+            "last_type",
+            "last_value",
+            F.col("ms").alias("last_ms"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
+
+
+def cdc_snapshot(events: DataFrame) -> DataFrame:
+    """(user_id, last_type, last_value, last_ms, n_changes) — the
+    profile table after applying the full event change stream."""
+    return _latest_wins(_cdc_changes(events))
+
+
+def merge_upsert(target: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO: apply a change batch onto an existing snapshot
+    (latest-wins by the shared (ms, seq) order; deletes remove keys).
+
+    ``target`` is a :func:`cdc_snapshot`-shaped frame whose rows keep
+    their original change coordinates, so merging a snapshot with the
+    next batch equals snapshotting the concatenated stream — the
+    associativity that makes incremental CDC correct (pinned by
+    tests). n_changes counts target rows as one change each plus the
+    batch's rows (the usual compacted-history semantics)."""
+    as_changes = target.select(
+        F.col("user_id").alias("key"),
+        F.col("last_ms").alias("ms"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        "last_type",
+        "last_value",
+    )
+    return _latest_wins(as_changes.unionByName(_cdc_changes(changes)))
+
+
+def cdc_snapshot_sql() -> str:
+    return f"""
+{EV_CTE},
+changes AS (
+  SELECT user_id AS key, epoch_ms(ts) AS ms, event_id AS seq,
+         CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D'
+              ELSE 'U' END AS op,
+         event_type AS last_type, value AS last_value
+  FROM ev),
+ranked AS (
+  SELECT key, ms, seq, op, last_type, last_value,
+         row_number() OVER (PARTITION BY key ORDER BY ms DESC, seq DESC)
+           AS rn,
+         count(*) OVER (PARTITION BY key) AS n_changes
+  FROM changes)
+SELECT key AS user_id, last_type, last_value, ms AS last_ms,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked WHERE rn = 1 AND op = 'U'
+""".strip()
+
+
+def merge_upsert_sql(split_ms: int) -> str:
+    """Oracle of snapshot(first half) MERGE second half — the same
+    two-phase computation, so the driver checks the merge path itself
+    (not just the equivalent one-pass snapshot)."""
+    return f"""
+{EV_CTE},
+changes AS (
+  SELECT user_id AS key, epoch_ms(ts) AS ms, event_id AS seq,
+         CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D'
+              ELSE 'U' END AS op,
+         event_type AS last_type, value AS last_value
+  FROM ev),
+first_half AS (SELECT * FROM changes WHERE ms < {split_ms}),
+second_half AS (SELECT * FROM changes WHERE ms >= {split_ms}),
+target AS (
+  SELECT key, ms, CAST(-1 AS BIGINT) AS seq, 'U' AS op,
+         last_type, last_value
+  FROM (
+    SELECT key, ms, op, last_type, last_value,
+           row_number() OVER (PARTITION BY key ORDER BY ms DESC, seq DESC)
+             AS rn
+    FROM first_half)
+  WHERE rn = 1 AND op = 'U'),
+merged AS (
+  SELECT * FROM target
+  UNION ALL
+  SELECT key, ms, seq, op, last_type, last_value FROM second_half),
+ranked AS (
+  SELECT key, ms, seq, op, last_type, last_value,
+         row_number() OVER (PARTITION BY key ORDER BY ms DESC, seq DESC)
+           AS rn,
+         count(*) OVER (PARTITION BY key) AS n_changes
+  FROM merged)
+SELECT key AS user_id, last_type, last_value, ms AS last_ms,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked WHERE rn = 1 AND op = 'U'
+""".strip()
