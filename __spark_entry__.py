@@ -1117,6 +1117,13 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_emb_outliers(spark, sf_dir):
+    """Distance-to-label-centroid outlier gate over embeddings."""
+    from lasdb_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_embs(spark, sf_dir))
+
+
 CDC_SPLIT_MS = 1_705_276_800_000  # 2024-01-15T00:00Z
 
 
@@ -1383,11 +1390,12 @@ def oracle_sql() -> dict[str, str]:
         "mm_png": _multimodal.image_features_sql("png"),
         "sketch_kmv_setops": _sketch.kmv_set_ops_sql(),
         "rel_cdc_merge": _rel.merge_upsert_sql(CDC_SPLIT_MS),
+        "emb_outliers": _similarity.embedding_outliers_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """125 entries, ordered so every query gets a driver CORRECTNESS
+    """126 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1443,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png": _q_mm_png,
         "sketch_kmv_setops": _q_kmv_set_ops,
         "rel_cdc_merge": _q_rel_cdc,
+        "emb_outliers": _q_emb_outliers,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1149,3 +1149,129 @@ SELECT vec_id, approx_d2, d2, rank FROM (
          CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT) AS rank
   FROM exact) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier detection (distance-to-centroid curation gate)
+# ---------------------------------------------------------------------------
+
+OUTLIER_SIGMA = 2.0
+
+
+def embedding_outliers(
+    embs: DataFrame, n_sigma: float = OUTLIER_SIGMA
+) -> DataFrame:
+    """(vec_id, label, d2c, is_outlier) — squared distance of every
+    vector to its LABEL CENTROID, flagged when it exceeds the label's
+    mean + ``n_sigma``·std — the mislabeled/corrupt-embedding gate a
+    curation pipeline runs before training on labeled embeddings.
+
+    Engine-exactness: per-dimension distance terms round to 1e-6 and
+    sum as micro-unit BIGINTs (order-independent, the topk_pq/SQ8
+    armor), per-label moment sums are exact integer arithmetic, and
+    the threshold is one fixed-shape double expression (sqrt is
+    correctly rounded) — so flags, not just distances, hash-match.
+
+    Plan: centroids = one (label, pos) partial-agg shuffle (the
+    label_centroids plan) broadcast back as per-label arrays; distance
+    is MAP-SIDE; per-label moments are one tiny agg. Nothing scales
+    worse than the input scan."""
+    cents = label_centroids(embs)
+    carr = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid"))
+            ),
+            lambda s: s.centroid,
+        ).alias("cent")
+    )
+    term = lambda v, c: (
+        F.round(
+            F.round(
+                (v.cast("double") - c) * (v.cast("double") - c), 6
+            )
+            * 1e6
+        ).cast("long")
+    )
+    scored = (
+        embs.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), F.col("cent"), term),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                )
+            ).alias("d2c_u"),
+        )
+    )
+    # moment sums in DECIMAL(38,0): exact and order-independent like
+    # BIGINT, but with headroom for the squared micro-units at any
+    # corpus size (BIGINT overflows s2 past ~1e18)
+    d_dec = F.col("d2c_u").cast("decimal(19,0)")
+    stats = scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d_dec).alias("s1"),
+        F.sum(d_dec * d_dec).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n").cast("double")
+        - mean * mean
+    )
+    thr = mean + F.lit(float(n_sigma)) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    with_thr = stats.select("label", thr.alias("thr"))
+    return (
+        scored.join(F.broadcast(with_thr), "label")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("d2c_u").cast("double") / 1e6).alias("d2c"),
+            (F.col("d2c_u").cast("double") > F.col("thr")).alias(
+                "is_outlier"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_outliers_sql(
+    n_sigma: float = OUTLIER_SIGMA, dim: int = EMB_DIM
+) -> str:
+    """Oracle twin — row-wise per-(vec, pos) terms joined to the
+    centroid table, identical micro-unit sums and threshold shape."""
+    return f"""
+WITH cents AS ({label_centroids_sql()}),
+pe AS (
+  SELECT vec_id, label, CAST(s.i AS INT) AS pos,
+         CAST(embedding[s.i + 1] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+terms AS (
+  SELECT p.vec_id, p.label,
+         CAST(round(round((p.v - c.centroid) * (p.v - c.centroid), 6)
+                    * 1e6) AS BIGINT) AS t
+  FROM pe p JOIN cents c ON p.label = c.label AND p.pos = c.pos),
+scored AS (
+  SELECT vec_id, label, sum(t) AS d2c_u FROM terms GROUP BY 1, 2),
+stats AS (
+  SELECT label,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(d2c_u AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(d2c_u AS HUGEINT) * CAST(d2c_u AS HUGEINT))
+              AS DOUBLE) AS s2
+  FROM scored GROUP BY label),
+thrs AS (
+  SELECT label,
+         (s1 / n) + CAST({float(n_sigma)!r} AS DOUBLE)
+           * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                           CAST(0.0 AS DOUBLE))) AS thr
+  FROM stats)
+SELECT s.vec_id, s.label,
+       CAST(s.d2c_u AS DOUBLE) / 1e6 AS d2c,
+       CAST(s.d2c_u AS DOUBLE) > t.thr AS is_outlier
+FROM scored s JOIN thrs t ON s.label = t.label
+ORDER BY s.vec_id
+""".strip()

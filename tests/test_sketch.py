@@ -305,3 +305,21 @@ def test_kmv_set_ops_identities(spark, sf_dir):
         se = 3 * r.union_exact / 8  # k=64 -> sqrt(k)=8
         assert abs(r.union_est - r.union_exact) <= se
         assert abs(r.inter_est - r.inter_exact) <= se + 1
+
+
+@pytest.mark.spark
+def test_embedding_outliers_semantics(spark):
+    """A vector far from its label centroid gets flagged; tight
+    cluster members do not."""
+    from lasdb_spark.operators.similarity import embedding_outliers
+
+    base = [0.1] * 64
+    far = [5.0] * 64
+    rows = [(i, base, 0) for i in range(20)] + [(99, far, 0)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in embedding_outliers(embs).collect()}
+    assert out[99].is_outlier
+    assert not any(out[i].is_outlier for i in range(20))
+    assert out[0].d2c < out[99].d2c
