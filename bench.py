@@ -291,6 +291,23 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "ev_gapfill": lambda: gapfill_hourly(ev),
         }
     )
+    # r4 fourth batch: CDC merge + embedding curation gate
+    from pyspark.sql import functions as _F
+
+    from lasdb_spark.operators.relational import cdc_snapshot, merge_upsert
+    from lasdb_spark.operators.similarity import embedding_outliers
+
+    _split = 1_705_276_800_000
+    _ms = _F.unix_millis(_F.col("ts"))
+    suite.update(
+        {
+            "ev_cdc_merge": lambda: merge_upsert(
+                cdc_snapshot(ev.filter(_ms < _split)),
+                ev.filter(_ms >= _split),
+            ),
+            "emb_outliers": lambda: embedding_outliers(embs),
+        }
+    )
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 

@@ -337,3 +337,76 @@ def test_png_rejects_unsupported():
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     with _pytest.raises(ValueError):
         _parse_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr16))
+
+
+def test_png_filter_roundtrip_property():
+    """Property: any image encoded with ANY per-row filter choice
+    decodes back exactly (pure-python, no Spark)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lasdb_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    def encode(img, ftypes):
+        h, w = img.shape
+        raw = bytearray()
+        prior = np.zeros(w, dtype=np.int64)
+        for y, ft in enumerate(ftypes):
+            line = img[y].astype(np.int64)
+            enc = line.copy()
+            if ft == 1:
+                for i in range(w - 1, 0, -1):
+                    enc[i] = (enc[i] - line[i - 1]) % 256
+            elif ft == 2:
+                enc = (line - prior) % 256
+            elif ft == 3:
+                for i in range(w):
+                    left = line[i - 1] if i else 0
+                    enc[i] = (line[i] - (left + prior[i]) // 2) % 256
+            elif ft == 4:
+                for i in range(w):
+                    a = line[i - 1] if i else 0
+                    b, c = prior[i], (prior[i - 1] if i else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    enc[i] = (line[i] - pred) % 256
+            raw.append(ft)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prior = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(2, 12),
+        st.integers(2, 8),
+        st.integers(0, 2**32 - 1),
+        st.lists(st.integers(0, 4), min_size=8, max_size=8),
+    )
+    def prop(w, h, seed, ftypes):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        buf = encode(img, (ftypes * ((h // 8) + 1))[:h])
+        w2, h2, out = _parse_png(buf)
+        assert (w2, h2) == (w, h)
+        assert (out.reshape(h, w) == img.astype(np.int64)).all()
+
+    prop()
