@@ -1117,6 +1117,20 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_rel_deciles(spark, sf_dir):
+    """NTILE decile distribution profile of event values."""
+    from lasdb_spark.operators.relational import value_deciles
+
+    return value_deciles(_ev(spark, sf_dir))
+
+
+def _q_doc_containment(spark, sf_dir):
+    """Containment (asymmetric Jaccard) top-k vs one query doc."""
+    from lasdb_spark.operators.dedup import containment_search
+
+    return containment_search(_docs(spark, sf_dir), SEARCH_DOC_ID, SEARCH_K)
+
+
 def _q_emb_outliers(spark, sf_dir):
     """Distance-to-label-centroid outlier gate over embeddings."""
     from lasdb_spark.operators.similarity import embedding_outliers
@@ -1391,11 +1405,15 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_setops": _sketch.kmv_set_ops_sql(),
         "rel_cdc_merge": _rel.merge_upsert_sql(CDC_SPLIT_MS),
         "emb_outliers": _similarity.embedding_outliers_sql(),
+        "rel_deciles": _rel.value_deciles_sql(),
+        "doc_containment": _dedup.containment_search_sql(
+            SEARCH_DOC_ID, SEARCH_K
+        ),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """126 entries, ordered so every query gets a driver CORRECTNESS
+    """128 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1452,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_setops": _q_kmv_set_ops,
         "rel_cdc_merge": _q_rel_cdc,
         "emb_outliers": _q_emb_outliers,
+        "rel_deciles": _q_rel_deciles,
+        "doc_containment": _q_doc_containment,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1348,3 +1348,65 @@ SELECT (CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END) // 2 AS a_id,
 FROM upairs
 WHERE doc_a % 2 != doc_b % 2
 """.strip()
+
+
+def containment_search(
+    docs: DataFrame, query_doc_id: int, k: int = 10, n: int = SHINGLE_N
+) -> DataFrame:
+    """Top-``k`` documents by CONTAINMENT of the query document —
+    |shingles(q) ∩ shingles(d)| / |shingles(q)| — the asymmetric
+    cousin of :func:`jaccard_search`: a long document that quotes the
+    whole query scores 1.0 here even though its Jaccard is tiny. This
+    is the quote/plagiarism/subset-detection lookup (Broder's
+    containment, the measure behind super-shingle search).
+
+    Identical plan shape to jaccard_search (broadcast query shingles,
+    ONE corpus groupBy, TakeOrdered) — only the denominator changes,
+    so every scale property carries over unchanged."""
+    sh = shingles(docs, n)
+    qsh = sh.filter(F.col("doc_id") == int(query_doc_id)).select(
+        F.col("shingle").alias("qshingle")
+    )
+    n_q = qsh.count()  # bounded: one document's shingles
+    if n_q == 0:
+        return sh.sparkSession.createDataFrame(
+            [], "doc_id long, containment double"
+        )
+    agg = (
+        sh.join(
+            F.broadcast(qsh), F.col("shingle") == F.col("qshingle"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(F.count("qshingle").alias("n_inter"))
+        .filter(
+            (F.col("n_inter") > 0)
+            & (F.col("doc_id") != int(query_doc_id))
+        )
+    )
+    return (
+        agg.select(
+            "doc_id",
+            F.round(
+                F.col("n_inter") / F.lit(float(n_q)), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def containment_search_sql(
+    query_doc_id: int, k: int = 10, n: int = SHINGLE_N
+) -> str:
+    return f"""
+WITH sh AS ({shingles_sql(n)}),
+q AS (SELECT shingle FROM sh WHERE doc_id = {int(query_doc_id)}),
+nq AS (SELECT CAST(count(*) AS DOUBLE) AS n_q FROM q),
+agg AS (SELECT sh.doc_id, count(q.shingle) AS n_inter
+        FROM sh LEFT JOIN q ON sh.shingle = q.shingle
+        GROUP BY 1)
+SELECT doc_id, round(n_inter / n_q, 6) AS containment
+FROM agg, nq
+WHERE n_inter > 0 AND doc_id <> {int(query_doc_id)}
+ORDER BY containment DESC, doc_id LIMIT {int(k)}
+""".strip()

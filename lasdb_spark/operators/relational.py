@@ -1016,3 +1016,55 @@ SELECT key AS user_id, last_type, last_value, ms AS last_ms,
        CAST(n_changes AS BIGINT) AS n_changes
 FROM ranked WHERE rn = 1 AND op = 'U'
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# decile distribution profile (NTILE)
+# ---------------------------------------------------------------------------
+
+
+def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """(event_type, decile, n, min_v, max_v, sum_cents) — the value
+    distribution of each event type profiled into NTILE buckets
+    (equal-count, standard SQL split semantics; ties broken by
+    event_id so the assignment is a total order both engines share).
+
+    Money-style sums are exact integer cents — order-independent, so
+    the oracle hash never flaps. One window + one agg, both on the
+    event_type shuffle; the usual distribution-profiling shape."""
+    v = F.col("value").cast("double")
+    w = Window.partitionBy("event_type").orderBy(v.asc(), F.col("event_id"))
+    tiled = events.select(
+        "event_type",
+        v.alias("v"),
+        F.round(v * 100).cast("long").alias("cents"),
+        F.ntile(n_tiles).over(w).alias("decile"),
+    )
+    return (
+        tiled.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+def value_deciles_sql(n_tiles: int = 10) -> str:
+    return f"""
+{EV_CTE},
+tiled AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         ntile({n_tiles}) OVER (PARTITION BY event_type
+                                ORDER BY CAST(value AS DOUBLE), event_id)
+           AS decile
+  FROM ev)
+SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS min_v, max(v) AS max_v,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM tiled GROUP BY 1, 2
+ORDER BY event_type, decile
+""".strip()

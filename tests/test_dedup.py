@@ -334,3 +334,27 @@ def test_crosscorpus_neardup_pairs(spark):
     assert set(got) == {(0, 0), (1, 0)}
     assert got[(0, 0)] == 1.0
     assert 0.8 <= got[(1, 0)] < 1.0
+
+
+@pytest.mark.spark
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A superset document contains the query fully (containment 1.0)
+    while its Jaccard is < 1; containment never falls below Jaccard."""
+    from lasdb_spark.operators.dedup import containment_search, jaccard_search
+
+    q = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, q),
+            (1, q + " " + "filler " * 30),  # superset
+            (2, "alpha beta gamma unrelated tail words here"),
+            (3, "totally different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {r.doc_id: r.containment for r in containment_search(docs, 0).collect()}
+    jac = {r.doc_id: r.jac for r in jaccard_search(docs, 0).collect()}
+    assert cont[1] == 1.0 and jac[1] < 1.0
+    assert 3 not in cont
+    for d, c in cont.items():
+        assert c >= jac.get(d, 0.0) - 1e-9
