@@ -224,3 +224,65 @@ SELECT cell_x, cell_y, count(*) AS n_points,
        round(SUM(zq) / (count(*) * 100.0), 6) AS z_avg
 FROM cells GROUP BY 1, 2
 """.strip()
+
+
+def grid_z_percentile(
+    points: DataFrame, cell: float = CELL, p: float = 0.95
+) -> DataFrame:
+    """(cell_x, cell_y, n_points, z_p) — per-cell exact z percentile
+    (default p95): the canopy-height-model / obstruction-surface
+    raster (forestry CHM, obstacle clearance) the min/max/avg stats of
+    :func:`grid_zstats` cannot express.
+
+    Exact order statistic: the ceil(p·n)-th smallest centi-unit z per
+    cell — value-deterministic under ties without a tiebreaker column
+    (equal values at the boundary yield the same selected VALUE). One
+    shuffle of the cloud by cell id with a cell-partitioned rank —
+    bounded per-cell sorts (density x cell², a data property), never a
+    global sort; for a sketch-shaped alternative at extreme densities
+    see operators.sketch.quantile_sketch's histogram approach."""
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    zq = F.round(F.col("z") * 100).cast("long")
+    from pyspark.sql import Window
+
+    cells = points.select(
+        cx.alias("cell_x"), cy.alias("cell_y"), zq.alias("zq")
+    )
+    wcell = Window.partitionBy("cell_x", "cell_y")
+    ranked = cells.withColumn(
+        "rn", F.row_number().over(wcell.orderBy("zq"))
+    ).withColumn("n", F.count(F.lit(1)).over(wcell))
+    kth = F.ceil(F.lit(float(p)) * F.col("n").cast("double")).cast("long")
+    return (
+        ranked.filter(F.col("rn") == kth)
+        .select(
+            "cell_x",
+            "cell_y",
+            F.col("n").cast("long").alias("n_points"),
+            (F.col("zq") / 100.0).alias("z_p"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+def grid_z_percentile_sql(
+    points_cte: str, cell: float = CELL, p: float = 0.95
+) -> str:
+    return f"""
+{points_cte}, cells AS (
+  SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y,
+         CAST(round(z * 100) AS BIGINT) AS zq
+  FROM points),
+ranked AS (
+  SELECT cell_x, cell_y, zq,
+         row_number() OVER (PARTITION BY cell_x, cell_y ORDER BY zq) AS rn,
+         count(*) OVER (PARTITION BY cell_x, cell_y) AS n
+  FROM cells)
+SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n_points, zq / 100.0 AS z_p
+FROM ranked
+WHERE rn = CAST(ceil(CAST({float(p)!r} AS DOUBLE) * CAST(n AS DOUBLE))
+                AS BIGINT)
+ORDER BY cell_x, cell_y
+""".strip()

@@ -184,3 +184,25 @@ def test_pack_sequences_partitioning_invariant(spark, sf_dir):
     a = sorted(map(tuple, pack_sequences(docs, 64, 4).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(13), 64, 4).collect()))
     assert a == b
+
+
+@pytest.mark.spark
+def test_grid_z_percentile_bounds(spark, sf_dir):
+    """p95 lies within [z_min, z_max] of its cell and never below the
+    cell median; degenerate single-point cells report the point."""
+    from lasdb_spark.operators.grid import grid_z_percentile, grid_zstats
+    from lasdb_spark.sources.points import points_df
+
+    pts = points_df(spark, sf_dir)
+    p95 = {(r.cell_x, r.cell_y): r for r in grid_z_percentile(pts).collect()}
+    p50 = {
+        (r.cell_x, r.cell_y): r
+        for r in grid_z_percentile(pts, p=0.5).collect()
+    }
+    stats = {(r.cell_x, r.cell_y): r for r in grid_zstats(pts).collect()}
+    assert set(p95) == set(stats)
+    for key, r in p95.items():
+        s = stats[key]
+        assert s.z_min <= r.z_p <= s.z_max
+        assert r.n_points == s.n_points
+        assert r.z_p >= p50[key].z_p
