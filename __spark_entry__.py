@@ -1117,6 +1117,13 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix vs the gold lang labels."""
+    from lasdb_spark.operators.text import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
 def _q_grid_p95(spark, sf_dir):
     """Per-cell exact z p95 raster (CHM-style percentile surface)."""
     from lasdb_spark.operators.grid import grid_z_percentile
@@ -1417,11 +1424,12 @@ def oracle_sql() -> dict[str, str]:
             SEARCH_DOC_ID, SEARCH_K
         ),
         "pc_grid_p95": _grid.grid_z_percentile_sql(_PTS),
+        "text_lang_confusion": _text.lang_confusion_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """129 entries, ordered so every query gets a driver CORRECTNESS
+    """130 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1481,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_deciles": _q_rel_deciles,
         "doc_containment": _q_doc_containment,
         "pc_grid_p95": _q_grid_p95,
+        "text_lang_confusion": _q_lang_confusion,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

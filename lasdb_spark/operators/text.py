@@ -1417,3 +1417,54 @@ SELECT t.doc_id,
 FROM toks_f t LEFT JOIN vocab v ON t.token = v.token
 GROUP BY t.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation: confusion matrix vs gold labels
+# ---------------------------------------------------------------------------
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, lang_pred, n, frac) — the language-ID confusion matrix
+    against the corpus's gold ``lang`` labels: per true language, how
+    its documents distribute over predicted languages.
+
+    The classifier-evaluation harness pattern (like the LSH recall
+    audit for banding): the marker heuristic's systematic errors
+    become visible per cell instead of one accuracy scalar. One tiny
+    groupBy over (gold, pred) plus a broadcast of per-gold totals;
+    frac is one rounded division of exact counts."""
+    from pyspark.sql import Window
+
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cells = joined.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("lang")
+    return (
+        cells.withColumn(
+            "frac",
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(tot).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({lang_id_sql()}),
+cells AS (
+  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2)
+SELECT lang, lang_pred, n,
+       round(CAST(n AS DOUBLE) /
+             CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS frac
+FROM cells
+ORDER BY lang, lang_pred
+""".strip()

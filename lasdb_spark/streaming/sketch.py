@@ -95,3 +95,73 @@ def stream_hll_distinct(event_stream: DataFrame, b: int = HLL_B) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC: continuously-maintained latest-wins profile table
+# ---------------------------------------------------------------------------
+
+_CDC_OUT_SCHEMA = (
+    "user_id long, last_type string, last_value double, "
+    "last_ms long, n_changes long"
+)
+#: (ms, seq, op, type, value, n) of the current winner per key
+_CDC_STATE_SCHEMA = (
+    "ms long, seq long, op string, last_type string, "
+    "last_value double, n long"
+)
+
+
+def _cdc_fold(
+    key: tuple, pdfs, state: GroupState
+):
+    import pandas as pd  # local: executors import lazily
+
+    if state.exists:
+        ms, seq, op, ltype, lval, n = state.get
+    else:
+        ms = seq = None
+        op = ltype = None
+        lval = None
+        n = 0
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            n += 1
+            cand = (int(row.ms), int(row.seq))
+            if ms is None or cand > (ms, seq):
+                ms, seq = cand
+                op = row.op
+                ltype = row.last_type
+                lval = float(row.last_value)
+    state.update((ms, seq, op, ltype, lval, n))
+    # a winning delete emits nothing for this key (zero frames is a
+    # valid generator result; the sink just sees no update)
+    if op == "U":
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_type": [ltype],
+                "last_value": [lval],
+                "last_ms": [ms],
+                "n_changes": [n],
+            }
+        )
+
+
+def stream_cdc_snapshot(event_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained latest-wins profile table — the
+    streaming twin of ``operators.relational.cdc_snapshot``: each
+    micro-batch folds into one (winner, count) state row per key, so
+    state is O(keys) regardless of stream length, and because
+    max-by-(ms, seq) is a commutative idempotent merge the drained
+    stream equals the batch snapshot EXACTLY (converge test), like the
+    streaming HLL above."""
+    from ..operators.relational import _cdc_changes
+
+    return _cdc_changes(event_stream).groupBy("key").applyInPandasWithState(
+        _cdc_fold,
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -62,3 +62,28 @@ def test_merge_final_state_is_associative(spark, sf_dir):
         for r in df.collect()
     )
     assert key(merged) == key(cdc_snapshot(ev))
+
+
+@pytest.mark.spark
+def test_stream_cdc_converges_to_batch(spark, sf_dir):
+    """The continuously-maintained streaming profile equals the batch
+    latest-wins snapshot once the finite stream drains — including
+    delete suppression and change counts."""
+    from lasdb_spark.operators.relational import cdc_snapshot
+    from lasdb_spark.sources.events import events_df, events_stream
+    from lasdb_spark.streaming import events as se
+    from lasdb_spark.streaming.sketch import stream_cdc_snapshot
+
+    se.run_to_memory(
+        stream_cdc_snapshot(events_stream(spark, sf_dir)),
+        "cdc_out",
+        "update",
+    )
+    got = {}
+    for r in spark.sql("SELECT * FROM cdc_out").collect():
+        got[r.user_id] = (r.last_type, r.last_value, r.last_ms, r.n_changes)
+    batch = {
+        r.user_id: (r.last_type, r.last_value, r.last_ms, r.n_changes)
+        for r in cdc_snapshot(events_df(spark, sf_dir)).collect()
+    }
+    assert got == batch
