@@ -1117,6 +1117,25 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_dedup_histogram(spark, sf_dir):
+    """Near-dup family size histogram (corpus duplication profile)."""
+    from lasdb_spark.operators.dedup import cluster_size_histogram
+
+    return cluster_size_histogram(_docs(spark, sf_dir))
+
+
+def _q_mm_audit(spark, sf_dir):
+    """Decoded-vs-declared image dimension audit (PNG corpus)."""
+    from lasdb_spark.operators.multimodal import (
+        audit_image_metadata,
+        make_image_corpus,
+    )
+
+    return audit_image_metadata(
+        make_image_corpus(_docs(spark, sf_dir), container="png")
+    )
+
+
 def _q_lang_confusion(spark, sf_dir):
     """Language-ID confusion matrix vs the gold lang labels."""
     from lasdb_spark.operators.text import lang_confusion
@@ -1425,11 +1444,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pc_grid_p95": _grid.grid_z_percentile_sql(_PTS),
         "text_lang_confusion": _text.lang_confusion_sql(),
+        "dedup_size_histogram": _dedup.cluster_size_histogram_sql(),
+        "mm_meta_audit": _multimodal.audit_image_metadata_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """130 entries, ordered so every query gets a driver CORRECTNESS
+    """132 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1490,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": _q_doc_containment,
         "pc_grid_p95": _q_grid_p95,
         "text_lang_confusion": _q_lang_confusion,
+        "dedup_size_histogram": _q_dedup_histogram,
+        "mm_meta_audit": _q_mm_audit,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1410,3 +1410,47 @@ FROM agg, nq
 WHERE n_inter > 0 AND doc_id <> {int(query_doc_id)}
 ORDER BY containment DESC, doc_id LIMIT {int(k)}
 """.strip()
+
+
+def cluster_size_histogram(
+    docs: DataFrame, tau: float | None = None
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs) — the duplication profile of
+    the corpus: how many near-dup families exist at each size (size 1
+    = unique documents).
+
+    The dedup health metric operators watch over time: a fattening
+    tail means the crawl is re-ingesting mirrors. Composes the
+    standard clustering (adjacent-candidate scale mode) with two tiny
+    aggregations — cost is the clustering itself."""
+    tau = JACCARD_TAU if tau is None else tau
+    clusters = dedup_clusters(docs, tau)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def cluster_size_histogram_sql(tau: float | None = None) -> str:
+    tau = JACCARD_TAU if tau is None else tau
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(tau)}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+""".strip()

@@ -750,3 +750,58 @@ SELECT doc_id, CAST(f AS INT) AS frame_idx,
        CAST(min(g) AS INT) AS min_px, CAST(max(g) AS INT) AS max_px
 FROM px GROUP BY doc_id, f, w, h
 """.strip()
+
+
+META_AUDIT_SCHEMA = (
+    "doc_id long, declared_w int, declared_h int, "
+    "width int, height int, consistent boolean"
+)
+
+
+def audit_image_metadata(corpus: DataFrame) -> DataFrame:
+    """(doc_id, declared_w, declared_h, width, height, consistent) —
+    cross-check every payload's DECODED dimensions against its typed
+    metadata struct: the data-quality audit a multimodal lake runs
+    before training (mismatches mean corrupt uploads, wrong metadata
+    pipelines, or truncated payloads).
+
+    Decode happens for real (same magic-byte sniffer as the feature
+    extractor); the comparison is per-row, map-only."""
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "declared_w", "declared_h",
+                "width", "height", "consistent")}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, _ = _sniff_decode(bytes(payload))
+                dw, dh = int(meta["declared_w"]), int(meta["declared_h"])
+                out["doc_id"].append(doc_id)
+                out["declared_w"].append(dw)
+                out["declared_h"].append(dh)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["consistent"].append(w == dw and h == dh)
+            yield pd.DataFrame(out).astype(
+                {"declared_w": "int32", "declared_h": "int32",
+                 "width": "int32", "height": "int32"}
+            )
+
+    return corpus.mapInPandas(_audit, schema=META_AUDIT_SCHEMA)
+
+
+def audit_image_metadata_sql() -> str:
+    """Oracle twin over make_image_corpus ∘ audit_image_metadata: the
+    corpus generator writes consistent metadata by construction, so
+    declared == decoded == the n_chars-derived dims everywhere."""
+    return """
+SELECT doc_id,
+       CAST(n_chars % 64 + 8 AS INT) AS declared_w,
+       CAST((n_chars * 7) % 64 + 8 AS INT) AS declared_h,
+       CAST(n_chars % 64 + 8 AS INT) AS width,
+       CAST((n_chars * 7) % 64 + 8 AS INT) AS height,
+       TRUE AS consistent
+FROM documents
+""".strip()

@@ -358,3 +358,26 @@ def test_containment_vs_jaccard_asymmetry(spark):
     assert 3 not in cont
     for d, c in cont.items():
         assert c >= jac.get(d, 0.0) - 1e-9
+
+
+@pytest.mark.spark
+def test_cluster_size_histogram_accounting(spark, sf_dir):
+    """Histogram accounting: Σ n_docs equals the corpus size, and a
+    corpus with planted duplicate families reports them at the right
+    sizes."""
+    from lasdb_spark.operators.dedup import cluster_size_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = cluster_size_histogram(docs).collect()
+    assert sum(r.n_docs for r in hist) == docs.count()
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in hist)
+
+    planted = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg"), (2, "aa bb cc dd ee ff gg"),
+         (3, "aa bb cc dd ee ff gg"), (4, "totally different text here now"),
+         (5, "another unique document with words")],
+        "doc_id long, text string",
+    )
+    h = {r.cluster_size: r.n_clusters
+         for r in cluster_size_histogram(planted).collect()}
+    assert h == {1: 2, 3: 1}

@@ -410,3 +410,32 @@ def test_png_filter_roundtrip_property():
         assert (out.reshape(h, w) == img.astype(np.int64)).all()
 
     prop()
+
+
+@pytest.mark.spark
+def test_metadata_audit_flags_mismatches(spark, sf_dir):
+    """Consistent corpus audits clean; a corrupted metadata struct is
+    flagged (decode wins over declaration)."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.multimodal import (
+        audit_image_metadata,
+        make_image_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    corpus = make_image_corpus(docs, container="bmp")
+    clean = audit_image_metadata(corpus).collect()
+    assert clean and all(r.consistent for r in clean)
+
+    lied = corpus.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.format").alias("format"),
+            (F.col("meta.declared_w") + 1).alias("declared_w"),
+            F.col("meta.declared_h").alias("declared_h"),
+        ),
+    )
+    bad = audit_image_metadata(lied).collect()
+    assert all(not r.consistent for r in bad)
+    assert all(r.width == r.declared_w - 1 for r in bad)
