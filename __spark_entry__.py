@@ -1117,6 +1117,20 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_rel_conversion(spark, sf_dir):
+    """Time-bounded signup->purchase conversion per cohort day."""
+    from lasdb_spark.operators.relational import conversion_rates
+
+    return conversion_rates(_ev(spark, sf_dir))
+
+
+def _q_text_novelty(spark, sf_dir):
+    """First-occurrence shingle fraction (corpus novelty decay)."""
+    from lasdb_spark.operators.text import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir))
+
+
 def _q_dedup_histogram(spark, sf_dir):
     """Near-dup family size histogram (corpus duplication profile)."""
     from lasdb_spark.operators.dedup import cluster_size_histogram
@@ -1446,11 +1460,13 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_confusion": _text.lang_confusion_sql(),
         "dedup_size_histogram": _dedup.cluster_size_histogram_sql(),
         "mm_meta_audit": _multimodal.audit_image_metadata_sql(),
+        "rel_conversion": _rel.conversion_rates_sql(),
+        "text_novelty": _text.novelty_scores_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """132 entries, ordered so every query gets a driver CORRECTNESS
+    """134 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1513,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion": _q_lang_confusion,
         "dedup_size_histogram": _q_dedup_histogram,
         "mm_meta_audit": _q_mm_audit,
+        "rel_conversion": _q_rel_conversion,
+        "text_novelty": _q_text_novelty,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

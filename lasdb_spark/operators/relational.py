@@ -1068,3 +1068,101 @@ SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
 FROM tiled GROUP BY 1, 2
 ORDER BY event_type, decile
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# time-bounded conversion (signup -> purchase within a window)
+# ---------------------------------------------------------------------------
+
+CONV_WINDOW_MS = 24 * 3_600_000
+
+
+def conversion_rates(
+    events: DataFrame, window_ms: int = CONV_WINDOW_MS
+) -> DataFrame:
+    """(day, signups, conversions, rate) — per signup-day cohort: how
+    many first-signup users made their first subsequent purchase
+    within ``window_ms``. The time-bounded conversion metric (the
+    funnel with a deadline — ``event_funnel`` counts stepwise reach
+    with no time constraint).
+
+    Plan: two per-user firsts from ONE user_id-keyed aggregation
+    (min signup ms, then min purchase ms after it via a conditional
+    re-aggregation on the same shuffle), then a tiny per-day rollup.
+    Exact integer ms arithmetic; rate is one rounded division."""
+    ms = F.unix_millis(F.col("ts"))
+    per_user = (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", ms.alias("ms"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ms"))
+            ).alias("s_ms"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ms"))
+            ).alias("p_list"),
+        )
+        .filter(F.col("s_ms").isNotNull())
+    )
+    first_p = F.array_min(
+        F.filter(F.col("p_list"), lambda p: p >= F.col("s_ms"))
+    )
+    flagged = per_user.select(
+        F.expr(f"s_ms div {DAY_MS}").alias("day"),
+        F.when(
+            first_p.isNotNull()
+            & (first_p - F.col("s_ms") <= window_ms),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("signups"),
+            F.sum("converted").cast("long").alias("conversions"),
+        )
+        .select(
+            "day",
+            "signups",
+            "conversions",
+            F.round(
+                F.col("conversions").cast("double")
+                / F.col("signups").cast("double"),
+                6,
+            ).alias("rate"),
+        )
+        .orderBy("day")
+    )
+
+
+def conversion_rates_sql(window_ms: int = CONV_WINDOW_MS) -> str:
+    return f"""
+{EV_CTE},
+sp AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM ev
+  WHERE event_type IN ('signup', 'purchase')),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ms END) AS s_ms
+  FROM sp GROUP BY user_id),
+conv AS (
+  SELECT u.user_id, u.s_ms,
+         min(CASE WHEN p.event_type = 'purchase' AND p.ms >= u.s_ms
+                  THEN p.ms END) AS p_ms
+  FROM per_user u LEFT JOIN sp p ON p.user_id = u.user_id
+  WHERE u.s_ms IS NOT NULL
+  GROUP BY u.user_id, u.s_ms),
+flagged AS (
+  SELECT s_ms // {DAY_MS} AS day,
+         CASE WHEN p_ms IS NOT NULL AND p_ms - s_ms <= {window_ms}
+              THEN 1 ELSE 0 END AS converted
+  FROM conv)
+SELECT day, CAST(count(*) AS BIGINT) AS signups,
+       CAST(sum(converted) AS BIGINT) AS conversions,
+       round(CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS rate
+FROM flagged GROUP BY day ORDER BY day
+""".strip()

@@ -1468,3 +1468,67 @@ SELECT lang, lang_pred, n,
 FROM cells
 ORDER BY lang, lang_pred
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty decay (first-occurrence shingle fraction)
+# ---------------------------------------------------------------------------
+
+
+def novelty_scores(docs: DataFrame, n: int | None = None) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty) — the fraction of each
+    document's distinct shingles that no EARLIER document (by doc_id,
+    the ingestion order) contains.
+
+    The corpus novelty-decay curve: as a crawl matures, per-doc
+    novelty falls — a rising share of boilerplate/dup content. One
+    shingle groupBy computes each shingle's first-owner (min doc_id);
+    a doc's shingle is novel iff the doc IS that first owner. Two
+    shuffles total (shingle, then doc_id), both with map-side
+    partials — the same cost class as exact dedup."""
+    from .dedup import SHINGLE_N, shingles
+
+    n = SHINGLE_N if n is None else n
+    sh = shingles(docs, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def novelty_scores_sql(n: int | None = None, src: str = "documents") -> str:
+    from .dedup import SHINGLE_N, shingles_sql
+
+    n = SHINGLE_N if n is None else n
+    return f"""
+WITH sh AS ({shingles_sql(n, src=src)}),
+first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN first f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+""".strip()

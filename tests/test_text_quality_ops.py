@@ -346,3 +346,54 @@ def test_quality_ensemble_discriminates(spark):
     assert got[1].keep is False
     assert got[2].keep is False and got[2].score is not None
     assert got[0].score > got[1].score > 0.0
+
+
+@pytest.mark.spark
+def test_novelty_first_doc_is_fully_novel(spark):
+    """The first document is 100% novel; an exact copy later is 0%;
+    partially-overlapping docs land in between."""
+    from lasdb_spark.operators.text import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc dd ee ff"),          # exact copy -> 0 novelty
+            (3, "aa bb cc xx yy zz ww"),       # partial overlap
+            (4, "qq rr ss tt uu vv"),          # all new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in novelty_scores(docs).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    assert 0.0 < out[3].novelty < 1.0
+    assert out[4].novelty == 1.0
+
+
+@pytest.mark.spark
+def test_conversion_rates_window_semantics(spark):
+    """A purchase inside the window converts; outside (or before
+    signup) does not; users without signup are excluded."""
+    import datetime as dt
+
+    from lasdb_spark.operators.relational import conversion_rates
+
+    t0 = dt.datetime(2024, 1, 5, 0, 0, 0)
+
+    def ev(i, user, etype, hours):
+        return (i, t0 + dt.timedelta(hours=hours), user, etype, 1.0, "{}")
+
+    rows = spark.createDataFrame(
+        [
+            ev(1, 1, "signup", 0), ev(2, 1, "purchase", 5),      # converts
+            ev(3, 2, "signup", 0), ev(4, 2, "purchase", 30),     # too late
+            ev(5, 3, "purchase", 0), ev(6, 3, "signup", 1),      # pre-signup buy only
+            ev(7, 4, "purchase", 2),                             # never signed up
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = conversion_rates(rows).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.signups == 3 and r.conversions == 1
+    assert abs(r.rate - 1 / 3) < 1e-6
