@@ -1,0 +1,38 @@
+"""Partitioning-invariance: the determinism contract says results are
+identical under ANY shuffle-partition count (exact-integer sums, fixed
+fold orders, tie-broken rankings). Spot-check the float-heaviest
+entries by re-running them under different spark.sql.shuffle.partitions
+— a regression here means some aggregation silently became
+order-dependent."""
+
+import pytest
+
+#: entries whose arithmetic would be the first to break if a sum ever
+#: became float-order dependent
+ENTRIES = [
+    "corpus_temp_mix",     # sqrt weights + integer totals
+    "sketch_hll",          # register harmonic sums
+    "sketch_kmv_setops",   # merged-sketch estimates
+    "ann_sq8_topk",        # micro-unit distance sums + re-rank
+    "emb_outliers",        # moment sums + sigma thresholds
+    "text_surprisal",      # DECIMAL log-prob sums
+    "rel_market_share",    # window over decimal aggs
+    "pc_shape",            # integer second moments -> eigen
+]
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_partitioning(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    fn = e.queries()[name]
+    baseline = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", baseline)
+    assert a == b and a
