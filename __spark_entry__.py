@@ -1117,6 +1117,13 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+def _q_hll_windowed(spark, sf_dir):
+    """HLL distinct users per (event_type, 6h tumbling window)."""
+    from lasdb_spark.operators.sketch import hll_distinct_windowed
+
+    return hll_distinct_windowed(_ev(spark, sf_dir))
+
+
 def _q_rel_conversion(spark, sf_dir):
     """Time-bounded signup->purchase conversion per cohort day."""
     from lasdb_spark.operators.relational import conversion_rates
@@ -1462,11 +1469,12 @@ def oracle_sql() -> dict[str, str]:
         "mm_meta_audit": _multimodal.audit_image_metadata_sql(),
         "rel_conversion": _rel.conversion_rates_sql(),
         "text_novelty": _text.novelty_scores_sql(),
+        "sketch_hll_windows": _sketch.hll_distinct_windowed_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """134 entries, ordered so every query gets a driver CORRECTNESS
+    """135 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-4 rotation: `corpus_token_budget` leads (its
     determinism fix needs a fresh driver row), then every operator NEW
@@ -1531,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta_audit": _q_mm_audit,
         "rel_conversion": _q_rel_conversion,
         "text_novelty": _q_text_novelty,
+        "sketch_hll_windows": _q_hll_windowed,
         # --- last driver-checked on r2 data (r3 window cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

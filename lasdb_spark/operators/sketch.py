@@ -801,3 +801,109 @@ JOIN sizes sb ON sb.event_type = e.type_b
 LEFT JOIN inter_e i ON i.type_a = e.type_a AND i.type_b = e.type_b
 ORDER BY e.type_a, e.type_b
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# windowed HLL: distinct-count sketch per (group, time window)
+# ---------------------------------------------------------------------------
+
+HLL_WINDOW_MS = 6 * 3_600_000
+
+
+def hll_distinct_windowed(
+    events: DataFrame,
+    b: int = 10,
+    window_ms: int = HLL_WINDOW_MS,
+    group: str = "event_type",
+) -> DataFrame:
+    """(group, window_start_ms, exact_distinct, hll_estimate) — the
+    HLL distinct-user sketch per tumbling time window: the shape every
+    metrics pipeline materializes ("unique users per type per 6h").
+
+    Same exact-integer register math as :func:`hll_distinct`, keyed by
+    (group, window); state is groups x windows x 2^b register rows —
+    the window dimension grows with TIME, not event volume, so a year
+    of 100 TB events still reduces to a small rollup table. Windows
+    are derived by integer division (engine-identical, no timezone
+    arithmetic)."""
+    m = 1 << b
+    rest_bits = 60 - b
+    w_max = rest_bits + 1
+    h = md5_int60_col(F.col("user_id").cast("string"))
+    idx = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(w_max)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    win = F.expr(f"unix_millis(ts) div {window_ms}") * F.lit(window_ms)
+    base = events.select(
+        F.col(group),
+        win.alias("window_start_ms"),
+        idx.alias("idx"),
+        rho.alias("rho"),
+        F.col("user_id"),
+    )
+    regs = base.groupBy(group, "window_start_ms", "idx").agg(
+        F.max("rho").alias("r")
+    )
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_max} - r)")
+    per_win = regs.groupBy(group, "window_start_ms").agg(
+        F.count("*").alias("present"), F.sum(scaled).alias("s_present")
+    )
+    numer = float(_hll_alpha(m) * m * m * (1 << w_max))
+    zero = F.lit(m) - F.col("present")
+    s_total = F.col("s_present") + zero.cast("long") * F.lit(1 << w_max)
+    exact = base.groupBy(group, "window_start_ms").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        per_win.join(exact, [group, "window_start_ms"])
+        .select(
+            F.col(group),
+            "window_start_ms",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (F.lit(numer) / s_total).alias("hll_estimate"),
+        )
+        .orderBy(group, "window_start_ms")
+    )
+
+
+def hll_distinct_windowed_sql(
+    b: int = 10, window_ms: int = HLL_WINDOW_MS, group: str = "event_type"
+) -> str:
+    m = 1 << b
+    rest_bits = 60 - b
+    w_max = rest_bits + 1
+    numer = float(_hll_alpha(m) * m * m * (1 << w_max))
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev0 AS (
+  SELECT event_type, user_id,
+         (epoch_ms(ts) // {window_ms}) * {window_ms} AS window_start_ms,
+         {h} AS h
+  FROM events),
+rows_rho AS (
+  SELECT {group}, window_start_ms, user_id, h >> {rest_bits} AS idx,
+         CASE WHEN (h & {(1 << rest_bits) - 1}) = 0 THEN {w_max}
+              ELSE {rest_bits} - length(bin(h & {(1 << rest_bits) - 1})) + 1
+         END AS rho
+  FROM ev0),
+regs AS (
+  SELECT {group}, window_start_ms, idx, max(rho) AS r
+  FROM rows_rho GROUP BY 1, 2, 3),
+per_win AS (
+  SELECT {group}, window_start_ms, count(*) AS present,
+         sum(CAST(1 AS BIGINT) << ({w_max} - r)) AS s_present
+  FROM regs GROUP BY 1, 2),
+exact AS (
+  SELECT {group}, window_start_ms,
+         count(DISTINCT user_id) AS exact_distinct
+  FROM rows_rho GROUP BY 1, 2)
+SELECT p.{group}, p.window_start_ms,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       {numer!r} / (p.s_present
+         + ({m} - p.present) * CAST({1 << w_max} AS BIGINT)) AS hll_estimate
+FROM per_win p JOIN exact e
+  ON p.{group} = e.{group} AND p.window_start_ms = e.window_start_ms
+ORDER BY p.{group}, p.window_start_ms
+""".strip()

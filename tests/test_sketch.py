@@ -323,3 +323,32 @@ def test_embedding_outliers_semantics(spark):
     assert out[99].is_outlier
     assert not any(out[i].is_outlier for i in range(20))
     assert out[0].d2c < out[99].d2c
+
+
+@pytest.mark.spark
+def test_windowed_hll_sums_to_whole_range(spark, sf_dir):
+    """Per-window exacts are bounded by the global distinct count, and
+    window starts align to the window width."""
+    from lasdb_spark.operators.sketch import (
+        HLL_WINDOW_MS,
+        hll_distinct,
+        hll_distinct_windowed,
+    )
+    from lasdb_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir)
+    win = hll_distinct_windowed(ev).collect()
+    glob = {r.event_type: r.exact_distinct for r in hll_distinct(ev).collect()}
+    assert win
+    for r in win:
+        assert r.window_start_ms % HLL_WINDOW_MS == 0
+        assert r.exact_distinct <= glob[r.event_type]
+        # the error bound only holds in the raw-estimator regime; tiny
+        # windows sit in linear-counting territory, which this sketch
+        # deliberately leaves to the client (ln is libm-dependent —
+        # see hll_distinct's docstring)
+        if r.exact_distinct >= 256:  # m/4 with m=1024
+            rel = abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct
+            assert rel < 0.2
+        else:
+            assert r.hll_estimate > 0
