@@ -1,8 +1,15 @@
-"""Streaming distinct-count sketching (HyperLogLog over a stream).
+"""Streaming mergeable state: HLL and KMV sketches + CDC snapshots.
 
-The streaming twin of :func:`lasdb_spark.operators.sketch.hll_distinct`:
-per event type, a fixed 2^b-register HLL folds every micro-batch into
-``applyInPandasWithState`` state and emits the refreshed estimate.
+Each operator here is a batch operator's streaming twin whose state
+fold is COMMUTATIVE and IDEMPOTENT (HLL register max-merge, KMV
+k-smallest min-merge, CDC latest-wins max-by-(ms, seq)) — so the
+continuously-maintained answer equals the batch computation over
+everything seen so far, regardless of micro-batch boundaries or
+arrival order, and the converge-to-batch tests assert EXACT equality.
+
+The HLL below: per event type, a fixed 2^b-register sketch folds every
+micro-batch into ``applyInPandasWithState`` state and emits the
+refreshed estimate.
 
 Why this is THE streaming cardinality design: register folding is a
 max-merge — commutative, associative, idempotent — so the continuously
@@ -162,6 +169,72 @@ def stream_cdc_snapshot(event_stream: DataFrame) -> DataFrame:
         _cdc_fold,
         outputStructType=_CDC_OUT_SCHEMA,
         stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV: continuously-maintained k-minimum-values sketch
+# ---------------------------------------------------------------------------
+
+_KMV_OUT_SCHEMA = "event_type string, exact_floor long, kmv_estimate double"
+_KMV_STATE_SCHEMA = "hashes array<long>"
+KMV_K = 64
+
+
+def _kmv_fold(k: int):
+    pow2_60 = 1 << 60
+    scale = float(k - 1) * pow2_60
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        kept = sorted(state.get[0]) if state.exists else []
+        seen = set(kept)
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                h = _md5_int60(str(uid))
+                if h in seen:
+                    continue
+                if len(kept) < k:
+                    kept.append(h)
+                    kept.sort()
+                    seen.add(h)
+                elif h < kept[-1]:
+                    seen.discard(kept[-1])
+                    kept[-1] = h
+                    kept.sort()
+                    seen.add(h)
+        state.update((kept,))
+        est = float(len(kept)) if len(kept) < k else scale / kept[-1]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "exact_floor": [len(kept)],
+                "kmv_estimate": [est],
+            }
+        )
+
+    return fold
+
+
+def stream_kmv_distinct(
+    event_stream: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Continuously-maintained KMV distinct-count sketch per event
+    type — state is the k smallest distinct hashes (k longs), folded
+    with a min-merge that is commutative and idempotent, so the
+    drained stream's estimate equals the batch
+    ``operators.sketch.kmv_distinct`` EXACTLY (same k-set, same one
+    IEEE division — converge test). ``exact_floor`` is the sketch
+    size (= the exact count while below k)."""
+    return event_stream.select("event_type", "user_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _kmv_fold(k),
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

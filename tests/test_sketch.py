@@ -352,3 +352,26 @@ def test_windowed_hll_sums_to_whole_range(spark, sf_dir):
             assert rel < 0.2
         else:
             assert r.hll_estimate > 0
+
+
+@pytest.mark.spark
+def test_stream_kmv_converges_to_batch(spark, sf_dir):
+    """The streaming KMV estimate equals the batch sketch exactly
+    once the finite stream drains (same k-set, same division)."""
+    from lasdb_spark.operators.sketch import kmv_distinct
+    from lasdb_spark.sources.events import events_stream
+    from lasdb_spark.streaming import events as se
+    from lasdb_spark.streaming.sketch import stream_kmv_distinct
+
+    se.run_to_memory(
+        stream_kmv_distinct(events_stream(spark, sf_dir)),
+        "kmv_out",
+        "update",
+    )
+    got = {
+        r.event_type: r.kmv_estimate
+        for r in spark.sql("SELECT * FROM kmv_out").collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {r.event_type: r.kmv_estimate for r in kmv_distinct(ev).collect()}
+    assert got == batch
