@@ -397,11 +397,14 @@ class IntegerCompressor:
             for _ in range(contexts)
         ]
         self.m_corrector0 = ArithmeticBitModel()
+        # k can reach corr_bits exactly (corrector == corr_min wraps to
+        # the widest magnitude class), so size the table for
+        # k in [1, corr_bits] on BOTH coder sides.
         self.m_corrector = [None] + [
             ArithmeticModel(
                 1 << (k if k <= bits_high else bits_high), compress
             )
-            for k in range(1, self.corr_bits)
+            for k in range(1, self.corr_bits + 1)
         ]
 
     # --- encoder side -----------------------------------------------
