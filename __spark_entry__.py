@@ -1117,6 +1117,29 @@ def _q_rel_zorder(spark, sf_dir):
     return zorder_query(spark, path, ZQ_USERS, ZQ_HOURS)
 
 
+_ZORDERED_3D: dict[str, str] = {}
+ZQ_TYPES = ["click", "error"]
+
+
+def _q_rel_zorder_3d(spark, sf_dir):
+    """Three-dimension pruned (user x hour x event-type) query over
+    one Morton key column — the n-column lakehouse Z-ORDER BY shape
+    (round-4 verdict ask #7)."""
+    import tempfile
+
+    from lasdb_spark.operators.zorder import (
+        write_zordered_3d,
+        zorder_query_3d,
+    )
+
+    path = _ZORDERED_3D.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lasdb_zorder3d_") + "/events"
+        write_zordered_3d(_ev(spark, sf_dir), path)
+        _ZORDERED_3D[sf_dir] = path
+    return zorder_query_3d(spark, path, ZQ_USERS, ZQ_HOURS, ZQ_TYPES)
+
+
 def _q_hll_windowed(spark, sf_dir):
     """HLL distinct users per (event_type, 6h tumbling window)."""
     from lasdb_spark.operators.sketch import hll_distinct_windowed
@@ -1455,6 +1478,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles": _sketch.quantile_sketch_sql(),
         "rel_gapfill": _rel.gapfill_hourly_sql(),
         "rel_zorder": _zorder.zorder_query_sql(ZQ_USERS, ZQ_HOURS),
+        "rel_zorder_3d": _zorder.zorder_query_3d_sql(
+            ZQ_USERS, ZQ_HOURS, ZQ_TYPES
+        ),
         "mm_png": _multimodal.image_features_sql("png"),
         "sketch_kmv_setops": _sketch.kmv_set_ops_sql(),
         "rel_cdc_merge": _rel.merge_upsert_sql(CDC_SPLIT_MS),
