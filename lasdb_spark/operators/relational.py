@@ -926,6 +926,7 @@ def _latest_wins(changes: DataFrame) -> DataFrame:
             "last_type",
             "last_value",
             F.col("ms").alias("last_ms"),
+            F.col("seq").alias("last_seq"),
             F.col("n_changes").cast("long").alias("n_changes"),
         )
     )
@@ -942,15 +943,17 @@ def merge_upsert(target: DataFrame, changes: DataFrame) -> DataFrame:
     (latest-wins by the shared (ms, seq) order; deletes remove keys).
 
     ``target`` is a :func:`cdc_snapshot`-shaped frame whose rows keep
-    their original change coordinates, so merging a snapshot with the
-    next batch equals snapshotting the concatenated stream — the
-    associativity that makes incremental CDC correct (pinned by
-    tests). n_changes counts target rows as one change each plus the
-    batch's rows (the usual compacted-history semantics)."""
+    their original change coordinates — including ``last_seq``, so a
+    batch change with ms equal to the target's last_ms is ordered by
+    the TRUE original sequence, and snapshot∘merge == full-snapshot
+    holds for ARBITRARY change batches, not just ms-boundary splits
+    (round-4 ADVICE fix; pinned by tests). n_changes counts target
+    rows as one change each plus the batch's rows (the usual
+    compacted-history semantics)."""
     as_changes = target.select(
         F.col("user_id").alias("key"),
         F.col("last_ms").alias("ms"),
-        F.lit(-1).cast("long").alias("seq"),
+        F.col("last_seq").alias("seq"),
         F.lit("U").alias("op"),
         "last_type",
         "last_value",
@@ -974,7 +977,7 @@ ranked AS (
          count(*) OVER (PARTITION BY key) AS n_changes
   FROM changes)
 SELECT key AS user_id, last_type, last_value, ms AS last_ms,
-       CAST(n_changes AS BIGINT) AS n_changes
+       seq AS last_seq, CAST(n_changes AS BIGINT) AS n_changes
 FROM ranked WHERE rn = 1 AND op = 'U'
 """.strip()
 
@@ -994,10 +997,9 @@ changes AS (
 first_half AS (SELECT * FROM changes WHERE ms < {split_ms}),
 second_half AS (SELECT * FROM changes WHERE ms >= {split_ms}),
 target AS (
-  SELECT key, ms, CAST(-1 AS BIGINT) AS seq, 'U' AS op,
-         last_type, last_value
+  SELECT key, ms, seq, 'U' AS op, last_type, last_value
   FROM (
-    SELECT key, ms, op, last_type, last_value,
+    SELECT key, ms, seq, op, last_type, last_value,
            row_number() OVER (PARTITION BY key ORDER BY ms DESC, seq DESC)
              AS rn
     FROM first_half)
@@ -1013,7 +1015,7 @@ ranked AS (
          count(*) OVER (PARTITION BY key) AS n_changes
   FROM merged)
 SELECT key AS user_id, last_type, last_value, ms AS last_ms,
-       CAST(n_changes AS BIGINT) AS n_changes
+       seq AS last_seq, CAST(n_changes AS BIGINT) AS n_changes
 FROM ranked WHERE rn = 1 AND op = 'U'
 """.strip()
 

@@ -1209,12 +1209,17 @@ def embedding_outliers(
     )
     # moment sums in DECIMAL(38,0): exact and order-independent like
     # BIGINT, but with headroom for the squared micro-units at any
-    # corpus size (BIGINT overflows s2 past ~1e18)
-    d_dec = F.col("d2c_u").cast("decimal(19,0)")
+    # corpus size (BIGINT overflows s2 past ~1e18). The square is
+    # computed on the 19-digit operand (its product type is exactly
+    # decimal(38,0): d2c_u is a long, so d^2 < 8.5e37 never overflows)
+    # and both moments are SUMMED in decimal(38,0), matching the
+    # DuckDB twin's HUGEINT headroom.
+    d_small = F.col("d2c_u").cast("decimal(19,0)")
+    d_dec = F.col("d2c_u").cast("decimal(38,0)")
     stats = scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(d_dec).alias("s1"),
-        F.sum(d_dec * d_dec).alias("s2"),
+        F.sum((d_small * d_small).cast("decimal(38,0)")).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n").cast("double")
     var = (

@@ -878,7 +878,7 @@ def hll_distinct_windowed_sql(
     h = md5_int60_sql("CAST(user_id AS VARCHAR)")
     return f"""
 WITH ev0 AS (
-  SELECT event_type, user_id,
+  SELECT {group}, user_id,
          (epoch_ms(ts) // {window_ms}) * {window_ms} AS window_start_ms,
          {h} AS h
   FROM events),

@@ -71,6 +71,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Events as a MULTI-micro-batch stream: the table is split into
+    ``n_files`` parquet files in a temp staging dir and replayed
+    ``files_per_trigger`` files per trigger — so stateful operators
+    are exercised across real micro-batch boundaries (the single-file
+    ``events_stream`` delivers everything in one batch, which hides
+    cross-batch bugs like missing tombstones). The split is by
+    event_id hash — arbitrary, as a real ingest's file boundaries
+    would be; the state folds are commutative so results must not
+    depend on it."""
+    import tempfile
+
+    _pin_utc(spark)
+    staging = tempfile.mkdtemp(prefix="lasdb_ev_stream_")
+    ev = events_df(spark, sf_dir)
+    ev.repartition(n_files, "event_id").write.mode("overwrite").parquet(
+        staging
+    )
+    schema = ev.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging)
+    )
+
+
 # DuckDB-side view of the same µs truncation: every oracle query over
 # events selects FROM this CTE (named ev) instead of the raw view.
 EV_CTE = (

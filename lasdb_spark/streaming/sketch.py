@@ -109,8 +109,8 @@ def stream_hll_distinct(event_stream: DataFrame, b: int = HLL_B) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CDC_OUT_SCHEMA = (
-    "user_id long, last_type string, last_value double, "
-    "last_ms long, n_changes long"
+    "user_id long, op string, last_type string, last_value double, "
+    "last_ms long, last_seq long, n_changes long"
 )
 #: (ms, seq, op, type, value, n) of the current winner per key
 _CDC_STATE_SCHEMA = (
@@ -141,18 +141,21 @@ def _cdc_fold(
                 ltype = row.last_type
                 lval = float(row.last_value)
     state.update((ms, seq, op, ltype, lval, n))
-    # a winning delete emits nothing for this key (zero frames is a
-    # valid generator result; the sink just sees no update)
-    if op == "U":
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "last_type": [ltype],
-                "last_value": [lval],
-                "last_ms": [ms],
-                "n_changes": [n],
-            }
-        )
+    # a winning delete emits a TOMBSTONE (op='D', null payload) so an
+    # update-mode sink can retract a row this key emitted in an earlier
+    # micro-batch — without it the sink keeps the stale update forever
+    # (round-4 ADVICE fix)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "op": [op],
+            "last_type": [ltype if op == "U" else None],
+            "last_value": [lval if op == "U" else None],
+            "last_ms": [ms],
+            "last_seq": [seq],
+            "n_changes": [n],
+        }
+    )
 
 
 def stream_cdc_snapshot(event_stream: DataFrame) -> DataFrame:
@@ -161,8 +164,12 @@ def stream_cdc_snapshot(event_stream: DataFrame) -> DataFrame:
     micro-batch folds into one (winner, count) state row per key, so
     state is O(keys) regardless of stream length, and because
     max-by-(ms, seq) is a commutative idempotent merge the drained
-    stream equals the batch snapshot EXACTLY (converge test), like the
-    streaming HLL above."""
+    stream equals the batch snapshot EXACTLY (converge tests, single-
+    AND multi-micro-batch), like the streaming HLL above.
+
+    Every touched key emits each batch: ``op='U'`` rows carry the
+    winner (batch-snapshot shaped, incl. last_seq), ``op='D'`` rows
+    are tombstones instructing the sink to retract the key."""
     from ..operators.relational import _cdc_changes
 
     return _cdc_changes(event_stream).groupBy("key").applyInPandasWithState(

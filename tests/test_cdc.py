@@ -79,11 +79,62 @@ def test_stream_cdc_converges_to_batch(spark, sf_dir):
         "cdc_out",
         "update",
     )
-    got = {}
-    for r in spark.sql("SELECT * FROM cdc_out").collect():
-        got[r.user_id] = (r.last_type, r.last_value, r.last_ms, r.n_changes)
-    batch = {
-        r.user_id: (r.last_type, r.last_value, r.last_ms, r.n_changes)
+    assert _replay_sink(spark, "cdc_out") == _batch_snapshot(spark, sf_dir)
+
+
+def _replay_sink(spark, table):
+    """Apply the update-mode CDC output the way a sink would: per key,
+    the latest emission (n_changes grows monotonically per key, so it
+    identifies the last one without relying on row order); op='D'
+    tombstones retract the key."""
+    last = {}
+    for r in spark.sql(f"SELECT * FROM {table}").collect():
+        cur = last.get(r.user_id)
+        if cur is None or r.n_changes > cur.n_changes:
+            last[r.user_id] = r
+    return {
+        uid: (r.last_type, r.last_value, r.last_ms, r.last_seq, r.n_changes)
+        for uid, r in last.items()
+        if r.op == "U"
+    }
+
+
+def _batch_snapshot(spark, sf_dir):
+    from lasdb_spark.operators.relational import cdc_snapshot
+    from lasdb_spark.sources.events import events_df
+
+    return {
+        r.user_id: (r.last_type, r.last_value, r.last_ms, r.last_seq,
+                    r.n_changes)
         for r in cdc_snapshot(events_df(spark, sf_dir)).collect()
     }
-    assert got == batch
+
+
+@pytest.mark.spark
+def test_stream_cdc_multibatch_emits_tombstones(spark, sf_dir):
+    """Across REAL micro-batch boundaries (maxFilesPerTrigger=1 over a
+    split table) a key whose update was emitted in an earlier batch
+    and whose delete wins later must end RETRACTED at the sink — the
+    round-4 ADVICE scenario that the one-file stream could not
+    exercise."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming import events as se
+    from lasdb_spark.streaming.sketch import stream_cdc_snapshot
+
+    se.run_to_memory(
+        stream_cdc_snapshot(
+            events_stream_multibatch(spark, sf_dir, n_files=4)
+        ),
+        "cdc_out_mb",
+        "update",
+    )
+    rows = spark.sql("SELECT * FROM cdc_out_mb").collect()
+    # the multi-batch replay actually emitted tombstones
+    assert any(r.op == "D" for r in rows)
+    # at least one tombstoned key had a LIVE update emitted earlier
+    # (the stale-row scenario) and is absent from the batch snapshot
+    batch = _batch_snapshot(spark, sf_dir)
+    emitted_live = {r.user_id for r in rows if r.op == "U"}
+    dead = {r.user_id for r in rows if r.op == "D"} - set(batch)
+    assert dead & emitted_live
+    assert _replay_sink(spark, "cdc_out_mb") == batch
