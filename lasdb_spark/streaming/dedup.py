@@ -157,3 +157,28 @@ def compact_document_store(
     os.rename(store_path, old)
     os.rename(tmp, store_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def documents_stream_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Documents as a MULTI-micro-batch stream (split into ``n_files``
+    staged parquet files, replayed ``files_per_trigger`` per trigger)
+    — the documents twin of ``sources.events.events_stream_multibatch``,
+    so stateful dedup crosses real batch boundaries in tests and
+    driver entries."""
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="lasdb_doc_stream_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(n_files, "doc_id").write.mode("overwrite").parquet(
+        staging
+    )
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging)
+    )

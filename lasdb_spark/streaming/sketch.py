@@ -39,9 +39,9 @@ from ..operators.sketch import _hll_alpha
 HLL_B = 10
 _OUT_SCHEMA = (
     "event_type string, hll_estimate double, "
-    "present long, zero_registers long"
+    "present long, zero_registers long, n_seen long"
 )
-_STATE_SCHEMA = "regs array<int>"
+_STATE_SCHEMA = "regs array<int>, n long"
 
 
 def _md5_int60(s: str) -> int:
@@ -59,8 +59,12 @@ def _hll_fold(b: int):
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        regs = list(state.get[0]) if state.exists else [0] * m
+        if state.exists:
+            regs, n = list(state.get[0]), state.get[1]
+        else:
+            regs, n = [0] * m, 0
         for pdf in pdfs:
+            n += len(pdf)
             for uid in pdf["user_id"]:
                 h = _md5_int60(str(uid))
                 idx = h >> rest_bits
@@ -68,17 +72,21 @@ def _hll_fold(b: int):
                 rho = w_max if rest == 0 else rest_bits - rest.bit_length() + 1
                 if rho > regs[idx]:
                     regs[idx] = rho
-        state.update((regs,))
+        state.update((regs, n))
         # identical integer-scaled harmonic mean as the batch op:
         # S = Σ 2^(W - r) with absent registers contributing 2^W
         s_total = sum(1 << (w_max - r) for r in regs)
         present = sum(1 for r in regs if r > 0)
+        # n_seen (rows folded so far) strictly grows per emission, so a
+        # sink can identify each key's LATEST emission without relying
+        # on row order — the drained-final contract
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
                 "hll_estimate": [numer / s_total],
                 "present": [present],
                 "zero_registers": [m - present],
+                "n_seen": [n],
             }
         )
 
@@ -185,8 +193,10 @@ def stream_cdc_snapshot(event_stream: DataFrame) -> DataFrame:
 # streaming KMV: continuously-maintained k-minimum-values sketch
 # ---------------------------------------------------------------------------
 
-_KMV_OUT_SCHEMA = "event_type string, exact_floor long, kmv_estimate double"
-_KMV_STATE_SCHEMA = "hashes array<long>"
+_KMV_OUT_SCHEMA = (
+    "event_type string, exact_floor long, kmv_estimate double, n_seen long"
+)
+_KMV_STATE_SCHEMA = "hashes array<long>, n long"
 KMV_K = 64
 
 
@@ -197,9 +207,13 @@ def _kmv_fold(k: int):
     def fold(key, pdfs, state: GroupState):
         import pandas as pd
 
-        kept = sorted(state.get[0]) if state.exists else []
+        if state.exists:
+            kept, n = sorted(state.get[0]), state.get[1]
+        else:
+            kept, n = [], 0
         seen = set(kept)
         for pdf in pdfs:
+            n += len(pdf)
             for uid in pdf["user_id"]:
                 h = _md5_int60(str(uid))
                 if h in seen:
@@ -213,13 +227,14 @@ def _kmv_fold(k: int):
                     kept[-1] = h
                     kept.sort()
                     seen.add(h)
-        state.update((kept,))
+        state.update((kept, n))
         est = float(len(kept)) if len(kept) < k else scale / kept[-1]
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
                 "exact_floor": [len(kept)],
                 "kmv_estimate": [est],
+                "n_seen": [n],
             }
         )
 
@@ -245,3 +260,94 @@ def stream_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# drained-stream final state + oracle twins (driver-checkable entries)
+# ---------------------------------------------------------------------------
+
+
+def drained_final(spark, table: str, key_cols, counter: str = "n_seen"):
+    """Per key, the LATEST emission in a drained update-mode memory
+    sink. ``counter`` strictly grows per key per micro-batch (n_seen /
+    n_docs / n_changes), so the max-counter row IS the final state —
+    no reliance on sink row order. This is exactly how a real
+    update-mode consumer (e.g. a key-value store) ends up holding the
+    last write per key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(counter).desc())
+    return (
+        spark.table(table)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stream_hll_sql(b: int = HLL_B) -> str:
+    """Oracle of the DRAINED streaming HLL: identical registers and
+    estimate as a batch scan of the same rows (the fold is a
+    commutative idempotent register max-merge), plus n_seen =
+    rows-per-group."""
+    from ..functions.hashing import md5_int60_sql
+    from ..operators.sketch import _hll_alpha
+
+    m = 1 << b
+    rest_bits = 60 - b
+    w_max = rest_bits + 1
+    mask = (1 << rest_bits) - 1
+    numer = float(_hll_alpha(m) * m * m * (1 << w_max))
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH rows_rho AS (
+  SELECT event_type, h >> {rest_bits} AS idx,
+         CASE WHEN (h & {mask}) = 0 THEN {w_max}
+              ELSE {rest_bits} - length(bin(h & {mask})) + 1 END AS rho
+  FROM (SELECT event_type, {h} AS h FROM events)),
+regs AS (
+  SELECT event_type, idx, max(rho) AS r FROM rows_rho GROUP BY 1, 2),
+pg AS (
+  SELECT event_type, count(*) AS present,
+         sum(CAST(1 AS BIGINT) << ({w_max} - r)) AS s_present
+  FROM regs GROUP BY 1),
+cnt AS (SELECT event_type, count(*) AS n_seen FROM events GROUP BY 1)
+SELECT p.event_type,
+       {numer!r} / (p.s_present
+         + ({m} - p.present) * CAST({1 << w_max} AS BIGINT))
+         AS hll_estimate,
+       CAST(p.present AS BIGINT) AS present,
+       CAST({m} - p.present AS BIGINT) AS zero_registers,
+       CAST(c.n_seen AS BIGINT) AS n_seen
+FROM pg p JOIN cnt c USING (event_type)
+ORDER BY p.event_type
+""".strip()
+
+
+def stream_kmv_sql(k: int = KMV_K) -> str:
+    """Oracle of the DRAINED streaming KMV: the k-smallest distinct
+    hashes are order-independent, so the drained sketch equals the
+    batch ranked-scan exactly (same k-set, same one IEEE division)."""
+    from ..functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    scale = float(k - 1) * (1 << 60)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {h} AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+agg AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= {k} GROUP BY event_type),
+cnt AS (SELECT event_type, count(*) AS n_seen FROM events GROUP BY 1)
+SELECT a.event_type, CAST(a.n_kept AS BIGINT) AS exact_floor,
+       CASE WHEN a.n_kept < {k} THEN CAST(a.n_kept AS DOUBLE)
+            ELSE {scale!r} / a.kth END AS kmv_estimate,
+       CAST(c.n_seen AS BIGINT) AS n_seen
+FROM agg a JOIN cnt c USING (event_type)
+ORDER BY a.event_type
+""".strip()
