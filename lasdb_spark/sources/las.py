@@ -210,11 +210,12 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
 
             las = laspy.read(io.BytesIO(buf))
             return np.vstack((las.x, las.y, las.z)).T
-        if hdr["point_format"] in (0, 1, 2, 3):
-            # dependency-free fallback: the in-repo LASzip codec
-            # (sources/laszip_codec.py) decodes chunked LAZ for the
-            # legacy formats; slower than laspy[lazrs] but no longer a
-            # hard stop on a bare container
+        if hdr["point_format"] in (0, 1, 2, 3, 6, 7, 8):
+            # dependency-free fallback: the in-repo LASzip codecs
+            # (sources/laszip_codec.py for legacy pointwise LAZ,
+            # sources/laszip_v3.py for LAS 1.4 layered LAZ — the
+            # modern AHN4+ shape); slower than laspy[lazrs] but no
+            # longer a hard stop on a bare container
             from .laszip_codec import decompress_laz_points
 
             try:

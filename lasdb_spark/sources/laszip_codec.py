@@ -1424,19 +1424,25 @@ def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
     from .las import point_dtype
 
     fmt = hdr["point_format"]
-    if fmt not in FORMAT_ITEMS:
-        raise ValueError(
-            f"LAZ decode supports legacy formats 0-3, got {fmt}"
-        )
     vlr = parse_laszip_vlr(
         buf, hdr.get("header_size", 227), hdr["offset_to_points"]
     )
     if vlr is None:
         raise ValueError("compressed LAS without a laszip VLR")
+    if fmt in (6, 7, 8):
+        # LAS 1.4 formats ride the layered (compressor 3) encoding
+        from .laszip_v3 import decompress_laz14_points
+
+        return decompress_laz14_points(buf, hdr, vlr)
+    if fmt not in FORMAT_ITEMS:
+        raise ValueError(
+            f"LAZ decode supports formats 0-3 and 6-8, got {fmt}"
+        )
     if vlr["compressor"] != COMPRESSOR_POINTWISE_CHUNKED:
         raise ValueError(
             f"laszip compressor {vlr['compressor']} not supported "
-            "(only pointwise-chunked, the LAS 1.2 default)"
+            "for legacy formats (pointwise-chunked, the LAS 1.2 "
+            "default)"
         )
     n = hdr["point_count"]
     chunk_size = vlr["chunk_size"]

@@ -1,0 +1,164 @@
+"""Layered LASzip (compressor 3, LAS 1.4 formats 6-8): round-trips,
+context switching, conditional layers, and the ingest path."""
+
+import numpy as np
+import pytest
+
+from lasdb_spark.sources.las import (
+    parse_las_header,
+    point_dtype,
+    read_las_bytes,
+)
+from lasdb_spark.sources.laszip_v3 import (
+    Point14,
+    Point14V3,
+    compress_points_to_laz14,
+    decompress_laz14_points,
+)
+from lasdb_spark.sources.laszip_codec import parse_laszip_vlr
+
+
+def _mk_points(n, fmt=6, seed=7, channels=1):
+    rng = np.random.default_rng(seed)
+    pts = np.zeros(n, dtype=point_dtype(fmt))
+    base = np.array([85_000_000, 446_000_000, 12_000])
+    walk = rng.integers(-500, 500, size=(n, 3)).cumsum(axis=0)
+    pts["X"], pts["Y"], pts["Z"] = (base + walk).T
+    pts["intensity"] = rng.integers(0, 4000, n)
+    rn = rng.integers(1, 6, n)
+    nr = np.maximum(rn, rng.integers(1, 6, n))
+    pts["returns"] = rn | (nr << 4)
+    ch = rng.integers(0, channels, n)
+    pts["flags"] = (ch << 4) | (rng.integers(0, 2, n) << 6)
+    pts["classification"] = rng.choice([1, 2, 2, 2, 6, 9], n)
+    pts["user_data"] = rng.integers(0, 3, n)
+    pts["scan_angle"] = rng.integers(-15000, 15000, n)
+    pts["point_source_id"] = rng.choice([7001, 7002, 7003], n)
+    pts["gps_time"] = 300_000.0 + np.sort(rng.random(n)) * 40.0
+    if fmt in (7, 8):
+        for c in ("red", "green", "blue"):
+            pts[c] = rng.integers(0, 65536, n)
+    if fmt == 8:
+        pts["nir"] = rng.integers(0, 65536, n)
+    return pts
+
+
+@pytest.mark.parametrize("fmt", [6, 7, 8])
+def test_laz14_roundtrip(fmt):
+    pts = _mk_points(700, fmt)
+    buf = compress_points_to_laz14(pts, fmt)
+    hdr = parse_las_header(buf)
+    assert hdr["version"] == (1, 4)
+    assert hdr["point_format"] == fmt and hdr["compressed"]
+    assert hdr["point_count"] == 700
+    vlr = parse_laszip_vlr(buf, hdr["header_size"], hdr["offset_to_points"])
+    assert vlr["compressor"] == 3
+    out = decompress_laz14_points(buf, hdr, vlr)
+    assert out.dtype == pts.dtype
+    np.testing.assert_array_equal(out, pts)
+
+
+def test_laz14_multichannel_context_switch():
+    """Scanner channels interleave -> the 4-context machinery and the
+    post-switch delta base must stay encoder/decoder symmetric."""
+    pts = _mk_points(1200, 6, seed=11, channels=4)
+    buf = compress_points_to_laz14(pts, 6)
+    hdr = parse_las_header(buf)
+    vlr = parse_laszip_vlr(buf, hdr["header_size"], hdr["offset_to_points"])
+    np.testing.assert_array_equal(
+        decompress_laz14_points(buf, hdr, vlr), pts
+    )
+
+
+def test_laz14_multi_chunk():
+    pts = _mk_points(2500, 6, seed=3)
+    buf = compress_points_to_laz14(pts, 6, chunk_size=1000)
+    hdr = parse_las_header(buf)
+    vlr = parse_laszip_vlr(buf, hdr["header_size"], hdr["offset_to_points"])
+    np.testing.assert_array_equal(
+        decompress_laz14_points(buf, hdr, vlr), pts
+    )
+
+
+def test_laz14_constant_gps_and_fields():
+    """All-constant conditional layers (no gps/angle/source changes)."""
+    pts = np.zeros(300, dtype=point_dtype(6))
+    pts["X"] = np.arange(300) * 10
+    pts["Y"] = 5_000_000
+    pts["Z"] = 1000
+    pts["returns"] = 0x11
+    pts["gps_time"] = 123.456
+    pts["point_source_id"] = 42
+    buf = compress_points_to_laz14(pts, 6)
+    hdr = parse_las_header(buf)
+    vlr = parse_laszip_vlr(buf, hdr["header_size"], hdr["offset_to_points"])
+    np.testing.assert_array_equal(
+        decompress_laz14_points(buf, hdr, vlr), pts
+    )
+
+
+def test_laz14_reads_through_read_las_bytes():
+    """The generic LAS reader routes layered LAZ to the v3 codec and
+    yields real-world xyz (scale + offset applied)."""
+    pts = _mk_points(400, 6, seed=5)
+    buf = compress_points_to_laz14(pts, 6, scales=(0.001, 0.001, 0.001))
+    out = read_las_bytes(buf)
+    assert out.shape == (400, 3)
+    np.testing.assert_allclose(out[:, 0], pts["X"] * 0.001)
+    np.testing.assert_allclose(out[:, 2], pts["Z"] * 0.001)
+
+
+def test_laz14_compresses():
+    """The layered stream should be much smaller than raw records."""
+    pts = _mk_points(5000, 6, seed=9)
+    buf = compress_points_to_laz14(pts, 6)
+    raw = 5000 * 30
+    assert len(buf) < raw * 0.8
+
+
+def test_point14_item_codec_property():
+    """Item-level round-trip over adversarial field churn."""
+    rng = np.random.default_rng(123)
+    rows = []
+    for i in range(400):
+        rows.append(
+            Point14(
+                x=int(rng.integers(-(1 << 30), 1 << 30)),
+                y=int(rng.integers(-(1 << 30), 1 << 30)),
+                z=int(rng.integers(-(1 << 25), 1 << 25)),
+                intensity=int(rng.integers(0, 65536)),
+                returns=int(rng.integers(0, 256)),
+                flags=int(rng.integers(0, 256)),
+                classification=int(rng.integers(0, 256)),
+                user_data=int(rng.integers(0, 256)),
+                scan_angle=int(rng.integers(-32768, 32768)),
+                point_source_id=int(rng.integers(0, 65536)),
+                gps_u64=int(rng.integers(0, 1 << 63)),
+            )
+        )
+    enc = Point14V3()
+    enc.init(rows[0])
+    for p in rows[1:]:
+        enc.write(p)
+    blobs = enc.layer_bytes()
+    dec = Point14V3(blobs)
+    dec.init(rows[0])
+    for want in rows[1:]:
+        assert dec.read().pack() == want.pack()
+
+
+@pytest.mark.spark
+def test_laz14_ingests_via_las_to_df(spark, tmp_path):
+    """A format-6 layered LAZ tile ingests through the distributed
+    reader (round-4 verdict ask #3's done-criterion)."""
+    from lasdb_spark.sources.las import las_to_df
+
+    pts = _mk_points(600, 6, seed=21)
+    buf = compress_points_to_laz14(pts, 6, scales=(0.01, 0.01, 0.01))
+    (tmp_path / "tile14.laz").write_bytes(buf)
+    df = las_to_df(spark, str(tmp_path / "*.laz"))
+    rows = df.collect()
+    assert len(rows) == 600
+    got_x = sorted(r.x for r in rows)
+    want_x = sorted(pts["X"] * 0.01)
+    np.testing.assert_allclose(got_x, want_x)
