@@ -353,6 +353,33 @@ def _q_pc_slope(spark, sf_dir):
     return dem_gradient(points_df(spark, sf_dir), HAG_CELL)
 
 
+def _q_pc_ground(spark, sf_dir):
+    """Progressive morphological ground filter (grid PMF): opened
+    min-surface + threshold labeling — the PDAL filters.pmf lineage."""
+    from lasdb_spark.operators.grid import pmf_ground
+
+    return pmf_ground(points_df(spark, sf_dir))
+
+
+def _q_stream_windows(spark, sf_dir):
+    """Drained streaming tumbling-hour rollup == the batch rollup
+    (watermark pinned past the replay span so nothing is late)."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.events import windowed_counts
+    from lasdb_spark.streaming.sketch import drained_final
+
+    tbl = _drained(
+        windowed_counts(
+            events_stream_multibatch(spark, sf_dir),
+            watermark="100000 hours",
+        ),
+        "s_win",
+    )
+    return drained_final(
+        spark, tbl, ["hour_ms", "event_type"], counter="n"
+    )
+
+
 def _q_text_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy (lexical-diversity signal)."""
     from lasdb_spark.operators.text import token_entropy
@@ -1589,19 +1616,21 @@ def oracle_sql() -> dict[str, str]:
         "stream_kmv_distinct": _ssketch.stream_kmv_sql(),
         "stream_cdc_snapshot": _rel.cdc_snapshot_sql(),
         "stream_exact_dedup": _dedup.exact_dedup_sql(),
+        "stream_windowed_counts": _rel.hourly_event_rollup_sql(),
+        "pc_ground": _grid.pmf_ground_sql(_PTS),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """140 entries, ordered so every query gets a driver CORRECTNESS
+    """142 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-5 rotation (exactly what the r4 verdict and
     the previous docstring committed to): entries whose RESULTS
     CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
     carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the five
-    operators NEW in r5 (3-column Z-order and the four
-    drained-streaming entries), then the ENTIRE block whose last
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the seven
+    operators NEW in r5 (3-column Z-order, the five drained-streaming
+    entries, the PMF ground filter), then the ENTIRE block whose last
     driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
     pc_bbox_maxz..mm_frame_sample), with the window's remaining
     slots refreshing the oldest r3-green entries. Everything past the
@@ -1622,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv_distinct": _q_stream_kmv,
         "stream_cdc_snapshot": _q_stream_cdc,
         "stream_exact_dedup": _q_stream_dedup,
+        "stream_windowed_counts": _q_stream_windows,
+        "pc_ground": _q_pc_ground,
         # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

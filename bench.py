@@ -403,6 +403,72 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+#: one representative per operator family for the scale study
+SCALE_REPS = (
+    "ingest", "bbox_small", "text_tfidf", "dedup_minhash",
+    "ann_pq_topk", "sketch_hll", "ev_sliding_rates",
+)
+SCALE_SMALL_SF = "sf0.01"
+
+
+def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
+    """Scale study: re-time one representative per family at the
+    next-smaller scale factor in the SAME harness and record
+    t(main)/t(small), so scale regressions are machine-checkable in
+    the bench JSON instead of living only in BASELINE.md prose. A
+    pruned-query family should hold near 1x across a 10x data step;
+    linear families should stay well under the data ratio while the
+    work fits the core count."""
+    small = re.sub(r"sf[\d.]+", SCALE_SMALL_SF, sf_dir)
+    if small == sf_dir or not os.path.isdir(small):
+        return
+    from lasdb_spark.operators.dedup import minhash_lsh_pairs
+    from lasdb_spark.operators.ingest import ingest_points, load_dataset
+    from lasdb_spark.operators.relational import sliding_event_rates
+    from lasdb_spark.operators.similarity import topk_pq
+    from lasdb_spark.operators.sketch import hll_distinct
+    from lasdb_spark.operators.text import tfidf_top_terms
+    from lasdb_spark.operators.window_query import WindowQuerier
+    from lasdb_spark.sources.events import events_df
+    from lasdb_spark.sources.points import points_df
+
+    sbase = tempfile.mkdtemp(prefix="lasdb_bench_scale_")
+    try:
+        pts = points_df(spark, small)
+        pts.count()
+        docs = spark.read.parquet(f"{small}/documents.parquet")
+        embs = spark.read.parquet(f"{small}/embeddings.parquet")
+        ev = events_df(spark, small)
+        docs.count(), embs.count(), ev.count()
+        t_small: dict[str, float] = {}
+        t_small["ingest"] = _timed(
+            spark,
+            lambda: ingest_points(
+                pts, "scale", sbase, target_partitions=cpus
+            ),
+        )
+        df, meta, layout = load_dataset(spark, sbase, "scale")
+        q = WindowQuerier(df, meta, layout)
+        q.bbox([85150.0, 85160.0, 446200.0, 446210.0]).count()
+        small_suite = {
+            "bbox_small": lambda: q.bbox(
+                [85200.0, 85250.0, 446300.0, 446400.0]
+            ),
+            "text_tfidf": lambda: tfidf_top_terms(docs),
+            "dedup_minhash": lambda: minhash_lsh_pairs(docs),
+            "ann_pq_topk": lambda: topk_pq(embs),
+            "sketch_hll": lambda: hll_distinct(ev),
+            "ev_sliding_rates": lambda: sliding_event_rates(ev),
+        }
+        for name, fn in small_suite.items():
+            t_small[name] = _timed(spark, lambda fn=fn: fn().count())
+        for name in SCALE_REPS:
+            if name in timings and t_small.get(name):
+                ratios[name] = round(timings[name] / t_small[name], 3)
+    finally:
+        shutil.rmtree(sbase, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -411,11 +477,13 @@ def main() -> None:
 
     base = tempfile.mkdtemp(prefix="lasdb_bench_")
     timings: dict[str, float] = {}
+    scale_ratios: dict[str, float] = {}
     sections = [
         lambda s: _section_point_cloud(s, sf_dir, cpus, base, timings),
         lambda s: _section_corpus(s, sf_dir, timings),
         lambda s: _section_heavy(s, sf_dir, timings),
         lambda s: _section_streaming(s, sf_dir, cpus, base, timings),
+        lambda s: _section_scale(s, sf_dir, cpus, timings, scale_ratios),
     ]
     try:
         for section in sections:
@@ -438,6 +506,10 @@ def main() -> None:
                 "sf": sf,
                 "n_runs": N_RUNS,
                 "stat": "median_per_query",
+                # t(main sf) / t(sf0.01) per family representative;
+                # the scale-regression gauge (r5)
+                "scale_ratios": scale_ratios,
+                "scale_small": SCALE_SMALL_SF,
             }
         )
     )

@@ -286,3 +286,145 @@ WHERE rn = CAST(ceil(CAST({float(p)!r} AS DOUBLE) * CAST(n AS DOUBLE))
                 AS BIGINT)
 ORDER BY cell_x, cell_y
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# progressive morphological ground filter (grid PMF)
+# ---------------------------------------------------------------------------
+
+#: PMF stage windows (Chebyshev cell radii) and the final ground
+#: acceptance threshold in metres — the classic progressively-widening
+#: opening schedule, fixed so both engines compute the identical
+#: surface
+PMF_CELL = 20.0
+PMF_WINDOWS = (1, 2)
+PMF_THRESHOLD = 0.5
+
+
+def _morph(dem: DataFrame, footprint: DataFrame, w: int, op) -> DataFrame:
+    """Morphological erosion (op=min) / dilation (op=max) of the
+    sparse cell surface with a (2w+1)^2 square element, restricted to
+    the original cell footprint.
+
+    Shape: ONE scan of the input surface with a map-side explode of
+    the (2w+1)^2 literal offset array, then one partial-aggregated
+    groupBy — no joins in the aperture, no windows, never a
+    range/nested-loop join. Critically NOT a union of shifted copies:
+    a union references the input once per shift, and chaining stages
+    would rescan the upstream lineage multiplicatively (the classic
+    iterative-lineage blowup). Missing neighbors simply don't
+    contribute (standard sparse-grid morphology)."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-w, w + 1)
+            for dy in range(-w, w + 1)
+        ]
+    )
+    fanned = dem.select(
+        "cell_x", "cell_y", "gq", F.explode(offs).alias("o")
+    ).select(
+        (F.col("cell_x") + F.col("o.dx")).alias("cell_x"),
+        (F.col("cell_y") + F.col("o.dy")).alias("cell_y"),
+        "gq",
+    )
+    agg = fanned.groupBy("cell_x", "cell_y").agg(op("gq").alias("gq"))
+    return agg.join(footprint, ["cell_x", "cell_y"], "leftsemi")
+
+
+def pmf_ground(
+    points: DataFrame,
+    cell: float = PMF_CELL,
+    windows: tuple = PMF_WINDOWS,
+    threshold: float = PMF_THRESHOLD,
+) -> DataFrame:
+    """(x, y, z, ground_est, is_ground) — progressive morphological
+    ground filter (grid variant of Zhang et al. 2003, the PDAL
+    ``filters.pmf`` lineage): the per-cell min surface is opened
+    (eroded then dilated) with progressively wider windows, erasing
+    bumps — buildings, vegetation — up to each window's size while
+    terrain ramps survive; a point is ground iff it sits within
+    ``threshold`` metres of the opened surface at its cell.
+
+    All surface math is exact centi-unit BIGINT min/max, so the
+    estimate is bit-identical across engines and partitionings; the
+    only float op is the final ground_est/100.0 presentation.
+
+    Scale: the cloud collapses once to |cells| ∝ area rows; each PMF
+    stage is 2 shift-union aggregations of that small table
+    ((2w+1)^2 map-side copies, one shuffle each); the final labeling
+    is ONE equi-join of the cloud against the cell surface (AQE
+    broadcasts it when the extent is bounded). Nothing rescans the
+    cloud per stage."""
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    zq = F.round(F.col("z") * 100).cast("long")
+    pts = points.select(
+        "x", "y", "z", cx.alias("cell_x"), cy.alias("cell_y"),
+        zq.alias("zq"),
+    )
+    dem = pts.groupBy("cell_x", "cell_y").agg(F.min("zq").alias("gq"))
+    footprint = dem.select("cell_x", "cell_y")
+    surface = dem
+    for w in windows:
+        eroded = _morph(surface, footprint, w, F.min)
+        surface = _morph(eroded, footprint, w, F.max)
+    thr_cm = int(round(threshold * 100))
+    return (
+        pts.join(surface, ["cell_x", "cell_y"])
+        .select(
+            "x", "y", "z",
+            (F.col("gq") / 100.0).alias("ground_est"),
+            (F.col("zq") - F.col("gq") <= thr_cm).alias("is_ground"),
+        )
+    )
+
+
+def pmf_ground_sql(
+    points_cte: str,
+    cell: float = PMF_CELL,
+    windows: tuple = PMF_WINDOWS,
+    threshold: float = PMF_THRESHOLD,
+) -> str:
+    """Oracle twin of :func:`pmf_ground` — each morphology stage is a
+    neighborhood self-join aggregation over the cell table (DuckDB
+    scale is fine with the quadratic-per-cell form; the Spark side
+    uses shift-unions instead)."""
+    thr_cm = int(round(threshold * 100))
+    stages = []
+    prev = "dem"
+    for i, w in enumerate(windows):
+        stages.append(
+            f"er{i} AS (\n"
+            f"  SELECT d.cell_x, d.cell_y, min(n.gq) AS gq\n"
+            f"  FROM dem d JOIN {prev} n\n"
+            f"    ON n.cell_x BETWEEN d.cell_x - {w} AND d.cell_x + {w}\n"
+            f"   AND n.cell_y BETWEEN d.cell_y - {w} AND d.cell_y + {w}\n"
+            f"  GROUP BY 1, 2)"
+        )
+        stages.append(
+            f"op{i} AS (\n"
+            f"  SELECT d.cell_x, d.cell_y, max(n.gq) AS gq\n"
+            f"  FROM dem d JOIN er{i} n\n"
+            f"    ON n.cell_x BETWEEN d.cell_x - {w} AND d.cell_x + {w}\n"
+            f"   AND n.cell_y BETWEEN d.cell_y - {w} AND d.cell_y + {w}\n"
+            f"  GROUP BY 1, 2)"
+        )
+        prev = f"op{i}"
+    stage_sql = ",\n".join(stages)
+    return f"""
+{points_cte}, cells AS (
+  SELECT x, y, z,
+         CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y,
+         CAST(round(z * 100) AS BIGINT) AS zq
+  FROM points),
+dem AS (
+  SELECT cell_x, cell_y, min(zq) AS gq
+  FROM cells GROUP BY 1, 2),
+{stage_sql}
+SELECT c.x, c.y, c.z, s.gq / 100.0 AS ground_est,
+       (c.zq - s.gq) <= {thr_cm} AS is_ground
+FROM cells c JOIN {prev} s
+  ON s.cell_x = c.cell_x AND s.cell_y = c.cell_y
+""".strip()

@@ -206,3 +206,65 @@ def test_grid_z_percentile_bounds(spark, sf_dir):
         assert s.z_min <= r.z_p <= s.z_max
         assert r.n_points == s.n_points
         assert r.z_p >= p50[key].z_p
+
+
+@pytest.mark.spark
+def test_pmf_ground_removes_building_keeps_ramp(spark):
+    """A flat terrain ramp with a planted 20 m 'building' block: PMF
+    must label ramp points ground and rooftop points non-ground (the
+    opening erases bumps narrower than the window schedule)."""
+    import numpy as np
+
+    from lasdb_spark.operators.grid import pmf_ground
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    x = rng.uniform(0, 400, n)
+    y = rng.uniform(0, 400, n)
+    z = x * 0.01  # gentle 1% ramp
+    # plant a sharp 20 m-tall block covering ONE 20 m cell
+    roof = (x >= 100) & (x < 120) & (y >= 100) & (y < 120)
+    z = np.where(roof, z + 20.0, z)
+    rows = [
+        (float(xi), float(yi), float(zi))
+        for xi, yi, zi in zip(x, y, z)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = pmf_ground(df).collect()
+    by_roof = {True: [], False: []}
+    for r in out:
+        by_roof[100 <= r.x < 120 and 100 <= r.y < 120].append(r)
+    # rooftop points: far above the opened surface -> non-ground
+    assert all(not r.is_ground for r in by_roof[True])
+    # ramp points: within threshold of the opened min surface almost
+    # everywhere (cell-quantized ramp rise 0.2m/cell < 0.5m threshold)
+    ramp = by_roof[False]
+    frac = sum(r.is_ground for r in ramp) / len(ramp)
+    assert frac > 0.95
+
+
+@pytest.mark.spark
+def test_pmf_ground_footprint_and_exactness(spark):
+    """The opened surface stays on the original cell footprint and the
+    output row count equals the input (every point labeled once)."""
+    import numpy as np
+
+    from lasdb_spark.operators.grid import pmf_ground
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (float(a), float(b), float(c))
+        for a, b, c in zip(
+            rng.uniform(0, 100, 500),
+            rng.uniform(0, 100, 500),
+            rng.uniform(0, 5, 500),
+        )
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = pmf_ground(df)
+    assert out.count() == 500
+    # ground_est never exceeds the point's own cell min (it IS a
+    # min-derived surface): est <= every z in the cell, up to the
+    # half-centi-unit quantization of round(z*100)
+    bad = out.filter("ground_est > z + 0.005 + 1e-9").count()
+    assert bad == 0
