@@ -52,11 +52,90 @@ from .similarity import (
 SEM_TAU = 0.4
 
 
+def _assign_to(wn: DataFrame, cents: list) -> DataFrame:
+    """Map-side nearest-centroid assignment against a DRIVER-HELD
+    centroid list [(cid, ce, cnrm)]: per-cell cosine from literal
+    arrays + one array_max over (cos, -cid) structs — no join, no
+    window, no shuffle. Tie-break (max cos, then LOWEST cid) and the
+    round(·, 6) match ``similarity._nearest_cells``'s rk=1 exactly."""
+    structs = []
+    for cid, ce, cnrm in cents:
+        lit_ce = F.array(*[F.lit(float(v)) for v in ce])
+        cos = F.round(
+            fold_dot_col(F.col("embedding"), lit_ce)
+            / (F.col("nrm") * F.lit(float(cnrm))),
+            6,
+        )
+        structs.append(
+            F.struct(
+                cos.alias("cos"),
+                F.lit(-int(cid)).cast("long").alias("ncid"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return wn.select(
+        "vec_id", "embedding", "nrm", best["cid"].alias("cell")
+    )
+
+
+def _lloyd_collect(assign: DataFrame) -> list:
+    """One Lloyd refinement with the centroid table COLLECTED to the
+    driver: the distributed part is the exact integer micro-unit
+    component-mean aggregation of ``similarity._lloyd_step`` (one
+    shuffle, associative BIGINT sums); what comes back is n_cells×dim
+    doubles — a planning stat, same family as ingest's metadata pass.
+    cnrm is the identical left-fold-then-sqrt the Column expression
+    computes (same IEEE order → bit-identical)."""
+    import math
+
+    comp = (
+        assign.select(
+            "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
+        )
+        .select(
+            "cell",
+            "pos",
+            F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+        )
+        .groupBy("cell", "pos")
+        .agg((F.sum("q") / (F.count(F.lit(1)) * 1e6)).alias("c"))
+    )
+    by_cell: dict = {}
+    for r in comp.collect():
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+    cents = []
+    for cell in sorted(by_cell):
+        ce = [by_cell[cell][p] for p in sorted(by_cell[cell])]
+        acc = 0.0
+        for x in ce:
+            acc = acc + x * x
+        cents.append((cell, ce, math.sqrt(acc)))
+    return cents
+
+
 def _trained_assign(
-    embs: DataFrame, n_cells: int, n_iters: int
+    embs: DataFrame, n_cells: int, n_iters: int,
+    materialize: bool = False,
 ) -> DataFrame:
-    """(vec_id, embedding, nrm, cell) after ``n_iters`` Lloyd rounds —
-    one lazy plan, no driver-side data movement."""
+    """(vec_id, embedding, nrm, cell) after ``n_iters`` Lloyd rounds.
+
+    r5 redesign: the centroid table (n_cells×dim doubles — KBs at any
+    corpus size) lives on the DRIVER between rounds, so each round is
+    ONE partial-aggregated shuffle (the exact component means) and
+    assignment is a pure map with literal centroids. The previous
+    all-lazy chain stacked a broadcast-join+window shuffle per round
+    into one plan, and every consumer referencing the assignment
+    twice re-evaluated the whole chain (measured: semantic_pairs
+    scanned embeddings 8x, zero ReusedExchange). Values are
+    bit-identical to the old chain and the DuckDB oracle
+    (``similarity.ivf_train_ctes``): same integer-exact means, same
+    fold order, same round(·,6), same tie-break — the oracle mirror
+    re-proves it every run.
+
+    ``materialize=True`` additionally localCheckpoints the final
+    assignment so multi-reference consumers (self-join, anti-join,
+    labeling aggs) read one materialized table."""
     wn = embs.select(
         "vec_id",
         "embedding",
@@ -69,17 +148,14 @@ def _trained_assign(
     # rank-based seed (n_cells LOWEST vec_ids) — robust to sparse /
     # content-hash id spaces, identical to vec_id < n_cells for the
     # dense 0-based ids of the driver testdata
-    cents = seed_centroids(embs, n_cells)
+    cents = [
+        (r["cid"], list(r["ce"]), r["cnrm"])
+        for r in seed_centroids(embs, n_cells).collect()
+    ]
     for _ in range(max(1, n_iters)):
-        assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
-            "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
-        )
-        cents = _lloyd_step(assign)
-    return (
-        _nearest_cells(wn, cents)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cid").alias("cell"))
-    )
+        cents = _lloyd_collect(_assign_to(wn, cents))
+    final = _assign_to(wn, cents)
+    return final.localCheckpoint() if materialize else final
 
 
 def semantic_pairs(
@@ -87,10 +163,16 @@ def semantic_pairs(
     tau: float = SEM_TAU,
     n_cells: int = IVF_CELLS,
     n_iters: int = IVF_ITERS,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cell, cos) — co-clustered pairs with cosine ≥
-    ``tau``, vec_a < vec_b. The quadratic scan never leaves a cell."""
-    assign = _trained_assign(embs, n_cells, n_iters)
+    ``tau``, vec_a < vec_b. The quadratic scan never leaves a cell.
+    Pass ``assign=`` to reuse a precomputed assignment (the
+    ``clusters=`` reuse contract of dedup.dedup_keepers); the default
+    trains once and materializes it so BOTH self-join sides read the
+    same table instead of re-running Lloyd."""
+    if assign is None:
+        assign = _trained_assign(embs, n_cells, n_iters, materialize=True)
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -130,11 +212,12 @@ def semantic_keepers(
 ) -> DataFrame:
     """(vec_id, cell) — the deduplicated corpus: every vector not
     semantically dominated by a lower-id vector in its cell (the
-    paper's greedy keep-one rule, deterministic by id)."""
-    assign = _trained_assign(embs, n_cells, n_iters)
-    dropped = semantic_pairs(embs, tau, n_cells, n_iters).select(
-        F.col("vec_b").alias("vec_id")
-    )
+    paper's greedy keep-one rule, deterministic by id). Trains ONCE:
+    the materialized assignment feeds both the pair scan and the
+    anti-join (previously three separate Lloyd evaluations)."""
+    assign = _trained_assign(embs, n_cells, n_iters, materialize=True)
+    dropped = semantic_pairs(embs, tau, n_cells, n_iters, assign=assign)
+    dropped = dropped.select(F.col("vec_b").alias("vec_id"))
     return assign.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cell"
     )

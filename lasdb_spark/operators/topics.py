@@ -66,7 +66,11 @@ def corpus_topics(
     cluster granularity, so corpus-wide stopwords score ~0 and the
     cluster's own vocabulary surfaces."""
     if assign is None:
-        assign = doc_clusters(embs, n_cells, n_iters)
+        # materialize: the assignment feeds three consumers below
+        # (membership join, cluster count, sizes) — lazy lineage would
+        # re-run the Lloyd chain per consumer (see
+        # semdedup._trained_assign)
+        assign = doc_clusters(embs, n_cells, n_iters).localCheckpoint()
     member = docs.join(assign, "doc_id")
     terms = member.select(
         "cell",
