@@ -1329,6 +1329,20 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(_embs(spark, sf_dir))
 
 
+def _q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding moments (collapsed-dim audit)."""
+    from lasdb_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_embs(spark, sf_dir))
+
+
+def _q_emb_cov_pairs(spark, sf_dir):
+    """Top-|cov| cross-dimension pairs (redundancy audit)."""
+    from lasdb_spark.operators.similarity import embedding_cov_pairs
+
+    return embedding_cov_pairs(_embs(spark, sf_dir))
+
+
 CDC_SPLIT_MS = 1_705_276_800_000  # 2024-01-15T00:00Z
 
 
@@ -1618,19 +1632,22 @@ def oracle_sql() -> dict[str, str]:
         "stream_exact_dedup": _dedup.exact_dedup_sql(),
         "stream_windowed_counts": _rel.hourly_event_rollup_sql(),
         "pc_ground": _grid.pmf_ground_sql(_PTS),
+        "emb_dim_stats": _similarity.embedding_dim_stats_sql(),
+        "emb_cov_pairs": _similarity.embedding_cov_pairs_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """142 entries, ordered so every query gets a driver CORRECTNESS
+    """144 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-5 rotation (exactly what the r4 verdict and
     the previous docstring committed to): entries whose RESULTS
     CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
     carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the seven
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the nine
     operators NEW in r5 (3-column Z-order, the five drained-streaming
-    entries, the PMF ground filter), then the ENTIRE block whose last
+    entries, the PMF ground filter, the embedding dim/covariance
+    audits), then the ENTIRE block whose last
     driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
     pc_bbox_maxz..mm_frame_sample), with the window's remaining
     slots refreshing the oldest r3-green entries. Everything past the
@@ -1653,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": _q_stream_dedup,
         "stream_windowed_counts": _q_stream_windows,
         "pc_ground": _q_pc_ground,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "emb_cov_pairs": _q_emb_cov_pairs,
         # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1280,3 +1280,174 @@ SELECT s.vec_id, s.label,
 FROM scored s JOIN thrs t ON s.label = t.label
 ORDER BY s.vec_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# embedding diagnostics: per-dimension stats + cross-dimension covariance
+# ---------------------------------------------------------------------------
+
+#: variance below which a dimension counts as degenerate (collapsed) —
+#: embedding-health audit threshold in raw (unquantized) units²
+DIM_VAR_FLOOR = 1e-6
+COV_TOPK = 20
+
+
+def embedding_dim_stats(embs: DataFrame) -> DataFrame:
+    """(pos, n, mean, var, is_degenerate) — per-dimension moments of
+    the embedding matrix: the standard embedding-health audit
+    (collapsed dimensions are var≈0; dead whitening shows as wildly
+    uneven variances).
+
+    Exactness: components quantize to micro-unit longs; both moments
+    sum in DECIMAL(38,0) (order-independent), and the mean/variance
+    are ONE fixed float expression over those exact integers — the
+    DuckDB twin (HUGEINT) computes the identical IEEE result.
+
+    Scale: posexplode to dim×N rows map-side, one partial-aggregated
+    groupBy to exactly dim result rows. This is THE one-pass shape."""
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    parts = embs.select(
+        F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("pos", q.alias("q"))
+    qd = F.col("q").cast("decimal(19,0)")
+    agg = parts.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd.cast("decimal(38,0)")).alias("s1"),
+        F.sum((qd * qd).cast("decimal(38,0)")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd / 1e6
+    var = (
+        F.col("s2").cast("double") / nd / 1e12
+        - (F.col("s1").cast("double") / nd / 1e6)
+        * (F.col("s1").cast("double") / nd / 1e6)
+    )
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 9).alias("mean"),
+        F.round(var, 9).alias("var"),
+        (F.round(var, 9) < DIM_VAR_FLOOR).alias("is_degenerate"),
+    ).orderBy("pos")
+
+
+def embedding_dim_stats_sql(dim: int = EMB_DIM) -> str:
+    return f"""
+WITH parts AS (
+  SELECT CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+agg AS (
+  SELECT pos, count(*) AS n,
+         sum(CAST(q AS HUGEINT)) AS s1,
+         sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2
+  FROM parts GROUP BY pos)
+SELECT pos, CAST(n AS BIGINT) AS n,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 9) AS mean,
+       round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12
+             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6), 9) AS var,
+       round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12
+             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6), 9)
+         < {DIM_VAR_FLOOR!r} AS is_degenerate
+FROM agg ORDER BY pos
+""".strip()
+
+
+def embedding_cov_pairs(
+    embs: DataFrame, k: int = COV_TOPK
+) -> DataFrame:
+    """(pos_a, pos_b, cov, abs_cov) — the ``k`` strongest off-diagonal
+    covariances between embedding dimensions (pos_a < pos_b): highly
+    correlated dimension pairs are redundancy an embedding audit
+    flags before PCA/whitening decisions.
+
+    Exactness: cross-products of micro-unit longs sum in
+    DECIMAL(38,0); the covariance is one fixed expression over the
+    exact sums (same contract as :func:`embedding_dim_stats`), rounded
+    to 9 dp; ties break on (pos_a, pos_b).
+
+    Scale: the per-vector dim×dim fan-out is a LOCAL self-join on
+    vec_id (dim²/2 rows per vector, a constant), aggregated map-side
+    into exactly dim²/2 partial rows per task — the shuffle carries
+    dim²-bounded state, never corpus-sized data. For very wide
+    embeddings, sample vectors first; the estimator shape is
+    unchanged."""
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    parts = embs.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("vec_id", "pos", q.alias("q"))
+    a = parts.select(
+        "vec_id", F.col("pos").alias("pos_a"), F.col("q").alias("qa")
+    )
+    b = parts.select(
+        "vec_id", F.col("pos").alias("pos_b"), F.col("q").alias("qb")
+    )
+    prod = (
+        a.join(b, "vec_id")
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .groupBy("pos_a", "pos_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("qa").cast("decimal(19,0)")
+                    * F.col("qb").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("sab"),
+            F.sum(F.col("qa").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("qb").cast("decimal(38,0)")).alias("sb"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cov = F.round(
+        F.col("sab").cast("double") / nd / 1e12
+        - (F.col("sa").cast("double") / nd / 1e6)
+        * (F.col("sb").cast("double") / nd / 1e6),
+        9,
+    )
+    scored = prod.select(
+        F.col("pos_a").cast("int").alias("pos_a"),
+        F.col("pos_b").cast("int").alias("pos_b"),
+        cov.alias("cov"),
+        F.abs(cov).alias("abs_cov"),
+    )
+    return (
+        scored.orderBy(
+            F.col("abs_cov").desc(), F.col("pos_a"), F.col("pos_b")
+        )
+        .limit(k)
+    )
+
+
+def embedding_cov_pairs_sql(k: int = COV_TOPK, dim: int = EMB_DIM) -> str:
+    return f"""
+WITH parts AS (
+  SELECT vec_id, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+prod AS (
+  SELECT a.pos AS pos_a, b.pos AS pos_b, count(*) AS n,
+         sum(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT)) AS sab,
+         sum(CAST(a.q AS HUGEINT)) AS sa,
+         sum(CAST(b.q AS HUGEINT)) AS sb
+  FROM parts a JOIN parts b
+    ON a.vec_id = b.vec_id AND a.pos < b.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT pos_a, pos_b,
+         round(CAST(sab AS DOUBLE) / CAST(n AS DOUBLE) / 1e12
+               - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+               * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) / 1e6), 9)
+           AS cov
+  FROM prod)
+SELECT pos_a, pos_b, cov, abs(cov) AS abs_cov
+FROM scored
+ORDER BY abs(cov) DESC, pos_a, pos_b
+LIMIT {k}
+""".strip()

@@ -375,3 +375,41 @@ def test_stream_kmv_converges_to_batch(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch = {r.event_type: r.kmv_estimate for r in kmv_distinct(ev).collect()}
     assert got == batch
+
+
+@pytest.mark.spark
+def test_embedding_dim_stats_flags_collapsed_dim(spark):
+    """A planted constant dimension must flag is_degenerate; a live
+    dimension must not."""
+    from lasdb_spark.operators.similarity import embedding_dim_stats
+
+    rows = [(i, [float(i % 7), 0.25, float(i) / 10.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.pos: r for r in embedding_dim_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1].is_degenerate and abs(out[1].mean - 0.25) < 1e-6
+    assert not out[0].is_degenerate and not out[2].is_degenerate
+    assert all(out[p].n == 50 for p in out)
+
+
+@pytest.mark.spark
+def test_embedding_cov_pairs_finds_planted_correlation(spark):
+    """dim0 == dim2 exactly (perfect correlation) must outrank the
+    independent pairs, with cov ~ var(dim0)."""
+    import random
+
+    from lasdb_spark.operators.similarity import (
+        embedding_cov_pairs,
+        embedding_dim_stats,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [v := rng.uniform(-1, 1), rng.uniform(-1, 1), v])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = embedding_cov_pairs(df, k=3).collect()
+    assert (top[0].pos_a, top[0].pos_b) == (0, 2)
+    var0 = {r.pos: r.var for r in embedding_dim_stats(df).collect()}[0]
+    assert abs(top[0].cov - var0) < 1e-6
