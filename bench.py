@@ -147,6 +147,8 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
         "bbox_block": lambda: qb.bbox([85200.0, 85400.0, 446300.0, 446800.0]),
         "multi_window_36": lambda: q.multi_bbox(mw_wins),
         "lod_pyramid": lambda: q.lod_pyramid([4, 7, 10]),
+        # progressive morphological ground filter (r5)
+        "pmf_ground": lambda: _pmf(pts),
         # corridor profile over the pruned polyline selection (r4)
         "profile": lambda: _profile(q, polyline),
         # epoch change detection vs a perturbed second survey (r4)
@@ -157,6 +159,12 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
     }
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
+
+
+def _pmf(pts):
+    from lasdb_spark.operators.grid import pmf_ground
+
+    return pmf_ground(pts)
 
 
 def _profile(q, polyline):
@@ -306,6 +314,18 @@ def _section_corpus(spark, sf_dir, timings) -> None:
                 ev.filter(_ms >= _split),
             ),
             "emb_outliers": lambda: embedding_outliers(embs),
+        }
+    )
+    # r5: embedding health audits
+    from lasdb_spark.operators.similarity import (
+        embedding_cov_pairs,
+        embedding_dim_stats,
+    )
+
+    suite.update(
+        {
+            "emb_dim_stats": lambda: embedding_dim_stats(embs),
+            "emb_cov_pairs": lambda: embedding_cov_pairs(embs),
         }
     )
     for name, fn in suite.items():

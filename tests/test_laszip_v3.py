@@ -162,3 +162,30 @@ def test_laz14_ingests_via_las_to_df(spark, tmp_path):
     got_x = sorted(r.x for r in rows)
     want_x = sorted(pts["X"] * 0.01)
     np.testing.assert_allclose(got_x, want_x)
+
+
+def test_laz14_truncated_and_corrupt_inputs_fail_cleanly():
+    """Truncated layer tables / bad chunk offsets must raise
+    ValueError (or a clean struct error), never hang or index-crash
+    deep in the coder."""
+    pts = _mk_points(300, 6, seed=2)
+    buf = compress_points_to_laz14(pts, 6)
+    hdr = parse_las_header(buf)
+    vlr = parse_laszip_vlr(buf, hdr["header_size"], hdr["offset_to_points"])
+    import struct as _s
+
+    # cut the file before the chunk table
+    for cut in (hdr["offset_to_points"] + 4, len(buf) // 2):
+        with pytest.raises((ValueError, _s.error, IndexError)):
+            decompress_laz14_points(buf[:cut], hdr, vlr)
+    # corrupt the chunk-table offset
+    bad = bytearray(buf)
+    pos = hdr["offset_to_points"]
+    bad[pos:pos + 8] = _s.pack("<q", len(buf) + 999)
+    with pytest.raises(ValueError):
+        decompress_laz14_points(bytes(bad), hdr, vlr)
+    # unsupported item version in the VLR
+    vlr_bad = dict(vlr)
+    vlr_bad["items"] = [(10, 30, 9)]
+    with pytest.raises(ValueError, match="not supported"):
+        decompress_laz14_points(buf, hdr, vlr_bad)
