@@ -1343,6 +1343,13 @@ def _q_emb_cov_pairs(spark, sf_dir):
     return embedding_cov_pairs(_embs(spark, sf_dir))
 
 
+def _q_corpus_split(spark, sf_dir):
+    """Deterministic salted-hash 90/5/5 train/val/test split summary."""
+    from lasdb_spark.operators.text import corpus_split
+
+    return corpus_split(_docs(spark, sf_dir))
+
+
 CDC_SPLIT_MS = 1_705_276_800_000  # 2024-01-15T00:00Z
 
 
@@ -1634,20 +1641,21 @@ def oracle_sql() -> dict[str, str]:
         "pc_ground": _grid.pmf_ground_sql(_PTS),
         "emb_dim_stats": _similarity.embedding_dim_stats_sql(),
         "emb_cov_pairs": _similarity.embedding_cov_pairs_sql(),
+        "corpus_split": _text.corpus_split_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """144 entries, ordered so every query gets a driver CORRECTNESS
+    """145 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-5 rotation (exactly what the r4 verdict and
     the previous docstring committed to): entries whose RESULTS
     CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
     carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the nine
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the ten
     operators NEW in r5 (3-column Z-order, the five drained-streaming
     entries, the PMF ground filter, the embedding dim/covariance
-    audits), then the ENTIRE block whose last
+    audits, the train/val/test split), then the ENTIRE block whose last
     driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
     pc_bbox_maxz..mm_frame_sample), with the window's remaining
     slots refreshing the oldest r3-green entries. Everything past the
@@ -1672,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_ground": _q_pc_ground,
         "emb_dim_stats": _q_emb_dim_stats,
         "emb_cov_pairs": _q_emb_cov_pairs,
+        "corpus_split": _q_corpus_split,
         # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1532,3 +1532,76 @@ SELECT s.doc_id,
 FROM sh s JOIN first f ON s.shingle = f.shingle
 GROUP BY s.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+#: permille boundaries of the three-way split (train < 900, val < 950,
+#: test rest) — the standard 90/5/5 hash split
+SPLIT_TRAIN_PERMILLE = 900
+SPLIT_VAL_PERMILLE = 950
+
+
+def _split_col() -> Column:
+    from ..functions.hashing import md5_int60_col
+
+    # salt the id so the split is independent of every OTHER hash cut
+    # in the pipeline (sampling, packing, thinning all hash bare ids)
+    b = md5_int60_col(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+
+
+def corpus_split(docs: DataFrame) -> DataFrame:
+    """(split, lang, n_docs, n_tokens) — deterministic 90/5/5
+    train/val/test split summary, stratified by construction (the
+    salted content-hash is uniform within every language), with
+    whitespace token counts so mixing ratios are auditable per split.
+
+    Content-hash assignment (not ``rand()``) means a document lands
+    in the SAME split across engines, runs, partitionings and corpus
+    versions — the reproducibility/no-leakage property an eval
+    pipeline needs (a doc can never drift from test into train on a
+    re-run). Map-side split + one partial-aggregated groupBy. Token
+    counts use the repo-standard TOKEN_RE tokenizer (same numbers as
+    token_stats / the budget mixer)."""
+    return (
+        docs.select(
+            _split_col().alias("split"),
+            "lang",
+            _n_matches(F.col("text"), TOKEN_RE).cast("long").alias("t"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def corpus_split_sql(src: str = "documents") -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    salted = "'split:' || CAST(doc_id AS VARCHAR)"
+    b = f"{md5_int60_sql(salted)} % 1000"
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN {b} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+              WHEN {b} < {SPLIT_VAL_PERMILLE} THEN 'val'
+              ELSE 'test' END AS split,
+         lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS t
+  FROM {src})
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens
+FROM tagged GROUP BY 1, 2
+ORDER BY split, lang
+""".strip()

@@ -397,3 +397,26 @@ def test_conversion_rates_window_semantics(spark):
     r = out[0]
     assert r.signups == 3 and r.conversions == 1
     assert abs(r.rate - 1 / 3) < 1e-6
+
+
+@pytest.mark.spark
+def test_corpus_split_is_stable_and_exhaustive(spark, sf_dir):
+    """Every doc lands in exactly one split; proportions are near
+    90/5/5; assignment is independent of partitioning (re-run on a
+    repartitioned frame gives the identical summary)."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.text import corpus_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_split(docs).collect()
+    n_total = docs.count()
+    by_split = {}
+    for r in out:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert sum(by_split.values()) == n_total
+    assert 0.8 < by_split["train"] / n_total < 0.97
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
+    again = corpus_split(docs.repartition(13)).collect()
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(out) == key(again)
