@@ -399,18 +399,32 @@ def write_laz(
     path: str,
     scales=(0.1, 0.1, 0.1),
     offsets=(0.0, 0.0, 0.0),
+    point_format: int = 0,
 ) -> None:
-    """Compressed export: xyz → chunked LAZ (format 0) via the in-repo
-    LASzip codec. Same grid quantization as :func:`write_las`."""
-    from .laszip_codec import compress_points_to_laz
-
+    """Compressed export: xyz → chunked LAZ via the in-repo LASzip
+    codecs. ``point_format`` 0 (default) writes legacy pointwise LAZ;
+    6 writes a LAS 1.4 layered tile (the modern AHN4+ exchange shape,
+    non-spatial fields zeroed, single-return records). Same grid
+    quantization as :func:`write_las`."""
     xyz = np.asarray(xyz, dtype=np.float64).reshape(-1, 3)
-    pts = np.zeros(len(xyz), dtype=point_dtype(0))
+    pts = np.zeros(len(xyz), dtype=point_dtype(point_format))
     for i, (s, o) in enumerate(zip(scales, offsets)):
         pts[("X", "Y", "Z")[i]] = np.round(
             (xyz[:, i] - o) / s
         ).astype(np.int64)
-    buf = compress_points_to_laz(pts, 0, scales, offsets)
+    if point_format == 0:
+        from .laszip_codec import compress_points_to_laz
+
+        buf = compress_points_to_laz(pts, 0, scales, offsets)
+    elif point_format in (6, 7, 8):
+        from .laszip_v3 import compress_points_to_laz14
+
+        pts["returns"] = 0x11  # first-of-one, the spec's minimum
+        buf = compress_points_to_laz14(pts, point_format, scales, offsets)
+    else:
+        raise ValueError(
+            f"LAZ export supports formats 0 and 6-8, got {point_format}"
+        )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(buf)

@@ -189,3 +189,17 @@ def test_laz14_truncated_and_corrupt_inputs_fail_cleanly():
     vlr_bad["items"] = [(10, 30, 9)]
     with pytest.raises(ValueError, match="not supported"):
         decompress_laz14_points(buf, hdr, vlr_bad)
+
+
+def test_write_laz_format6_roundtrip(tmp_path):
+    """xyz export as a LAS 1.4 layered tile reads back exactly."""
+    from lasdb_spark.sources.las import read_las_bytes, write_laz
+
+    rng = np.random.default_rng(31)
+    xyz = np.round(rng.uniform(0, 500, (800, 3)), 2)
+    p = str(tmp_path / "out14.laz")
+    write_laz(xyz, p, scales=(0.01, 0.01, 0.01), point_format=6)
+    back = read_las_bytes(open(p, "rb").read())
+    np.testing.assert_allclose(
+        np.sort(back, axis=0), np.sort(xyz, axis=0), atol=1e-9
+    )
