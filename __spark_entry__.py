@@ -1350,6 +1350,14 @@ def _q_corpus_split(spark, sf_dir):
     return corpus_split(_docs(spark, sf_dir))
 
 
+def _q_rel_session_paths(spark, sf_dir):
+    """Top 3-step event-type paths inside user sessions (clickstream
+    path discovery — the funnel's exploratory inverse)."""
+    from lasdb_spark.operators.relational import top_session_paths
+
+    return top_session_paths(_ev(spark, sf_dir))
+
+
 CDC_SPLIT_MS = 1_705_276_800_000  # 2024-01-15T00:00Z
 
 
@@ -1642,20 +1650,21 @@ def oracle_sql() -> dict[str, str]:
         "emb_dim_stats": _similarity.embedding_dim_stats_sql(),
         "emb_cov_pairs": _similarity.embedding_cov_pairs_sql(),
         "corpus_split": _text.corpus_split_sql(),
+        "rel_session_paths": _rel.top_session_paths_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """145 entries, ordered so every query gets a driver CORRECTNESS
+    """146 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-5 rotation (exactly what the r4 verdict and
     the previous docstring committed to): entries whose RESULTS
     CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
     carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the ten
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the eleven
     operators NEW in r5 (3-column Z-order, the five drained-streaming
     entries, the PMF ground filter, the embedding dim/covariance
-    audits, the train/val/test split), then the ENTIRE block whose last
+    audits, the train/val/test split, session path mining), then the ENTIRE block whose last
     driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
     pc_bbox_maxz..mm_frame_sample), with the window's remaining
     slots refreshing the oldest r3-green entries. Everything past the
@@ -1681,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dim_stats": _q_emb_dim_stats,
         "emb_cov_pairs": _q_emb_cov_pairs,
         "corpus_split": _q_corpus_split,
+        "rel_session_paths": _q_rel_session_paths,
         # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

@@ -1168,3 +1168,105 @@ SELECT day, CAST(count(*) AS BIGINT) AS signups,
          AS rate
 FROM flagged GROUP BY day ORDER BY day
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# top session paths (behavioral sequence mining)
+# ---------------------------------------------------------------------------
+
+PATH_DEPTH = 3
+PATH_TOPK = 15
+
+
+def top_session_paths(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    depth: int = PATH_DEPTH,
+    k: int = PATH_TOPK,
+) -> DataFrame:
+    """(path, n) — the ``k`` most frequent ``depth``-step event-type
+    sequences inside user sessions ('click>view>purchase'), the
+    classic clickstream path-mining question funnels can't answer
+    (funnels fix the steps; this DISCOVERS them).
+
+    Shape: the one user_id shuffle every sessionized query here pays,
+    then map-side lead() steps over the (ms, event_id)-ordered
+    session, a partial-aggregated path count, TakeOrdered top-k.
+    Sequences never cross a session boundary (lead() guarded on the
+    same session_id). Ties rank by path text, so the top-k SET is
+    deterministic."""
+    gap_ms = gap_min * 60 * 1000
+    projected = events.select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        "event_id",
+    )
+    ms = F.col("ms")
+    w = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    new_sess = F.when(ms - F.lag(ms).over(w) > gap_ms, 1).otherwise(0)
+    with_sess = projected.withColumn(
+        "session_id", F.sum(new_sess).over(w).cast("int")
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy(
+        "ms", "event_id"
+    )
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(sw) for i in range(1, depth)
+    ]
+    guards = [
+        F.lead("session_id", i).over(sw) == F.col("session_id")
+        for i in range(1, depth)
+    ]
+    ok = guards[0]
+    for g in guards[1:]:
+        ok = ok & g
+    path = F.concat_ws(">", *steps)
+    counted = (
+        with_sess.select(path.alias("path"), ok.alias("ok"))
+        .filter(F.col("ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.orderBy(F.col("n").desc(), "path").limit(k)
+
+
+def top_session_paths_sql(
+    gap_min: int = SESSION_GAP_MIN,
+    depth: int = PATH_DEPTH,
+    k: int = PATH_TOPK,
+) -> str:
+    gap_ms = gap_min * 60 * 1000
+    leads = ", ".join(
+        f"lead(event_type, {i}) OVER sw AS e{i}, "
+        f"lead(session_id, {i}) OVER sw AS s{i}"
+        for i in range(1, depth)
+    )
+    concat = " || '>' || ".join(
+        ["event_type"] + [f"e{i}" for i in range(1, depth)]
+    )
+    guard = " AND ".join(f"s{i} = session_id" for i in range(1, depth))
+    return f"""
+{EV_CTE},
+g AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+         (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > {gap_ms}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+s AS (
+  SELECT user_id, event_id, event_type, ms,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM g),
+stepped AS (
+  SELECT event_type, session_id, {leads}
+  FROM s
+  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ms, event_id)),
+paths AS (
+  SELECT {concat} AS path FROM stepped WHERE {guard})
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path
+LIMIT {k}
+""".strip()

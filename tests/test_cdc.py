@@ -138,3 +138,21 @@ def test_stream_cdc_multibatch_emits_tombstones(spark, sf_dir):
     dead = {r.user_id for r in rows if r.op == "D"} - set(batch)
     assert dead & emitted_live
     assert _replay_sink(spark, "cdc_out_mb") == batch
+
+
+@pytest.mark.spark
+def test_top_session_paths_semantics(spark):
+    """Paths never cross session boundaries and counts are exact."""
+    from lasdb_spark.operators.relational import top_session_paths
+
+    rows = [
+        # user 1, one session: a b c d -> paths a>b>c, b>c>d
+        _ev(1, 0, 1, "a"), _ev(2, 1, 1, "b"),
+        _ev(3, 2, 1, "c"), _ev(4, 3, 1, "d"),
+        # user 2: a b | (35 min gap) c d e -> a>b dies at the boundary
+        _ev(5, 0, 2, "a"), _ev(6, 1, 2, "b"),
+        _ev(7, 40, 2, "c"), _ev(8, 41, 2, "d"), _ev(9, 42, 2, "e"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.path: r.n for r in top_session_paths(df, k=10).collect()}
+    assert got == {"a>b>c": 1, "b>c>d": 1, "c>d>e": 1}
