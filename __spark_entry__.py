@@ -361,6 +361,14 @@ def _q_pc_ground(spark, sf_dir):
     return pmf_ground(points_df(spark, sf_dir))
 
 
+def _q_pc_chm(spark, sf_dir):
+    """Canopy height model: per-cell p95 minus the PMF ground surface
+    (the forestry/obstruction raster)."""
+    from lasdb_spark.operators.grid import canopy_height
+
+    return canopy_height(points_df(spark, sf_dir))
+
+
 def _q_stream_windows(spark, sf_dir):
     """Drained streaming tumbling-hour rollup == the batch rollup
     (watermark pinned past the replay span so nothing is late)."""
@@ -1651,20 +1659,21 @@ def oracle_sql() -> dict[str, str]:
         "emb_cov_pairs": _similarity.embedding_cov_pairs_sql(),
         "corpus_split": _text.corpus_split_sql(),
         "rel_session_paths": _rel.top_session_paths_sql(),
+        "pc_chm": _grid.canopy_height_sql(_PTS),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """146 entries, ordered so every query gets a driver CORRECTNESS
+    """147 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-5 rotation (exactly what the r4 verdict and
     the previous docstring committed to): entries whose RESULTS
     CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
     carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the eleven
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the twelve
     operators NEW in r5 (3-column Z-order, the five drained-streaming
     entries, the PMF ground filter, the embedding dim/covariance
-    audits, the train/val/test split, session path mining), then the ENTIRE block whose last
+    audits, the train/val/test split, session path mining, the canopy height model), then the ENTIRE block whose last
     driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
     pc_bbox_maxz..mm_frame_sample), with the window's remaining
     slots refreshing the oldest r3-green entries. Everything past the
@@ -1691,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cov_pairs": _q_emb_cov_pairs,
         "corpus_split": _q_corpus_split,
         "rel_session_paths": _q_rel_session_paths,
+        "pc_chm": _q_pc_chm,
         # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

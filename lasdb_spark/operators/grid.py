@@ -351,24 +351,12 @@ def pmf_ground(
     only float op is the final ground_est/100.0 presentation.
 
     Scale: the cloud collapses once to |cells| ∝ area rows; each PMF
-    stage is 2 shift-union aggregations of that small table
-    ((2w+1)^2 map-side copies, one shuffle each); the final labeling
-    is ONE equi-join of the cloud against the cell surface (AQE
-    broadcasts it when the extent is bounded). Nothing rescans the
-    cloud per stage."""
-    cx = F.floor(F.col("x") / cell).cast("long")
-    cy = F.floor(F.col("y") / cell).cast("long")
-    zq = F.round(F.col("z") * 100).cast("long")
-    pts = points.select(
-        "x", "y", "z", cx.alias("cell_x"), cy.alias("cell_y"),
-        zq.alias("zq"),
-    )
-    dem = pts.groupBy("cell_x", "cell_y").agg(F.min("zq").alias("gq"))
-    footprint = dem.select("cell_x", "cell_y")
-    surface = dem
-    for w in windows:
-        eroded = _morph(surface, footprint, w, F.min)
-        surface = _morph(eroded, footprint, w, F.max)
+    stage is 2 single-scan explode aggregations of that small table
+    (one shuffle each); the final labeling is ONE equi-join of the
+    cloud against the cell surface (AQE broadcasts it when the extent
+    is bounded). Nothing rescans the cloud per stage."""
+    pts = _pts_cells(points, cell)
+    surface = pmf_surface(points, cell, windows)
     thr_cm = int(round(threshold * 100))
     return (
         pts.join(surface, ["cell_x", "cell_y"])
@@ -380,6 +368,34 @@ def pmf_ground(
     )
 
 
+def _pts_cells(points: DataFrame, cell: float) -> DataFrame:
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    zq = F.round(F.col("z") * 100).cast("long")
+    return points.select(
+        "x", "y", "z", cx.alias("cell_x"), cy.alias("cell_y"),
+        zq.alias("zq"),
+    )
+
+
+def pmf_surface(
+    points: DataFrame,
+    cell: float = PMF_CELL,
+    windows: tuple = PMF_WINDOWS,
+) -> DataFrame:
+    """(cell_x, cell_y, gq) — the opened (PMF) ground surface in exact
+    centi-units, the shared core of :func:`pmf_ground` and
+    :func:`canopy_height`."""
+    pts = _pts_cells(points, cell)
+    dem = pts.groupBy("cell_x", "cell_y").agg(F.min("zq").alias("gq"))
+    footprint = dem.select("cell_x", "cell_y")
+    surface = dem
+    for w in windows:
+        eroded = _morph(surface, footprint, w, F.min)
+        surface = _morph(eroded, footprint, w, F.max)
+    return surface
+
+
 def pmf_ground_sql(
     points_cte: str,
     cell: float = PMF_CELL,
@@ -389,8 +405,30 @@ def pmf_ground_sql(
     """Oracle twin of :func:`pmf_ground` — each morphology stage is a
     neighborhood self-join aggregation over the cell table (DuckDB
     scale is fine with the quadratic-per-cell form; the Spark side
-    uses shift-unions instead)."""
+    uses single-scan explode apertures instead)."""
     thr_cm = int(round(threshold * 100))
+    stage_sql, prev = _pmf_stages_sql(windows)
+    return f"""
+{points_cte}, cells AS (
+  SELECT x, y, z,
+         CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y,
+         CAST(round(z * 100) AS BIGINT) AS zq
+  FROM points),
+dem AS (
+  SELECT cell_x, cell_y, min(zq) AS gq
+  FROM cells GROUP BY 1, 2),
+{stage_sql}
+SELECT c.x, c.y, c.z, s.gq / 100.0 AS ground_est,
+       (c.zq - s.gq) <= {thr_cm} AS is_ground
+FROM cells c JOIN {prev} s
+  ON s.cell_x = c.cell_x AND s.cell_y = c.cell_y
+""".strip()
+
+
+def _pmf_stages_sql(windows: tuple) -> tuple[str, str]:
+    """The erosion/dilation CTE chain over ``dem`` (shared by the PMF
+    and CHM oracles); returns (stage_sql, final_cte_name)."""
     stages = []
     prev = "dem"
     for i, w in enumerate(windows):
@@ -411,7 +449,65 @@ def pmf_ground_sql(
             f"  GROUP BY 1, 2)"
         )
         prev = f"op{i}"
-    stage_sql = ",\n".join(stages)
+    return ",\n".join(stages), prev
+
+
+# ---------------------------------------------------------------------------
+# canopy height model (CHM): percentile surface minus opened ground
+# ---------------------------------------------------------------------------
+
+CHM_P = 0.95
+
+
+def canopy_height(
+    points: DataFrame,
+    cell: float = PMF_CELL,
+    p: float = CHM_P,
+    windows: tuple = PMF_WINDOWS,
+) -> DataFrame:
+    """(cell_x, cell_y, n_points, ground_z, top_z, chm) — the canopy
+    height model: per-cell p95 elevation minus the PMF-opened ground
+    surface, the standard forestry/obstruction raster (top minus
+    terrain on a common grid).
+
+    Both surfaces come from exact centi-unit order statistics/min-max,
+    so chm is one exact integer difference presented /100 — hash-
+    stable. Shape: the percentile's cell shuffle + the PMF's small
+    cell-table stages + one cell-table equi-join; the cloud is
+    scanned twice (once per surface), never more."""
+    from pyspark.sql import Window
+
+    pts = _pts_cells(points, cell)
+    wcell = Window.partitionBy("cell_x", "cell_y")
+    ranked = pts.withColumn(
+        "rn", F.row_number().over(wcell.orderBy("zq"))
+    ).withColumn("n", F.count(F.lit(1)).over(wcell))
+    kth = F.ceil(F.lit(float(p)) * F.col("n").cast("double")).cast("long")
+    top = ranked.filter(F.col("rn") == kth).select(
+        "cell_x", "cell_y",
+        F.col("n").cast("long").alias("n_points"),
+        F.col("zq").alias("topq"),
+    )
+    surface = pmf_surface(points, cell, windows)
+    return (
+        top.join(surface, ["cell_x", "cell_y"])
+        .select(
+            "cell_x", "cell_y", "n_points",
+            (F.col("gq") / 100.0).alias("ground_z"),
+            (F.col("topq") / 100.0).alias("top_z"),
+            ((F.col("topq") - F.col("gq")) / 100.0).alias("chm"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+def canopy_height_sql(
+    points_cte: str,
+    cell: float = PMF_CELL,
+    p: float = CHM_P,
+    windows: tuple = PMF_WINDOWS,
+) -> str:
+    stage_sql, prev = _pmf_stages_sql(windows)
     return f"""
 {points_cte}, cells AS (
   SELECT x, y, z,
@@ -422,9 +518,22 @@ def pmf_ground_sql(
 dem AS (
   SELECT cell_x, cell_y, min(zq) AS gq
   FROM cells GROUP BY 1, 2),
-{stage_sql}
-SELECT c.x, c.y, c.z, s.gq / 100.0 AS ground_est,
-       (c.zq - s.gq) <= {thr_cm} AS is_ground
-FROM cells c JOIN {prev} s
-  ON s.cell_x = c.cell_x AND s.cell_y = c.cell_y
+{stage_sql},
+ranked AS (
+  SELECT cell_x, cell_y, zq,
+         row_number() OVER (PARTITION BY cell_x, cell_y ORDER BY zq) AS rn,
+         count(*) OVER (PARTITION BY cell_x, cell_y) AS n
+  FROM cells),
+top AS (
+  SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n_points, zq AS topq
+  FROM ranked
+  WHERE rn = CAST(ceil(CAST({float(p)!r} AS DOUBLE) * CAST(n AS DOUBLE))
+                  AS BIGINT))
+SELECT t.cell_x, t.cell_y, t.n_points,
+       s.gq / 100.0 AS ground_z,
+       t.topq / 100.0 AS top_z,
+       (t.topq - s.gq) / 100.0 AS chm
+FROM top t JOIN {prev} s
+  ON s.cell_x = t.cell_x AND s.cell_y = t.cell_y
+ORDER BY t.cell_x, t.cell_y
 """.strip()
