@@ -1679,9 +1679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots refreshing the oldest r3-green entries. Everything past the
     window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
-    mirror (tests/test_entry_oracle.py). Next round: continue the
-    refresh with the r3-green tail (pc_circle … pc_outliers) and the
-    r4 first-wave block."""
+    mirror (tests/test_entry_oracle.py). The lead block is 16 + 36
+    entries, so if the window is exactly 50 the LAST two r2 entries
+    (mm_resize, mm_frame_sample) may slip — next round: lead with
+    whatever r2 remainder the r5 window cut, then the r3-green tail
+    (pc_circle … pc_outliers) and the r4 first-wave block."""
     return {
         # --- results changed in r5; MUST get fresh driver rows ---
         "rel_cdc_merge": _q_rel_cdc,
