@@ -1183,6 +1183,14 @@ def _q_hll_windowed(spark, sf_dir):
     return hll_distinct_windowed(_ev(spark, sf_dir))
 
 
+def _q_kmv_windowed(spark, sf_dir):
+    """KMV distinct users per (event_type, 6h tumbling window) — the
+    windowed HLL's order-statistics sibling."""
+    from lasdb_spark.operators.sketch import kmv_distinct_windowed
+
+    return kmv_distinct_windowed(_ev(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # drained-streaming entries: run the stream to completion over a REAL
 # multi-micro-batch replay, then hand the driver the final state —
@@ -1660,20 +1668,21 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _text.corpus_split_sql(),
         "rel_session_paths": _rel.top_session_paths_sql(),
         "pc_chm": _grid.canopy_height_sql(_PTS),
+        "sketch_kmv_windows": _sketch.kmv_distinct_windowed_sql(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """147 entries, ordered so every query gets a driver CORRECTNESS
+    """148 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-5 rotation (exactly what the r4 verdict and
     the previous docstring committed to): entries whose RESULTS
     CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
     carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the twelve
+    sketch_hll_windows / emb_outliers SQL-twin fixes), then the thirteen
     operators NEW in r5 (3-column Z-order, the five drained-streaming
     entries, the PMF ground filter, the embedding dim/covariance
-    audits, the train/val/test split, session path mining, the canopy height model), then the ENTIRE block whose last
+    audits, the train/val/test split, session path mining, the canopy height model, windowed KMV), then the ENTIRE block whose last
     driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
     pc_bbox_maxz..mm_frame_sample), with the window's remaining
     slots refreshing the oldest r3-green entries. Everything past the
@@ -1703,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "rel_session_paths": _q_rel_session_paths,
         "pc_chm": _q_pc_chm,
+        "sketch_kmv_windows": _q_kmv_windowed,
         # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,

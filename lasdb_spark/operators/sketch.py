@@ -907,3 +907,72 @@ FROM per_win p JOIN exact e
   ON p.{group} = e.{group} AND p.window_start_ms = e.window_start_ms
 ORDER BY p.{group}, p.window_start_ms
 """.strip()
+
+
+def kmv_distinct_windowed(
+    events: DataFrame,
+    k: int = 64,
+    window_ms: int = HLL_WINDOW_MS,
+    group: str = "event_type",
+) -> DataFrame:
+    """(group, window_start_ms, exact_floor, kmv_estimate) — the KMV
+    distinct-user sketch per tumbling time window (the windowed HLL's
+    order-statistics sibling; pick KMV when set algebra over windows
+    is next).
+
+    Same estimator as :func:`kmv_distinct`, keyed by (group, window):
+    one distinct pre-aggregation on (group, window, h) — map-side
+    combine shrinks each task to its local distinct set — then the
+    per-key rank bounded by k. State is groups x windows x k longs;
+    the window dimension grows with time, not event volume."""
+    win = F.expr(f"unix_millis(ts) div {window_ms}") * F.lit(window_ms)
+    hashed = events.select(
+        F.col(group),
+        win.alias("window_start_ms"),
+        md5_int60_col(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group, "window_start_ms").orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sk = kept.groupBy(group, "window_start_ms").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth")
+    )
+    return sk.select(
+        F.col(group),
+        "window_start_ms",
+        F.col("n_kept").cast("long").alias("exact_floor"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(float(k - 1) * POW2_60) / F.col("kth"))
+        .alias("kmv_estimate"),
+    ).orderBy(group, "window_start_ms")
+
+
+def kmv_distinct_windowed_sql(
+    k: int = 64,
+    window_ms: int = HLL_WINDOW_MS,
+    group: str = "event_type",
+) -> str:
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group},
+         (epoch_ms(ts) // {window_ms}) * {window_ms} AS window_start_ms,
+         {h} AS h
+  FROM events),
+ranked AS (
+  SELECT {group}, window_start_ms, h,
+         row_number() OVER (PARTITION BY {group}, window_start_ms
+                            ORDER BY h) AS rn
+  FROM hashed),
+agg AS (
+  SELECT {group}, window_start_ms,
+         count(*) AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= {k} GROUP BY 1, 2)
+SELECT {group}, window_start_ms,
+       CAST(n_kept AS BIGINT) AS exact_floor,
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(k - 1) * POW2_60!r} / kth END AS kmv_estimate
+FROM agg
+ORDER BY {group}, window_start_ms
+""".strip()
