@@ -172,6 +172,7 @@ def parse_las_header(buf: bytes) -> dict:
     max_x, min_x, max_y, min_y, max_z, min_z = f[30:36]
     version = (f[7], f[8])
     count = f[18]  # legacy u32 count; 0 in 1.4 files with pf>=6
+    evlr_start, n_evlrs = 0, 0
     if version >= (1, 4):
         if len(buf) < _HEADER14_SIZE:
             raise ValueError("truncated LAS 1.4 header")
@@ -179,7 +180,10 @@ def parse_las_header(buf: bytes) -> dict:
             _HEADER14_TAIL_FMT, buf[_HEADER_SIZE:_HEADER14_SIZE]
         )
         count = tail[3] or count  # 64-bit count supersedes legacy
+        evlr_start, n_evlrs = tail[1], tail[2]
     return {
+        "evlr_start": evlr_start,
+        "n_evlrs": n_evlrs,
         "version": version,
         "header_size": f[13],
         "n_vlrs": f[15],

@@ -1,0 +1,117 @@
+"""COPC: octree round-trip, hierarchy pruning, bbox queries, Spark read."""
+
+import numpy as np
+import pytest
+
+from lasdb_spark.sources.copc import (
+    copc_nodes,
+    copc_query_bbox,
+    copc_read_all,
+    read_copc_info,
+    write_copc,
+)
+from lasdb_spark.sources.las import point_dtype
+
+
+def _mk(n, seed=7):
+    rng = np.random.default_rng(seed)
+    pts = np.zeros(n, dtype=point_dtype(6))
+    pts["X"] = rng.integers(0, 1_000_000, n)
+    pts["Y"] = rng.integers(0, 1_000_000, n)
+    pts["Z"] = rng.integers(0, 50_000, n)
+    pts["intensity"] = rng.integers(0, 3000, n)
+    pts["returns"] = 0x11
+    pts["classification"] = rng.choice([1, 2, 6], n)
+    pts["point_source_id"] = 7001
+    pts["gps_time"] = np.sort(rng.random(n)) * 100.0
+    return pts
+
+
+SCALES = (0.001, 0.001, 0.001)
+
+
+def test_copc_roundtrip_all_points():
+    pts = _mk(5000)
+    buf = write_copc(pts, 6, SCALES, max_node_points=800)
+    info = read_copc_info(buf)
+    assert info is not None and info["halfsize"] > 0
+    nodes = copc_nodes(buf, info)
+    assert len(nodes) > 1  # the budget forced an octree split
+    assert sum(e["point_count"] for e in nodes) == 5000
+    out = copc_read_all(buf)
+    key = lambda a: np.sort(
+        a[["X", "Y", "Z", "classification"]],
+        order=["X", "Y", "Z"],
+    )
+    np.testing.assert_array_equal(key(out), key(pts))
+
+
+def test_copc_bbox_query_prunes_and_matches_bruteforce():
+    pts = _mk(6000, seed=3)
+    buf = write_copc(pts, 6, SCALES, max_node_points=500)
+    # a corner window: most octree nodes must be skipped
+    bbox = (0.0, 250.0, 0.0, 250.0)  # world units (X*0.001)
+    got, (n_total, n_hit) = copc_query_bbox(buf, bbox, return_stats=True)
+    assert n_hit < n_total  # hierarchy pruning actually happened
+    gx = pts["X"] * SCALES[0]
+    gy = pts["Y"] * SCALES[1]
+    want = pts[(gx >= 0) & (gx <= 250) & (gy >= 0) & (gy <= 250)]
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(
+        np.sort(got["X"]), np.sort(want["X"])
+    )
+
+
+def test_copc_empty_window():
+    pts = _mk(1000, seed=5)
+    buf = write_copc(pts, 6, SCALES, max_node_points=400)
+    got, (n_total, n_hit) = copc_query_bbox(
+        buf, (5000.0, 6000.0, 5000.0, 6000.0), return_stats=True
+    )
+    assert len(got) == 0 and n_hit == 0
+
+
+def test_copc_node_cubes_cover_their_points():
+    """Soundness of the octree build: every point decoded from a node
+    lies inside that node's cube."""
+    pts = _mk(3000, seed=11)
+    buf = write_copc(pts, 6, SCALES, max_node_points=300)
+    info = read_copc_info(buf)
+    from lasdb_spark.sources.copc import _decode_nodes
+
+    for e in copc_nodes(buf, info):
+        arr = _decode_nodes(buf, info["header"], [e])
+        gx = arr["X"] * SCALES[0]
+        gy = arr["Y"] * SCALES[1]
+        gz = arr["Z"] * SCALES[2]
+        x0, y0, z0, x1, y1, z1 = e["cube"]
+        assert (gx >= x0).all() and (gx <= x1).all()
+        assert (gy >= y0).all() and (gy <= y1).all()
+        assert (gz >= z0).all() and (gz <= z1).all()
+
+
+def test_copc_non_copc_input_rejected():
+    from lasdb_spark.sources.laszip_v3 import compress_points_to_laz14
+
+    plain = compress_points_to_laz14(_mk(100), 6, SCALES)
+    assert read_copc_info(plain) is None
+    with pytest.raises(ValueError, match="not a COPC"):
+        copc_read_all(plain)
+
+
+@pytest.mark.spark
+def test_copc_to_df_distributed_read(spark, tmp_path):
+    from lasdb_spark.sources.copc import copc_to_df
+
+    pts = _mk(2000, seed=21)
+    (tmp_path / "tile.copc.laz").write_bytes(
+        write_copc(pts, 6, SCALES, max_node_points=400)
+    )
+    df = copc_to_df(spark, str(tmp_path / "*.copc.laz"))
+    assert df.count() == 2000
+    bbox = (0.0, 400.0, 0.0, 400.0)
+    dfq = copc_to_df(spark, str(tmp_path / "*.copc.laz"), bbox=bbox)
+    gx = pts["X"] * SCALES[0]
+    gy = pts["Y"] * SCALES[1]
+    want = int(((gx >= 0) & (gx <= 400) & (gy >= 0) & (gy <= 400)).sum())
+    assert dfq.count() == want
