@@ -113,37 +113,48 @@ _CORE14_FIELDS = [
 _RGB_FIELDS = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
 
 
-#: waveform formats = a base format plus appended waveform-packet
-#: fields (descriptor u1, byte offset u8, size u4, return-point f4,
-#: Xt/Yt/Zt f4×3 — 29 bytes). The attribute prefix is bit-identical to
-#: the base format, so xyz/attribute extraction reuses the base dtype
-#: and the header's record length covers the tail — the waveform
-#: payload itself lives in (E)VLRs and is not needed for point reads.
-_WAVEFORM_BASE = {4: 1, 5: 3, 9: 6, 10: 7}
+#: waveform formats = a base format plus the appended waveform-packet
+#: pointer fields (descriptor u1, byte offset u8, size u4, return-point
+#: f4, Xt/Yt/Zt f4×3 — 29 bytes, ``_WAVE_FIELDS``). Per the LAS 1.4
+#: spec: pf4 = pf1 + wave, pf5 = pf3 + wave, pf9 = pf6 + wave,
+#: pf10 = pf8 + wave (RGB AND NIR — pf10 is pf9 + RGB + NIR). The
+#: waveform sample payload itself lives in (E)VLRs / external .wdp.
+_WAVEFORM_BASE = {4: 1, 5: 3, 9: 6, 10: 8}
+_WAVE_FIELDS = [
+    ("wp_descriptor", "u1"),
+    ("wp_offset", "<u8"),
+    ("wp_size", "<u4"),
+    ("wp_return_point", "<f4"),
+    ("wp_dx", "<f4"),
+    ("wp_dy", "<f4"),
+    ("wp_dz", "<f4"),
+]
 
 
 def point_dtype(point_format: int) -> np.dtype:
-    """numpy dtype of the decoded attribute prefix for a LAS point
-    record format (0-10; waveform formats 4/5/9/10 decode their base
-    format's fields — see ``_WAVEFORM_BASE``)."""
-    point_format = _WAVEFORM_BASE.get(point_format, point_format)
-    if 0 <= point_format <= 3:
+    """numpy dtype of the decoded attribute record for a LAS point
+    record format (0-10; waveform formats 4/5/9/10 = their base
+    format's fields + the 29-byte wavepacket tail, ``_WAVEFORM_BASE``)."""
+    base = _WAVEFORM_BASE.get(point_format, point_format)
+    if 0 <= base <= 3:
         fields = list(_CORE_FIELDS)
-        if point_format in (1, 3):
+        if base in (1, 3):
             fields.append(("gps_time", "<f8"))
-        if point_format in (2, 3):
+        if base in (2, 3):
             fields.extend(_RGB_FIELDS)
-        return np.dtype(fields)
-    if 6 <= point_format <= 8:
+    elif 6 <= base <= 8:
         fields = list(_CORE14_FIELDS)
-        if point_format in (7, 8):
+        if base in (7, 8):
             fields.extend(_RGB_FIELDS)
-        if point_format == 8:
+        if base == 8:
             fields.append(("nir", "<u2"))
-        return np.dtype(fields)
-    raise ValueError(
-        f"unsupported LAS point format {point_format} (supported: 0-10)"
-    )
+    else:
+        raise ValueError(
+            f"unsupported LAS point format {point_format} (supported: 0-10)"
+        )
+    if point_format != base:
+        fields.extend(_WAVE_FIELDS)
+    return np.dtype(fields)
 
 
 _PF3_DTYPE = point_dtype(3)
@@ -154,6 +165,11 @@ assert _PF3_DTYPE.itemsize == 34
 assert point_dtype(6).itemsize == 30
 assert point_dtype(7).itemsize == 36
 assert point_dtype(8).itemsize == 38
+# spec record lengths for the waveform formats (base + 29-byte tail)
+assert point_dtype(4).itemsize == 57
+assert point_dtype(5).itemsize == 63
+assert point_dtype(9).itemsize == 59
+assert point_dtype(10).itemsize == 67
 
 
 def parse_las_header(buf: bytes) -> dict:
@@ -214,7 +230,7 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
 
             las = laspy.read(io.BytesIO(buf))
             return np.vstack((las.x, las.y, las.z)).T
-        if hdr["point_format"] in (0, 1, 2, 3, 6, 7, 8):
+        if hdr["point_format"] in (0, 1, 2, 3, 6, 7, 8, 9, 10):
             # dependency-free fallback: the in-repo LASzip codecs
             # (sources/laszip_codec.py for legacy pointwise LAZ,
             # sources/laszip_v3.py for LAS 1.4 layered LAZ — the

@@ -1429,14 +1429,14 @@ def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
     )
     if vlr is None:
         raise ValueError("compressed LAS without a laszip VLR")
-    if fmt in (6, 7, 8):
+    if fmt in (6, 7, 8, 9, 10):
         # LAS 1.4 formats ride the layered (compressor 3) encoding
         from .laszip_v3 import decompress_laz14_points
 
         return decompress_laz14_points(buf, hdr, vlr)
     if fmt not in FORMAT_ITEMS:
         raise ValueError(
-            f"LAZ decode supports formats 0-3 and 6-8, got {fmt}"
+            f"LAZ decode supports formats 0-3 and 6-10, got {fmt}"
         )
     if vlr["compressor"] != COMPRESSOR_POINTWISE_CHUNKED:
         raise ValueError(

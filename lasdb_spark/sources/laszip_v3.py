@@ -62,13 +62,22 @@ from .laszip_codec import (
 )
 
 ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14 = 10, 11, 12
+ITEM_WAVEPACKET14 = 13
 COMPRESSOR_LAYERED_CHUNKED = 3
 
-#: laszip item lists per LAS 1.4 point format (item version 3)
+#: laszip item lists per LAS 1.4 point format (item version 3);
+#: waveform formats 9/10 append WAVEPACKET14 (type 13, 29 bytes) —
+#: pf10 carries RGB+NIR per the LAS 1.4 spec (pf9 + RGB + NIR)
 FORMAT14_ITEMS = {
     6: [(ITEM_POINT14, 30, 3)],
     7: [(ITEM_POINT14, 30, 3), (ITEM_RGB14, 6, 3)],
     8: [(ITEM_POINT14, 30, 3), (ITEM_RGBNIR14, 8, 3)],
+    9: [(ITEM_POINT14, 30, 3), (ITEM_WAVEPACKET14, 29, 3)],
+    10: [
+        (ITEM_POINT14, 30, 3),
+        (ITEM_RGBNIR14, 8, 3),
+        (ITEM_WAVEPACKET14, 29, 3),
+    ],
 }
 
 #: POINT14 layer order (fixed; one u32 size + one byte stream each)
@@ -460,42 +469,177 @@ class Rgb14V3:
 
 
 # ---------------------------------------------------------------------------
+# WAVEPACKET14 (item version 3): waveform packet pointers, own layer
+# ---------------------------------------------------------------------------
+
+WAVE_LAYERS = ("wavepacket",)
+
+#: raw-bytes layout of one wavepacket record (29 bytes): descriptor
+#: index u1, byte offset u8, packet size u4, return-point f4, dx/dy/dz
+#: f4. In-memory the floats ride as their u32 bit patterns so the
+#: integer correctors round-trip them bit-exactly.
+_WP_FMT = struct.Struct("<BQI4I")
+_U32 = 0xFFFFFFFF
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+class Wavepacket14V3:
+    """WAVEPACKET14 v3: the public LASzip wavepacket design in its own
+    layer stream — a per-previous-shape symbol model over the four
+    byte-offset delta shapes (0 unchanged, 1 follows last packet,
+    2 repeatable 32-bit delta, 3 arbitrary raw u64) plus 32-bit
+    correctors for packet size and the float bit patterns
+    (return-point, dx, dy, dz with per-axis contexts)."""
+
+    def __init__(self, layer_blobs: list[bytes] | None = None):
+        self.compress = layer_blobs is None
+        if self.compress:
+            self.coder = ArithmeticEncoder()
+        else:
+            self.coder = ArithmeticDecoder(layer_blobs[0])
+        c = self.coder
+        self.m_packet_index = ArithmeticModel(256, self.compress)
+        self.m_offset_diff = [
+            ArithmeticModel(4, self.compress) for _ in range(4)
+        ]
+        self.ic_offset_diff = IntegerCompressor(c, 32)
+        self.ic_packet_size = IntegerCompressor(c, 32)
+        self.ic_return_point = IntegerCompressor(c, 32)
+        self.ic_xyz = IntegerCompressor(c, 32, 3)
+        self.last: tuple | None = None
+        self.last_diff_32 = 0
+        self.sym_last_offset_diff = 0
+
+    def init(self, wp: tuple):
+        self.last = tuple(wp)
+        self.last_diff_32 = 0
+        self.sym_last_offset_diff = 0
+
+    def layer_bytes(self) -> list[bytes]:
+        return [self.coder.done()]
+
+    def write(self, wp: tuple):
+        desc, off, size, rp, dx, dy, dz = wp
+        _ld, loff, lsize, lrp, ldx, ldy, ldz = self.last
+        c = self.coder
+        c.encode_symbol(self.m_packet_index, desc)
+        diff64 = off - loff
+        if diff64 == 0:
+            sym = 0
+        elif diff64 == lsize:
+            sym = 1
+        elif -(1 << 31) <= diff64 < (1 << 31):
+            sym = 2
+        else:
+            sym = 3
+        c.encode_symbol(
+            self.m_offset_diff[self.sym_last_offset_diff], sym
+        )
+        self.sym_last_offset_diff = sym
+        if sym == 2:
+            self.ic_offset_diff.compress(self.last_diff_32, diff64)
+            self.last_diff_32 = diff64
+        elif sym == 3:
+            c.write_int(off & _U32)
+            c.write_int((off >> 32) & _U32)
+        self.ic_packet_size.compress(_i32(lsize), _i32(size))
+        self.ic_return_point.compress(_i32(lrp), _i32(rp))
+        self.ic_xyz.compress(_i32(ldx), _i32(dx), 0)
+        self.ic_xyz.compress(_i32(ldy), _i32(dy), 1)
+        self.ic_xyz.compress(_i32(ldz), _i32(dz), 2)
+        self.last = tuple(wp)
+
+    def read(self) -> tuple:
+        _ld, loff, lsize, lrp, ldx, ldy, ldz = self.last
+        c = self.coder
+        desc = c.decode_symbol(self.m_packet_index)
+        sym = c.decode_symbol(
+            self.m_offset_diff[self.sym_last_offset_diff]
+        )
+        self.sym_last_offset_diff = sym
+        if sym == 0:
+            off = loff
+        elif sym == 1:
+            off = (loff + lsize) & _U64
+        elif sym == 2:
+            d = _i32(self.ic_offset_diff.decompress(self.last_diff_32))
+            self.last_diff_32 = d
+            off = (loff + d) & _U64
+        else:
+            lo = c.read_int()
+            off = ((c.read_int() << 32) | lo) & _U64
+        size = self.ic_packet_size.decompress(_i32(lsize)) & _U32
+        rp = self.ic_return_point.decompress(_i32(lrp)) & _U32
+        dx = self.ic_xyz.decompress(_i32(ldx), 0) & _U32
+        dy = self.ic_xyz.decompress(_i32(ldy), 1) & _U32
+        dz = self.ic_xyz.decompress(_i32(ldz), 2) & _U32
+        wp = (desc, off, size, rp, dx, dy, dz)
+        self.last = wp
+        return wp
+
+
+# ---------------------------------------------------------------------------
 # layered chunk framing + whole-file compress/decompress
 # ---------------------------------------------------------------------------
 
 
+#: which side-items each point format carries
+def _has_rgb(point_format: int) -> bool:
+    return point_format in (7, 8, 10)
+
+
+def _has_nir(point_format: int) -> bool:
+    return point_format in (8, 10)
+
+
+def _has_wave(point_format: int) -> bool:
+    return point_format in (9, 10)
+
+
 def _layer_names(point_format: int) -> list[str]:
     names = list(P14_LAYERS)
-    if point_format == 7:
-        names += RGB_LAYERS
-    elif point_format == 8:
+    if _has_nir(point_format):
         names += RGBNIR_LAYERS
+    elif _has_rgb(point_format):
+        names += RGB_LAYERS
+    if _has_wave(point_format):
+        names += WAVE_LAYERS
     return names
 
 
 def compress_chunk14(rows: list[Point14], point_format: int,
-                     rgbs=None, nirs=None) -> bytes:
+                     rgbs=None, nirs=None, waves=None) -> bytes:
     """One layered chunk: raw seed record, u32 per-layer sizes, then
     the layer byte streams."""
     seed = rows[0]
     out = bytearray(seed.pack()[:30])
-    if point_format in (7, 8):
+    if _has_rgb(point_format):
         out += struct.pack("<HHH", *rgbs[0])
-    if point_format == 8:
+    if _has_nir(point_format):
         out += struct.pack("<H", nirs[0])
+    if _has_wave(point_format):
+        out += _WP_FMT.pack(*waves[0])
     p14 = Point14V3()
     p14.init(seed)
     rgb = None
-    if point_format in (7, 8):
-        rgb = Rgb14V3(point_format == 8)
-        rgb.init(rgbs[0], nirs[0] if point_format == 8 else None)
+    if _has_rgb(point_format):
+        rgb = Rgb14V3(_has_nir(point_format))
+        rgb.init(rgbs[0], nirs[0] if _has_nir(point_format) else None)
+    wave = None
+    if _has_wave(point_format):
+        wave = Wavepacket14V3()
+        wave.init(waves[0])
     for i in range(1, len(rows)):
         p14.write(rows[i])
         if rgb is not None:
-            rgb.write(rgbs[i], nirs[i] if point_format == 8 else None)
+            rgb.write(rgbs[i], nirs[i] if _has_nir(point_format) else None)
+        if wave is not None:
+            wave.write(waves[i])
     blobs = p14.layer_bytes()
     if rgb is not None:
         blobs += rgb.layer_bytes()
+    if wave is not None:
+        blobs += wave.layer_bytes()
     out += struct.pack(f"<{len(blobs)}I", *(len(b) for b in blobs))
     for b in blobs:
         out += b
@@ -504,18 +648,22 @@ def compress_chunk14(rows: list[Point14], point_format: int,
 
 def decompress_chunk14(buf: bytes, start: int, n_points: int,
                        point_format: int, out_rows: list) -> None:
-    """Decode one layered chunk into (Point14, rgb|None, nir|None)."""
+    """Decode one layered chunk into (Point14, rgb|None, nir|None,
+    wavepacket|None) tuples."""
     pos = start
     seed = Point14.unpack(buf[pos:pos + 30])
     pos += 30
-    rgb0 = nir0 = None
-    if point_format in (7, 8):
+    rgb0 = nir0 = wp0 = None
+    if _has_rgb(point_format):
         rgb0 = struct.unpack("<HHH", buf[pos:pos + 6])
         pos += 6
-    if point_format == 8:
+    if _has_nir(point_format):
         (nir0,) = struct.unpack("<H", buf[pos:pos + 2])
         pos += 2
-    out_rows.append((seed.copy(), rgb0, nir0))
+    if _has_wave(point_format):
+        wp0 = _WP_FMT.unpack(buf[pos:pos + _WP_FMT.size])
+        pos += _WP_FMT.size
+    out_rows.append((seed.copy(), rgb0, nir0, wp0))
     if n_points == 1:
         return
     names = _layer_names(point_format)
@@ -530,16 +678,25 @@ def decompress_chunk14(buf: bytes, start: int, n_points: int,
     n_p14 = len(P14_LAYERS)
     p14 = Point14V3(blobs[:n_p14])
     p14.init(seed)
+    used = n_p14
     rgb = None
-    if point_format in (7, 8):
-        rgb = Rgb14V3(point_format == 8, blobs[n_p14:])
+    if _has_rgb(point_format):
+        n_rgb = 2 if _has_nir(point_format) else 1
+        rgb = Rgb14V3(_has_nir(point_format), blobs[used:used + n_rgb])
         rgb.init(rgb0, nir0)
+        used += n_rgb
+    wave = None
+    if _has_wave(point_format):
+        wave = Wavepacket14V3(blobs[used:used + 1])
+        wave.init(wp0)
     for _ in range(n_points - 1):
         pt = p14.read()
-        r = nr = None
+        r = nr = wp = None
         if rgb is not None:
             r, nr = rgb.read()
-        out_rows.append((pt, r, nr))
+        if wave is not None:
+            wp = wave.read()
+        out_rows.append((pt, r, nr, wp))
 
 
 def build_laszip_vlr14(point_format: int, chunk_size: int) -> bytes:
