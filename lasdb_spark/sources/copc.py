@@ -136,31 +136,13 @@ def node_cube(info: dict, key) -> tuple:
 
 
 def _decode_nodes(buf: bytes, hdr: dict, nodes: list[dict]) -> np.ndarray:
-    from .las import point_dtype
-    from .laszip_v3 import decompress_chunk14
+    from .laszip_v3 import decompress_chunk14, rows14_to_struct
 
     fmt = hdr["point_format"]
     rows: list = []
     for e in sorted(nodes, key=lambda e: e["offset"]):
         decompress_chunk14(buf, int(e["offset"]), e["point_count"], fmt, rows)
-    out = np.zeros(len(rows), dtype=point_dtype(fmt))
-    gps_view = out["gps_time"].view(np.uint64)
-    for i, (p, rgb, nir) in enumerate(rows):
-        o = out[i]
-        o["X"], o["Y"], o["Z"] = p.x, p.y, p.z
-        o["intensity"] = p.intensity
-        o["returns"] = p.returns
-        o["flags"] = p.flags
-        o["classification"] = p.classification
-        o["user_data"] = p.user_data
-        o["scan_angle"] = p.scan_angle
-        o["point_source_id"] = p.point_source_id
-        gps_view[i] = p.gps_u64
-        if rgb is not None:
-            o["red"], o["green"], o["blue"] = rgb
-        if nir is not None:
-            o["nir"] = nir
-    return out
+    return rows14_to_struct(rows, fmt)
 
 
 def copc_read_all(buf: bytes) -> np.ndarray:

@@ -733,7 +733,7 @@ def compress_points_to_laz14(
 
     if point_format not in FORMAT14_ITEMS:
         raise ValueError(
-            f"layered LAZ write supports formats 6-8, got {point_format}"
+            f"layered LAZ write supports formats 6-10, got {point_format}"
         )
     n = len(pts)
     gps_u64 = pts["gps_time"].view(np.uint64)
@@ -747,13 +747,27 @@ def compress_points_to_laz14(
         )
         for i, p in enumerate(pts)
     ]
-    rgbs = nirs = None
-    if point_format in (7, 8):
+    rgbs = nirs = waves = None
+    if _has_rgb(point_format):
         rgbs = [
             (int(p["red"]), int(p["green"]), int(p["blue"])) for p in pts
         ]
-    if point_format == 8:
+    if _has_nir(point_format):
         nirs = [int(p["nir"]) for p in pts]
+    if _has_wave(point_format):
+        # f4 wp fields travel through the codec as raw u32 bit patterns
+        rp_v = pts["wp_return_point"].view(np.uint32)
+        dx_v = pts["wp_dx"].view(np.uint32)
+        dy_v = pts["wp_dy"].view(np.uint32)
+        dz_v = pts["wp_dz"].view(np.uint32)
+        waves = [
+            (
+                int(p["wp_descriptor"]), int(p["wp_offset"]),
+                int(p["wp_size"]), int(rp_v[i]),
+                int(dx_v[i]), int(dy_v[i]), int(dz_v[i]),
+            )
+            for i, p in enumerate(pts)
+        ]
     chunks = []
     for i in range(0, n, chunk_size):
         chunks.append(
@@ -761,6 +775,7 @@ def compress_points_to_laz14(
                 rows[i:i + chunk_size], point_format,
                 rgbs[i:i + chunk_size] if rgbs else None,
                 nirs[i:i + chunk_size] if nirs else None,
+                waves[i:i + chunk_size] if waves else None,
             )
         )
     record_len = sum(sz for _, sz, _ in FORMAT14_ITEMS[point_format])
@@ -814,10 +829,10 @@ def decompress_laz14_points(buf: bytes, hdr: dict, vlr: dict) -> np.ndarray:
     fmt = hdr["point_format"]
     if fmt not in FORMAT14_ITEMS:
         raise ValueError(
-            f"layered LAZ decode supports formats 6-8, got {fmt}"
+            f"layered LAZ decode supports formats 6-10, got {fmt}"
         )
     for typ, _sz, ver in vlr["items"]:
-        if (typ, ver) not in {(10, 3), (11, 3), (12, 3)}:
+        if (typ, ver) not in {(10, 3), (11, 3), (12, 3), (13, 3)}:
             raise ValueError(
                 f"laszip item (type {typ}, version {ver}) not supported"
             )
@@ -839,9 +854,25 @@ def decompress_laz14_points(buf: bytes, hdr: dict, vlr: dict) -> np.ndarray:
         decompress_chunk14(buf, pos, take, fmt, rows)
         pos += ln
         remaining -= take
-    out = np.zeros(n, dtype=point_dtype(fmt))
+    return rows14_to_struct(rows, fmt)
+
+
+def rows14_to_struct(rows: list, point_format: int) -> np.ndarray:
+    """(Point14, rgb|None, nir|None, wavepacket|None) tuples →
+    ``las.point_dtype(fmt)`` structured array (shared by the LAZ file
+    decoder and the COPC node decoder)."""
+    from .las import point_dtype
+
+    out = np.zeros(len(rows), dtype=point_dtype(point_format))
     gps_view = out["gps_time"].view(np.uint64)
-    for i, (p, rgb, nir) in enumerate(rows):
+    has_wave = _has_wave(point_format)
+    if has_wave:
+        # wp float fields are carried as raw u32 bit patterns
+        rp_v = out["wp_return_point"].view(np.uint32)
+        dx_v = out["wp_dx"].view(np.uint32)
+        dy_v = out["wp_dy"].view(np.uint32)
+        dz_v = out["wp_dz"].view(np.uint32)
+    for i, (p, rgb, nir, wp) in enumerate(rows):
         o = out[i]
         o["X"], o["Y"], o["Z"] = p.x, p.y, p.z
         o["intensity"] = p.intensity
@@ -856,4 +887,9 @@ def decompress_laz14_points(buf: bytes, hdr: dict, vlr: dict) -> np.ndarray:
             o["red"], o["green"], o["blue"] = rgb
         if nir is not None:
             o["nir"] = nir
+        if has_wave and wp is not None:
+            o["wp_descriptor"] = wp[0]
+            o["wp_offset"] = wp[1]
+            o["wp_size"] = wp[2]
+            rp_v[i], dx_v[i], dy_v[i], dz_v[i] = wp[3], wp[4], wp[5], wp[6]
     return out

@@ -55,7 +55,7 @@ def test_las_extra_bytes_record(tmp_path):
 
 
 @pytest.mark.parametrize("pf,base,extra", [(4, 1, 29), (5, 3, 29),
-                                           (9, 6, 29), (10, 7, 29)])
+                                           (9, 6, 29), (10, 8, 29)])
 def test_waveform_formats_read_xyz(tmp_path, pf, base, extra):
     """Formats 4/5/9/10 = base format + appended waveform-packet
     fields; the xyz/attribute prefix decodes identically, the tail is

@@ -35,15 +35,38 @@ def _mk_points(n, fmt=6, seed=7, channels=1):
     pts["scan_angle"] = rng.integers(-15000, 15000, n)
     pts["point_source_id"] = rng.choice([7001, 7002, 7003], n)
     pts["gps_time"] = 300_000.0 + np.sort(rng.random(n)) * 40.0
-    if fmt in (7, 8):
+    if fmt in (7, 8, 10):
         for c in ("red", "green", "blue"):
             pts[c] = rng.integers(0, 65536, n)
-    if fmt == 8:
+    if fmt in (8, 10):
         pts["nir"] = rng.integers(0, 65536, n)
+    if fmt in (9, 10):
+        # offsets exercising all four WAVEPACKET14 offset-diff shapes:
+        # unchanged / follows-last (off+size) / repeated-32-bit-delta /
+        # raw-u64 jump (laszip_v3.py Wavepacket14V3.read sym 0-3)
+        pts["wp_descriptor"] = rng.integers(0, 4, n)
+        sizes = rng.integers(100, 300, n).astype(np.uint64)
+        pts["wp_size"] = sizes
+        off = np.zeros(n, dtype=np.uint64)
+        cur = 1_000_000
+        for i in range(n):
+            shape = i % 4
+            if shape == 1:
+                cur = cur + int(sizes[i - 1])
+            elif shape == 2:
+                cur = cur + 4096
+            elif shape == 3:
+                cur = int(rng.integers(0, 2**63, dtype=np.int64))
+            off[i] = cur
+        pts["wp_offset"] = off
+        pts["wp_return_point"] = rng.random(n, dtype=np.float32) * 10
+        pts["wp_dx"] = rng.random(n, dtype=np.float32) - 0.5
+        pts["wp_dy"] = rng.random(n, dtype=np.float32) - 0.5
+        pts["wp_dz"] = rng.random(n, dtype=np.float32) - 0.5
     return pts
 
 
-@pytest.mark.parametrize("fmt", [6, 7, 8])
+@pytest.mark.parametrize("fmt", [6, 7, 8, 9, 10])
 def test_laz14_roundtrip(fmt):
     pts = _mk_points(700, fmt)
     buf = compress_points_to_laz14(pts, fmt)
@@ -106,6 +129,35 @@ def test_laz14_reads_through_read_las_bytes():
     assert out.shape == (400, 3)
     np.testing.assert_allclose(out[:, 0], pts["X"] * 0.001)
     np.testing.assert_allclose(out[:, 2], pts["Z"] * 0.001)
+
+
+def test_laz14_wavepacket_reads_through_read_las_bytes():
+    """A pf9 (waveform) layered-LAZ file decodes through the generic
+    reader — xyz only; the 29-byte wavepacket tail rides along in the
+    codec but isn't part of the (n, 3) output."""
+    pts = _mk_points(350, 9, seed=13)
+    buf = compress_points_to_laz14(pts, 9, scales=(0.001, 0.001, 0.001))
+    out = read_las_bytes(buf)
+    assert out.shape == (350, 3)
+    np.testing.assert_allclose(out[:, 0], pts["X"] * 0.001)
+    np.testing.assert_allclose(out[:, 1], pts["Y"] * 0.001)
+    np.testing.assert_allclose(out[:, 2], pts["Z"] * 0.001)
+
+
+def test_laz14_wavepacket_ingests_via_las_to_df(spark, tmp_path):
+    """pf9 .laz files flow through the Spark ingest path end-to-end."""
+    from lasdb_spark.sources.las import las_to_df
+
+    pts = _mk_points(200, 9, seed=17)
+    p = tmp_path / "wave.laz"
+    p.write_bytes(
+        compress_points_to_laz14(pts, 9, scales=(0.001, 0.001, 0.001))
+    )
+    df = las_to_df(spark, str(p))
+    assert df.count() == 200
+    got = sorted(r["x"] for r in df.select("x").collect())
+    want = sorted(pts["X"] * 0.001)
+    np.testing.assert_allclose(got, want)
 
 
 def test_laz14_compresses():
