@@ -148,14 +148,21 @@ def hll_distinct(
     deliberately omitted (ln is libm-dependent); ``zero_registers``
     is emitted so a client can apply it.
 
-    Plan: one partial-agg shuffle to at most groups x m register rows,
-    one tiny group agg — THE constant-state one-pass distinct sketch
-    for the 100 TB corpus. ``exact_distinct`` rides along from a
-    second agg on the same shuffle key for self-audit.
+    Plan (ONE scan, r6): partial-dedup shuffle to distinct
+    (group, user_id) pairs — needed for the exact audit anyway — then
+    derive (idx, rho) per distinct user and fold to at most
+    groups x m register rows carrying BOTH max(rho) and the
+    per-register distinct-user count, whose per-group sum IS
+    ``exact_distinct`` (registers partition the distinct users), so
+    the exact audit costs no second scan and no join. Duplicate
+    user_ids hash identically, so registers over distinct users equal
+    registers over raw events. r4 shape (two full scans + join)
+    retired after the r5->r6 bench adjudication.
     """
     m = 1 << b
     rest_bits = 60 - b
     w_max = rest_bits + 1  # rho when the low bits are all zero
+    pairs = events.select(F.col(group), "user_id").distinct()
     h = md5_int60_col(F.col("user_id").cast("string"))
     idx = F.shiftright(h, rest_bits)
     rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
@@ -163,9 +170,12 @@ def hll_distinct(
         F.lit(rest_bits) - F.length(F.bin(rest)) + 1
     )
     regs = (
-        events.select(F.col(group), idx.alias("idx"), rho.alias("rho"))
+        pairs.select(F.col(group), idx.alias("idx"), rho.alias("rho"))
         .groupBy(group, "idx")
-        .agg(F.max("rho").alias("r"))
+        .agg(
+            F.max("rho").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
     )
     # exact 2^(W - r) in BIGINT: W = w_max, r in [1, w_max].
     # F.shiftleft only takes a python-int shift, so the column-shift
@@ -174,24 +184,18 @@ def hll_distinct(
     per_group = regs.groupBy(group).agg(
         F.count("*").alias("present"),
         F.sum(scaled).alias("s_present"),
+        F.sum("users").alias("exact_distinct"),
     )
     alpha = _hll_alpha(m)
     numer = float(alpha * m * m * (1 << w_max))
     zero = F.lit(m) - F.col("present")
     s_total = F.col("s_present") + zero.cast("long") * F.lit(1 << w_max)
-    exact = events.groupBy(group).agg(
-        F.countDistinct("user_id").alias("exact_distinct")
-    )
-    return (
-        per_group.join(exact, group)
-        .select(
-            F.col(group),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            (F.lit(numer) / s_total).alias("hll_estimate"),
-            zero.cast("long").alias("zero_registers"),
-        )
-        .orderBy(group)
-    )
+    return per_group.select(
+        F.col(group),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (F.lit(numer) / s_total).alias("hll_estimate"),
+        zero.cast("long").alias("zero_registers"),
+    ).orderBy(group)
 
 
 def hll_distinct_sql(b: int = 10, group: str = "event_type") -> str:
@@ -471,40 +475,59 @@ def quantile_sketch(
     The fixed-state quantile sketch (the poor man's t-digest: one
     (min, max) pre-pass + ``bins`` BIGINT counters per group, both
     single-pass partial aggs — at 100 TB the histogram costs two scans
-    and O(groups x bins) state, while the exact rank selection costs a
-    per-group sort; shipping both makes the estimate's error visible).
-    Estimates are bucket midpoints; exact order statistics use the
-    ceil(p*n)-th smallest (value, event_id) — deterministic under
-    ties. All estimator arithmetic is one fixed-shape double
+    and O(groups x bins) state, while the exact audit costs a sort of
+    ONLY the two target bins; shipping both makes the estimate's error
+    visible). Estimates are bucket midpoints; exact order statistics
+    use the ceil(p*n)-th smallest (value, event_id) — deterministic
+    under ties. All estimator arithmetic is one fixed-shape double
     expression, so DuckDB hash-matches exactly.
+
+    Plan (r6): the exact ranks use distributed two-phase selection:
+    the cumulated histogram names the bin holding rank k and the count
+    before it, and ONLY rows of the two target bins are ranked
+    (row_number within (group, bin)), turning the former full
+    per-group sort into a ~n/bins-row sort — the classic selection
+    shape a 100 TB audit needs. The group stats ride through the
+    histogram as grouping keys, so the plan holds exactly one
+    broadcast of the tiny stats agg and one of the groups x bins
+    histogram — no stats re-joins downstream.
     """
     from pyspark.sql import Window
 
     v = F.col("value").cast("double")
-    stats = events.groupBy(group).agg(
-        F.min(v).alias("mn"),
-        F.max(v).alias("mx"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+
+    def kq(p):
+        return F.ceil(F.lit(p) * F.col("n").cast("double")).cast("long")
+
+    stats = (
+        events.groupBy(group)
+        .agg(
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            group, "mn", "mx", "n",
+            kq(0.5).alias("k50"), kq(0.95).alias("k95"),
+        )
     )
     width = (F.col("mx") - F.col("mn")) / float(bins)
+    bin_expr = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0), F.floor((v - F.col("mn")) / width)),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    keys = [group, "mn", "mx", "n", "k50", "k95"]
     binned = (
         events.join(F.broadcast(stats), group)
-        .select(
-            F.col(group),
-            F.when(F.col("mx") > F.col("mn"),
-                F.least(
-                    F.lit(bins - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor((v - F.col("mn")) / width),
-                    ),
-                ),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("bin"),
-        )
-        .groupBy(group, "bin")
+        .select(*keys, bin_expr.alias("bin"))
+        .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     wcum = (
@@ -512,18 +535,55 @@ def quantile_sketch(
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = binned.withColumn("cum", F.sum("c").over(wcum))
-
-    def kq(p):
-        return F.ceil(F.lit(p) * F.col("n").cast("double")).cast("long")
-
-    with_k = cum.join(F.broadcast(stats), group).select(
-        group, "bin", "cum", "mn", "mx", "n",
-        kq(0.5).alias("k50"), kq(0.95).alias("k95"),
+    wall = Window.partitionBy(group)
+    # target bin per rank + the cumulated count BEFORE it (histogram
+    # rows are groups x bins — window passes over KB-scale data)
+    targets = (
+        binned.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn(
+            "t50",
+            F.min(F.when(F.col("cum") >= F.col("k50"), F.col("bin"))).over(
+                wall
+            ),
+        )
+        .withColumn(
+            "t95",
+            F.min(F.when(F.col("cum") >= F.col("k95"), F.col("bin"))).over(
+                wall
+            ),
+        )
+        .groupBy(*keys, "t50", "t95")
+        .agg(
+            F.max(
+                F.when(F.col("bin") == F.col("t50"), F.col("cum") - F.col("c"))
+            ).alias("cb50"),
+            F.max(
+                F.when(F.col("bin") == F.col("t95"), F.col("cum") - F.col("c"))
+            ).alias("cb95"),
+        )
     )
-    sel = with_k.groupBy(group, "mn", "mx", "n", "k50", "k95").agg(
-        F.min(F.when(F.col("cum") >= F.col("k50"), F.col("bin"))).alias("b50"),
-        F.min(F.when(F.col("cum") >= F.col("k95"), F.col("bin"))).alias("b95"),
+    # rank ONLY inside the two target bins; bin is monotone in value,
+    # so the global ceil(p*n)-th (value, event_id) is the
+    # (k - cum_before)-th within its bin under the same order
+    wbin = Window.partitionBy(group, "bin").orderBy(
+        F.col("val").asc(), F.col("event_id")
+    )
+    cand = (
+        events.join(F.broadcast(targets), group)
+        .select(
+            *keys, "t50", "t95", "cb50", "cb95",
+            v.alias("val"), F.col("event_id"), bin_expr.alias("bin"),
+        )
+        .filter(
+            (F.col("bin") == F.col("t50")) | (F.col("bin") == F.col("t95"))
+        )
+        .withColumn("rn", F.row_number().over(wbin))
+    )
+    hit50 = (F.col("bin") == F.col("t50")) & (
+        F.col("rn") == F.col("k50") - F.col("cb50")
+    )
+    hit95 = (F.col("bin") == F.col("t95")) & (
+        F.col("rn") == F.col("k95") - F.col("cb95")
     )
 
     def est(b):
@@ -531,40 +591,18 @@ def quantile_sketch(
             (F.col("mx") - F.col("mn")) / float(bins)
         )
 
-    # exact rank selection on the same (value, event_id) total order
-    ranked = events.select(
-        F.col(group), v.alias("val"), F.col("event_id"),
-        F.row_number().over(
-            Window.partitionBy(group).orderBy(v.asc(), F.col("event_id"))
-        ).alias("rn"),
-    )
-    exact = (
-        ranked.join(
-            F.broadcast(
-                stats.select(
-                    group, kq(0.5).alias("k50"), kq(0.95).alias("k95")
-                )
-            ),
-            group,
-        )
-        .groupBy(group)
-        .agg(
-            F.max(F.when(F.col("rn") == F.col("k50"), F.col("val"))).alias(
-                "p50_exact"
-            ),
-            F.max(F.when(F.col("rn") == F.col("k95"), F.col("val"))).alias(
-                "p95_exact"
-            ),
-        )
-    )
     return (
-        sel.join(exact, group)
+        cand.groupBy(*keys, "t50", "t95")
+        .agg(
+            F.max(F.when(hit50, F.col("val"))).alias("p50_exact"),
+            F.max(F.when(hit95, F.col("val"))).alias("p95_exact"),
+        )
         .select(
             F.col(group),
             F.col("n"),
-            est("b50").alias("p50_est"),
+            est("t50").alias("p50_est"),
             "p50_exact",
-            est("b95").alias("p95_est"),
+            est("t95").alias("p95_est"),
             "p95_exact",
         )
         .orderBy(group)
