@@ -230,7 +230,7 @@ def read_las_bytes(buf: bytes) -> np.ndarray:
 
             las = laspy.read(io.BytesIO(buf))
             return np.vstack((las.x, las.y, las.z)).T
-        if hdr["point_format"] in (0, 1, 2, 3, 6, 7, 8, 9, 10):
+        if hdr["point_format"] in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
             # dependency-free fallback: the in-repo LASzip codecs
             # (sources/laszip_codec.py for legacy pointwise LAZ,
             # sources/laszip_v3.py for LAS 1.4 layered LAZ — the

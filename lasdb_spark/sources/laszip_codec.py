@@ -1143,18 +1143,116 @@ import numpy as np
 
 LASZIP_USER_ID = b"laszip encoded\x00\x00"
 LASZIP_RECORD_ID = 22204
+class Wavepacket13V1:
+    """WAVEPACKET13 v1 (pointwise): the public LASzip wavepacket
+    design — the same one the layered v3 item reuses
+    (``laszip_v3.Wavepacket14V3``) — over the SHARED chunk coder: a
+    per-previous-shape symbol model for the four byte-offset delta
+    shapes (0 unchanged, 1 follows last packet, 2 repeatable 32-bit
+    delta, 3 arbitrary raw u64) plus 32-bit correctors for packet
+    size and the return-point / dx / dy / dz float bit patterns."""
+
+    def __init__(self, coder):
+        self.coder = coder
+        compress = isinstance(coder, ArithmeticEncoder)
+        self.m_packet_index = ArithmeticModel(256, compress)
+        self.m_offset_diff = [
+            ArithmeticModel(4, compress) for _ in range(4)
+        ]
+        self.ic_offset_diff = IntegerCompressor(coder, 32)
+        self.ic_packet_size = IntegerCompressor(coder, 32)
+        self.ic_return_point = IntegerCompressor(coder, 32)
+        self.ic_xyz = IntegerCompressor(coder, 32, 3)
+        self.last: tuple | None = None
+        self.last_diff_32 = 0
+        self.sym_last_offset_diff = 0
+
+    def init(self, wp: tuple):
+        self.last = tuple(wp)
+        self.last_diff_32 = 0
+        self.sym_last_offset_diff = 0
+
+    def write(self, wp: tuple):
+        desc, off, size, rp, dx, dy, dz = wp
+        _ld, loff, lsize, lrp, ldx, ldy, ldz = self.last
+        c = self.coder
+        c.encode_symbol(self.m_packet_index, desc)
+        diff64 = off - loff
+        if diff64 == 0:
+            sym = 0
+        elif diff64 == lsize:
+            sym = 1
+        elif -(1 << 31) <= diff64 < (1 << 31):
+            sym = 2
+        else:
+            sym = 3
+        c.encode_symbol(
+            self.m_offset_diff[self.sym_last_offset_diff], sym
+        )
+        self.sym_last_offset_diff = sym
+        if sym == 2:
+            self.ic_offset_diff.compress(self.last_diff_32, diff64)
+            self.last_diff_32 = diff64
+        elif sym == 3:
+            c.write_int(off & 0xFFFFFFFF)
+            c.write_int((off >> 32) & 0xFFFFFFFF)
+        self.ic_packet_size.compress(_i32(lsize), _i32(size))
+        self.ic_return_point.compress(_i32(lrp), _i32(rp))
+        self.ic_xyz.compress(_i32(ldx), _i32(dx), 0)
+        self.ic_xyz.compress(_i32(ldy), _i32(dy), 1)
+        self.ic_xyz.compress(_i32(ldz), _i32(dz), 2)
+        self.last = tuple(wp)
+
+    def read(self) -> tuple:
+        _ld, loff, lsize, lrp, ldx, ldy, ldz = self.last
+        c = self.coder
+        desc = c.decode_symbol(self.m_packet_index)
+        sym = c.decode_symbol(
+            self.m_offset_diff[self.sym_last_offset_diff]
+        )
+        self.sym_last_offset_diff = sym
+        if sym == 0:
+            off = loff
+        elif sym == 1:
+            off = (loff + lsize) & 0xFFFFFFFFFFFFFFFF
+        elif sym == 2:
+            d = _i32(self.ic_offset_diff.decompress(self.last_diff_32))
+            self.last_diff_32 = d
+            off = (loff + d) & 0xFFFFFFFFFFFFFFFF
+        else:
+            lo = c.read_int()
+            off = ((c.read_int() << 32) | lo) & 0xFFFFFFFFFFFFFFFF
+        size = self.ic_packet_size.decompress(_i32(lsize)) & 0xFFFFFFFF
+        rp = self.ic_return_point.decompress(_i32(lrp)) & 0xFFFFFFFF
+        dx = self.ic_xyz.decompress(_i32(ldx), 0) & 0xFFFFFFFF
+        dy = self.ic_xyz.decompress(_i32(ldy), 1) & 0xFFFFFFFF
+        dz = self.ic_xyz.decompress(_i32(ldz), 2) & 0xFFFFFFFF
+        wp = (desc, off, size, rp, dx, dy, dz)
+        self.last = wp
+        return wp
+
+
 COMPRESSOR_POINTWISE_CHUNKED = 2
 DEFAULT_CHUNK_SIZE = 50000
 ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12 = 6, 7, 8
+ITEM_WAVEPACKET13 = 9
 _VLR_HDR = struct.Struct("<H16sHH32s")
+#: one raw wavepacket record (29 bytes): descriptor u1, offset u8,
+#: size u4, return-point/dx/dy/dz as raw u32 float bit patterns
+_WP29 = struct.Struct("<BQI4I")
 
-#: laszip item lists per legacy point format
+#: laszip item lists per legacy point format (4/5 append the
+#: pointwise WAVEPACKET13 v1 item — the LAS 1.3 waveform formats)
 FORMAT_ITEMS = {
     0: [(ITEM_POINT10, 20, 2)],
     1: [(ITEM_POINT10, 20, 2), (ITEM_GPSTIME11, 8, 2)],
     2: [(ITEM_POINT10, 20, 2), (ITEM_RGB12, 6, 2)],
     3: [(ITEM_POINT10, 20, 2), (ITEM_GPSTIME11, 8, 2),
         (ITEM_RGB12, 6, 2)],
+    4: [(ITEM_POINT10, 20, 2), (ITEM_GPSTIME11, 8, 2),
+        (ITEM_WAVEPACKET13, 29, 1)],
+    5: [(ITEM_POINT10, 20, 2), (ITEM_GPSTIME11, 8, 2),
+        (ITEM_RGB12, 6, 2), (ITEM_WAVEPACKET13, 29, 1)],
 }
 
 
@@ -1222,16 +1320,18 @@ def parse_laszip_vlr(buf: bytes, header_size: int,
 def _item_codecs(coder, items):
     codecs = []
     for typ, _size, ver in items:
-        if ver != 2:
-            raise ValueError(f"laszip item version {ver} not supported")
-        if typ == ITEM_POINT10:
+        if typ == ITEM_POINT10 and ver == 2:
             codecs.append(("p10", Point10V2(coder)))
-        elif typ == ITEM_GPSTIME11:
+        elif typ == ITEM_GPSTIME11 and ver == 2:
             codecs.append(("gps", GpsTime11V2(coder)))
-        elif typ == ITEM_RGB12:
+        elif typ == ITEM_RGB12 and ver == 2:
             codecs.append(("rgb", Rgb12V2(coder)))
+        elif typ == ITEM_WAVEPACKET13 and ver == 1:
+            codecs.append(("wp", Wavepacket13V1(coder)))
         else:
-            raise ValueError(f"laszip item type {typ} not supported")
+            raise ValueError(
+                f"laszip item (type {typ}, version {ver}) not supported"
+            )
     return codecs
 
 
@@ -1240,8 +1340,8 @@ _RGB = struct.Struct("<HHH")
 
 
 def _compress_chunk(rows, items) -> bytes:
-    """rows: list of (point10_bytes, gps_u64|None, rgb|None); the first
-    row is stored raw, the rest arithmetic-coded."""
+    """rows: list of (point10_bytes, gps_u64|None, rgb|None, wp|None);
+    the first row is stored raw, the rest arithmetic-coded."""
     out = bytearray()
     first = rows[0]
     out += first[0]
@@ -1249,23 +1349,22 @@ def _compress_chunk(rows, items) -> bytes:
         out += struct.pack("<Q", first[1])
     if first[2] is not None:
         out += _RGB.pack(*first[2])
+    if first[3] is not None:
+        out += _WP29.pack(*first[3])
     enc = ArithmeticEncoder()
     codecs = _item_codecs(enc, items)
+    _slot = {"p10": 0, "gps": 1, "rgb": 2, "wp": 3}
     for kind, c in codecs:
         if kind == "p10":
             c.init(Point10.unpack(first[0]))
-        elif kind == "gps":
-            c.init(first[1])
         else:
-            c.init(first[2])
+            c.init(first[_slot[kind]])
     for row in rows[1:]:
         for kind, c in codecs:
             if kind == "p10":
                 c.write(Point10.unpack(row[0]))
-            elif kind == "gps":
-                c.write(row[1])
             else:
-                c.write(row[2])
+                c.write(row[_slot[kind]])
     out += enc.done()
     return bytes(out)
 
@@ -1275,36 +1374,34 @@ def _decompress_chunk(buf: bytes, start: int, n_points: int, items,
     pos = start
     p10 = Point10.unpack(buf[pos:pos + 20])
     pos += 20
-    gps = rgb = None
+    gps = rgb = wp = None
     has_gps = any(t == ITEM_GPSTIME11 for t, _, _ in items)
     has_rgb = any(t == ITEM_RGB12 for t, _, _ in items)
+    has_wp = any(t == ITEM_WAVEPACKET13 for t, _, _ in items)
     if has_gps:
         gps = struct.unpack("<Q", buf[pos:pos + 8])[0]
         pos += 8
     if has_rgb:
         rgb = _RGB.unpack(buf[pos:pos + 6])
         pos += 6
-    out_rows.append((p10.copy(), gps, rgb))
+    if has_wp:
+        wp = _WP29.unpack(buf[pos:pos + _WP29.size])
+        pos += _WP29.size
+    out_rows.append((p10.copy(), gps, rgb, wp))
     if n_points == 1:
         return
     dec = ArithmeticDecoder(buf, pos)
     codecs = _item_codecs(dec, items)
+    _slot = {"p10": 0, "gps": 1, "rgb": 2, "wp": 3}
     for kind, c in codecs:
         if kind == "p10":
             c.init(p10)
-        elif kind == "gps":
-            c.init(gps)
         else:
-            c.init(rgb)
+            c.init((gps, rgb, wp)[_slot[kind] - 1])
     for _ in range(n_points - 1):
-        row = [None, None, None]
+        row = [None, None, None, None]
         for kind, c in codecs:
-            if kind == "p10":
-                row[0] = c.read()
-            elif kind == "gps":
-                row[1] = c.read()
-            else:
-                row[2] = c.read()
+            row[_slot[kind]] = c.read()
         out_rows.append(tuple(row))
 
 
@@ -1343,20 +1440,27 @@ def compress_points_to_laz(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
 ) -> bytes:
     """Full LAZ file from a structured point array (las.point_dtype
-    layout) — LAS 1.2 header with the compression bit, laszip VLR,
+    layout) — LAS 1.2 header (1.3 for the waveform formats 4/5, which
+    that revision introduced) with the compression bit, laszip VLR,
     chunked stream, chunk table."""
     if point_format not in FORMAT_ITEMS:
         raise ValueError(
-            f"LAZ write supports legacy formats 0-3, got {point_format}"
+            f"LAZ write supports legacy formats 0-5, got {point_format}"
         )
     items = FORMAT_ITEMS[point_format]
     n = len(pts)
-    has_gps = point_format in (1, 3)
-    has_rgb = point_format in (2, 3)
+    has_gps = point_format in (1, 3, 4, 5)
+    has_rgb = point_format in (2, 3, 5)
+    has_wp = point_format in (4, 5)
     rows = []
     gps_u64 = (
         pts["gps_time"].view(np.uint64) if has_gps else None
     )
+    if has_wp:
+        rp_v = pts["wp_return_point"].view(np.uint32)
+        dx_v = pts["wp_dx"].view(np.uint32)
+        dy_v = pts["wp_dy"].view(np.uint32)
+        dz_v = pts["wp_dz"].view(np.uint32)
     for i in range(n):
         r = pts[i]
         p10 = Point10.FMT.pack(
@@ -1370,6 +1474,12 @@ def compress_points_to_laz(
             int(gps_u64[i]) if has_gps else None,
             (int(r["red"]), int(r["green"]), int(r["blue"]))
             if has_rgb else None,
+            (
+                int(r["wp_descriptor"]), int(r["wp_offset"]),
+                int(r["wp_size"]), int(rp_v[i]),
+                int(dx_v[i]), int(dy_v[i]), int(dz_v[i]),
+            )
+            if has_wp else None,
         ))
     chunks = [
         _compress_chunk(rows[i:i + chunk_size], items)
@@ -1379,7 +1489,11 @@ def compress_points_to_laz(
     vlr = build_laszip_vlr(point_format, chunk_size)
     from .las import _HEADER_FMT, _HEADER_SIZE  # header layout shared
 
-    offset_to_points = _HEADER_SIZE + len(vlr)
+    # waveform formats arrived in LAS 1.3, whose header appends the
+    # u64 waveform-data-packet-record offset (0: packets external)
+    minor = 3 if has_wp else 2
+    hdr_size = _HEADER_SIZE + (8 if has_wp else 0)
+    offset_to_points = hdr_size + len(vlr)
     if n:
         gx = pts["X"] * scales[0] + offsets[0]
         gy = pts["Y"] * scales[1] + offsets[1]
@@ -1391,11 +1505,11 @@ def compress_points_to_laz(
     header = struct.pack(
         _HEADER_FMT,
         b"LASF", 0, 0, 0, 0, 0, b"\x00" * 8,
-        1, 2,
+        1, minor,
         b"lasdb_spark".ljust(32, b"\x00"),
         b"lasdb_spark laszip".ljust(32, b"\x00"),
         1, 2026,
-        _HEADER_SIZE,
+        hdr_size,
         offset_to_points,
         1,  # one VLR: the laszip record
         point_format | 0x80,  # compression bit
@@ -1411,6 +1525,8 @@ def compress_points_to_laz(
     chunk_table_offset = offset_to_points + 8 + sum(
         len(c) for c in chunks
     )
+    if has_wp:
+        header += struct.pack("<Q", 0)  # LAS 1.3 waveform tail
     return b"".join([
         header, vlr, struct.pack("<q", chunk_table_offset), *chunks,
         _write_chunk_table([len(c) for c in chunks]),
@@ -1436,7 +1552,7 @@ def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
         return decompress_laz14_points(buf, hdr, vlr)
     if fmt not in FORMAT_ITEMS:
         raise ValueError(
-            f"LAZ decode supports formats 0-3 and 6-10, got {fmt}"
+            f"LAZ decode supports formats 0-10, got {fmt}"
         )
     if vlr["compressor"] != COMPRESSOR_POINTWISE_CHUNKED:
         raise ValueError(
@@ -1464,9 +1580,15 @@ def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
         pos += ln
         remaining -= take
     out = np.zeros(n, dtype=point_dtype(fmt))
-    has_gps = fmt in (1, 3)
-    has_rgb = fmt in (2, 3)
-    for i, (p, gps, rgb) in enumerate(rows):
+    has_gps = fmt in (1, 3, 4, 5)
+    has_rgb = fmt in (2, 3, 5)
+    has_wp = fmt in (4, 5)
+    if has_wp:
+        rp_v = out["wp_return_point"].view(np.uint32)
+        dx_v = out["wp_dx"].view(np.uint32)
+        dy_v = out["wp_dy"].view(np.uint32)
+        dz_v = out["wp_dz"].view(np.uint32)
+    for i, (p, gps, rgb, wp) in enumerate(rows):
         o = out[i]
         o["X"], o["Y"], o["Z"] = p.x, p.y, p.z
         o["intensity"] = p.intensity
@@ -1479,4 +1601,9 @@ def decompress_laz_points(buf: bytes, hdr: dict) -> np.ndarray:
             out["gps_time"].view(np.uint64)[i] = gps
         if has_rgb:
             o["red"], o["green"], o["blue"] = rgb
+        if has_wp:
+            o["wp_descriptor"] = wp[0]
+            o["wp_offset"] = wp[1]
+            o["wp_size"] = wp[2]
+            rp_v[i], dx_v[i], dy_v[i], dz_v[i] = wp[3], wp[4], wp[5], wp[6]
     return out

@@ -180,19 +180,41 @@ def _cloud_struct(fmt, n, seed=3):
     pts["scan_angle"] = rng.integers(-30, 31, n)
     pts["user_data"] = rng.integers(0, 5, n)
     pts["point_source_id"] = rng.integers(0, 8, n)
-    if fmt in (1, 3):
+    if fmt in (1, 3, 4, 5):
         pts["gps_time"] = 300000.0 + np.cumsum(rng.random(n) * 1e-5)
-    if fmt in (2, 3):
+    if fmt in (2, 3, 5):
         v = rng.integers(0, 65536, n)
         pts["red"] = v
         pts["green"] = np.clip(
             v + rng.integers(-200, 200, n), 0, 65535
         )
         pts["blue"] = v
+    if fmt in (4, 5):
+        # exercise all four WAVEPACKET13 offset-diff shapes: unchanged
+        # / follows-last (off+size) / repeated-32-bit-delta / raw-u64
+        pts["wp_descriptor"] = rng.integers(0, 4, n)
+        sizes = rng.integers(64, 512, n).astype(np.uint64)
+        pts["wp_size"] = sizes
+        off = np.zeros(n, dtype=np.uint64)
+        cur = 5_000_000
+        for i in range(n):
+            shape = i % 4
+            if shape == 1:
+                cur = cur + int(sizes[i - 1])
+            elif shape == 2:
+                cur = cur + 8192
+            elif shape == 3:
+                cur = int(rng.integers(0, 2**63, dtype=np.int64))
+            off[i] = cur
+        pts["wp_offset"] = off
+        pts["wp_return_point"] = rng.random(n, dtype=np.float32) * 5
+        pts["wp_dx"] = rng.random(n, dtype=np.float32) - 0.5
+        pts["wp_dy"] = rng.random(n, dtype=np.float32) - 0.5
+        pts["wp_dz"] = rng.random(n, dtype=np.float32) - 0.5
     return pts
 
 
-@pytest.mark.parametrize("fmt", [0, 1, 2, 3])
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3, 4, 5])
 def test_laz_file_roundtrip_all_formats(fmt):
     # chunk_size 1000 with 2500 points crosses chunk boundaries (the
     # chunk-table repositioning path) without a 50k-point test cost
@@ -362,3 +384,26 @@ def test_malformed_input_fails_cleanly():
                 fn(bytes(buf))
             except ValueError:
                 pass
+
+
+def test_read_las_bytes_decodes_waveform_laz():
+    """Compressed LAZ 4/5 (pointwise waveform, r5 verdict stretch
+    item): the generic reader routes them through the v2 codec and
+    yields scaled xyz; the 29-byte wavepacket tail round-trips in the
+    structured decode."""
+    if las.laz_backend_available():  # pragma: no cover
+        pytest.skip("laspy backend present; fallback not exercised")
+    for fmt in (4, 5):
+        pts = _cloud_struct(fmt, 1200, seed=fmt)
+        laz = compress_points_to_laz(
+            pts, fmt, scales=(0.01, 0.01, 0.01), chunk_size=500
+        )
+        hdr = las.parse_las_header(laz)
+        assert hdr["version"] == (1, 3) and hdr["header_size"] == 235
+        xyz = las.read_las_bytes(laz)
+        assert xyz.shape == (1200, 3)
+        assert np.allclose(xyz[:, 0], pts["X"] * 0.01)
+        got = decompress_laz_points(laz, hdr)
+        for f in ("wp_descriptor", "wp_offset", "wp_size",
+                  "wp_return_point", "wp_dx", "wp_dy", "wp_dz"):
+            assert np.array_equal(got[f], pts[f]), (fmt, f)
