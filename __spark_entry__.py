@@ -866,6 +866,15 @@ def _q_ann_pq(spark, sf_dir):
     return topk_pq(_embs(spark, sf_dir))
 
 
+def _q_ann_pq_trained(spark, sf_dir):
+    """PQ top-k over per-subspace Lloyd-trained codebooks (r6; the
+    trained upgrade of ann_pq_topk, as ann_ivf_trained is to
+    ann_ivf_topk)."""
+    from lasdb_spark.operators.similarity import topk_pq_trained
+
+    return topk_pq_trained(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -1556,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _multimodal.sample_frames_sql(),
         "mm_audio": _multimodal.audio_features_sql(),
         "ann_pq_topk": _similarity.topk_pq_sql(),
+        "ann_pq_trained": _similarity.topk_pq_trained_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1673,7 +1683,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """148 entries, ordered so every query gets a driver CORRECTNESS
+    """149 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1683,16 +1693,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the oldest r3-green
-    tail (pc_circle … pc_outliers, 39 entries), with the window's
-    remaining ~3 slots starting into the r4-green block
-    (corpus_token_budget, pc_slope, text_entropy). Everything past
+    construction, rows refreshed anyway), then the one operator NEW in
+    r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks),
+    then the oldest r3-green tail (pc_circle … pc_outliers, 39
+    entries), with the window's remaining ~2 slots starting into the
+    r4-green block (corpus_token_budget, pc_slope). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    the r4-green remainder the r6 window cut (mm_audio onward), then
-    the r3-green family representatives (pc_bbox … corpus_pack) and
-    the now-oldest r5-checked blocks."""
+    the r4-green remainder the r6 window cut (text_entropy / mm_audio
+    onward), then the r3-green family representatives (pc_bbox …
+    corpus_pack) and the now-oldest r5-checked blocks."""
     return {
         # --- r2-vintage rows the r5 window cut (lead, per the r5 docstring) ---
         "text_bpe_tokens": _q_text_bpe_tokens,
@@ -1704,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- implementations rewritten in r6 (one-scan HLL; two-phase quantile selection; values unchanged, rows refreshed anyway) ---
         "sketch_hll": _q_hll_distinct,
         "sketch_quantiles": _q_quantile_sketch,
+        # --- new in r6 (first driver row) ---
+        "ann_pq_trained": _q_ann_pq_trained,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

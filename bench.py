@@ -360,7 +360,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
     from pyspark.sql import functions as _F
 
     from lasdb_spark.operators.relational import cdc_snapshot, merge_upsert
-    from lasdb_spark.operators.similarity import embedding_outliers
+    from lasdb_spark.operators.similarity import (
+        embedding_outliers,
+        topk_pq_trained,
+    )
 
     _split = 1_705_276_800_000
     _ms = _F.unix_millis(_F.col("ts"))
@@ -371,6 +374,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
                 ev.filter(_ms >= _split),
             ),
             "emb_outliers": lambda: embedding_outliers(embs),
+            # r6: Lloyd-trained PQ codebooks
+            "ann_pq_trained": lambda: topk_pq_trained(embs),
         }
     )
     # r5: embedding health audits

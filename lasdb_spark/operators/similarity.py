@@ -838,12 +838,196 @@ def pq_encode(
     )
 
 
+PQ_ITERS = 2
+
+
+def pq_train_books(
+    embs: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """(m, code, cvec) — per-subspace Lloyd-refined codebooks (real PQ
+    training, upgrading :func:`_pq_books`'s seed stubs). Each round:
+    assign every subvector to its nearest codeword (broadcast M×K
+    codebook, per-(vec, subspace) argmin window — the same shape as
+    :func:`pq_encode`), then rebuild each codeword as the exact
+    per-component mean of its members (integer micro-unit BIGINT sums,
+    one double division — associative under any partitioning, so the
+    refined books hash-match the DuckDB oracle). A codeword that
+    attracts no members drops out of the book, identically in both
+    engines.
+
+    Scale: per-round state is the M×K codebook (always broadcast
+    sized); each round costs one broadcast join + window + one
+    map-side-partial groupBy over N·M subvector rows — rounds add
+    plan depth, never shuffle growth."""
+    from ..functions.hashing import fold_l2_col
+
+    sub_dim = dim // m
+    svecs = embs.select("vec_id", _pq_subspace_ids(m), "embedding").select(
+        "vec_id",
+        "m",
+        F.slice("embedding", F.col("m") * sub_dim + 1, sub_dim).alias(
+            "svec"
+        ),
+    )
+    books = _pq_books(embs, m, n_codes, dim)
+    for _ in range(max(1, n_iters)):
+        d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
+        assign = (
+            svecs.join(F.broadcast(books), "m")
+            .select("vec_id", "m", "svec", "code", d2.alias("d2"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id", "m").orderBy(
+                        F.col("d2").asc(), "code"
+                    )
+                ),
+            )
+            .where(F.col("rk") == 1)
+        )
+        parts = assign.select(
+            "m", "code", F.posexplode("svec").alias("pos", "v")
+        ).select(
+            "m",
+            "code",
+            "pos",
+            F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+        )
+        comp = parts.groupBy("m", "code", "pos").agg(
+            (F.sum("q") / (F.count(F.lit(1)) * 1e6)).alias("c")
+        )
+        books = (
+            comp.groupBy("m", "code")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))).alias(
+                    "pc"
+                )
+            )
+            .select("m", "code", F.col("pc.c").alias("cvec"))
+        )
+    # the trained book is consumed twice (encode + ADC table); it is
+    # KB-sized at any corpus size, so materialize it once instead of
+    # re-running the whole training chain per consumer (the semdedup
+    # r5 lesson: multi-referenced lazy lineage re-evaluates in full)
+    return books.localCheckpoint()
+
+
+def pq_train_ctes(
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+    n_iters: int = PQ_ITERS,
+) -> tuple[list[str], str]:
+    """DuckDB CTE chain twinning :func:`pq_train_books`; returns the
+    CTE list and the name of the final codebook CTE (m, code, ce with
+    ce a sub_dim list, offsets 0)."""
+    from ..functions.hashing import fold_l2_sql
+
+    sub_dim = dim // m
+    off = f"ms.m * {sub_dim}"
+    d2 = fold_l2_sql("v.sv", "b.ce", sub_dim)
+    ctes = [
+        f"ms AS (SELECT unnest(range(0, {m})) AS m)",
+        f"""sv AS (SELECT e.vec_id, ms.m,
+       e.embedding[{off} + 1 : {off} + {sub_dim}] AS sv
+  FROM embeddings e CROSS JOIN ms)""",
+        f"""seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes}))""",
+        f"""b0 AS (SELECT ms.m, s.code,
+       s.embedding[{off} + 1 : {off} + {sub_dim}] AS ce
+  FROM seeds s CROSS JOIN ms)""",
+    ]
+    n_iters = max(1, n_iters)
+    for t in range(n_iters):
+        ctes.append(f"""r{t} AS (
+  SELECT v.vec_id, v.m, v.sv, b.code,
+         row_number() OVER (PARTITION BY v.vec_id, v.m
+           ORDER BY round({d2}, 6) ASC, b.code) AS rk
+  FROM sv v JOIN b{t} b ON v.m = b.m)""")
+        ctes.append(f"a{t} AS (SELECT m, code, sv FROM r{t} WHERE rk = 1)")
+        ctes.append(f"""parts{t} AS (
+  SELECT m, code, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(sv[s.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM a{t}, LATERAL (SELECT unnest(range(0, {sub_dim}))) AS s(i))""")
+        ctes.append(
+            f"comp{t} AS (SELECT m, code, pos, SUM(q) / (COUNT(*) * 1000000.0) AS c\n"
+            f"  FROM parts{t} GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"b{t + 1} AS (SELECT m, code, list(c ORDER BY pos) AS ce\n"
+            f"  FROM comp{t} GROUP BY 1, 2)"
+        )
+    return ctes, f"b{n_iters}"
+
+
+def topk_pq_trained(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ/ADC top-k over Lloyd-trained codebooks — the trained variant
+    of :func:`topk_pq`, exactly as :func:`topk_ivf_trained` upgrades
+    :func:`topk_ivf`. Same output contract (vec_id, approx_d2, rank)."""
+    books = pq_train_books(embs, m, n_codes, EMB_DIM, n_iters)
+    return topk_pq(embs, query_vec_id, k, m, n_codes, books=books)
+
+
+def topk_pq_trained_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+    n_iters: int = PQ_ITERS,
+) -> str:
+    """Oracle twin of :func:`topk_pq_trained`: the training CTE chain
+    + the same encode/ADC/micro-unit tail as :func:`topk_pq_sql`, with
+    codewords as sliced sub_dim lists (offset 0 on the book side)."""
+    from ..functions.hashing import fold_l2_sql
+
+    sub_dim = dim // m
+    ctes, bf = pq_train_ctes(m, n_codes, dim, n_iters)
+    enc_d2 = fold_l2_sql("v.sv", "b.ce", sub_dim)
+    q_d2 = fold_l2_sql("q.qv", "b.ce", sub_dim, a_off=f"b.m * {sub_dim}")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT v.vec_id, v.m, b.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY round({enc_d2}, 6) ASC, b.code) AS rk
+    FROM sv v JOIN {bf} b ON v.m = b.m) WHERE rk = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+dtab AS (
+  SELECT b.m, b.code,
+         CAST(round(round({q_d2}, 6) * 1e6) AS BIGINT) AS qd2q
+  FROM {bf} b CROSS JOIN q),
+approx AS (
+  SELECT c.vec_id, CAST(sum(d.qd2q) AS DOUBLE) / 1e6 AS approx_d2
+  FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+  WHERE c.vec_id != {query_vec_id} GROUP BY c.vec_id)
+SELECT vec_id, approx_d2, rank FROM (
+  SELECT vec_id, approx_d2,
+         CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT) AS rank
+  FROM approx) WHERE rank <= {k}
+""".strip()
+
+
 def topk_pq(
     embs: DataFrame,
     query_vec_id: int = 0,
     k: int = TOPK,
     m: int = PQ_M,
     n_codes: int = PQ_K,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC top-k: encode the corpus once, build the query's
     asymmetric-distance table (query subvector → every codeword,
@@ -863,7 +1047,8 @@ def topk_pq(
 
     dim = EMB_DIM
     sub_dim = dim // m
-    books = _pq_books(embs, m, n_codes, dim)
+    if books is None:
+        books = _pq_books(embs, m, n_codes, dim)
     codes = pq_encode(embs, m, n_codes, dim, books=books)
     qsub = (
         embs.where(F.col("vec_id") == query_vec_id)

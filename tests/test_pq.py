@@ -87,3 +87,70 @@ def test_pq_plan_take_ordered_and_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_trained_books_improve_quantization_error(spark):
+    """Lloyd rounds can only lower the summed assignment distortion;
+    on a clustered corpus the trained codebooks must beat the seed
+    stubs. (The oracle-exactness of the full trained top-k is proven
+    per-run by test_entry_oracle's ann_pq_trained row.)"""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.functions.hashing import fold_l2_col
+    from lasdb_spark.operators.similarity import (
+        _pq_books,
+        _pq_subspace_ids,
+        pq_train_books,
+    )
+
+    rng = np.random.default_rng(11)
+    # 4 tight clusters; the first-K seeds all land in cluster 0, so
+    # untrained books quantize the other clusters terribly
+    centers = rng.uniform(-1, 1, (4, DIM))
+    vecs = [
+        [round(float(v), 3) for v in centers[i // 50] + rng.normal(0, 0.01, DIM)]
+        for i in range(200)
+    ]
+    embs = _embs(spark, vecs)
+
+    def distortion(books):
+        sub = DIM // M
+        svecs = embs.select(
+            "vec_id", _pq_subspace_ids(M), "embedding"
+        ).select(
+            "vec_id", "m",
+            F.slice("embedding", F.col("m") * sub + 1, sub).alias("svec"),
+        )
+        d2 = fold_l2_col(F.col("svec"), F.col("cvec"))
+        return (
+            svecs.join(F.broadcast(books), "m")
+            .groupBy("vec_id", "m")
+            .agg(F.min(d2).alias("best"))
+            .agg(F.sum("best"))
+            .collect()[0][0]
+        )
+
+    seed_err = distortion(_pq_books(embs, M, K, DIM))
+    trained_err = distortion(pq_train_books(embs, M, K, DIM, n_iters=2))
+    assert trained_err < seed_err * 0.5, (seed_err, trained_err)
+
+
+@pytest.mark.spark
+def test_trained_books_empty_code_dropout(spark):
+    """A codeword no subvector selects disappears from the trained
+    book (both engines agree by construction); survivors keep their
+    original code ids."""
+    from lasdb_spark.operators.similarity import pq_train_books
+
+    rng = np.random.default_rng(5)
+    # 20 IDENTICAL vectors: every distance ties, the argmin tie-break
+    # picks code 1 everywhere, so 15 of the 16 seed codes drop out of
+    # every subspace after round 1
+    base = [round(float(v), 3) for v in rng.uniform(-1, 1, DIM)]
+    vecs = [list(base) for _ in range(20)]
+    books = pq_train_books(_embs(spark, vecs), M, K, DIM, n_iters=2)
+    per_sub = books.groupBy("m").count().collect()
+    assert all(r["count"] == 1 for r in per_sub), per_sub
+    codes = {r["code"] for r in books.select("code").distinct().collect()}
+    assert codes <= set(range(1, K + 1))
