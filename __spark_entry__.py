@@ -875,6 +875,15 @@ def _q_ann_pq_trained(spark, sf_dir):
     return topk_pq_trained(_embs(spark, sf_dir))
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ residual quantization (r6): coarse cells + PQ on the
+    residuals, per-probed-cell ADC — the canonical billion-scale ANN
+    index shape."""
+    from lasdb_spark.operators.similarity import topk_ivfpq
+
+    return topk_ivfpq(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -1566,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio": _multimodal.audio_features_sql(),
         "ann_pq_topk": _similarity.topk_pq_sql(),
         "ann_pq_trained": _similarity.topk_pq_trained_sql(),
+        "ann_ivfpq": _similarity.topk_ivfpq_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1683,7 +1693,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """149 entries, ordered so every query gets a driver CORRECTNESS
+    """150 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1693,11 +1703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the one operator NEW in
-    r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks),
-    then the oldest r3-green tail (pc_circle … pc_outliers, 39
-    entries), with the window's remaining ~2 slots starting into the
-    r4-green block (corpus_token_budget, pc_slope). Everything past
+    construction, rows refreshed anyway), then the two operators NEW
+    in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
+    ann_ivfpq — IVF-PQ residual quantization), then the oldest
+    r3-green tail (pc_circle … pc_outliers, 39 entries), with the
+    window's remaining slot starting into the r4-green block
+    (corpus_token_budget). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
@@ -1715,8 +1726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- implementations rewritten in r6 (one-scan HLL; two-phase quantile selection; values unchanged, rows refreshed anyway) ---
         "sketch_hll": _q_hll_distinct,
         "sketch_quantiles": _q_quantile_sketch,
-        # --- new in r6 (first driver row) ---
+        # --- new in r6 (first driver rows) ---
         "ann_pq_trained": _q_ann_pq_trained,
+        "ann_ivfpq": _q_ann_ivfpq,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

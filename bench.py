@@ -362,6 +362,7 @@ def _section_corpus(spark, sf_dir, timings) -> None:
     from lasdb_spark.operators.relational import cdc_snapshot, merge_upsert
     from lasdb_spark.operators.similarity import (
         embedding_outliers,
+        topk_ivfpq,
         topk_pq_trained,
     )
 
@@ -374,8 +375,9 @@ def _section_corpus(spark, sf_dir, timings) -> None:
                 ev.filter(_ms >= _split),
             ),
             "emb_outliers": lambda: embedding_outliers(embs),
-            # r6: Lloyd-trained PQ codebooks
+            # r6: Lloyd-trained PQ codebooks + IVF-PQ residual index
             "ann_pq_trained": lambda: topk_pq_trained(embs),
+            "ann_ivfpq": lambda: topk_ivfpq(embs),
         }
     )
     # r5: embedding health audits

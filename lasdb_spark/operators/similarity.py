@@ -1021,6 +1021,239 @@ SELECT vec_id, approx_d2, rank FROM (
 """.strip()
 
 
+def topk_ivfpq(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ (r6): the canonical billion-scale ANN index — an L2
+    coarse quantizer over ``n_cells`` cells plus PQ codes on the
+    RESIDUALS (vector − its centroid), queried by probing the
+    ``nprobe`` nearest cells with a per-cell query-residual ADC table.
+    Composes the engine's IVF cell machinery with the PQ/ADC tail;
+    output contract matches :func:`topk_pq` (vec_id, approx_d2, rank).
+
+    Exactness armor (oracle hash-match): coarse assignment and encode
+    both rank by round(L2, 6) with id tie-breaks; residuals are plain
+    IEEE double subtractions reproduced term-by-term in the SQL twin;
+    ADC entries round to micro-unit BIGINTs so the per-vector sum is
+    order-independent.
+
+    Scale: the corpus shuffles ONLY for the per-vector argmin windows
+    (cells and codebooks broadcast — n_cells×dim and M·K·dim doubles);
+    candidates outside the probed cells never join (the inner join on
+    (cell, m, code) against the nprobe-sized ADC table IS the IVF
+    pruning); top-k is a k-bounded TakeOrdered, never a full sort."""
+    from ..functions.hashing import fold_l2_col
+
+    dim = EMB_DIM
+    sub_dim = dim // m
+    cents = (
+        embs.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    d2c = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
+    asg = (
+        embs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", "ce", d2c.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("d2").asc(), "cid"
+                )
+            ),
+        )
+    )
+    res = (
+        asg.where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.zip_with(
+                "embedding", "ce", lambda x, y: x.cast("double") - y
+            ).alias("rv"),
+        )
+    )
+    seeds = (
+        res.orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("code"),
+            "rv",
+        )
+    )
+    books = (
+        seeds.select("code", _pq_subspace_ids(m), "rv")
+        .select(
+            "m",
+            "code",
+            F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias("cvec"),
+        )
+        # KB-sized, consumed by encode AND both ADC tables: materialize
+        # once instead of re-running the assignment chain per consumer
+        .localCheckpoint()
+    )
+    rsub = res.select("vec_id", "cell", _pq_subspace_ids(m), "rv").select(
+        "vec_id",
+        "cell",
+        "m",
+        F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias("svec"),
+    )
+    d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
+    codes = (
+        rsub.join(F.broadcast(books), "m")
+        .select("vec_id", "cell", "m", "code", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "m").orderBy(
+                    F.col("d2").asc(), "code"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
+    probes = asg.where(
+        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
+    ).select(F.col("cid").alias("cell"), "ce")
+    q = embs.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    qsub = (
+        probes.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            F.zip_with(
+                "qv", "ce", lambda x, y: x.cast("double") - y
+            ).alias("qr"),
+        )
+        .select("cell", _pq_subspace_ids(m), "qr")
+        .select(
+            "cell",
+            "m",
+            F.slice("qr", F.col("m") * sub_dim + 1, sub_dim).alias("qvec"),
+        )
+    )
+    dtab = qsub.join(F.broadcast(books), "m").select(
+        "cell",
+        "m",
+        "code",
+        F.round(
+            F.round(fold_l2_col(F.col("qvec"), F.col("cvec")), 6) * 1e6
+        )
+        .cast("long")
+        .alias("qd2q"),
+    )
+    approx = (
+        codes.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["cell", "m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("qd2q").cast("double") / 1e6).alias("approx_d2"))
+    )
+    top = approx.orderBy(F.col("approx_d2").asc(), "vec_id").limit(k)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+    )
+    return top.withColumn("rank", rank.cast("int"))
+
+
+def _res_l2_sql(va, ca, vb, cb, n, a_off="0", b_off="0"):
+    """Σ ((va[i]−ca[i]) − (vb[i]−cb[i]))² as a left fold over 1-based
+    list elements with per-side offsets — the residual-vs-residual
+    squared L2 the IVF-PQ oracle needs without materializing residual
+    lists. Duplicates every expr textually 4n×; feed simple refs."""
+    acc = "0.0"
+    for i in range(1, n + 1):
+        ta = (
+            f"(CAST(({va})[({a_off}) + {i}] AS DOUBLE) - "
+            f"CAST(({ca})[({a_off}) + {i}] AS DOUBLE))"
+        )
+        tb = (
+            f"(CAST(({vb})[({b_off}) + {i}] AS DOUBLE) - "
+            f"CAST(({cb})[({b_off}) + {i}] AS DOUBLE))"
+        )
+        acc = f"({acc} + ({ta} - {tb}) * ({ta} - {tb}))"
+    return acc
+
+
+def topk_ivfpq_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> str:
+    """Oracle twin of :func:`topk_ivfpq`: coarse L2 assignment,
+    residual codebooks from the lowest-id vectors, encode argmin,
+    per-probed-cell ADC tables and the micro-unit sum — residuals
+    expanded term-by-term (:func:`_res_l2_sql`), never materialized."""
+    from ..functions.hashing import fold_l2_sql
+
+    sub_dim = dim // m
+    coarse = fold_l2_sql("e.embedding", "c.ce", dim)
+    enc_d2 = _res_l2_sql(
+        "v.ve", "v.ce", "b.vs", "b.cs", sub_dim,
+        a_off="v.moff", b_off="b.moff",
+    )
+    q_d2 = _res_l2_sql(
+        "q.qv", "p.ce", "b.vs", "b.cs", sub_dim,
+        a_off="b.moff", b_off="b.moff",
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  ORDER BY vec_id LIMIT {n_cells}),
+asg AS (
+  SELECT e.vec_id, e.embedding AS ve, c.cid, c.ce,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({coarse}, 6) ASC, c.cid) AS rk
+  FROM embeddings e CROSS JOIN cents c),
+av AS (SELECT vec_id, ve, cid AS cell, ce FROM asg WHERE rk = 1),
+ms AS (SELECT unnest(range(0, {m})) AS m),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code, ve AS vs, ce AS cs
+  FROM (SELECT * FROM av ORDER BY vec_id LIMIT {n_codes})),
+books AS (
+  SELECT ms.m, ms.m * {sub_dim} AS moff, s.code, s.vs, s.cs
+  FROM seeds s CROSS JOIN ms),
+rsub AS (
+  SELECT a.vec_id, a.cell, ms.m, ms.m * {sub_dim} AS moff, a.ve, a.ce
+  FROM av a CROSS JOIN ms),
+enc AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT v.vec_id, v.cell, v.m, b.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY round({enc_d2}, 6) ASC, b.code) AS rk
+    FROM rsub v JOIN books b ON v.m = b.m) WHERE rk = 1),
+probes AS (
+  SELECT cid AS cell, ce FROM asg
+  WHERE vec_id = {query_vec_id} AND rk <= {nprobe}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+dtab AS (
+  SELECT p.cell, b.m, b.code,
+         CAST(round(round({q_d2}, 6) * 1e6) AS BIGINT) AS qd2q
+  FROM probes p CROSS JOIN q CROSS JOIN books b),
+approx AS (
+  SELECT e.vec_id, CAST(sum(d.qd2q) AS DOUBLE) / 1e6 AS approx_d2
+  FROM enc e JOIN dtab d
+    ON e.cell = d.cell AND e.m = d.m AND e.code = d.code
+  WHERE e.vec_id != {query_vec_id} GROUP BY e.vec_id)
+SELECT vec_id, approx_d2, rank FROM (
+  SELECT vec_id, approx_d2,
+         CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT) AS rank
+  FROM approx) WHERE rank <= {k}
+""".strip()
+
+
 def topk_pq(
     embs: DataFrame,
     query_vec_id: int = 0,

@@ -154,3 +154,41 @@ def test_trained_books_empty_code_dropout(spark):
     assert all(r["count"] == 1 for r in per_sub), per_sub
     codes = {r["code"] for r in books.select("code").distinct().collect()}
     assert codes <= set(range(1, K + 1))
+
+
+@pytest.mark.spark
+def test_ivfpq_prunes_to_probed_cells_and_finds_duplicate(spark):
+    """IVF-PQ: candidates come only from the nprobe probed cells (the
+    (cell, m, code) inner join IS the pruning), and an exact duplicate
+    of the query scores the minimum achievable ADC distance in the
+    query's own cell, ranking first on a clustered corpus."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.similarity import topk_ivfpq
+
+    rng = np.random.default_rng(23)
+    centers = rng.uniform(-1, 1, (4, DIM)) * 5
+    vecs = []
+    for i in range(120):
+        vecs.append(
+            [round(float(v), 3)
+             for v in centers[i % 4] + rng.normal(0, 0.05, DIM)]
+        )
+    vecs.append(list(vecs[0]))  # vec_id 120 = exact duplicate of 0
+    embs = _embs(spark, vecs)
+    got = topk_ivfpq(
+        embs, query_vec_id=0, k=10, n_cells=8, nprobe=2
+    ).collect()
+    assert 0 < len(got) <= 10
+    d2s = [r["approx_d2"] for r in got]
+    assert d2s == sorted(d2s)
+    assert got[0]["vec_id"] == 120 and got[0]["rank"] == 1
+    # pruning: every candidate's true nearest cell (or the query's
+    # second probe) — reconstruct coarse assignment brute force
+    cents = np.array(vecs[:8], dtype=np.float32).astype(np.float64)
+    V = np.array(vecs, dtype=np.float32).astype(np.float64)
+    d = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).round(6)
+    cell = d.argmin(axis=1)
+    probed = set(np.argsort(d[0], kind="stable")[:2])
+    for r in got:
+        assert cell[r["vec_id"]] in probed, (r["vec_id"], cell[r["vec_id"]])
