@@ -1230,6 +1230,22 @@ def _drained(stream_df, prefix: str) -> str:
     return name
 
 
+def _q_stream_quantiles(spark, sf_dir):
+    """Drained streaming fixed-grid quantiles (r6) == the identical
+    batch histogram + rank selection."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.sketch import (
+        drained_final,
+        stream_value_quantiles,
+    )
+
+    tbl = _drained(
+        stream_value_quantiles(events_stream_multibatch(spark, sf_dir)),
+        "s_quant",
+    )
+    return drained_final(spark, tbl, ["event_type"]).orderBy("event_type")
+
+
 def _q_stream_hll(spark, sf_dir):
     """Drained streaming HLL (multi-micro-batch) == batch sketch."""
     from lasdb_spark.sources.events import events_stream_multibatch
@@ -1678,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         # drained-streaming finals == the batch computation (the folds
         # are commutative idempotent merges)
         "stream_hll_distinct": _ssketch.stream_hll_sql(),
+        "stream_quantiles": _ssketch.stream_quantiles_sql(),
         "stream_kmv_distinct": _ssketch.stream_kmv_sql(),
         "stream_cdc_snapshot": _rel.cdc_snapshot_sql(),
         "stream_exact_dedup": _dedup.exact_dedup_sql(),
@@ -1693,7 +1710,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """150 entries, ordered so every query gets a driver CORRECTNESS
+    """151 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1703,12 +1720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the two operators NEW
+    construction, rows refreshed anyway), then the three operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
-    ann_ivfpq — IVF-PQ residual quantization), then the oldest
-    r3-green tail (pc_circle … pc_outliers, 39 entries), with the
-    window's remaining slot starting into the r4-green block
-    (corpus_token_budget). Everything past
+    ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
+    drained fixed-grid streaming percentiles), then the oldest
+    r3-green tail (pc_circle … pc_outliers, 39 entries — the window
+    of ~50 cuts at pc_hag/pc_outliers). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
@@ -1729,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (first driver rows) ---
         "ann_pq_trained": _q_ann_pq_trained,
         "ann_ivfpq": _q_ann_ivfpq,
+        "stream_quantiles": _q_stream_quantiles,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

@@ -351,3 +351,118 @@ SELECT a.event_type, CAST(a.n_kept AS BIGINT) AS exact_floor,
 FROM agg a JOIN cnt c USING (event_type)
 ORDER BY a.event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# streaming quantiles: fixed-grid value histogram (r6)
+# ---------------------------------------------------------------------------
+
+QGRID = 1.0  # value-domain bucket width
+
+_Q_OUT_SCHEMA = (
+    "event_type string, p50_est double, p95_est double, "
+    "n_buckets long, n_seen long"
+)
+_Q_STATE_SCHEMA = "buckets array<long>, counts array<long>, n long"
+
+
+def _quantile_fold(grid: float):
+    import math
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hist = dict(zip(state.get[0], state.get[1]))
+            n = state.get[2]
+        else:
+            hist, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                b = math.floor(float(v) / grid)
+                hist[b] = hist.get(b, 0) + 1
+        items = sorted(hist.items())
+        state.update(
+            ([b for b, _ in items], [c for _, c in items], n)
+        )
+        # exact rank selection on the quantized grid — the same
+        # ceil(p*n)-th-smallest contract as the batch quantile sketch
+        k50 = math.ceil(0.5 * n)
+        k95 = math.ceil(0.95 * n)
+        cum = 0
+        b50 = b95 = None
+        for b, c in items:
+            cum += c
+            if b50 is None and cum >= k50:
+                b50 = b
+            if b95 is None and cum >= k95:
+                b95 = b
+                break
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "p50_est": [(b50 + 0.5) * grid],
+                "p95_est": [(b95 + 0.5) * grid],
+                "n_buckets": [len(items)],
+                "n_seen": [n],
+            }
+        )
+
+    return fold
+
+
+def stream_value_quantiles(
+    event_stream: DataFrame, grid: float = QGRID
+) -> DataFrame:
+    """Continuously-maintained p50/p95 of ``value`` per event type on
+    a FIXED bucket grid (bucket = floor(value / grid), estimate = the
+    midpoint of the ceil(p·n)-th-smallest bucket).
+
+    Why fixed-grid: bucket counts are a plain additive merge —
+    commutative and micro-batch-boundary-independent — so the drained
+    answer equals the batch computation over the same rows EXACTLY
+    (the converge-to-batch bar every operator in this module meets).
+    An equi-width histogram keyed on evolving (min, max) — the batch
+    sketch's shape — could not converge: early batches would bin on a
+    different grid than late ones. State per group is bounded by the
+    VALUE DOMAIN (distinct occupied buckets), not the stream volume —
+    the monitoring-percentile design for an unbounded event feed."""
+    return event_stream.select("event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _quantile_fold(grid),
+        outputStructType=_Q_OUT_SCHEMA,
+        stateStructType=_Q_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_quantiles_sql(grid: float = QGRID) -> str:
+    """Oracle of the DRAINED streaming quantiles: identical fixed-grid
+    histogram + rank selection over the batch table."""
+    return f"""
+WITH hist AS (
+  SELECT event_type, CAST(floor(value / {grid!r}) AS BIGINT) AS bk,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bk, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cm
+  FROM hist),
+cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+sel AS (
+  SELECT h.event_type, max(c.n) AS n, count(*) AS n_buckets,
+         min(CASE WHEN h.cm >= CAST(ceil(0.5 * CAST(c.n AS DOUBLE)) AS BIGINT)
+             THEN h.bk END) AS b50,
+         min(CASE WHEN h.cm >= CAST(ceil(0.95 * CAST(c.n AS DOUBLE)) AS BIGINT)
+             THEN h.bk END) AS b95
+  FROM cum h JOIN cnt c USING (event_type) GROUP BY 1)
+SELECT event_type,
+       (CAST(b50 AS DOUBLE) + 0.5) * {grid!r} AS p50_est,
+       (CAST(b95 AS DOUBLE) + 0.5) * {grid!r} AS p95_est,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n AS BIGINT) AS n_seen
+FROM sel ORDER BY event_type
+""".strip()

@@ -413,3 +413,79 @@ def test_embedding_cov_pairs_finds_planted_correlation(spark):
     assert (top[0].pos_a, top[0].pos_b) == (0, 2)
     var0 = {r.pos: r.var for r in embedding_dim_stats(df).collect()}[0]
     assert abs(top[0].cov - var0) < 1e-6
+
+
+@pytest.mark.spark
+def test_stream_quantiles_converge_to_batch(spark, sf_dir):
+    """After the finite multi-batch stream drains, the fixed-grid
+    streaming percentiles equal the batch histogram + rank selection
+    EXACTLY (bucket counts merge additively across any micro-batch
+    split), and the estimates bracket the true order statistics by at
+    most one grid step."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming import events as se
+    from lasdb_spark.streaming.sketch import (
+        QGRID,
+        drained_final,
+        stream_value_quantiles,
+    )
+
+    se.run_to_memory(
+        stream_value_quantiles(events_stream_multibatch(spark, sf_dir)),
+        "quant_out",
+        "update",
+    )
+    got = {
+        r.event_type: (r.p50_est, r.p95_est, r.n_buckets, r.n_seen)
+        for r in drained_final(spark, "quant_out", ["event_type"]).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / QGRID).cast("long").alias("bk"),
+        )
+        .groupBy("event_type", "bk")
+        .count()
+        .collect()
+    )
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(dict)
+    for r in hist:
+        per[r.event_type][r.bk] = r["count"]
+    for et, h in per.items():
+        n = sum(h.values())
+        items = sorted(h.items())
+        cum, b50, b95 = 0, None, None
+        for b, c in items:
+            cum += c
+            if b50 is None and cum >= math.ceil(0.5 * n):
+                b50 = b
+            if b95 is None and cum >= math.ceil(0.95 * n):
+                b95 = b
+        want = ((b50 + 0.5) * QGRID, (b95 + 0.5) * QGRID, len(items), n)
+        assert got[et] == want, (et, got[et], want)
+    # estimates sit within one grid step of the true order statistics
+    from pyspark.sql import Window
+
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    true50 = {
+        r.event_type: r.v
+        for r in ranked.where(
+            F.col("rn") == F.ceil(F.lit(0.5) * F.col("n").cast("double"))
+        ).collect()
+    }
+    for et, (p50, _, _, _) in got.items():
+        assert abs(p50 - true50[et]) <= QGRID, (et, p50, true50[et])
