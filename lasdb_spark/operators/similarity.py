@@ -1120,15 +1120,30 @@ def topk_ivfpq(
         .where(F.col("rk") == 1)
         .select("vec_id", "cell", "m", "code")
     )
-    probes = asg.where(
-        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
-    ).select(F.col("cid").alias("cell"), "ce")
+    # probe ranking is QUERY-LOCAL: one pushed-filter row × broadcast
+    # cells — never the full per-vector assignment pass (same ranking
+    # expression, so it equals the query's own rows in `asg`)
     q = embs.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
     )
-    qsub = (
-        probes.crossJoin(F.broadcast(q))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
         .select(
+            "qv",
+            F.col("cid").alias("cell"),
+            "ce",
+            F.round(fold_l2_col(F.col("qv"), F.col("ce")), 6).alias("d2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("d2").asc(), F.col("cell"))
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+    )
+    qsub = (
+        probes.select(
             "cell",
             F.zip_with(
                 "qv", "ce", lambda x, y: x.cast("double") - y

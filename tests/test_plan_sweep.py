@@ -33,6 +33,12 @@ BOUNDED_GLOBAL_WINDOW = {
     # rank after limit(k) + codebook numbering over the n_codes-row
     # seed table (16 rows by construction)
     "ann_pq_topk",
+    # same two bounded shapes as ann_pq_topk (the trained path's
+    # windows all partition by (vec_id, m) except seed numbering)
+    "ann_pq_trained",
+    # rank after limit(k) + seed numbering (16 rows) + probe ranking
+    # over the query-row × n_cells frame (8 rows by construction)
+    "ann_ivfpq",
     "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut
     "rel_month_momentum",  # lag over per-month aggregates (≤ months)
 }
