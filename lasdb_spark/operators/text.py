@@ -1757,3 +1757,121 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
         "merge_rank int, left string, right string, "
         "pair_count long, new_symbol string",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (r6): hashed-feature target affinity
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 512
+#: the "target distribution" slice the raw corpus is scored against
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def importance_scores(
+    docs: DataFrame,
+    target_sources: tuple = DSIR_TARGET_SOURCES,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_feat, affinity, keep) — data-selection importance
+    scoring in the DSIR mold: hash every word into ``n_buckets``
+    features, estimate the target (docs from ``target_sources``) and
+    raw bucket distributions, and score each document by the summed
+    per-token affinity (p_target(b) − p_raw(b)). ``keep`` marks docs
+    that look more target-like than raw-like — the resampling gate.
+
+    The affinity is LINEAR in the distribution gap (not the DSIR
+    log-ratio): logs are libm-dependent and would break cross-engine
+    hash-matching, while the gap needs exactly ONE rounding per bucket
+    — each bucket's value quantizes to nano-units (BIGINT) once, and
+    per-doc sums are then order-independent integer adds. Docs with
+    zero extractable words carry no evidence and drop out (both
+    engines agree).
+
+    Plan: two corpus passes (bucket distribution; per-doc scoring
+    against the broadcast n_buckets-row table), both map-side-partial
+    aggs — no corpus-sized shuffle beyond the doc_id agg."""
+    from ..functions.hashing import md5_int60_col
+
+    tok = docs.select(
+        "doc_id",
+        F.col("source").isin(*target_sources).alias("is_t"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+            )
+        ).alias("w"),
+    ).select(
+        "doc_id", "is_t", (md5_int60_col(F.col("w")) % n_buckets).alias("b")
+    )
+    dist = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+        .cast("long")
+        .alias("cr"),
+    )
+    tot = dist.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    sb = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.col("ct").cast("double") / F.col("nt").cast("double")
+                - F.col("cr").cast("double") / F.col("nr").cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        tok.join(F.broadcast(sb), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
+            F.sum("q").alias("aff"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            (F.col("aff").cast("double") / 1e9).alias("affinity"),
+            (F.col("aff") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def importance_scores_sql(
+    target_sources: tuple = DSIR_TARGET_SOURCES,
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """Oracle twin of :func:`importance_scores`."""
+    from ..functions.hashing import md5_int60_sql
+
+    pat = WORD_RE.replace("'", "''")
+    srcs = ", ".join(f"'{s}'" for s in target_sources)
+    h = md5_int60_sql("w")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, is_t, ({h}) % {n_buckets} AS b FROM (
+    SELECT doc_id, source IN ({srcs}) AS is_t,
+           unnest(regexp_extract_all(lower(text), '{pat}')) AS w
+    FROM documents)),
+dist AS (
+  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM tok GROUP BY 1),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+sb AS (
+  SELECT b, CAST(round((CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+         - CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE)) * 1000000000.0)
+         AS BIGINT) AS q
+  FROM dist CROSS JOIN tot)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       CAST(SUM(s.q) AS DOUBLE) / 1e9 AS affinity,
+       SUM(s.q) > 0 AS keep
+FROM tok t JOIN sb s USING (b)
+GROUP BY t.doc_id ORDER BY t.doc_id
+""".strip()

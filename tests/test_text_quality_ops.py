@@ -468,3 +468,26 @@ def test_bpe_train_first_merge_matches_pair_stats(spark, sf_dir):
     assert (m1.left, m1.right, m1.pair_count) == (
         p1.left, p1.right, p1.pair_count
     )
+
+
+@pytest.mark.spark
+def test_importance_scores_favor_target_sources(spark, sf_dir):
+    """Docs drawn FROM the target slice must on average score higher
+    than raw docs (their tokens populate the target buckets), and the
+    keep gate is exactly affinity > 0."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.text import (
+        DSIR_TARGET_SOURCES,
+        importance_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = importance_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = scored.collect()
+    assert all((r.affinity > 0) == r.keep for r in rows)
+    t = [r.affinity for r in rows if r.source in DSIR_TARGET_SOURCES]
+    r_ = [r.affinity for r in rows if r.source not in DSIR_TARGET_SOURCES]
+    assert sum(t) / len(t) > sum(r_) / len(r_)
