@@ -380,6 +380,15 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "ann_ivfpq": lambda: topk_ivfpq(embs),
         }
     )
+    # r6: tokenizer-training kernel + importance scoring
+    from lasdb_spark.operators.text import bpe_pair_stats, importance_scores
+
+    suite.update(
+        {
+            "text_bpe_pairs": lambda: bpe_pair_stats(docs),
+            "corpus_importance": lambda: importance_scores(docs),
+        }
+    )
     # r5: embedding health audits
     from lasdb_spark.operators.similarity import (
         embedding_cov_pairs,
