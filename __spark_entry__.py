@@ -910,6 +910,14 @@ def _q_ann_ivfpq(spark, sf_dir):
     return topk_ivfpq(_embs(spark, sf_dir))
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    """recall@k of every ANN index vs brute force in one plan (r6) —
+    the index-knob acceptance test."""
+    from lasdb_spark.operators.similarity import ann_recall_report
+
+    return ann_recall_report(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -1624,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _similarity.topk_pq_sql(),
         "ann_pq_trained": _similarity.topk_pq_trained_sql(),
         "ann_ivfpq": _similarity.topk_ivfpq_sql(),
+        "ann_recall_report": _similarity.ann_recall_report_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1742,7 +1751,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """154 entries, ordered so every query gets a driver CORRECTNESS
+    """155 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1752,13 +1761,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the six operators NEW
+    construction, rows refreshed anyway), then the seven operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
     training pair statistics; text_bpe_merges — the learned merge
     table, rows-only by design; corpus_importance — DSIR-style
-    importance scoring), then the oldest r3-green tail (pc_circle …
+    importance scoring; ann_recall_report — every ANN index scored
+    against brute force), then the oldest r3-green tail (pc_circle …
     pc_outliers, 39 entries — a 50-entry window cuts inside its final
     stretch, so the last few may slip). Everything past
     the window keeps its standing green row from a prior round AND is
@@ -1786,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": _q_text_bpe_pairs,
         "text_bpe_merges": _q_text_bpe_merges,
         "corpus_importance": _q_corpus_importance,
+        "ann_recall_report": _q_ann_recall_report,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

@@ -1884,3 +1884,91 @@ FROM scored
 ORDER BY abs(cov) DESC, pos_a, pos_b
 LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: recall@k of every index vs brute force (r6)
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_report(
+    embs: DataFrame, query_vec_id: int = 0, k: int = TOPK
+) -> DataFrame:
+    """(method, returned, hits, recall_at_k) — every approximate index
+    (LSH, IVF, PQ, SQ8, IVF-PQ) scored against the exact brute-force
+    top-k in ONE plan: the acceptance test that keeps index knobs
+    honest (the ANN cousin of dedup's `lsh_recall_report`).
+
+    `returned` rides along because pruned indexes may surface fewer
+    than k candidates (IVF-PQ only scores the probed cells). The
+    division is one fixed double op (hits / k) — oracle hash-exact."""
+    from functools import reduce
+
+    truth = topk_bruteforce(embs, query_vec_id, k).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    methods = [
+        ("ivf", topk_ivf),
+        ("ivfpq", topk_ivfpq),
+        ("lsh", topk_lsh),
+        ("lsh_mp", topk_lsh_multiprobe),
+        ("pq", topk_pq),
+        ("sq8", topk_sq8),
+    ]
+    cand = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            fn(embs, query_vec_id, k).select(
+                F.lit(name).alias("method"), "vec_id"
+            )
+            for name, fn in methods
+        ],
+    )
+    return (
+        cand.join(F.broadcast(truth), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            "method",
+            "returned",
+            "hits",
+            (F.col("hits").cast("double") / float(k)).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
+
+
+def ann_recall_report_sql(query_vec_id: int = 0, k: int = TOPK) -> str:
+    """Oracle twin of :func:`ann_recall_report`: each method's full
+    SQL twin nested as a subquery, unioned, left-joined to the exact
+    top-k."""
+    methods = [
+        ("ivf", topk_ivf_sql(query_vec_id, k)),
+        ("ivfpq", topk_ivfpq_sql(query_vec_id, k)),
+        ("lsh", topk_lsh_sql(query_vec_id, k)),
+        ("lsh_mp", topk_lsh_multiprobe_sql(query_vec_id, k)),
+        ("pq", topk_pq_sql(query_vec_id, k)),
+        ("sq8", topk_sq8_sql(query_vec_id, k)),
+    ]
+    union = "\n  UNION ALL\n".join(
+        f"SELECT '{name}' AS method, vec_id FROM (\n{sql}\n) AS m_{name}"
+        for name, sql in methods
+    )
+    return f"""
+WITH truth AS (
+  SELECT vec_id, 1 AS hit FROM (
+{topk_bruteforce_sql(query_vec_id, k)}
+  ) AS t),
+cand AS (
+  {union})
+SELECT c.method, CAST(count(*) AS BIGINT) AS returned,
+       CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits,
+       CAST(SUM(COALESCE(t.hit, 0)) AS DOUBLE) / {float(k)!r} AS recall_at_k
+FROM cand c LEFT JOIN truth t ON c.vec_id = t.vec_id
+GROUP BY c.method ORDER BY c.method
+""".strip()
