@@ -39,6 +39,11 @@ BOUNDED_GLOBAL_WINDOW = {
     # rank after limit(k) + seed numbering (16 rows) + probe ranking
     # over the query-row × n_cells frame (8 rows by construction)
     "ann_ivfpq",
+    # union of six bounded top-k plans (each exempt above) + the
+    # brute-force rank-after-limit(k)
+    "ann_recall_report",
+    # rank over the top_k rows left by TakeOrdered (20 by default)
+    "text_bpe_pairs",
     "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut
     "rel_month_momentum",  # lag over per-month aggregates (≤ months)
 }
