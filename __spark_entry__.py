@@ -42,6 +42,7 @@ from lasdb_spark.operators import sketch as _sketch
 from lasdb_spark.operators import text as _text
 from lasdb_spark.operators import topics as _topics
 from lasdb_spark.operators import zorder as _zorder
+from lasdb_spark.streaming import events as _sevents
 from lasdb_spark.streaming import sketch as _ssketch
 from lasdb_spark.operators.ingest import (
     DatasetMeta,
@@ -1280,6 +1281,26 @@ def _q_stream_quantiles(spark, sf_dir):
     return drained_final(spark, tbl, ["event_type"]).orderBy("event_type")
 
 
+def _q_stream_enriched(spark, sf_dir):
+    """Drained stream-static enrichment join (r6): event stream ×
+    broadcast customer dim → running per-(segment, type) aggregate ==
+    the batch join+agg (centi-exact sums)."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.events import enriched_segment_counts
+    from lasdb_spark.streaming.sketch import drained_final
+
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tbl = _drained(
+        enriched_segment_counts(
+            events_stream_multibatch(spark, sf_dir), customers
+        ),
+        "s_enrich",
+    )
+    return drained_final(
+        spark, tbl, ["segment", "event_type"], counter="n_events"
+    ).orderBy("segment", "event_type")
+
+
 def _q_stream_hll(spark, sf_dir):
     """Drained streaming HLL (multi-micro-batch) == batch sketch."""
     from lasdb_spark.sources.events import events_stream_multibatch
@@ -1736,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         # are commutative idempotent merges)
         "stream_hll_distinct": _ssketch.stream_hll_sql(),
         "stream_quantiles": _ssketch.stream_quantiles_sql(),
+        "stream_enriched_counts": _sevents.enriched_segment_counts_sql(),
         "stream_kmv_distinct": _ssketch.stream_kmv_sql(),
         "stream_cdc_snapshot": _rel.cdc_snapshot_sql(),
         "stream_exact_dedup": _dedup.exact_dedup_sql(),
@@ -1751,7 +1773,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """155 entries, ordered so every query gets a driver CORRECTNESS
+    """156 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1761,14 +1783,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the seven operators NEW
+    construction, rows refreshed anyway), then the eight operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
     training pair statistics; text_bpe_merges — the learned merge
     table, rows-only by design; corpus_importance — DSIR-style
     importance scoring; ann_recall_report — every ANN index scored
-    against brute force), then the oldest r3-green tail (pc_circle …
+    against brute force; stream_enriched_counts — drained
+    stream-static enrichment join), then the oldest r3-green tail (pc_circle …
     pc_outliers, 39 entries — a 50-entry window cuts inside its final
     stretch, so the last few may slip). Everything past
     the window keeps its standing green row from a prior round AND is
@@ -1797,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": _q_text_bpe_merges,
         "corpus_importance": _q_corpus_importance,
         "ann_recall_report": _q_ann_recall_report,
+        "stream_enriched_counts": _q_stream_enriched,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

@@ -130,3 +130,55 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def enriched_segment_counts(stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static ENRICHMENT JOIN + running aggregate: every event
+    joins the static customer dim (broadcast — the stream side never
+    shuffles for the join) and feeds a running per-(market segment,
+    event type) count/sum. The missing streaming shape next to the
+    windowed/session/stateful operators: dimension enrichment on an
+    unbounded feed.
+
+    Exactness armor: ``value`` sums as centi-unit BIGINTs (the events
+    table is cent-quantized), so the running sum is order- and
+    batch-boundary-independent and the drained result equals the batch
+    join+agg bit-for-bit; ``n_events`` grows monotonically per key —
+    the drained-final counter."""
+    from pyspark.sql import functions as F
+
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = stream.select("user_id", "event_type", "value").join(
+        F.broadcast(dim), "user_id"
+    )
+    return (
+        joined.groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.round(F.col("value").cast("double") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            "segment",
+            "event_type",
+            "n_events",
+            (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def enriched_segment_counts_sql() -> str:
+    """Oracle of the DRAINED stream-static enrichment: the identical
+    batch join + centi-exact aggregate."""
+    return """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

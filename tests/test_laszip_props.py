@@ -183,3 +183,51 @@ def test_point14_v3_property_arbitrary_records(pts):
     dec.init(pts[0])
     for want in pts[1:]:
         assert dec.read().pack() == want.pack()
+
+
+_wp_tuple = st.tuples(
+    st.integers(0, 255),                 # descriptor index
+    st.integers(0, (1 << 64) - 1),       # byte offset (full u64 range)
+    st.integers(0, (1 << 32) - 1),       # packet size
+    st.integers(0, (1 << 32) - 1),       # return-point float bits
+    st.integers(0, (1 << 32) - 1),       # dx bits
+    st.integers(0, (1 << 32) - 1),       # dy bits
+    st.integers(0, (1 << 32) - 1),       # dz bits
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_wp_tuple, min_size=2, max_size=200))
+def test_wavepacket13_v1_property_arbitrary_records(wps):
+    """The pointwise WAVEPACKET13 item (LAZ 4/5, r6) round-trips
+    arbitrary records — including raw-u64 offset jumps and bit
+    patterns that are NaN/Inf as floats — through the shared coder."""
+    from lasdb_spark.sources.laszip_codec import Wavepacket13V1
+
+    enc = ArithmeticEncoder()
+    c = Wavepacket13V1(enc)
+    c.init(wps[0])
+    for wp in wps[1:]:
+        c.write(wp)
+    dec = ArithmeticDecoder(enc.done())
+    d = Wavepacket13V1(dec)
+    d.init(wps[0])
+    for want in wps[1:]:
+        assert d.read() == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_wp_tuple, min_size=2, max_size=200))
+def test_wavepacket14_v3_property_arbitrary_records(wps):
+    """The layered WAVEPACKET14 item (LAZ 9/10) round-trips the same
+    arbitrary records through its own layer stream."""
+    from lasdb_spark.sources.laszip_v3 import Wavepacket14V3
+
+    c = Wavepacket14V3()
+    c.init(wps[0])
+    for wp in wps[1:]:
+        c.write(wp)
+    d = Wavepacket14V3(c.layer_bytes())
+    d.init(wps[0])
+    for want in wps[1:]:
+        assert d.read() == want

@@ -191,3 +191,34 @@ def test_sliding_windowed_counts_match_batch(spark, sf_dir, event_stream):
         for r in sliding_event_rates(events_df(spark, sf_dir)).collect()
     }
     assert got == batch
+
+
+@pytest.mark.spark
+def test_stream_enriched_counts_converge_to_batch(spark, sf_dir):
+    """Drained stream-static enrichment join == batch join + agg
+    exactly (centi-unit sums are batch-boundary-independent)."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.events import enriched_segment_counts
+    from lasdb_spark.streaming.sketch import drained_final
+
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    se.run_to_memory(
+        enriched_segment_counts(
+            events_stream_multibatch(spark, sf_dir), customers
+        ),
+        "enrich_out",
+        "update",
+    )
+    got = {
+        (r.segment, r.event_type): (r.n_events, r.sum_value)
+        for r in drained_final(
+            spark, "enrich_out", ["segment", "event_type"],
+            counter="n_events",
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        (r.segment, r.event_type): (r.n_events, r.sum_value)
+        for r in enriched_segment_counts(ev, customers).collect()
+    }
+    assert got == batch and len(got) >= 20
