@@ -311,9 +311,54 @@ def copc_nodes_df(spark, path_or_glob: str, bbox=None):
     return paths.mapInPandas(_plan, schema=schema)
 
 
+#: attribute columns `copc_to_df(attrs=...)` can surface next to xyz
+#: (name → (struct field, spark type)); the reference's S2 attribute
+#: reads applied to the COPC source
+COPC_ATTRS = {
+    "intensity": ("intensity", "int"),
+    "classification": ("classification", "int"),
+    "returns": ("returns", "int"),
+    "flags": ("flags", "int"),
+    "user_data": ("user_data", "int"),
+    "scan_angle": ("scan_angle", "int"),
+    "point_source_id": ("point_source_id", "int"),
+    "gps_time": ("gps_time", "double"),
+}
+
+
+def _attr_schema(attrs) -> str:
+    base = "x double, y double, z double"
+    if not attrs:
+        return base
+    for a in attrs:
+        if a not in COPC_ATTRS:
+            raise ValueError(
+                f"unknown COPC attribute {a!r} (supported: "
+                f"{sorted(COPC_ATTRS)})"
+            )
+    return base + ", " + ", ".join(
+        f"{a} {COPC_ATTRS[a][1]}" for a in attrs
+    )
+
+
+def _attr_frame(pts, gx, gy, gz, attrs, mask=None):
+    import pandas as pd
+
+    data = {"x": gx, "y": gy, "z": gz}
+    for a in attrs or ():
+        field, typ = COPC_ATTRS[a]
+        col = pts[field] if mask is None else pts[field][mask]
+        data[a] = col.astype("float64" if typ == "double" else "int64")
+    return pd.DataFrame(data)
+
+
 def copc_to_df(spark, path_or_glob: str, bbox=None,
-               distribute: str = "files", target_tasks: int | None = None):
-    """Distributed COPC read.
+               distribute: str = "files", target_tasks: int | None = None,
+               attrs: tuple = ()):
+    """Distributed COPC read. ``attrs`` appends attribute columns
+    (``COPC_ATTRS``) to the (x, y, z) output — intensity,
+    classification, returns, gps_time, … — decoded from the same
+    chunks at no extra IO.
 
     ``distribute='files'`` (default): binaryFile rows → per-file
     hierarchy-pruned decode in mapInPandas; ``bbox`` pushes the window
@@ -354,19 +399,16 @@ def copc_to_df(spark, path_or_glob: str, bbox=None,
                             gx = pts["X"] * r.sx + r.ox
                             gy = pts["Y"] * r.sy + r.oy
                             gz = pts["Z"] * r.sz + r.oz
+                            m = None
                             if bbox is not None:
                                 m = (
                                     (gx >= bbox[0]) & (gx <= bbox[1])
                                     & (gy >= bbox[2]) & (gy <= bbox[3])
                                 )
                                 gx, gy, gz = gx[m], gy[m], gz[m]
-                            yield pd.DataFrame(
-                                {"x": gx, "y": gy, "z": gz}
-                            )
+                            yield _attr_frame(pts, gx, gy, gz, attrs, m)
 
-        return node_rows.mapInPandas(
-            _decode, schema="x double, y double, z double"
-        )
+        return node_rows.mapInPandas(_decode, schema=_attr_schema(attrs))
     if distribute != "files":
         raise ValueError(
             f"distribute must be 'files' or 'nodes', got {distribute!r}"
@@ -395,16 +437,16 @@ def copc_to_df(spark, path_or_glob: str, bbox=None,
                     h2 = parse_las_header(buf)
                 sx, sy, sz = h2["scales"]
                 ox, oy, oz = h2["offsets"]
-                yield pd.DataFrame(
-                    {
-                        "x": pts["X"] * sx + ox,
-                        "y": pts["Y"] * sy + oy,
-                        "z": pts["Z"] * sz + oz,
-                    }
+                yield _attr_frame(
+                    pts,
+                    pts["X"] * sx + ox,
+                    pts["Y"] * sy + oy,
+                    pts["Z"] * sz + oz,
+                    attrs,
                 )
 
     return df.select("content").mapInPandas(
-        _parse, schema="x double, y double, z double"
+        _parse, schema=_attr_schema(attrs)
     )
 
 

@@ -154,3 +154,49 @@ def test_copc_to_df_node_distributed(spark, tmp_path):
 
     with pytest.raises(ValueError, match="distribute"):
         copc_to_df(spark, str(p), distribute="chunks")
+
+
+@pytest.mark.spark
+def test_copc_to_df_attribute_columns(spark, tmp_path):
+    """attrs= surfaces decoded attribute columns next to xyz in both
+    distribution modes, aligned per point (including under a bbox
+    refine)."""
+    from lasdb_spark.sources.copc import copc_to_df
+
+    pts = _mk(1500, seed=41)
+    p = tmp_path / "a.copc.laz"
+    p.write_bytes(write_copc(pts, 6, SCALES, max_node_points=400))
+    want = {
+        (round(x * SCALES[0], 9), int(i), int(c))
+        for x, i, c in zip(pts["X"], pts["intensity"], pts["classification"])
+    }
+    for mode in ("files", "nodes"):
+        df = copc_to_df(
+            spark, str(p), distribute=mode,
+            attrs=("intensity", "classification"),
+        )
+        assert df.columns == ["x", "y", "z", "intensity", "classification"]
+        got = {
+            (round(r["x"], 9), r["intensity"], r["classification"])
+            for r in df.collect()
+        }
+        assert got == want, mode
+    # bbox keeps attrs aligned with the surviving points
+    bb = (0.0, 500.0, 0.0, 500.0)
+    gx = pts["X"] * SCALES[0]
+    gy = pts["Y"] * SCALES[1]
+    sel = (gx >= bb[0]) & (gx <= bb[1]) & (gy >= bb[2]) & (gy <= bb[3])
+    want_sel = {
+        (round(x * SCALES[0], 9), int(i))
+        for x, i in zip(pts["X"][sel], pts["intensity"][sel])
+    }
+    got_sel = {
+        (round(r["x"], 9), r["intensity"])
+        for r in copc_to_df(
+            spark, str(p), bbox=bb, distribute="nodes",
+            attrs=("intensity",),
+        ).collect()
+    }
+    assert got_sel == want_sel
+    with pytest.raises(ValueError, match="unknown COPC attribute"):
+        copc_to_df(spark, str(p), attrs=("bogus",)).count()
