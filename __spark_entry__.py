@@ -1073,6 +1073,22 @@ def _q_rel_supplier_volume(spark, sf_dir):
     )
 
 
+def _q_rel_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped correlated min + tie-break + dim hops (r6)."""
+    return _rel.min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_rate_anomalies(spark, sf_dir):
+    """Trailing-window z-score anomaly detection on hourly event
+    rates (r6) — the monitoring primitive."""
+    return _rel.rate_anomalies(_ev(spark, sf_dir))
+
+
 def _q_rel_anti_join(spark, sf_dir):
     return _rel.customers_without_orders(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
@@ -1718,6 +1734,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_distinct_customers": _rel.priority_distinct_customers_sql(),
         "rel_brand_revenue": _rel.brand_revenue_sql(),
         "rel_supplier_volume": _rel.supplier_nation_volume_sql(),
+        "rel_min_cost_supplier": _rel.min_cost_supplier_sql(),
+        "rel_rate_anomalies": _rel.rate_anomalies_sql(),
         "rel_anti_join": _rel.customers_without_orders_sql(),
         "rel_market_share": _rel.nation_market_share_sql(),
         "rel_skyline": _skyline.pareto_orders_sql(),
@@ -1773,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """156 entries, ordered so every query gets a driver CORRECTNESS
+    """158 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1783,7 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the eight operators NEW
+    construction, rows refreshed anyway), then the ten operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
@@ -1791,7 +1809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     table, rows-only by design; corpus_importance — DSIR-style
     importance scoring; ann_recall_report — every ANN index scored
     against brute force; stream_enriched_counts — drained
-    stream-static enrichment join), then the oldest r3-green tail (pc_circle …
+    stream-static enrichment join; rel_min_cost_supplier — the TPC-H
+    Q2 correlated-min shape; rel_rate_anomalies — trailing-window
+    z-score anomaly detection), then the oldest r3-green tail (pc_circle …
     pc_outliers, 39 entries — a 50-entry window cuts inside its final
     stretch, so the last few may slip). Everything past
     the window keeps its standing green row from a prior round AND is
@@ -1821,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": _q_corpus_importance,
         "ann_recall_report": _q_ann_recall_report,
         "stream_enriched_counts": _q_stream_enriched,
+        "rel_min_cost_supplier": _q_rel_min_cost_supplier,
+        "rel_rate_anomalies": _q_rel_rate_anomalies,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

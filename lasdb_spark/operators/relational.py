@@ -1270,3 +1270,189 @@ FROM paths GROUP BY path
 ORDER BY n DESC, path
 LIMIT {k}
 """.strip()
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """(p_partkey, p_brand, s_name, n_name, min_cost) — the cheapest
+    supplier per part by observed effective unit cost, the TPC-H Q2
+    correlated-subquery shape (min-within-group + tie-break + dim
+    hops). The Spark plan is the window-argmin formulation; the oracle
+    deliberately uses the textbook two-step correlated MIN — same
+    answer, exercising that the engine's argmin equals the subquery
+    semantics.
+
+    Exactness: unit cost rounds ONCE to cents
+    (extendedprice·(1−discount)/quantity), all mins/ties on BIGINTs,
+    one final /100.0. Scale: one lineitem shuffle to (part, supplier)
+    offers, a part-partitioned argmin window over the offer table
+    (bounded by suppliers-per-part), then broadcast dim hops."""
+    cost_c = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        / F.col("l_quantity")
+        * 100
+    ).cast("long")
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", cost_c.alias("cost_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cost_c").alias("cost_c"))
+    )
+    best = (
+        offers.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("l_partkey").orderBy(
+                    F.col("cost_c").asc(), F.col("l_suppkey").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.join(
+            F.broadcast(supplier),
+            best.l_suppkey == supplier.s_suppkey,
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(part), best.l_partkey == part.p_partkey
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            (F.col("cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def min_cost_supplier_sql() -> str:
+    """Oracle twin of :func:`min_cost_supplier` — the textbook
+    correlated two-step MIN instead of the window argmin."""
+    return """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(l_extendedprice * (1.0 - l_discount)
+             / l_quantity * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2),
+m1 AS (SELECT l_partkey, MIN(cost_c) AS cost_c FROM offers GROUP BY 1),
+best AS (
+  SELECT o.l_partkey, MIN(o.l_suppkey) AS l_suppkey, m1.cost_c
+  FROM offers o JOIN m1 ON o.l_partkey = m1.l_partkey
+    AND o.cost_c = m1.cost_c
+  GROUP BY 1, 3)
+SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+       CAST(b.cost_c AS DOUBLE) / 100.0 AS min_cost
+FROM best b
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON b.l_partkey = p.p_partkey
+ORDER BY p.p_partkey
+""".strip()
+
+
+def rate_anomalies(
+    events: DataFrame, trail: int = 24, min_history: int = 12, zcut: float = 3.0
+) -> DataFrame:
+    """(event_type, hour_ms, n, trail_mean, z, is_anomaly) — per-hour
+    event counts scored against the TRAILING ``trail``-hour window
+    (exclusive of the current hour): z = (n − mean) / sample-std. The
+    monitoring primitive next to :func:`sliding_event_rates` — spikes
+    and outages pop as |z| > ``zcut``.
+
+    Exactness: counts/sums/sum-of-squares stay BIGINT inside the
+    window (sample variance as (c·Σn² − (Σn)²) / (c·(c−1)) — integer
+    numerator, one double division), mean and z are each ONE fixed
+    double expression with round(·, 6), sqrt is deterministic IEEE.
+    Hours with under ``min_history`` trailing observations or zero
+    variance emit z = NULL (never a division blowup) and are not
+    anomalies. Scale: one hour-rollup shuffle, then an
+    event_type-partitioned ordered window over the (types × hours)
+    rollup — KBs of state at any volume."""
+    from pyspark.sql import Window as W
+
+    hour_ms = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+    hourly = (
+        events.groupBy(
+            hour_ms.alias("hour_ms"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ms")
+        .rowsBetween(-trail, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_ms",
+        "n",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+    )
+    ok = (F.col("c") >= min_history) & (
+        F.col("c") * F.col("sq") - F.col("s") * F.col("s") > 0
+    )
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    var = (
+        (F.col("c") * F.col("sq") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("c") * (F.col("c") - 1)).cast("double")
+    )
+    z = F.round((F.col("n").cast("double") - mean) / F.sqrt(var), 6)
+    return scored.select(
+        "event_type",
+        "hour_ms",
+        "n",
+        F.when(ok, F.round(mean, 6)).alias("trail_mean"),
+        F.when(ok, z).alias("z"),
+        F.coalesce(F.when(ok, F.abs(z) > zcut), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "hour_ms")
+
+
+def rate_anomalies_sql(
+    trail: int = 24, min_history: int = 12, zcut: float = 3.0
+) -> str:
+    """Oracle twin of :func:`rate_anomalies`."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, hour_ms, n,
+         COUNT(*) OVER w AS c, SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+               ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour_ms, n,
+  CASE WHEN c >= {min_history} AND c * sq - s * s > 0
+       THEN round(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 6) END
+    AS trail_mean,
+  CASE WHEN c >= {min_history} AND c * sq - s * s > 0
+       THEN round((CAST(n AS DOUBLE)
+            - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+            / sqrt(CAST(c * sq - s * s AS DOUBLE)
+                   / CAST(c * (c - 1) AS DOUBLE)), 6) END AS z,
+  COALESCE(CASE WHEN c >= {min_history} AND c * sq - s * s > 0
+       THEN abs(round((CAST(n AS DOUBLE)
+            - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+            / sqrt(CAST(c * sq - s * s AS DOUBLE)
+                   / CAST(c * (c - 1) AS DOUBLE)), 6)) > {zcut!r} END,
+       FALSE) AS is_anomaly
+FROM scored ORDER BY event_type, hour_ms
+""".strip()
