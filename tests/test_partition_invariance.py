@@ -18,6 +18,11 @@ ENTRIES = [
     "text_surprisal",      # DECIMAL log-prob sums
     "rel_market_share",    # window over decimal aggs
     "pc_shape",            # integer second moments -> eigen
+    # r6 additions
+    "ann_pq_trained",      # Lloyd rounds: micro-unit centroid means
+    "ann_ivfpq",           # residual ADC micro-unit sums
+    "corpus_importance",   # nano-unit bucket-gap sums
+    "rel_rate_anomalies",  # BIGINT window sums -> one z expression
 ]
 
 
