@@ -639,3 +639,61 @@ def write_copc(
             table, evlr,
         ]
     )
+
+
+def df_to_copc_tiles(
+    df,
+    out_dir: str,
+    tile_size: float = 500.0,
+    scales=(0.001, 0.001, 0.001),
+    max_node_points: int = 2000,
+):
+    """Distributed COPC EXPORT: shuffle points to spatial tiles
+    (floor(x / tile_size), floor(y / tile_size)) and let each task
+    build one complete COPC file — octree, hierarchy page and layered
+    chunks included — for its tile. Returns a manifest DataFrame
+    (path, n_points, tx, ty). The write side of the source: a 100 TB
+    cloud exports as one shuffle + embarrassingly-parallel per-tile
+    compression, and the resulting tileset answers bbox queries with
+    file-level pruning (header rejects) before any hierarchy walk.
+
+    Tasks write through the local filesystem path ``out_dir`` — in
+    this container that's the story; on a real cluster the same task
+    body would target a shared/object store via pyarrow.fs."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .las import point_dtype
+
+    os.makedirs(out_dir, exist_ok=True)
+    keyed = df.select(
+        F.floor(F.col("x") / tile_size).cast("long").alias("tx"),
+        F.floor(F.col("y") / tile_size).cast("long").alias("ty"),
+        "x",
+        "y",
+        "z",
+    )
+
+    def _write(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros(len(pdf), dtype=point_dtype(6))
+        arr["X"] = np.round(pdf["x"].to_numpy() / scales[0]).astype(np.int64)
+        arr["Y"] = np.round(pdf["y"].to_numpy() / scales[1]).astype(np.int64)
+        arr["Z"] = np.round(pdf["z"].to_numpy() / scales[2]).astype(np.int64)
+        arr["returns"] = 0x11
+        arr["gps_time"] = np.arange(len(pdf), dtype=np.float64)
+        path = os.path.join(out_dir, f"tile_{tx}_{ty}.copc.laz")
+        with open(path, "wb") as f:
+            f.write(
+                write_copc(arr, 6, scales, max_node_points=max_node_points)
+            )
+        return pd.DataFrame(
+            [(path, len(pdf), tx, ty)],
+            columns=["path", "n_points", "tx", "ty"],
+        )
+
+    return keyed.groupBy("tx", "ty").applyInPandas(
+        _write, schema="path string, n_points long, tx long, ty long"
+    )

@@ -200,3 +200,38 @@ def test_copc_to_df_attribute_columns(spark, tmp_path):
     assert got_sel == want_sel
     with pytest.raises(ValueError, match="unknown COPC attribute"):
         copc_to_df(spark, str(p), attrs=("bogus",)).count()
+
+
+@pytest.mark.spark
+def test_df_to_copc_tiles_roundtrip_and_prune(spark, tmp_path):
+    """Distributed COPC export: points shuffle to spatial tiles, each
+    task writes a complete COPC file; the tileset reads back exactly
+    and a corner bbox query rejects non-intersecting tiles by header
+    alone."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.sources.copc import copc_to_df, df_to_copc_tiles
+
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(0, 1000, 3000).round(3)
+    ys = rng.uniform(0, 1000, 3000).round(3)
+    zs = rng.uniform(0, 50, 3000).round(3)
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(xs, ys, zs)],
+        "x double, y double, z double",
+    )
+    out = tmp_path / "tiles"
+    manifest = df_to_copc_tiles(
+        df, str(out), tile_size=500.0, max_node_points=400
+    ).collect()
+    assert len(manifest) == 4  # 2x2 tiling of the 1000x1000 extent
+    assert sum(r.n_points for r in manifest) == 3000
+    back = copc_to_df(spark, str(out / "*.copc.laz"))
+    assert back.count() == 3000
+    got = sorted(r["x"] for r in back.select("x").collect())
+    assert np.allclose(got, np.sort(xs))
+    # corner query: only 1 tile intersects; counts match brute force
+    bb = (0.0, 200.0, 0.0, 200.0)
+    want = int(((xs >= 0) & (xs <= 200) & (ys >= 0) & (ys <= 200)).sum())
+    assert copc_to_df(spark, str(out / "*.copc.laz"), bbox=bb).count() == want
