@@ -1812,12 +1812,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream-static enrichment join; rel_min_cost_supplier — the TPC-H
     Q2 correlated-min shape; rel_rate_anomalies — trailing-window
     z-score anomaly detection), then the oldest r3-green tail (pc_circle …
-    pc_outliers, 39 entries — a 50-entry window cuts inside its final
-    stretch, so the last few may slip). Everything past
+    pc_outliers, 39 entries — with the 18-entry lead a 50-entry window
+    cuts after text_decontaminate, so pc_multi_window … pc_outliers
+    slip to r7). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    whatever r6 tail the window cut (pc_hag / pc_outliers if slipped),
+    whatever r6 tail the window cut (pc_multi_window … pc_outliers),
     then the r4-green block (corpus_token_budget onward), the r3-green
     family representatives (pc_bbox … corpus_pack), and the now-oldest
     r5-checked blocks."""
