@@ -817,8 +817,8 @@ def _q_text_bpe_pairs(spark, sf_dir):
 
 def _q_text_bpe_merges(spark, sf_dir):
     """Learned BPE merge table (r6): n rounds of argmax-pair + greedy
-    re-segmentation over the collected vocab-bounded word types. No
-    SQL twin by design (sequential greedy fold) — rows-only check."""
+    re-segmentation over the collected vocab-bounded word types;
+    oracled end-to-end via recursive CTEs."""
     from lasdb_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(_docs(spark, sf_dir))
@@ -1631,11 +1631,11 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": _text.top_tokens_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
         "text_bpe_pairs": _text.bpe_pair_stats_sql(),
+        # the greedy per-round re-segmentation is a sequential fold —
+        # oracled via DuckDB RECURSIVE CTEs (one per unrolled round),
+        # so even the iterative trainer is value-checked, not rows-only
+        "text_bpe_merges": _text.bpe_train_merges_sql(),
         "corpus_importance": _text.importance_scores_sql(),
-        # text_bpe_merges: deliberately NO oracle twin — the greedy
-        # per-round re-segmentation is a sequential fold SQL cannot
-        # express without recursion; the driver records the weaker
-        # rows-only check (contract-sanctioned for iterative algos)
         "text_top_quality": _text.top_quality_per_lang_sql(),
         "corpus_sample": _text.stratified_sample_sql(),
         "corpus_token_budget": _text.token_budget_sample_sql(
@@ -1806,7 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
     training pair statistics; text_bpe_merges — the learned merge
-    table, rows-only by design; corpus_importance — DSIR-style
+    table, oracled via recursive CTEs; corpus_importance — DSIR-style
     importance scoring; ann_recall_report — every ANN index scored
     against brute force; stream_enriched_counts — drained
     stream-static enrichment join; rel_min_cost_supplier — the TPC-H

@@ -1712,9 +1712,10 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
     the learned table is deterministic; the greedy re-segmentation is
     leftmost-non-overlapping, the canonical BPE behavior.
 
-    No SQL oracle twin: the per-round greedy re-segmentation is a
-    sequential fold SQL cannot express without recursion — the driver
-    records the weaker rows-only check for this entry by design."""
+    Oracle: :func:`bpe_train_merges_sql` replays the whole training
+    in DuckDB — the greedy re-segmentation via RECURSIVE CTEs (one per
+    unrolled round), so even this iterative trainer is value-checked
+    rather than rows-only."""
     spark = docs.sparkSession
     vocab = [
         (tuple(r["word"]), int(r["freq"]))
@@ -1875,3 +1876,59 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
 FROM tok t JOIN sb s USING (b)
 GROUP BY t.doc_id ORDER BY t.doc_id
 """.strip()
+
+
+def bpe_train_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Oracle twin of :func:`bpe_train_merges` — the full iterative
+    training expressed in SQL: per round, a pair-count + argmax CTE
+    picks the merge and a RECURSIVE CTE replays the canonical greedy
+    leftmost re-segmentation as a per-word left-to-right fold (the
+    sequential step plain SQL cannot express; recursion depth = max
+    word length). Rounds unroll; a round whose vocabulary has no pairs
+    left naturally emits no row — the same early stop as the Spark
+    side."""
+    pat = WORD_RE.replace("'", "''")
+    ctes = [
+        f"""wt AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+    FROM documents) GROUP BY 1)""",
+        """seqs0 AS (
+  SELECT word, freq,
+         list(substr(word, CAST(s.i AS INT) + 1, 1) ORDER BY s.i) AS ss
+  FROM wt, LATERAL (SELECT unnest(range(0, length(word)))) AS s(i)
+  GROUP BY word, freq)""",
+    ]
+    n = max(1, n_merges)
+    for t in range(n):
+        ctes.append(f"""pairs{t} AS (
+  SELECT ss[CAST(s.i AS INT)] AS l, ss[CAST(s.i AS INT) + 1] AS r2, freq
+  FROM seqs{t}, LATERAL (SELECT unnest(range(1, len(ss)))) AS s(i))""")
+        ctes.append(f"""best{t} AS (
+  SELECT l, r2, SUM(freq) AS cnt FROM pairs{t} GROUP BY 1, 2
+  ORDER BY cnt DESC, l, r2 LIMIT 1)""")
+        ctes.append(f"""rec{t} AS (
+  SELECT word, freq, 1 AS pos, CAST([] AS VARCHAR[]) AS acc, ss, b.l, b.r2
+  FROM seqs{t} CROSS JOIN best{t} b
+  UNION ALL
+  SELECT word, freq,
+    CASE WHEN pos < len(ss) AND ss[pos] = l AND ss[pos + 1] = r2
+         THEN pos + 2 ELSE pos + 1 END,
+    CASE WHEN pos < len(ss) AND ss[pos] = l AND ss[pos + 1] = r2
+         THEN list_append(acc, l || r2) ELSE list_append(acc, ss[pos]) END,
+    ss, l, r2
+  FROM rec{t} WHERE pos <= len(ss))""")
+        ctes.append(f"""seqs{t + 1} AS (
+  SELECT word, freq, acc AS ss FROM rec{t}
+  WHERE pos > len(ss) AND len(acc) >= 2)""")
+    union = "\n  UNION ALL\n".join(
+        f"SELECT {t + 1} AS merge_rank, l AS \"left\", r2 AS \"right\","
+        f" CAST(cnt AS BIGINT) AS pair_count, l || r2 AS new_symbol"
+        f" FROM best{t}"
+        for t in range(n)
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH RECURSIVE {body}\n"
+        f"SELECT * FROM (\n  {union})\nORDER BY merge_rank"
+    )
