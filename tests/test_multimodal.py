@@ -439,3 +439,38 @@ def test_metadata_audit_flags_mismatches(spark, sf_dir):
     bad = audit_image_metadata(lied).collect()
     assert all(not r.consistent for r in bad)
     assert all(r.width == r.declared_w - 1 for r in bad)
+
+
+@pytest.mark.spark
+def test_scene_cuts_real_bytes_match_formula(spark, sf_dir):
+    """The byte-walk SAD equals a numpy recompute from the generative
+    formula for a spot-checked doc, every consecutive pair appears
+    exactly once, and the cut gate is mean_abs_diff > threshold."""
+    import numpy as np
+
+    from lasdb_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        detect_scene_cuts,
+        make_video_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    out = detect_scene_cuts(make_video_corpus(docs)).collect()
+    meta = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        n_frames = doc_id % 24 + 4
+        assert sorted(r.frame_idx for r in rows) == list(
+            range(1, n_frames)
+        )
+        n_chars = meta[doc_id]
+        w = n_chars % 24 + 8
+        h = (n_chars * 3) % 24 + 8
+        i = np.arange(w * h, dtype=np.int64)
+        for r in rows[:3]:
+            a = (doc_id * 31 + (r.frame_idx - 1) * 97 + i * 7) % 256
+            b = (doc_id * 31 + r.frame_idx * 97 + i * 7) % 256
+            assert r.sad == int(np.abs(a - b).sum())
+            assert r.is_cut == (r.mean_abs_diff > SCENE_CUT_THRESHOLD)
