@@ -493,6 +493,30 @@ def _q_pc_change(spark, sf_dir):
     return epoch_diff(pts, epoch_b, cell=CHANGE_CELL)
 
 
+def _q_pc_volume(spark, sf_dir):
+    """Cut/fill volume balance between the two epochs (r6) — the
+    earthworks deliverable on the same perturbed second survey."""
+    from lasdb_spark.operators.change import volume_change
+
+    pts = points_df(spark, sf_dir)
+    key = (
+        F.round(F.col("x") * 100).cast("long")
+        + F.round(F.col("y") * 100).cast("long")
+    ) % 10
+    epoch_b = (
+        pts.withColumn("_k", key)
+        .where(F.col("_k") != 0)
+        .withColumn(
+            "z",
+            F.when(F.col("_k").isin(1, 2), F.col("z") + 3.0).otherwise(
+                F.col("z")
+            ),
+        )
+        .drop("_k")
+    )
+    return volume_change(pts, epoch_b, cell=CHANGE_CELL)
+
+
 def _q_dedup_chunk_pairs(spark, sf_dir):
     """Cross-document duplicated passages (chunk-level MinHash)."""
     from lasdb_spark.operators.dedup import chunk_neardup_pairs
@@ -1718,6 +1742,14 @@ def oracle_sql() -> dict[str, str]:
         "pc_profile": _profile.corridor_profile_sql(
             _PTS, POLYLINE, POLYLINE_DIST, step=50.0
         ),
+        "pc_volume": _change.volume_change_sql(
+            _PTS
+            + f""", epoch_b AS (
+  SELECT x, y,
+         CASE WHEN {_CHANGE_KEY_SQL} IN (1, 2) THEN z + 3.0 ELSE z END AS z
+  FROM points WHERE {_CHANGE_KEY_SQL} <> 0)""",
+            cell=CHANGE_CELL,
+        ),
         "pc_change": _change.epoch_diff_sql(
             _PTS
             + f""", epoch_b AS (
@@ -1814,7 +1846,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """160 entries, ordered so every query gets a driver CORRECTNESS
+    """161 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1824,7 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the twelve operators NEW
+    construction, rows refreshed anyway), then the thirteen operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
@@ -1835,14 +1867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream-static enrichment join; rel_min_cost_supplier — the TPC-H
     Q2 correlated-min shape; rel_rate_anomalies — trailing-window
     z-score anomaly detection; rel_shipping_priority — TPC-H Q3; mm_scene_cuts — shot-boundary
-    SAD detection), then the oldest r3-green tail (pc_circle …
-    pc_outliers, 39 entries — with the 20-entry lead a 50-entry window
-    cuts after pc_zonal_stats, so text_repetition … pc_outliers
+    SAD detection; pc_volume — epoch cut/fill balance), then the oldest r3-green tail (pc_circle …
+    pc_outliers, 39 entries — with the 21-entry lead a 50-entry window
+    cuts after dedup_lsh_recall, so pc_zonal_stats … pc_outliers
     slip to r7). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    whatever r6 tail the window cut (text_repetition … pc_outliers),
+    whatever r6 tail the window cut (pc_zonal_stats … pc_outliers),
     then the r4-green block (corpus_token_budget onward), the r3-green
     family representatives (pc_bbox … corpus_pack), and the now-oldest
     r5-checked blocks."""
@@ -1870,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rate_anomalies": _q_rel_rate_anomalies,
         "rel_shipping_priority": _q_rel_shipping_priority,
         "mm_scene_cuts": _q_mm_scene_cuts,
+        "pc_volume": _q_pc_volume,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

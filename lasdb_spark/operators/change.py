@@ -386,3 +386,105 @@ SELECT CAST(n AS BIGINT) AS n_cells,
        round(CAST({det_z} AS DOUBLE) / {nz}, 6) AS dz_shift
 FROM sums
 """.strip()
+
+
+def volume_change(
+    cloud_a: DataFrame, cloud_b: DataFrame, cell: float = CELL
+) -> DataFrame:
+    """ONE row (n_cells, cut_volume, fill_volume, net_volume) — the
+    earthworks cut/fill balance between two epochs: per common cell,
+    the mean-elevation delta × cell area, split into material removed
+    (cut, B below A) and added (fill, B above A). The quantity a
+    terrain-works / mining / coastal-monitoring pipeline reports.
+
+    Exactness: per-cell mean elevations derive from centi-unit BIGINT
+    sums; the cell's delta quantizes ONCE to micro-metres, so the
+    corpus-wide cut/fill totals are order-independent integer sums
+    with a single float multiply (× cell²) at the end. Cells occupied
+    in only one epoch carry no pairing and are excluded (they are
+    `added`/`removed` in :func:`epoch_diff`, not volume).
+
+    Scale: two map-side-partial grid collapses (output ∝ area/cell²),
+    one cell-id join, one global one-row agg."""
+    def grid(points):
+        return (
+            points.select(
+                F.floor(F.col("x") / cell).cast("long").alias("cell_x"),
+                F.floor(F.col("y") / cell).cast("long").alias("cell_y"),
+                F.round(F.col("z") * 100).cast("long").alias("zq"),
+            )
+            .groupBy("cell_x", "cell_y")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("zq").alias("zqsum"),
+            )
+        )
+
+    a = grid(cloud_a).alias("a")
+    b = grid(cloud_b).alias("b")
+    joined = a.join(b, ["cell_x", "cell_y"])
+    dq = F.round(
+        (
+            F.col("b.zqsum").cast("double")
+            / (F.col("b.n").cast("double") * 100.0)
+            - F.col("a.zqsum").cast("double")
+            / (F.col("a.n").cast("double") * 100.0)
+        )
+        * 1e6
+    ).cast("long")
+    per = joined.select(dq.alias("dq"))
+    area = float(cell) * float(cell)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("dq") < 0, -F.col("dq")).otherwise(F.lit(0)))
+        .alias("cut_q"),
+        F.sum(F.when(F.col("dq") > 0, F.col("dq")).otherwise(F.lit(0)))
+        .alias("fill_q"),
+    )
+    return agg.select(
+        "n_cells",
+        (F.col("cut_q").cast("double") / 1e6 * area).alias("cut_volume"),
+        (F.col("fill_q").cast("double") / 1e6 * area).alias("fill_volume"),
+        (
+            (F.col("fill_q") - F.col("cut_q")).cast("double") / 1e6 * area
+        ).alias("net_volume"),
+    )
+
+
+def volume_change_sql(
+    with_prefix: str,
+    cte_a: str = "points",
+    cte_b: str = "epoch_b",
+    cell: float = CELL,
+) -> str:
+    """Oracle twin of :func:`volume_change`; ``with_prefix`` defines
+    the two epoch CTEs (each exposing x, y, z)."""
+    area = float(cell) * float(cell)
+
+    def grid(src: str) -> str:
+        return (
+            f"SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x, "
+            f"CAST(floor(y / {cell}) AS BIGINT) AS cell_y, "
+            f"count(*) AS n, SUM(CAST(round(z * 100) AS BIGINT)) AS zqsum "
+            f"FROM {src} GROUP BY 1, 2"
+        )
+
+    return f"""
+{with_prefix},
+ga AS ({grid(cte_a)}),
+gb AS ({grid(cte_b)}),
+per AS (
+  SELECT CAST(round((CAST(gb.zqsum AS DOUBLE) / (CAST(gb.n AS DOUBLE) * 100.0)
+               - CAST(ga.zqsum AS DOUBLE) / (CAST(ga.n AS DOUBLE) * 100.0))
+               * 1e6) AS BIGINT) AS dq
+  FROM ga JOIN gb ON ga.cell_x = gb.cell_x AND ga.cell_y = gb.cell_y)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN dq < 0 THEN -dq ELSE 0 END) AS DOUBLE)
+         / 1e6 * {area!r} AS cut_volume,
+       CAST(SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END) AS DOUBLE)
+         / 1e6 * {area!r} AS fill_volume,
+       CAST(SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END)
+          - SUM(CASE WHEN dq < 0 THEN -dq ELSE 0 END) AS DOUBLE)
+         / 1e6 * {area!r} AS net_volume
+FROM per
+""".strip()
