@@ -55,9 +55,24 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     if sql is None:
         assert len(srows) >= 0  # rows-only check
         return
-    res = duck.sql(sql)
-    dcols = res.columns
-    drows = res.fetchall()
+    try:
+        res = duck.sql(sql)
+        dcols = res.columns
+        drows = res.fetchall()
+    except duckdb.Error:
+        # transient armor: under full-suite memory pressure (24 GB
+        # Spark JVM + in-process DuckDB + the megabyte-scale composed
+        # twins) DuckDB has flaked exactly once per run on the entries
+        # following the largest SQL; a FRESH connection retry separates
+        # a real oracle failure (re-raises) from that environment flake
+        fresh = duckdb.connect()
+        for t in TABLES:
+            fresh.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        res = fresh.sql(sql)
+        dcols = res.columns
+        drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"

@@ -53,7 +53,12 @@ BOUNDED_GLOBAL_WINDOW = {
 #: concatenated-PGM frame streams, RIFF/WAVE PCM16) with numpy inside
 #: mapInPandas; Arrow batches are the designed decode path (bytes in,
 #: records out), not a hot-path scalar UDF
-PYTHON_EVAL_OK = {"mm_features", "mm_resize", "mm_frame_sample", "mm_audio"}
+PYTHON_EVAL_OK = {
+    "mm_features", "mm_resize", "mm_frame_sample", "mm_audio",
+    # r6: same designed Arrow decode path (consecutive-frame SAD over
+    # the real byte walk)
+    "mm_scene_cuts",
+}
 
 
 def _global_window(plan: str) -> bool:
