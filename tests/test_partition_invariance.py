@@ -23,6 +23,8 @@ ENTRIES = [
     "ann_ivfpq",           # residual ADC micro-unit sums
     "corpus_importance",   # nano-unit bucket-gap sums
     "rel_rate_anomalies",  # BIGINT window sums -> one z expression
+    "pc_volume",           # per-cell micro-metre quantization totals
+    "rel_shipping_priority",  # cents-exact revenue + top-k ties
 ]
 
 
