@@ -943,6 +943,14 @@ def _q_ann_recall_report(spark, sf_dir):
     return ann_recall_report(_embs(spark, sf_dir))
 
 
+def _q_ann_ivfpq_trained(spark, sf_dir):
+    """Fully-trained IVF-PQ (r6): Lloyd-refined coarse cells AND
+    residual codebooks — the complete FAISS index shape."""
+    from lasdb_spark.operators.similarity import topk_ivfpq_trained
+
+    return topk_ivfpq_trained(_embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -1716,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_trained": _similarity.topk_pq_trained_sql(),
         "ann_ivfpq": _similarity.topk_ivfpq_sql(),
         "ann_recall_report": _similarity.ann_recall_report_sql(),
+        "ann_ivfpq_trained": _similarity.topk_ivfpq_trained_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1846,7 +1855,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """161 entries, ordered so every query gets a driver CORRECTNESS
+    """162 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-6 rotation (exactly what the r5 verdict item
     5 and the previous docstring committed to): the six entries whose
@@ -1856,7 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the two operators whose IMPLEMENTATIONS were rewritten this
     round (sketch_hll one-scan registers+exact; sketch_quantiles
     two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the thirteen operators NEW
+    construction, rows refreshed anyway), then the fourteen operators NEW
     in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
     ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
     drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
@@ -1867,14 +1876,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream-static enrichment join; rel_min_cost_supplier — the TPC-H
     Q2 correlated-min shape; rel_rate_anomalies — trailing-window
     z-score anomaly detection; rel_shipping_priority — TPC-H Q3; mm_scene_cuts — shot-boundary
-    SAD detection; pc_volume — epoch cut/fill balance), then the oldest r3-green tail (pc_circle …
-    pc_outliers, 39 entries — with the 21-entry lead a 50-entry window
-    cuts after dedup_lsh_recall, so pc_zonal_stats … pc_outliers
-    slip to r7). Everything past
+    SAD detection; pc_volume — epoch cut/fill balance; ann_ivfpq_trained — the
+    fully-trained FAISS shape), then the oldest r3-green tail (pc_circle …
+    pc_outliers, 39 entries — with the 22-entry lead a 50-entry window
+    cuts after pc_classify, so dedup_lsh_recall … pc_outliers slip
+    to r7). Everything past
     the window keeps its standing green row from a prior round AND is
     re-proven value-exact every test run by the all-entries oracle
     mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    whatever r6 tail the window cut (pc_zonal_stats … pc_outliers),
+    whatever r6 tail the window cut (dedup_lsh_recall … pc_outliers),
     then the r4-green block (corpus_token_budget onward), the r3-green
     family representatives (pc_bbox … corpus_pack), and the now-oldest
     r5-checked blocks."""
@@ -1903,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_shipping_priority": _q_rel_shipping_priority,
         "mm_scene_cuts": _q_mm_scene_cuts,
         "pc_volume": _q_pc_volume,
+        "ann_ivfpq_trained": _q_ann_ivfpq_trained,
         # --- oldest r3-green tail (fresh rows on this data generation) ---
         "pc_circle": _q_circle,
         "pc_polygon_l": _q_polygon_l,

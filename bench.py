@@ -363,6 +363,7 @@ def _section_corpus(spark, sf_dir, timings) -> None:
     from lasdb_spark.operators.similarity import (
         embedding_outliers,
         topk_ivfpq,
+        topk_ivfpq_trained,
         topk_pq_trained,
     )
 
@@ -378,6 +379,7 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             # r6: Lloyd-trained PQ codebooks + IVF-PQ residual index
             "ann_pq_trained": lambda: topk_pq_trained(embs),
             "ann_ivfpq": lambda: topk_ivfpq(embs),
+            "ann_ivfpq_trained": lambda: topk_ivfpq_trained(embs),
         }
     )
     # r6: tokenizer-training kernel + importance scoring

@@ -921,10 +921,12 @@ def pq_train_ctes(
     n_codes: int = PQ_K,
     dim: int = EMB_DIM,
     n_iters: int = PQ_ITERS,
+    src: str = "embeddings",
 ) -> tuple[list[str], str]:
     """DuckDB CTE chain twinning :func:`pq_train_books`; returns the
     CTE list and the name of the final codebook CTE (m, code, ce with
-    ce a sub_dim list, offsets 0)."""
+    ce a sub_dim list, offsets 0). ``src`` is any relation exposing
+    (vec_id, embedding) — e.g. a residual CTE for IVF-PQ training."""
     from ..functions.hashing import fold_l2_sql
 
     sub_dim = dim // m
@@ -932,12 +934,12 @@ def pq_train_ctes(
     d2 = fold_l2_sql("v.sv", "b.ce", sub_dim)
     ctes = [
         f"ms AS (SELECT unnest(range(0, {m})) AS m)",
-        f"""sv AS (SELECT e.vec_id, ms.m,
+        f"""sv AS MATERIALIZED (SELECT e.vec_id, ms.m,
        e.embedding[{off} + 1 : {off} + {sub_dim}] AS sv
-  FROM embeddings e CROSS JOIN ms)""",
-        f"""seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, embedding
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes}))""",
-        f"""b0 AS (SELECT ms.m, s.code,
+  FROM {src} e CROSS JOIN ms)""",
+        f"""seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) AS code, embedding
+  FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {n_codes}))""",
+        f"""b0 AS MATERIALIZED (SELECT ms.m, s.code,
        s.embedding[{off} + 1 : {off} + {sub_dim}] AS ce
   FROM seeds s CROSS JOIN ms)""",
     ]
@@ -958,7 +960,7 @@ def pq_train_ctes(
             f"  FROM parts{t} GROUP BY 1, 2, 3)"
         )
         ctes.append(
-            f"b{t + 1} AS (SELECT m, code, list(c ORDER BY pos) AS ce\n"
+            f"b{t + 1} AS MATERIALIZED (SELECT m, code, list(c ORDER BY pos) AS ce\n"
             f"  FROM comp{t} GROUP BY 1, 2)"
         )
     return ctes, f"b{n_iters}"
@@ -1029,6 +1031,8 @@ def topk_ivfpq(
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     n_codes: int = PQ_K,
+    cents: DataFrame | None = None,
+    residual_train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ (r6): the canonical billion-scale ANN index — an L2
     coarse quantizer over ``n_cells`` cells plus PQ codes on the
@@ -1052,11 +1056,15 @@ def topk_ivfpq(
 
     dim = EMB_DIM
     sub_dim = dim // m
-    cents = (
-        embs.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    )
+    if cents is None:
+        cents = (
+            embs.orderBy("vec_id")
+            .limit(n_cells)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("ce"),
+            )
+        )
     d2c = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
     asg = (
         embs.crossJoin(F.broadcast(cents))
@@ -1080,25 +1088,43 @@ def topk_ivfpq(
             ).alias("rv"),
         )
     )
-    seeds = (
-        res.orderBy("vec_id")
-        .limit(n_codes)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("code"),
-            "rv",
+    if residual_train_iters > 0:
+        # trained variant: Lloyd-refine per-subspace codebooks on the
+        # RESIDUAL frame — materialize the assignment once so the
+        # training rounds don't re-run the coarse chain per round
+        res = res.localCheckpoint()
+        books = pq_train_books(
+            res.select("vec_id", F.col("rv").alias("embedding")),
+            m,
+            n_codes,
+            dim,
+            residual_train_iters,
         )
-    )
-    books = (
-        seeds.select("code", _pq_subspace_ids(m), "rv")
-        .select(
-            "m",
-            "code",
-            F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias("cvec"),
+    else:
+        seeds = (
+            res.orderBy("vec_id")
+            .limit(n_codes)
+            .select(
+                F.row_number().over(Window.orderBy("vec_id")).alias(
+                    "code"
+                ),
+                "rv",
+            )
         )
-        # KB-sized, consumed by encode AND both ADC tables: materialize
-        # once instead of re-running the assignment chain per consumer
-        .localCheckpoint()
-    )
+        books = (
+            seeds.select("code", _pq_subspace_ids(m), "rv")
+            .select(
+                "m",
+                "code",
+                F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias(
+                    "cvec"
+                ),
+            )
+            # KB-sized, consumed by encode AND both ADC tables:
+            # materialize once instead of re-running the assignment
+            # chain per consumer
+            .localCheckpoint()
+        )
     rsub = res.select("vec_id", "cell", _pq_subspace_ids(m), "rv").select(
         "vec_id",
         "cell",
@@ -1177,6 +1203,187 @@ def topk_ivfpq(
         Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
     )
     return top.withColumn("rank", rank.cast("int"))
+
+
+IVFPQ_ITERS = 2
+
+
+def ivfpq_train_cents(
+    embs: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVFPQ_ITERS,
+) -> DataFrame:
+    """(cid, ce) — L2 Lloyd refinement of the coarse quantizer cells
+    (the coarse half of trained IVF-PQ; :func:`topk_ivf_trained` is
+    the cosine analog). Same integer micro-unit component means as
+    every trained centroid in this module, so the refined cells — and
+    every assignment derived from them — hash-match the DuckDB twin.
+    KB-sized result, localCheckpointed for its multiple consumers."""
+    from ..functions.hashing import fold_l2_col
+
+    cents = (
+        embs.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    for _ in range(max(1, n_iters)):
+        d2 = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
+        assign = (
+            embs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", d2.alias("d2"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("d2").asc(), "cid"
+                    )
+                ),
+            )
+            .where(F.col("rk") == 1)
+            .select(F.col("cid").alias("cell"), "embedding")
+        )
+        cents = _lloyd_step(assign).select("cid", "ce")
+    return cents.localCheckpoint()
+
+
+def topk_ivfpq_trained(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iters: int = IVFPQ_ITERS,
+) -> DataFrame:
+    """Fully-trained IVF-PQ — the complete FAISS index shape: Lloyd-
+    refined L2 coarse cells (:func:`ivfpq_train_cents`) AND Lloyd-
+    refined per-subspace residual codebooks (:func:`pq_train_books`
+    over the residual frame), feeding the same probed-cell ADC tail
+    as :func:`topk_ivfpq`. Output contract unchanged."""
+    return topk_ivfpq(
+        embs,
+        query_vec_id,
+        k,
+        n_cells,
+        nprobe,
+        m,
+        n_codes,
+        cents=ivfpq_train_cents(embs, n_cells, n_iters),
+        residual_train_iters=n_iters,
+    )
+
+
+def ivfpq_cent_train_ctes(
+    n_cells: int = IVF_CELLS,
+    dim: int = EMB_DIM,
+    n_iters: int = IVFPQ_ITERS,
+) -> tuple[list[str], str]:
+    """L2-Lloyd coarse-centroid CTE chain (cc0 → cc{n}); names are
+    cc/cr/ca/cparts/ccomp so they compose with :func:`pq_train_ctes`'s
+    sv/b/r/a namespace in one statement."""
+    from ..functions.hashing import fold_l2_sql
+
+    l2 = fold_l2_sql("e.embedding", "c.ce", dim)
+    n_iters = max(1, n_iters)
+    ctes = [
+        f"""cc0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells})""",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""cr{t} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({l2}, 6) ASC, c.cid) AS rk
+  FROM embeddings e CROSS JOIN cc{t} c)""")
+        ctes.append(
+            f"ca{t} AS (SELECT vec_id, embedding, cid FROM cr{t} "
+            f"WHERE rk = 1)"
+        )
+        ctes.append(f"""cparts{t} AS (
+  SELECT cid, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM ca{t}, LATERAL (SELECT unnest(range(0, {dim}))) AS s(i))""")
+        ctes.append(
+            f"ccomp{t} AS (SELECT cid, pos, SUM(q) / (COUNT(*) * 1000000.0)"
+            f" AS c\n  FROM cparts{t} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cc{t + 1} AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS ce\n"
+            f"  FROM ccomp{t} GROUP BY 1)"
+        )
+    return ctes, f"cc{n_iters}"
+
+
+def topk_ivfpq_trained_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMB_DIM,
+    n_iters: int = IVFPQ_ITERS,
+) -> str:
+    """Oracle twin of :func:`topk_ivfpq_trained`: the L2-Lloyd coarse
+    chain + residual materialization (list comprehension) + the
+    residual-book training chain (:func:`pq_train_ctes` re-pointed at
+    the residual CTE) + the probed-cell ADC tail over list codewords."""
+    from ..functions.hashing import fold_l2_sql
+
+    sub_dim = dim // m
+    cent_ctes, ccf = ivfpq_cent_train_ctes(n_cells, dim, n_iters)
+    l2 = fold_l2_sql("e.embedding", "c.ce", dim)
+    asg_ctes = [
+        f"""fasg AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding AS ve, c.cid, c.ce,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({l2}, 6) ASC, c.cid) AS rk
+  FROM embeddings e CROSS JOIN {ccf} c)""",
+        f"""rvt AS MATERIALIZED (
+  SELECT vec_id, cid AS cell,
+         [CAST(ve[i + 1] AS DOUBLE) - CAST(ce[i + 1] AS DOUBLE)
+          FOR i IN range(0, {dim})] AS embedding
+  FROM fasg WHERE rk = 1)""",
+    ]
+    book_ctes, bf = pq_train_ctes(m, n_codes, dim, n_iters, src="rvt")
+    enc_d2 = fold_l2_sql("v.sv", "b.ce", sub_dim)
+    ql2 = fold_l2_sql("q.qv", "c.ce", dim)
+    q_d2 = fold_l2_sql("p.qr", "b.ce", sub_dim, a_off=f"b.m * {sub_dim}")
+    body = ",\n".join(cent_ctes + asg_ctes + book_ctes)
+    return f"""
+WITH {body},
+codes AS MATERIALIZED (
+  SELECT v.vec_id, r.cell, v.m, v.code FROM (
+    SELECT v.vec_id, v.m, b.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY round({enc_d2}, 6) ASC, b.code) AS rk
+    FROM sv v JOIN {bf} b ON v.m = b.m) v
+  JOIN rvt r ON v.vec_id = r.vec_id
+  WHERE v.rk = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT cid AS cell, ce,
+         [CAST(q.qv[i + 1] AS DOUBLE) - CAST(c.ce[i + 1] AS DOUBLE)
+          FOR i IN range(0, {dim})] AS qr
+  FROM {ccf} c CROSS JOIN q
+  QUALIFY row_number() OVER (ORDER BY round({ql2}, 6) ASC, c.cid)
+          <= {nprobe}),
+dtab AS (
+  SELECT p.cell, b.m, b.code,
+         CAST(round(round({q_d2}, 6) * 1e6) AS BIGINT) AS qd2q
+  FROM probes p CROSS JOIN {bf} b),
+approx AS (
+  SELECT e.vec_id, CAST(sum(d.qd2q) AS DOUBLE) / 1e6 AS approx_d2
+  FROM codes e JOIN dtab d
+    ON e.cell = d.cell AND e.m = d.m AND e.code = d.code
+  WHERE e.vec_id != {query_vec_id} GROUP BY e.vec_id)
+SELECT vec_id, approx_d2, rank FROM (
+  SELECT vec_id, approx_d2,
+         CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT) AS rank
+  FROM approx) WHERE rank <= {k}
+""".strip()
 
 
 def _res_l2_sql(va, ca, vb, cb, n, a_off="0", b_off="0"):

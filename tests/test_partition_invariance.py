@@ -21,6 +21,7 @@ ENTRIES = [
     # r6 additions
     "ann_pq_trained",      # Lloyd rounds: micro-unit centroid means
     "ann_ivfpq",           # residual ADC micro-unit sums
+    "ann_ivfpq_trained",   # trained cells + residual books, same sums
     "corpus_importance",   # nano-unit bucket-gap sums
     "rel_rate_anomalies",  # BIGINT window sums -> one z expression
     "pc_volume",           # per-cell micro-metre quantization totals

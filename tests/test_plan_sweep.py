@@ -39,6 +39,7 @@ BOUNDED_GLOBAL_WINDOW = {
     # rank after limit(k) + seed numbering (16 rows) + probe ranking
     # over the query-row × n_cells frame (8 rows by construction)
     "ann_ivfpq",
+    "ann_ivfpq_trained",  # same bounded shapes with trained tables
     # union of six bounded top-k plans (each exempt above) + the
     # brute-force rank-after-limit(k)
     "ann_recall_report",
