@@ -2102,7 +2102,8 @@ def ann_recall_report(
     embs: DataFrame, query_vec_id: int = 0, k: int = TOPK
 ) -> DataFrame:
     """(method, returned, hits, recall_at_k) — every approximate index
-    (LSH, IVF, PQ, SQ8, IVF-PQ) scored against the exact brute-force
+    (LSH, IVF, PQ, SQ8, IVF-PQ, trained IVF-PQ) scored against the
+    exact brute-force
     top-k in ONE plan: the acceptance test that keeps index knobs
     honest (the ANN cousin of dedup's `lsh_recall_report`).
 
@@ -2117,6 +2118,7 @@ def ann_recall_report(
     methods = [
         ("ivf", topk_ivf),
         ("ivfpq", topk_ivfpq),
+        ("ivfpq_tr", topk_ivfpq_trained),
         ("lsh", topk_lsh),
         ("lsh_mp", topk_lsh_multiprobe),
         ("pq", topk_pq),
@@ -2157,6 +2159,7 @@ def ann_recall_report_sql(query_vec_id: int = 0, k: int = TOPK) -> str:
     methods = [
         ("ivf", topk_ivf_sql(query_vec_id, k)),
         ("ivfpq", topk_ivfpq_sql(query_vec_id, k)),
+        ("ivfpq_tr", topk_ivfpq_trained_sql(query_vec_id, k)),
         ("lsh", topk_lsh_sql(query_vec_id, k)),
         ("lsh_mp", topk_lsh_multiprobe_sql(query_vec_id, k)),
         ("pq", topk_pq_sql(query_vec_id, k)),
