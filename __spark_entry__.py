@@ -15,6 +15,7 @@ and DuckDB).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -951,6 +952,35 @@ def _q_ann_ivfpq_trained(spark, sf_dir):
     return topk_ivfpq_trained(_embs(spark, sf_dir))
 
 
+def ann_index_path(sf_dir) -> str:
+    """Deterministic per-corpus location for the persisted IVF-PQ
+    index (stable across processes — hashlib, not salted hash())."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"lasdb_ann_index_{tag}")
+
+
+def _q_ann_ivfpq_stored(spark, sf_dir):
+    """PERSISTED fully-trained IVF-PQ (r7): build-once/query-many.
+    Builds the index at a deterministic temp path if absent
+    (meta.json written last = build-complete marker), then answers
+    from the stored tables — the returned plan has no training stage
+    and exactly one FileScan (the partition-pruned codes table). The
+    build is a pure function of the corpus, so the values equal
+    topk_ivfpq_trained's and the trained DuckDB twin is the oracle."""
+    from lasdb_spark.operators.ann_index import (
+        build_ann_index,
+        topk_ivfpq_stored,
+    )
+
+    path = ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_ann_index(_embs(spark, sf_dir), path)
+    return topk_ivfpq_stored(spark, path, _embs(spark, sf_dir))
+
+
 def _q_ann_knn_join(spark, sf_dir):
     from lasdb_spark.operators.similarity import knn_join_lsh
 
@@ -1725,6 +1755,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _similarity.topk_ivfpq_sql(),
         "ann_recall_report": _similarity.ann_recall_report_sql(),
         "ann_ivfpq_trained": _similarity.topk_ivfpq_trained_sql(),
+        # the stored index is a pure function of (corpus, params) —
+        # identical training chains — so the trained twin IS the
+        # stored-query oracle (lasdb_spark/operators/ann_index.py)
+        "ann_ivfpq_stored": _similarity.topk_ivfpq_trained_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1855,94 +1889,38 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """162 entries, ordered so every query gets a driver CORRECTNESS
+    """163 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-6 rotation (exactly what the r5 verdict item
-    5 and the previous docstring committed to): the six entries whose
-    last driver row dates to r2 lead (text_bpe_tokens,
-    dedup_embedding_lsh, ann_lsh_multiprobe, ann_knn_join_multiprobe,
-    mm_resize, mm_frame_sample — the r5 window cut exactly there),
-    then the two operators whose IMPLEMENTATIONS were rewritten this
-    round (sketch_hll one-scan registers+exact; sketch_quantiles
-    two-phase bin-scoped selection — output values unchanged by
-    construction, rows refreshed anyway), then the fourteen operators NEW
-    in r6 (ann_pq_trained — per-subspace Lloyd-trained PQ codebooks;
-    ann_ivfpq — IVF-PQ residual quantization; stream_quantiles —
-    drained fixed-grid streaming percentiles; text_bpe_pairs — BPE
-    training pair statistics; text_bpe_merges — the learned merge
-    table, oracled via recursive CTEs; corpus_importance — DSIR-style
-    importance scoring; ann_recall_report — every ANN index scored
-    against brute force; stream_enriched_counts — drained
-    stream-static enrichment join; rel_min_cost_supplier — the TPC-H
-    Q2 correlated-min shape; rel_rate_anomalies — trailing-window
-    z-score anomaly detection; rel_shipping_priority — TPC-H Q3; mm_scene_cuts — shot-boundary
-    SAD detection; pc_volume — epoch cut/fill balance; ann_ivfpq_trained — the
-    fully-trained FAISS shape), then the oldest r3-green tail (pc_circle …
-    pc_outliers, 39 entries — with the 22-entry lead a 50-entry window
-    cuts after pc_classify, so dedup_lsh_recall … pc_outliers slip
-    to r7). Everything past
-    the window keeps its standing green row from a prior round AND is
-    re-proven value-exact every test run by the all-entries oracle
-    mirror (tests/test_entry_oracle.py). Next round (r7): lead with
-    whatever r6 tail the window cut (dedup_lsh_recall … pc_outliers),
-    then the r4-green block (corpus_token_budget onward), the r3-green
-    family representatives (pc_bbox … corpus_pack), and the now-oldest
-    r5-checked blocks."""
+    in dict order. Round-7 rotation (exactly what the r6 docstring
+    committed to, with the house results-changed-first rule applied):
+    text_bpe_merges leads (its RESULTS changed — the r7 driver-state
+    cap prunes word types with corpus freq < 2 before the merge loop,
+    VERDICT r6 item 4), then the two entries whose PLANS were
+    rewritten this round (rel_min_cost_supplier, rel_shipping_priority
+    — forced broadcasts on SF-growing sides dropped per VERDICT item
+    5; values unchanged by construction), then the entries NEW in r7
+    (ann_ivfpq_stored — the PERSISTED build-once/query-many IVF-PQ
+    index), then the committed r6 cut tail (dedup_lsh_recall …
+    pc_outliers, 11 entries), then the r4-green block
+    (corpus_token_budget onward — the window cuts partway through it;
+    the remainder slips to r8), then the r3-green family
+    representatives (pc_bbox … corpus_pack), the now-oldest
+    r5-checked blocks, and finally the r6-checked blocks (freshest
+    standing rows). Everything past the window keeps its standing
+    green row from a prior round AND is re-proven value-exact every
+    test run by the all-entries oracle mirror
+    (tests/test_entry_oracle.py). Next round (r8): lead with whatever
+    r4-green remainder the r7 window cut, then the r3 family reps and
+    the r5-checked blocks, leaving the r6/r7-checked rows last."""
     return {
-        # --- r2-vintage rows the r5 window cut (lead, per the r5 docstring) ---
-        "text_bpe_tokens": _q_text_bpe_tokens,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
-        "mm_resize": _q_mm_resize,
-        "mm_frame_sample": _q_mm_frames,
-        # --- implementations rewritten in r6 (one-scan HLL; two-phase quantile selection; values unchanged, rows refreshed anyway) ---
-        "sketch_hll": _q_hll_distinct,
-        "sketch_quantiles": _q_quantile_sketch,
-        # --- new in r6 (first driver rows) ---
-        "ann_pq_trained": _q_ann_pq_trained,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "stream_quantiles": _q_stream_quantiles,
-        "text_bpe_pairs": _q_text_bpe_pairs,
+        # --- results changed in r7 (BPE driver-state cap, VERDICT #4) ---
         "text_bpe_merges": _q_text_bpe_merges,
-        "corpus_importance": _q_corpus_importance,
-        "ann_recall_report": _q_ann_recall_report,
-        "stream_enriched_counts": _q_stream_enriched,
+        # --- plans rewritten in r7 (forced broadcasts on SF-growing sides dropped, VERDICT #5; values unchanged) ---
         "rel_min_cost_supplier": _q_rel_min_cost_supplier,
-        "rel_rate_anomalies": _q_rel_rate_anomalies,
         "rel_shipping_priority": _q_rel_shipping_priority,
-        "mm_scene_cuts": _q_mm_scene_cuts,
-        "pc_volume": _q_pc_volume,
-        "ann_ivfpq_trained": _q_ann_ivfpq_trained,
-        # --- oldest r3-green tail (fresh rows on this data generation) ---
-        "pc_circle": _q_circle,
-        "pc_polygon_l": _q_polygon_l,
-        "pc_polygon_hole": _q_polygon_hole,
-        "pc_bbox_block": _q_bbox_block,
-        "pc_histogram": _q_histogram,
-        "pc_grid_zstats": _q_grid_zstats,
-        "pc_metadata_agg": _q_metadata_agg,
-        "rel_supplier_volume": _q_rel_supplier_volume,
-        "rel_anti_join": _q_rel_anti_join,
-        "rel_market_share": _q_rel_market_share,
-        "rel_skyline": _q_rel_skyline,
-        "rel_hourly_rollup": _q_rel_hourly,
-        "rel_asof_error_click": _q_rel_asof,
-        "rel_json_extract": _q_rel_json,
-        "rel_event_funnel": _q_rel_funnel,
-        "rel_pricing_rollup": _q_rel_rollup,
-        "rel_set_ops": _q_rel_setops,
-        "rel_exists_semijoin": _q_rel_exists,
-        "rel_percentiles": _q_rel_percentiles,
-        "rel_month_momentum": _q_rel_momentum,
-        "rel_distinct_customers": _q_rel_distinct,
-        "semdedup_keepers": _q_semdedup_keepers,
-        "text_bm25": _q_text_bm25,
-        "rel_retention": _q_rel_retention,
-        "text_surprisal": _q_text_surprisal,
-        "text_chunks": _q_text_chunks,
-        "pc_lod_pyramid": _q_lod_pyramid,
-        "pc_classify": _q_pc_classify,
+        # --- new in r7 (first driver rows) ---
+        "ann_ivfpq_stored": _q_ann_ivfpq_stored,
+        # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,
         "text_repetition": _q_text_repetition,
@@ -1996,7 +1974,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta_audit": _q_mm_audit,
         "rel_conversion": _q_rel_conversion,
         "text_novelty": _q_text_novelty,
-        # --- r5-checked: results-changed + new-in-r5 blocks (fresh r5 rows) ---
+        # --- r3-green family representatives (standing rows + per-run mirror) ---
+        "pc_bbox": _q_bbox,
+        "pc_knn": _q_knn,
+        "pc_flat_points": _q_flat_points,
+        "pc_block_pack": _q_block_pack,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "pc_shape": _q_pc_shape,
+        "text_tfidf": _q_text_tfidf,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "corpus_pack": _q_corpus_pack,
+        # --- now-oldest r5-checked: results-changed + new-in-r5 blocks ---
         "rel_cdc_merge": _q_rel_cdc,
         "rel_zorder": _q_rel_zorder,
         "sketch_hll_windows": _q_hll_windowed,
@@ -2048,17 +2037,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_polyline_buffer": _q_polyline_buffer,
         "pc_decode_roundtrip": _q_decode_roundtrip,
         "text_fingerprint": _q_text_fingerprint,
-        # --- r3-green family representatives (standing rows + per-run mirror) ---
-        "pc_bbox": _q_bbox,
-        "pc_knn": _q_knn,
-        "pc_flat_points": _q_flat_points,
-        "pc_block_pack": _q_block_pack,
-        "rel_brand_revenue": _q_rel_brand_revenue,
-        "semdedup_pairs": _q_semdedup_pairs,
-        "pc_shape": _q_pc_shape,
-        "text_tfidf": _q_text_tfidf,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "corpus_pack": _q_corpus_pack,
+        # --- r6-checked blocks (freshest standing rows) ---
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "ann_knn_join_multiprobe": _q_ann_knn_join_multiprobe,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
+        "sketch_hll": _q_hll_distinct,
+        "sketch_quantiles": _q_quantile_sketch,
+        "ann_pq_trained": _q_ann_pq_trained,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "stream_quantiles": _q_stream_quantiles,
+        "text_bpe_pairs": _q_text_bpe_pairs,
+        "corpus_importance": _q_corpus_importance,
+        "ann_recall_report": _q_ann_recall_report,
+        "stream_enriched_counts": _q_stream_enriched,
+        "rel_rate_anomalies": _q_rel_rate_anomalies,
+        "mm_scene_cuts": _q_mm_scene_cuts,
+        "pc_volume": _q_pc_volume,
+        "ann_ivfpq_trained": _q_ann_ivfpq_trained,
+        "pc_circle": _q_circle,
+        "pc_polygon_l": _q_polygon_l,
+        "pc_polygon_hole": _q_polygon_hole,
+        "pc_bbox_block": _q_bbox_block,
+        "pc_histogram": _q_histogram,
+        "pc_grid_zstats": _q_grid_zstats,
+        "pc_metadata_agg": _q_metadata_agg,
+        "rel_supplier_volume": _q_rel_supplier_volume,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_market_share": _q_rel_market_share,
+        "rel_skyline": _q_rel_skyline,
+        "rel_hourly_rollup": _q_rel_hourly,
+        "rel_asof_error_click": _q_rel_asof,
+        "rel_json_extract": _q_rel_json,
+        "rel_event_funnel": _q_rel_funnel,
+        "rel_pricing_rollup": _q_rel_rollup,
+        "rel_set_ops": _q_rel_setops,
+        "rel_exists_semijoin": _q_rel_exists,
+        "rel_percentiles": _q_rel_percentiles,
+        "rel_month_momentum": _q_rel_momentum,
+        "rel_distinct_customers": _q_rel_distinct,
+        "semdedup_keepers": _q_semdedup_keepers,
+        "text_bm25": _q_text_bm25,
+        "rel_retention": _q_rel_retention,
+        "text_surprisal": _q_text_surprisal,
+        "text_chunks": _q_text_chunks,
+        "pc_lod_pyramid": _q_lod_pyramid,
+        "pc_classify": _q_pc_classify,
     }
 
 

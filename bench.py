@@ -157,6 +157,13 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
         "epoch_shift": lambda: _epoch_shift(pts),
         "registration": lambda: _registration(pts),
     }
+    # r7: epoch cut/fill volume (same construction as the driver
+    # entry, so the row regression-gates exactly what the driver runs)
+    import __spark_entry__ as _entry
+
+    suite["pc_volume"] = lambda: _entry.queries()["pc_volume"](
+        spark, sf_dir
+    )
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
@@ -403,6 +410,29 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "emb_cov_pairs": lambda: embedding_cov_pairs(embs),
         }
     )
+    # r7 (VERDICT #3): regression rows for the r6 families that
+    # shipped without one — via the driver's own entry wrappers so
+    # the rows gate exactly what CORRECTNESS checks
+    import __spark_entry__ as _entry
+
+    _eq = _entry.queries()
+    suite.update(
+        {
+            "rel_min_cost_supplier": lambda: _eq["rel_min_cost_supplier"](
+                spark, sf_dir
+            ),
+            "rel_shipping_priority": lambda: _eq["rel_shipping_priority"](
+                spark, sf_dir
+            ),
+            "rel_rate_anomalies": lambda: _eq["rel_rate_anomalies"](
+                spark, sf_dir
+            ),
+            "mm_scene_cuts": lambda: _eq["mm_scene_cuts"](spark, sf_dir),
+            "text_bpe_merges": lambda: _eq["text_bpe_merges"](
+                spark, sf_dir
+            ),
+        }
+    )
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
@@ -448,6 +478,30 @@ def _section_heavy(spark, sf_dir, timings) -> None:
     timings["corpus_topics"] = _timed(
         spark, lambda: corpus_topics(docs, embs).count()
     )
+    # r7: recall audit (union of all 7 index plans — the widest ANN
+    # entry, so it lives in the heavy section) + the persisted-index
+    # split: ann_index_build is the batch job, ann_ivfpq_stored the
+    # query-many side answering from the stored codes alone — the row
+    # pair that proves query-time ≪ the in-plan trained entries
+    import __spark_entry__ as _entry
+
+    timings["ann_recall_report"] = _timed(
+        spark,
+        lambda: _entry.queries()["ann_recall_report"](spark, sf_dir).count(),
+    )
+    from lasdb_spark.operators.ann_index import (
+        build_ann_index,
+        topk_ivfpq_stored,
+    )
+
+    idx = tempfile.mkdtemp(prefix="lasdb_bench_annidx_")
+    timings["ann_index_build"] = _timed(
+        spark, lambda: build_ann_index(embs, idx)
+    )
+    timings["ann_ivfpq_stored"] = _timed(
+        spark, lambda: topk_ivfpq_stored(spark, idx, embs).count()
+    )
+    shutil.rmtree(idx, ignore_errors=True)
 
 
 def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
@@ -496,6 +550,18 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
         timings["compaction"] = round(statistics.median(compact_ts), 4)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    # r7 (VERDICT #3): the two r6 streaming operators — each rep
+    # drains a fresh multi-batch stream into a uniquely-named memory
+    # sink (the entry wrappers handle sink naming)
+    import __spark_entry__ as _entry
+
+    _eq = _entry.queries()
+    timings["stream_quantiles"] = _timed(
+        spark, lambda: _eq["stream_quantiles"](spark, sf_dir).count()
+    )
+    timings["stream_enriched_counts"] = _timed(
+        spark, lambda: _eq["stream_enriched_counts"](spark, sf_dir).count()
+    )
 
 
 #: one representative per operator family for the scale study

@@ -1,0 +1,187 @@
+"""Persistent ANN index — the build-once / query-many shape (r7).
+
+Every in-plan ANN entry (``topk_ivfpq_trained`` & co.) trains and
+encodes INSIDE the query plan; that is the right shape for a one-shot
+batch score but wrong for a serving pipeline: at 100 TB the index build
+is a batch job, and query time must touch only the STORED codes. The
+reference draws the same line for its B-tree — the index is PERSISTED
+at load time and queries hit the stored structure
+(``/root/reference/db/__init__.py:118-126``); this module is that
+contract for the ANN family.
+
+:func:`build_ann_index` persists the three index tables as Parquet::
+
+    {path}/cells/    (cid, ce)               Lloyd coarse cells — KB
+    {path}/books/    (m, code, cvec)         residual PQ codebooks — KB
+    {path}/codes/    (vec_id, m, code)       corpus-sized,
+                     PARTITIONED BY cell     one directory per cell
+    {path}/meta.json                         build parameters
+
+``codes`` is the only corpus-sized artifact and it is partitioned by
+coarse cell, so an nprobe-cell query prunes to nprobe partitions at the
+FileScan — the IVF inverted list realized as Parquet partition layout.
+
+:func:`topk_ivfpq_stored` answers a query in two steps:
+
+1. *Planning* (bounded, KB-scale): collect cells + books (index
+   metadata, n_cells×dim and M·K·sub_dim doubles), then run ONE tiny
+   job — the pushed-filter query row × broadcast cells/books — to
+   compute the nprobe probed cells and the ADC lookup table
+   (nprobe·M·K rows). These reuse ``similarity._query_adc_table``,
+   i.e. the exact expressions of the in-plan entries, so stored-index
+   answers hash-match the trained twin.
+2. *Execution* (the only corpus-sized work): a single partition-pruned
+   scan of ``codes`` (``PartitionFilters: cell IN probed``) joined to
+   the broadcast LITERAL ADC table, one partial-aggregated groupBy,
+   TakeOrdered(k). No training stages, no Lloyd chain, exactly one
+   FileScan.
+
+Determinism: the build is a pure function of (embeddings, params) —
+the same Lloyd chains as ``topk_ivfpq_trained`` — so the stored tables
+are reproducible and the existing trained DuckDB twin doubles as the
+stored-query oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import (
+    EMB_DIM,
+    IVF_CELLS,
+    IVF_NPROBE,
+    IVFPQ_ITERS,
+    PQ_K,
+    PQ_M,
+    TOPK,
+    _coarse_assign_residuals,
+    _encode_residual_codes,
+    _query_adc_table,
+    ivfpq_train_cents,
+    pq_train_books,
+)
+
+
+def build_ann_index(
+    embs: DataFrame,
+    path: str,
+    n_cells: int = IVF_CELLS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iters: int = IVFPQ_ITERS,
+    dim: int = EMB_DIM,
+) -> None:
+    """Train and persist a fully-trained IVF-PQ index at ``path``.
+
+    The batch job of the build-once/query-many split: Lloyd coarse
+    cells (:func:`~.similarity.ivfpq_train_cents`), Lloyd residual
+    codebooks (:func:`~.similarity.pq_train_books` on the residual
+    frame), then one encode pass writing the codes partitioned by
+    coarse cell. ``meta.json`` is written LAST, so its presence marks
+    a complete index (a crashed build is retried, never half-read).
+
+    Scale: training state is KB-sized and localCheckpointed; the only
+    corpus-sized outputs are one residual pass and one encode pass —
+    each a single scan — and the partitionBy(cell) write, which at
+    1000 executors is the standard dynamic-partition Parquet insert.
+    """
+    sub_dim = dim // m
+    cents = ivfpq_train_cents(embs, n_cells, n_iters)
+    res = _coarse_assign_residuals(embs, cents).localCheckpoint()
+    books = pq_train_books(
+        res.select("vec_id", F.col("rv").alias("embedding")),
+        m,
+        n_codes,
+        dim,
+        n_iters,
+    )
+    codes = _encode_residual_codes(res, books, m, sub_dim)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+    books.write.mode("overwrite").parquet(os.path.join(path, "books"))
+    (
+        codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "kind": "ivfpq",
+        "n_cells": int(n_cells),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "n_iters": int(n_iters),
+        "dim": int(dim),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def ann_index_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def topk_ivfpq_stored(
+    spark: SparkSession,
+    path: str,
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(vec_id, approx_d2, rank) — IVF-PQ top-k answered from the
+    PERSISTED index at ``path``: same output contract and (given the
+    same build params) the same values as
+    :func:`~.similarity.topk_ivfpq_trained`, but the returned plan
+    contains NO training stage and exactly ONE FileScan — the
+    partition-pruned ``codes`` table.
+
+    Planning collects KB-bounded state only: the stored cells + books,
+    and the nprobe·M·K-row ADC table computed by one tiny job over the
+    pushed-filter query row (``_query_adc_table`` — the in-plan
+    entries' own expressions, so values hash-match). The probed cell
+    ids become a LITERAL ``cell IN (...)`` predicate on the partition
+    column, so the scan reads nprobe directories out of n_cells — at
+    100 TB, query cost is |probed cells| · (N/n_cells) code rows,
+    independent of corpus size per added cell."""
+    meta = ann_index_meta(path)
+    m, sub_dim = meta["m"], meta["dim"] // meta["m"]
+    cells_df = spark.read.parquet(os.path.join(path, "cells"))
+    books_df = spark.read.parquet(os.path.join(path, "books"))
+    # KB-bounded collects (n_cells×dim, M·K·sub_dim doubles): turn the
+    # index metadata into LocalRelations so the QUERY plan scans no
+    # index-metadata files
+    cents = spark.createDataFrame(
+        cells_df.collect(), schema=cells_df.schema
+    )
+    books = spark.createDataFrame(
+        books_df.collect(), schema=books_df.schema
+    )
+    q = embs.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    # ONE tiny planning job: 1 query row × broadcast cells/books →
+    # nprobe·M·K ADC rows (bounded collect, same exactness as in-plan)
+    dtab_rows = _query_adc_table(q, cents, books, m, sub_dim, nprobe).collect()
+    dtab = spark.createDataFrame(
+        dtab_rows, "cell long, m int, code int, qd2q long"
+    )
+    probe_cells = sorted({r["cell"] for r in dtab_rows})
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    approx = (
+        codes.where(F.col("cell").isin(probe_cells))
+        .where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["cell", "m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("qd2q").cast("double") / 1e6).alias("approx_d2"))
+    )
+    top = approx.orderBy(F.col("approx_d2").asc(), "vec_id").limit(k)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+    )
+    return top.withColumn("rank", rank.cast("int"))

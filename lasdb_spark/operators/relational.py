@@ -1314,9 +1314,13 @@ def min_cost_supplier(
         .where(F.col("rk") == 1)
         .drop("rk")
     )
+    # supplier and part GROW with SF — no forced broadcast hint (the
+    # relational-module policy above): AQE broadcasts them while they
+    # fit and falls back to a shuffle join when they don't. Only the
+    # fixed-cardinality nation keeps the explicit hint.
     return (
         best.join(
-            F.broadcast(supplier),
+            supplier,
             best.l_suppkey == supplier.s_suppkey,
         )
         .join(
@@ -1324,7 +1328,7 @@ def min_cost_supplier(
             F.col("s_nationkey") == nation.n_nationkey,
         )
         .join(
-            F.broadcast(part), best.l_partkey == part.p_partkey
+            part, best.l_partkey == part.p_partkey
         )
         .select(
             "p_partkey",
@@ -1370,6 +1374,12 @@ def rate_anomalies(
     (exclusive of the current hour): z = (n − mean) / sample-std. The
     monitoring primitive next to :func:`sliding_event_rates` — spikes
     and outages pop as |z| > ``zcut``.
+
+    Caveat: the window is rows-between over the hourly rollup, i.e.
+    the trailing ``trail`` OBSERVED hours — identical to trailing
+    clock hours on gapless feeds, but on a feed with silent hours the
+    window reaches further back in wall time. For strict clock-hour
+    semantics on gappy feeds, compose with ``gapfill_hourly`` first.
 
     Exactness: counts/sums/sum-of-squares stay BIGINT inside the
     window (sample variance as (c·Σn² − (Σn)²) / (c·(c−1)) — integer
@@ -1482,9 +1492,10 @@ def shipping_priority(
     cust = customer.where(F.col("c_mktsegment") == segment).select(
         "c_custkey"
     )
+    # customer grows with SF — no forced hint; AQE size-gates it
     ords = (
         orders.where(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     rev_c = F.round(
@@ -1493,8 +1504,10 @@ def shipping_priority(
     li = lineitem.where(
         F.col("l_shipdate") > F.lit(cut).cast("timestamp")
     ).select("l_orderkey", rev_c.alias("rev_c"))
+    # the filtered-orders side grows with SF too — same policy: let
+    # AQE broadcast it while it fits rather than force an OOM at scale
     top = (
-        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum("rev_c").alias("rev_c"))
         .select(

@@ -1023,6 +1023,122 @@ SELECT vec_id, approx_d2, rank FROM (
 """.strip()
 
 
+def _coarse_assign_residuals(embs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, rv) — nearest-L2-cell assignment plus the
+    residual vector (embedding − centroid). One crossJoin against the
+    broadcast (KB-sized) cell table + a per-vector argmin window;
+    round(L2, 6) with cid tie-breaks keeps it oracle-exact."""
+    from ..functions.hashing import fold_l2_col
+
+    d2c = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
+    asg = (
+        embs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", "ce", d2c.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("d2").asc(), "cid"
+                )
+            ),
+        )
+    )
+    return asg.where(F.col("rk") == 1).select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.zip_with(
+            "embedding", "ce", lambda x, y: x.cast("double") - y
+        ).alias("rv"),
+    )
+
+
+def _encode_residual_codes(
+    res: DataFrame, books: DataFrame, m: int, sub_dim: int
+) -> DataFrame:
+    """(vec_id, cell, m, code) — PQ-encode each residual against the
+    broadcast per-subspace codebooks (per-(vec, subspace) argmin)."""
+    from ..functions.hashing import fold_l2_col
+
+    rsub = res.select("vec_id", "cell", _pq_subspace_ids(m), "rv").select(
+        "vec_id",
+        "cell",
+        "m",
+        F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias("svec"),
+    )
+    d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
+    return (
+        rsub.join(F.broadcast(books), "m")
+        .select("vec_id", "cell", "m", "code", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "m").orderBy(
+                    F.col("d2").asc(), "code"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
+
+
+def _query_adc_table(
+    q: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    m: int,
+    sub_dim: int,
+    nprobe: int,
+) -> DataFrame:
+    """(cell, m, code, qd2q) — the per-probed-cell ADC lookup table
+    for a single query frame ``q`` (one row, column ``qv``). QUERY-
+    LOCAL: one pushed-filter row × broadcast cells/books — never a
+    corpus pass. qd2q is the micro-unit BIGINT partial distance, so
+    per-vector sums are order-independent."""
+    from ..functions.hashing import fold_l2_col
+
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qv",
+            F.col("cid").alias("cell"),
+            "ce",
+            F.round(fold_l2_col(F.col("qv"), F.col("ce")), 6).alias("d2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("d2").asc(), F.col("cell"))
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+    )
+    qsub = (
+        probes.select(
+            "cell",
+            F.zip_with(
+                "qv", "ce", lambda x, y: x.cast("double") - y
+            ).alias("qr"),
+        )
+        .select("cell", _pq_subspace_ids(m), "qr")
+        .select(
+            "cell",
+            "m",
+            F.slice("qr", F.col("m") * sub_dim + 1, sub_dim).alias("qvec"),
+        )
+    )
+    return qsub.join(F.broadcast(books), "m").select(
+        "cell",
+        "m",
+        "code",
+        F.round(
+            F.round(fold_l2_col(F.col("qvec"), F.col("cvec")), 6) * 1e6
+        )
+        .cast("long")
+        .alias("qd2q"),
+    )
+
+
 def topk_ivfpq(
     embs: DataFrame,
     query_vec_id: int = 0,
@@ -1051,9 +1167,12 @@ def topk_ivfpq(
     (cells and codebooks broadcast — n_cells×dim and M·K·dim doubles);
     candidates outside the probed cells never join (the inner join on
     (cell, m, code) against the nprobe-sized ADC table IS the IVF
-    pruning); top-k is a k-bounded TakeOrdered, never a full sort."""
-    from ..functions.hashing import fold_l2_col
+    pruning); top-k is a k-bounded TakeOrdered, never a full sort.
 
+    The assignment / encode / query-ADC stages are shared with the
+    PERSISTED index (:mod:`..operators.ann_index`) — build-once/query-
+    many uses the same expressions, so stored-index answers hash-match
+    this in-plan entry."""
     dim = EMB_DIM
     sub_dim = dim // m
     if cents is None:
@@ -1065,29 +1184,7 @@ def topk_ivfpq(
                 F.col("embedding").alias("ce"),
             )
         )
-    d2c = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
-    asg = (
-        embs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", "ce", d2c.alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("d2").asc(), "cid"
-                )
-            ),
-        )
-    )
-    res = (
-        asg.where(F.col("rk") == 1)
-        .select(
-            "vec_id",
-            F.col("cid").alias("cell"),
-            F.zip_with(
-                "embedding", "ce", lambda x, y: x.cast("double") - y
-            ).alias("rv"),
-        )
-    )
+    res = _coarse_assign_residuals(embs, cents)
     if residual_train_iters > 0:
         # trained variant: Lloyd-refine per-subspace codebooks on the
         # RESIDUAL frame — materialize the assignment once so the
@@ -1125,73 +1222,14 @@ def topk_ivfpq(
             # chain per consumer
             .localCheckpoint()
         )
-    rsub = res.select("vec_id", "cell", _pq_subspace_ids(m), "rv").select(
-        "vec_id",
-        "cell",
-        "m",
-        F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias("svec"),
-    )
-    d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
-    codes = (
-        rsub.join(F.broadcast(books), "m")
-        .select("vec_id", "cell", "m", "code", d2.alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "m").orderBy(
-                    F.col("d2").asc(), "code"
-                )
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cell", "m", "code")
-    )
+    codes = _encode_residual_codes(res, books, m, sub_dim)
     # probe ranking is QUERY-LOCAL: one pushed-filter row × broadcast
     # cells — never the full per-vector assignment pass (same ranking
-    # expression, so it equals the query's own rows in `asg`)
+    # expression, so it equals the query's own rows in the assignment)
     q = embs.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
     )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "qv",
-            F.col("cid").alias("cell"),
-            "ce",
-            F.round(fold_l2_col(F.col("qv"), F.col("ce")), 6).alias("d2"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("d2").asc(), F.col("cell"))
-            ),
-        )
-        .where(F.col("rk") <= nprobe)
-    )
-    qsub = (
-        probes.select(
-            "cell",
-            F.zip_with(
-                "qv", "ce", lambda x, y: x.cast("double") - y
-            ).alias("qr"),
-        )
-        .select("cell", _pq_subspace_ids(m), "qr")
-        .select(
-            "cell",
-            "m",
-            F.slice("qr", F.col("m") * sub_dim + 1, sub_dim).alias("qvec"),
-        )
-    )
-    dtab = qsub.join(F.broadcast(books), "m").select(
-        "cell",
-        "m",
-        "code",
-        F.round(
-            F.round(fold_l2_col(F.col("qvec"), F.col("cvec")), 6) * 1e6
-        )
-        .cast("long")
-        .alias("qd2q"),
-    )
+    dtab = _query_adc_table(q, cents, books, m, sub_dim, nprobe)
     approx = (
         codes.where(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(dtab), ["cell", "m", "code"])

@@ -1696,7 +1696,20 @@ FROM agg ORDER BY pair_count DESC, "left", "right" LIMIT {top_k}
 """.strip()
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+#: rare word types carrying under this corpus count are pruned before
+#: the merge loop — canonical BPE-trainer behavior, and the cap that
+#: keeps the driver-side vocabulary bounded on adversarial corpora
+BPE_MIN_FREQ = 2
+#: hard ceiling on collected word types (top by freq, then word)
+BPE_MAX_TYPES = 100_000
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    min_freq: int = BPE_MIN_FREQ,
+    max_types: int = BPE_MAX_TYPES,
+) -> DataFrame:
     """(merge_rank, left, right, pair_count, new_symbol) — learned BPE
     merge table: ``n_merges`` rounds of (count weighted adjacent
     symbol pairs → merge the argmax pair greedily left-to-right in
@@ -1704,23 +1717,31 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
 
     Spark-first split of the algorithm: the corpus-sized work — word
     extraction and frequency counting — is ONE distributed shuffle;
-    the merge loop then runs on the COLLECTED word-type table, which
-    is vocabulary-bounded (the same bounded-driver-state argument as
-    the k-means centroid tables: KBs-to-MBs at any corpus size, and
-    the loop is inherently sequential — each round's counts depend on
-    the previous merge). Ties break on (count DESC, left, right) so
-    the learned table is deterministic; the greedy re-segmentation is
+    the merge loop then runs on the COLLECTED word-type table. The
+    collected state is HARD-BOUNDED, not just argued bounded: word
+    types with corpus frequency under ``min_freq`` are pruned
+    distributedly (canonical trainers drop hapax noise — on raw web
+    text "word types" include URLs/hashes/typos and grow with the
+    corpus), and at most ``max_types`` survivors are taken, ordered by
+    (freq DESC, word) so the cut is deterministic. The loop itself is
+    inherently sequential — each round's counts depend on the previous
+    merge. Ties break on (count DESC, left, right) so the learned
+    table is deterministic; the greedy re-segmentation is
     leftmost-non-overlapping, the canonical BPE behavior.
 
-    Oracle: :func:`bpe_train_merges_sql` replays the whole training
-    in DuckDB — the greedy re-segmentation via RECURSIVE CTEs (one per
-    unrolled round), so even this iterative trainer is value-checked
-    rather than rows-only."""
+    Oracle: :func:`bpe_train_merges_sql` replays the whole training —
+    including the identical prune/cap — in DuckDB, with the greedy
+    re-segmentation via RECURSIVE CTEs (one per unrolled round), so
+    even this iterative trainer is value-checked rather than
+    rows-only."""
     spark = docs.sparkSession
-    vocab = [
-        (tuple(r["word"]), int(r["freq"]))
-        for r in word_type_counts(docs).collect()
-    ]
+    wt = (
+        word_type_counts(docs)
+        .where(F.col("freq") >= int(min_freq))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(int(max_types))
+    )
+    vocab = [(tuple(r["word"]), int(r["freq"])) for r in wt.collect()]
     merges = []
     seqs = [(list(w), f) for w, f in vocab if len(w) >= 2]
     for rank in range(1, max(1, n_merges) + 1):
@@ -1878,21 +1899,28 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """.strip()
 
 
-def bpe_train_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+def bpe_train_merges_sql(
+    n_merges: int = BPE_N_MERGES,
+    min_freq: int = BPE_MIN_FREQ,
+    max_types: int = BPE_MAX_TYPES,
+) -> str:
     """Oracle twin of :func:`bpe_train_merges` — the full iterative
-    training expressed in SQL: per round, a pair-count + argmax CTE
-    picks the merge and a RECURSIVE CTE replays the canonical greedy
-    leftmost re-segmentation as a per-word left-to-right fold (the
-    sequential step plain SQL cannot express; recursion depth = max
-    word length). Rounds unroll; a round whose vocabulary has no pairs
-    left naturally emits no row — the same early stop as the Spark
-    side."""
+    training expressed in SQL, including the identical word-type
+    prune/cap: per round, a pair-count + argmax CTE picks the merge
+    and a RECURSIVE CTE replays the canonical greedy leftmost
+    re-segmentation as a per-word left-to-right fold (the sequential
+    step plain SQL cannot express; recursion depth = max word length).
+    Rounds unroll; a round whose vocabulary has no pairs left
+    naturally emits no row — the same early stop as the Spark side."""
     pat = WORD_RE.replace("'", "''")
     ctes = [
         f"""wt AS (
-  SELECT word, count(*) AS freq FROM (
-    SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
-    FROM documents) GROUP BY 1)""",
+  SELECT word, freq FROM (
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+      FROM documents) GROUP BY 1)
+  WHERE freq >= {int(min_freq)}
+  ORDER BY freq DESC, word LIMIT {int(max_types)})""",
         """seqs0 AS (
   SELECT word, freq,
          list(substr(word, CAST(s.i AS INT) + 1, 1) ORDER BY s.i) AS ss

@@ -23,12 +23,32 @@ TABLES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
+# Megabyte-scale composed twins (ann_recall_report is ~662 KB of SQL)
+# have flaked with OutOfMemoryException under full-suite memory
+# pressure (24 GB Spark JVM + in-process DuckDB).  Two defenses:
+# every mirror connection gets an explicit memory_limit + a spill
+# temp_directory (DuckDB spills instead of aborting), and twins above
+# this SQL size run in their OWN dedicated connection.
+_BIG_SQL_BYTES = 64_000
+
+
+def _configure(con):
+    con.sql("SET memory_limit='8GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.sql("SET max_temp_directory_size='32GB'")
+    return con
+
+
+def _fresh_con(sf_dir):
+    con = _configure(duckdb.connect())
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return _fresh_con(sf_dir)
 
 
 def _norm(v):
@@ -55,24 +75,33 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     if sql is None:
         assert len(srows) >= 0  # rows-only check
         return
-    try:
-        res = duck.sql(sql)
-        dcols = res.columns
-        drows = res.fetchall()
-    except duckdb.Error:
-        # transient armor: under full-suite memory pressure (24 GB
-        # Spark JVM + in-process DuckDB + the megabyte-scale composed
-        # twins) DuckDB has flaked exactly once per run on the entries
-        # following the largest SQL; a FRESH connection retry separates
-        # a real oracle failure (re-raises) from that environment flake
-        fresh = duckdb.connect()
-        for t in TABLES:
-            fresh.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
-        res = fresh.sql(sql)
-        dcols = res.columns
-        drows = res.fetchall()
+    if len(sql) >= _BIG_SQL_BYTES:
+        # dedicated, spill-configured connection for the composed
+        # megabyte-scale twins — isolates their peak from the shared
+        # module connection and from each other
+        big = _fresh_con(sf_dir)
+        try:
+            res = big.sql(sql)
+            dcols = res.columns
+            drows = res.fetchall()
+        finally:
+            big.close()
+    else:
+        try:
+            res = duck.sql(sql)
+            dcols = res.columns
+            drows = res.fetchall()
+        except duckdb.OutOfMemoryException:
+            # last-ditch armor: a FRESH spill-configured connection
+            # separates a real oracle failure (re-raises) from an
+            # environment flake under memory pressure
+            fresh = _fresh_con(sf_dir)
+            try:
+                res = fresh.sql(sql)
+                dcols = res.columns
+                drows = res.fetchall()
+            finally:
+                fresh.close()
 
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"

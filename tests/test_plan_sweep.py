@@ -43,6 +43,9 @@ BOUNDED_GLOBAL_WINDOW = {
     # union of six bounded top-k plans (each exempt above) + the
     # brute-force rank-after-limit(k)
     "ann_recall_report",
+    # r7 stored index: rank after limit(k) only — the training windows
+    # ran at BUILD time; the query plan is scan ⋈ broadcast ADC → agg
+    "ann_ivfpq_stored",
     # rank over the top_k rows left by TakeOrdered (20 by default)
     "text_bpe_pairs",
     "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut

@@ -464,10 +464,46 @@ def test_bpe_train_first_merge_matches_pair_stats(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p1 = bpe_pair_stats(docs, top_k=1).collect()[0]
-    m1 = bpe_train_merges(docs, n_merges=1).collect()[0]
+    # min_freq=1: pair_stats is the uncapped round-1 kernel, so give
+    # the trainer the same (uncapped) vocabulary for the comparison
+    m1 = bpe_train_merges(docs, n_merges=1, min_freq=1).collect()[0]
     assert (m1.left, m1.right, m1.pair_count) == (
         p1.left, p1.right, p1.pair_count
     )
+
+
+@pytest.mark.spark
+def test_bpe_train_cap_ignores_low_frequency_noise(spark):
+    """r7 (VERDICT #4): the driver-state cap. A corpus of a clean
+    repeated phrase plus a flood of UNIQUE noise tokens (the
+    URLs/hashes/typos shape of raw web text) must train the same
+    merge table with the cap on as the clean corpus alone — the
+    hapax types are pruned distributedly before the collect."""
+    from lasdb_spark.operators.text import bpe_train_merges
+
+    clean = [(i, "hello hello world") for i in range(5)]
+    noisy = clean + [
+        (100 + i, f"zq{i}x{i * 7919}noise") for i in range(200)
+    ]
+    key = lambda df: [
+        (r.merge_rank, r.left, r.right, r.pair_count, r.new_symbol)
+        for r in df.collect()
+    ]
+    ref = key(bpe_train_merges(
+        spark.createDataFrame(clean, "doc_id long, text string"),
+        n_merges=6,
+    ))
+    capped = key(bpe_train_merges(
+        spark.createDataFrame(noisy, "doc_id long, text string"),
+        n_merges=6, min_freq=2,
+    ))
+    assert capped == ref and len(ref) > 0
+    # and the max_types ceiling is a hard bound even on clean vocab
+    tiny = key(bpe_train_merges(
+        spark.createDataFrame(noisy, "doc_id long, text string"),
+        n_merges=6, min_freq=1, max_types=2,
+    ))
+    assert tiny == ref  # top-2 types by freq = hello, world
 
 
 @pytest.mark.spark
