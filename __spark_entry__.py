@@ -1017,6 +1017,21 @@ def _q_mm_png(spark, sf_dir):
     )
 
 
+def _q_mm_jpeg(spark, sf_dir):
+    """REAL baseline JPEG round-trip (r7): DCT + Annex-K Huffman encode
+    and full marker-walk/entropy/IDCT decode back to exact statistics
+    (block-constant fixture makes the lossy codec exact by
+    construction; lossy behavior is pytest-bounded)."""
+    from lasdb_spark.operators.multimodal import (
+        decode_image_features,
+        make_image_corpus,
+    )
+
+    return decode_image_features(
+        make_image_corpus(_docs(spark, sf_dir), container="jpeg")
+    )
+
+
 def _q_mm_resize(spark, sf_dir):
     # REAL nearest-neighbor resample over decoded pixels
     from lasdb_spark.operators.multimodal import make_image_corpus, resize_images
@@ -1855,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
             ZQ_USERS, ZQ_HOURS, ZQ_TYPES
         ),
         "mm_png": _multimodal.image_features_sql("png"),
+        "mm_jpeg": _multimodal.image_features_sql("jpeg"),
         "sketch_kmv_setops": _sketch.kmv_set_ops_sql(),
         "rel_cdc_merge": _rel.merge_upsert_sql(CDC_SPLIT_MS),
         "emb_outliers": _similarity.embedding_outliers_sql(),
@@ -1889,7 +1905,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """163 entries, ordered so every query gets a driver CORRECTNESS
+    """164 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-7 rotation (exactly what the r6 docstring
     committed to, with the house results-changed-first rule applied):
@@ -1900,7 +1916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — forced broadcasts on SF-growing sides dropped per VERDICT item
     5; values unchanged by construction), then the entries NEW in r7
     (ann_ivfpq_stored — the PERSISTED build-once/query-many IVF-PQ
-    index), then the committed r6 cut tail (dedup_lsh_recall …
+    index; mm_jpeg — real baseline JPEG DCT+Huffman codec on a
+    lossless-by-construction block-constant fixture), then the
+    committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
     the remainder slips to r8), then the r3-green family
@@ -1920,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_shipping_priority": _q_rel_shipping_priority,
         # --- new in r7 (first driver rows) ---
         "ann_ivfpq_stored": _q_ann_ivfpq_stored,
+        "mm_jpeg": _q_mm_jpeg,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -93,22 +93,50 @@ def _encode_bmp(gray: np.ndarray, w: int, h: int) -> bytes:
     return file_hdr + info_hdr + body
 
 
+def _test_pattern_blocks(doc_id: int, bw: int, bh: int) -> np.ndarray:
+    """8×8-block-constant test image (bw×bh blocks): block b carries
+    gray (doc_id*31 + b*7) % 256. Constant blocks make the baseline
+    JPEG round-trip EXACT (DC-only spectra), so the decoded statistics
+    stay oracle-computable despite the lossy codec."""
+    b = np.arange(bw * bh, dtype=np.int64)
+    vals = ((doc_id * 31 + b * 7) % 256).reshape(bh, bw)
+    return np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
 def make_image_corpus(docs: DataFrame, container: str = "pgm") -> DataFrame:
     """(doc_id, payload, meta) with REAL image bytes: each doc becomes
-    a ``container`` image (pgm | ppm | bmp | png) whose dimensions derive
-    from ``n_chars`` (w = n_chars%64+8, h = n_chars*7%64+8) and whose
-    pixels are the deterministic test pattern — a stand-in for real
-    assets that still exercises genuine container encode/decode.
+    a ``container`` image (pgm | ppm | bmp | png | jpeg) whose dimensions
+    derive from ``n_chars`` (w = n_chars%64+8, h = n_chars*7%64+8) and
+    whose pixels are the deterministic test pattern — a stand-in for
+    real assets that still exercises genuine container encode/decode.
+    The jpeg corpus uses the 8×8-block-constant pattern instead
+    (w = 8·(n_chars%8+1), h = 8·(n_chars·7%8+1)): constant blocks make
+    the lossy codec's round-trip exact (see :func:`_encode_jpeg`), so
+    the entry keeps a value-exact DuckDB oracle.
 
     Map-only (one mapInPandas), no shuffle; at 100 TB the encode cost
     is embarrassingly parallel over input splits."""
-    if container not in ("pgm", "ppm", "bmp", "png"):
+    if container not in ("pgm", "ppm", "bmp", "png", "jpeg"):
         raise ValueError(f"unknown container {container!r}")
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if container == "jpeg":
+                    bw = int(n_chars) % 8 + 1
+                    bh = (int(n_chars) * 7) % 8 + 1
+                    w, h = 8 * bw, 8 * bh
+                    gray = _test_pattern_blocks(int(doc_id), bw, bh)
+                    payloads.append(_encode_jpeg(gray.reshape(-1), w, h))
+                    metas.append(
+                        {
+                            "format": container,
+                            "declared_w": w,
+                            "declared_h": h,
+                        }
+                    )
+                    continue
                 w = int(n_chars) % 64 + 8
                 h = (int(n_chars) * 7) % 64 + 8
                 gray = _test_pattern(int(doc_id), w * h)
@@ -290,13 +318,15 @@ def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
 
 def _sniff_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch a raw payload to the right container parser by magic
-    bytes (PGM/PPM, BMP, PNG)."""
+    bytes (PGM/PPM, BMP, PNG, JPEG)."""
     if buf[:2] in (b"P5", b"P6"):
         return _parse_pnm(buf)
     if buf[:2] == b"BM":
         return _parse_bmp(buf)
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        return _parse_jpeg(buf)
     raise ValueError("unrecognized image container")
 
 
@@ -369,7 +399,24 @@ def image_features_sql(container: str = "pgm") -> str:
     """Oracle twin of make_image_corpus(container) ∘
     decode_image_features: reproduces the decoded pixel statistics
     from the test-pattern arithmetic (the Spark side derives them from
-    the actual bytes)."""
+    the actual bytes). The jpeg branch uses the block-constant pattern
+    — exact because constant blocks survive the codec losslessly (the
+    Spark side still runs the full Huffman+DCT decode on real bytes)."""
+    if container == "jpeg":
+        return """
+WITH dims AS (
+  SELECT doc_id, n_chars % 8 + 1 AS bw, (n_chars * 7) % 8 + 1 AS bh
+  FROM documents),
+blk AS (
+  SELECT doc_id, bw, bh, (doc_id * 31 + s.b * 7) % 256 AS g
+  FROM dims, LATERAL (SELECT unnest(range(0, bw * bh))) AS s(b))
+SELECT doc_id, 'jpeg' AS format,
+       CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+       CAST(bw * bh * 64 AS BIGINT) AS n_px,
+       CAST(sum(g) * 64 AS BIGINT) AS sum_px,
+       CAST(min(g) AS INT) AS min_px, CAST(max(g) AS INT) AS max_px
+FROM blk GROUP BY doc_id, bw, bh
+""".strip()
     return f"""
 WITH dims AS (
   SELECT doc_id, n_chars % 64 + 8 AS w, (n_chars * 7) % 64 + 8 AS h
@@ -635,6 +682,374 @@ SELECT doc_id,
          THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
 FROM samp GROUP BY doc_id, rate, ch, n_frames
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# REAL image containers II: baseline JPEG (SOI/DQT/SOF0/DHT/SOS, DCT +
+# Huffman) — the dominant wild-web format (r7, VERDICT r6 missing #4)
+# ---------------------------------------------------------------------------
+# A real baseline-profile codec in pure numpy: the encoder level-shifts,
+# forward-DCTs each 8×8 block, quantizes, zigzags and Huffman-codes
+# (standard Annex K luminance tables, byte stuffing, DC prediction,
+# ZRL/EOB run-length AC coding); the decoder parses the marker stream,
+# rebuilds the canonical Huffman codes from DHT, entropy-decodes,
+# dequantizes and inverse-DCTs. Grayscale single-component (the Y plane
+# of the pipeline's decode stage), any quantization table.
+#
+# Oracle strategy — JPEG is lossy, so the generative fixture must make
+# the loss ZERO by construction: the "jpeg" test corpus uses 8×8
+# BLOCK-CONSTANT patterns. A constant block has only a DC coefficient
+# (every AC basis sums to exactly 0 mathematically, ~1e-13 in float →
+# quantizes to 0), the DC path is exact in IEEE doubles (×/÷ by powers
+# of 2 plus an integer-valued product that rounds to the exact
+# integer), so encode→decode reproduces the source pixels EXACTLY and
+# DuckDB can recompute the decoded statistics from the block formula
+# while Spark derives them from the real bytes. Lossy behavior on
+# arbitrary images is covered by a bounded-error pytest instead
+# (tests/test_multimodal.py) — there is no exactness to oracle there.
+
+#: Annex K Table K.3 — luminance DC: BITS (counts per code length 1-16)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+#: Annex K Table K.5 — luminance AC
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    int(h, 16)
+    for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 "
+        "91 A1 08 23 42 B1 C1 15 52 D1 F0 24 33 62 72 82 09 0A 16 17 18 "
+        "19 1A 25 26 27 28 29 2A 34 35 36 37 38 39 3A 43 44 45 46 47 48 "
+        "49 4A 53 54 55 56 57 58 59 5A 63 64 65 66 67 68 69 6A 73 74 75 "
+        "76 77 78 79 7A 83 84 85 86 87 88 89 8A 92 93 94 95 96 97 98 99 "
+        "9A A2 A3 A4 A5 A6 A7 A8 A9 AA B2 B3 B4 B5 B6 B7 B8 B9 BA C2 C3 "
+        "C4 C5 C6 C7 C8 C9 CA D2 D3 D4 D5 D6 D7 D8 D9 DA E1 E2 E3 E4 E5 "
+        "E6 E7 E8 E9 EA F1 F2 F3 F4 F5 F6 F7 F8 F9 FA"
+    ).split()
+)
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag order."""
+    out = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2:
+            diag.reverse()  # odd anti-diagonals run top-right → bottom-left
+        out.extend(diag)
+    return out
+
+
+_ZIGZAG = _zigzag_pairs()
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
+
+
+def _dct_matrix() -> np.ndarray:
+    """T[u, x] = c(u)/2 · cos((2x+1)uπ/16); F = T·B·Tᵀ, B = Tᵀ·F·T."""
+    u = np.arange(8).reshape(8, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, 8).astype(np.float64)
+    t = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    t[0, :] *= 1.0 / np.sqrt(2.0)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _huff_canonical(bits, vals) -> dict:
+    """symbol → (code, length) via the canonical JPEG assignment."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC size category: bit length of |v| (0 for 0)."""
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_jpeg(
+    gray: np.ndarray, w: int, h: int, quant: np.ndarray | None = None
+) -> bytes:
+    """Real baseline JFIF stream: SOI, APP0, DQT, SOF0, DHT×2, SOS,
+    entropy-coded scan, EOI. Grayscale, 8-bit, 1×1 sampling. The
+    default quantization table is all-ones (maximum-quality legal
+    JPEG — keeps the flat-block fixture lossless); any 64-entry table
+    may be passed and is written into DQT for the decoder."""
+    if quant is None:
+        quant = np.ones(64, dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64).reshape(64)
+    if w % 8 or h % 8:  # encoder fixture keeps dims block-aligned
+        raise ValueError("encoder requires 8-aligned dimensions")
+    dc_huff = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    img = gray.reshape(h, w).astype(np.float64) - 128.0
+    qtab2d = np.empty((8, 8), dtype=np.float64)
+    qtab2d[_ZZ_ROWS, _ZZ_COLS] = quant.astype(np.float64)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_T @ block @ _DCT_T.T
+            q = np.rint(coef / qtab2d).astype(np.int64)
+            zz = q[_ZZ_ROWS, _ZZ_COLS]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = _jpeg_category(diff)
+            code, length = dc_huff[size]
+            bw.put(code, length)
+            if size:
+                bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, length = ac_huff[0x00]  # EOB
+                        bw.put(code, length)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, length = ac_huff[0xF0]  # ZRL
+                        bw.put(code, length)
+                        run = 0
+                    continue
+                size = _jpeg_category(v)
+                code, length = ac_huff[run * 16 + size]
+                bw.put(code, length)
+                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc_th: int, bits, vals) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0x00]) + bytes(int(q) & 0xFF for q in quant)
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS))
+        + seg(0xFFC4, dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS))
+        + seg(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers reset the DC predictor upstream."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits, vals) -> dict:
+    """(length, code) → symbol for canonical decode."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline single-component JPEG for real: marker walk,
+    canonical Huffman rebuild from DHT, entropy decode with byte
+    unstuffing, dequantize, inverse DCT, level shift, clamp."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("no scan data before EOI")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG segment header")
+        ln = struct.unpack_from(">H", buf, pos)[0]
+        if pos + ln > len(buf):
+            raise ValueError("truncated JPEG segment body")
+        body = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                o += 1
+                if pq:  # 16-bit table
+                    tab = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=o
+                    ).astype(np.int64)
+                    o += 128
+                else:
+                    tab = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=o
+                    ).astype(np.int64)
+                    o += 64
+                qtabs[tq] = tab
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            # per-component triplet: id, H/V sampling nibbles, Tq
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG not supported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline JPEG not supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = tuple(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = tuple(body[o + 17 : o + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_map(
+                    bits, vals
+                )
+                o += 17 + n
+        elif marker == 0xDA:  # SOS → entropy data follows
+            # body: ns, then (Cs, Td/Ta) per component, then Ss/Se/AhAl
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            pos += ln
+            break
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        pos += ln
+    else:
+        raise ValueError("no SOS marker")
+    if w is None or comp_q not in qtabs:
+        raise ValueError("missing SOF0 or quantization table")
+    dc_tab = huff.get((0, comp_dc))
+    ac_tab = huff.get((1, comp_ac))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman tables")
+    quant = qtabs[comp_q]
+    qtab2d = np.empty((8, 8), dtype=np.float64)
+    qtab2d[_ZZ_ROWS, _ZZ_COLS] = quant.astype(np.float64)
+    blocks_w, blocks_h = (w + 7) // 8, (h + 7) // 8
+    img = np.empty((blocks_h * 8, blocks_w * 8), dtype=np.float64)
+    br = _BitReader(buf, pos)
+    pred = 0
+    for by in range(blocks_h):
+        for bx in range(blocks_w):
+            zz = np.zeros(64, dtype=np.float64)
+            size = _read_symbol(br, dc_tab)
+            diff = _extend(br.bits(size), size) if size else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[_ZZ_ROWS, _ZZ_COLS] = zz * qtab2d[_ZZ_ROWS, _ZZ_COLS]
+            block = _DCT_T.T @ coef @ _DCT_T
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = np.clip(np.rint(img + 128.0), 0, 255).astype(np.int64)
+    return w, h, out[:h, :w].reshape(-1)
 
 
 # ---------------------------------------------------------------------------

@@ -474,3 +474,94 @@ def test_scene_cuts_real_bytes_match_formula(spark, sf_dir):
             b = (doc_id * 31 + r.frame_idx * 97 + i * 7) % 256
             assert r.sad == int(np.abs(a - b).sum())
             assert r.is_cut == (r.mean_abs_diff > SCENE_CUT_THRESHOLD)
+
+
+def test_jpeg_flat_block_roundtrip_exact():
+    """r7: constant 8x8 blocks have DC-only spectra, so the lossy
+    baseline codec round-trips them EXACTLY - the property the oracle
+    relies on, swept over doc ids and block-grid shapes."""
+    from lasdb_spark.operators.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+        _test_pattern_blocks,
+    )
+
+    for doc_id in (0, 1, 999, 54321):
+        for bw, bh in ((1, 1), (8, 1), (3, 7), (8, 8)):
+            g = _test_pattern_blocks(doc_id, bw, bh)
+            w2, h2, dec = _parse_jpeg(_encode_jpeg(g.reshape(-1), 8 * bw, 8 * bh))
+            assert (w2, h2) == (8 * bw, 8 * bh)
+            assert np.array_equal(dec, g.reshape(-1).astype(np.int64))
+
+
+def test_jpeg_lossy_error_bounded():
+    """Arbitrary (non-flat) pixels: the codec is lossy but the error
+    must be bounded by the quantization step - <=1 gray level at the
+    all-ones table (float DCT rounding only), and still small at a
+    coarse table. Also: coarser quantization must actually compress."""
+    from lasdb_spark.operators.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+        _test_pattern,
+    )
+
+    g = _test_pattern(12345, 64 * 40)
+    buf1 = _encode_jpeg(g, 64, 40)
+    _, _, dec1 = _parse_jpeg(buf1)
+    assert np.abs(dec1 - g.astype(np.int64)).max() <= 1
+    q = np.full(64, 4, dtype=np.int64)
+    q[0] = 1
+    buf4 = _encode_jpeg(g, 64, 40, quant=q)
+    _, _, dec4 = _parse_jpeg(buf4)
+    assert np.abs(dec4 - g.astype(np.int64)).max() <= 8
+    assert len(buf4) < len(buf1)
+
+
+def test_jpeg_rejects_malformed():
+    from lasdb_spark.operators.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+        _test_pattern_blocks,
+    )
+
+    g = _test_pattern_blocks(7, 2, 2)
+    buf = _encode_jpeg(g.reshape(-1), 16, 16)
+    with pytest.raises(ValueError):
+        _parse_jpeg(buf[:40])  # truncated header
+    with pytest.raises(ValueError):
+        _parse_jpeg(buf[:-10])  # truncated entropy stream
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\x89PNGnot-a-jpeg")
+    # progressive (SOF2) streams are out of baseline scope: fail loudly
+    bad = bytearray(buf)
+    sof = buf.index(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        _parse_jpeg(bytes(bad))
+
+
+@pytest.mark.spark
+def test_jpeg_corpus_roundtrip(spark, sf_dir):
+    """End-to-end through mapInPandas: encode every doc as a real JPEG,
+    decode via the sniffing feature extractor, check the stats against
+    the block formula."""
+    from lasdb_spark.operators.multimodal import (
+        decode_image_features,
+        make_image_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = decode_image_features(
+        make_image_corpus(docs, container="jpeg")
+    ).collect()
+    meta = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert len(out) == len(meta)
+    for r in out:
+        n_chars = meta[r.doc_id]
+        bw, bh = n_chars % 8 + 1, (n_chars * 7) % 8 + 1
+        assert (r.format, r.width, r.height) == ("jpeg", 8 * bw, 8 * bh)
+        b = np.arange(bw * bh, dtype=np.int64)
+        g = (r.doc_id * 31 + b * 7) % 256
+        assert r.n_px == 64 * bw * bh
+        assert r.sum_px == 64 * int(g.sum())
+        assert (r.min_px, r.max_px) == (int(g.min()), int(g.max()))
