@@ -355,6 +355,14 @@ def _q_pc_slope(spark, sf_dir):
     return dem_gradient(points_df(spark, sf_dir), HAG_CELL)
 
 
+def _q_pc_contours(spark, sf_dir):
+    """Marching-squares contour census over the mean surface (r7):
+    per-level crossed-square and segment counts, BIGINT-exact."""
+    from lasdb_spark.operators.grid import contour_segments
+
+    return contour_segments(points_df(spark, sf_dir), HAG_CELL)
+
+
 def _q_pc_ground(spark, sf_dir):
     """Progressive morphological ground filter (grid PMF): opened
     min-surface + threshold labeling — the PDAL filters.pmf lineage."""
@@ -516,6 +524,15 @@ def _q_pc_volume(spark, sf_dir):
         .drop("_k")
     )
     return volume_change(pts, epoch_b, cell=CHANGE_CELL)
+
+
+def _q_dedup_url_canonical(spark, sf_dir):
+    """Canonical-URL dedup (r7): messy fixture URLs collapse by
+    resource key (case/port/www/slash/tracking-param/param-order
+    normalization, all native column ops)."""
+    from lasdb_spark.operators.dedup import url_canonical_dedup
+
+    return url_canonical_dedup(_docs(spark, sf_dir))
 
 
 def _q_dedup_chunk_pairs(spark, sf_dir):
@@ -979,6 +996,14 @@ def _q_ann_ivfpq_stored(spark, sf_dir):
     if not os.path.exists(os.path.join(path, "meta.json")):
         build_ann_index(_embs(spark, sf_dir), path)
     return topk_ivfpq_stored(spark, path, _embs(spark, sf_dir))
+
+
+def _q_emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit (r7): recall@k of prefix-dim exact
+    search (8/16/32/64 components) vs the full-dim ground truth."""
+    from lasdb_spark.operators.similarity import matryoshka_recall_report
+
+    return matryoshka_recall_report(_embs(spark, sf_dir))
 
 
 def _q_ann_knn_join(spark, sf_dir):
@@ -1774,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
         # identical training chains — so the trained twin IS the
         # stored-query oracle (lasdb_spark/operators/ann_index.py)
         "ann_ivfpq_stored": _similarity.topk_ivfpq_trained_sql(),
+        "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
+        "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
+        "pc_contours": _grid.contour_segments_sql(_PTS, HAG_CELL),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1905,7 +1933,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """164 entries, ordered so every query gets a driver CORRECTNESS
+    """167 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-7 rotation (exactly what the r6 docstring
     committed to, with the house results-changed-first rule applied):
@@ -1917,7 +1945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     5; values unchanged by construction), then the entries NEW in r7
     (ann_ivfpq_stored — the PERSISTED build-once/query-many IVF-PQ
     index; mm_jpeg — real baseline JPEG DCT+Huffman codec on a
-    lossless-by-construction block-constant fixture), then the
+    lossless-by-construction block-constant fixture; emb_matryoshka —
+    prefix-truncation recall audit; dedup_url_canonical — canonical-URL
+    dedup; pc_contours — marching-squares contour census), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -1939,6 +1969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r7 (first driver rows) ---
         "ann_ivfpq_stored": _q_ann_ivfpq_stored,
         "mm_jpeg": _q_mm_jpeg,
+        "emb_matryoshka": _q_emb_matryoshka,
+        "dedup_url_canonical": _q_dedup_url_canonical,
+        "pc_contours": _q_pc_contours,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -1454,3 +1454,217 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
 FROM sizes GROUP BY cluster_size
 ORDER BY cluster_size
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (r7): the CommonCrawl-style cheapest dedup pass
+# ---------------------------------------------------------------------------
+# Before any content hashing, web pipelines collapse refetches of the
+# SAME resource whose URLs differ only in canonically-irrelevant ways:
+# scheme/host case, default ports, a www. prefix, trailing slashes,
+# tracking parameters (utm_*, ref=), fragments, and query-parameter
+# order. Both the messy-URL fixture and the canonicalizer are pure
+# native column expressions (zero UDFs), replicated exactly in the
+# DuckDB twin.
+
+
+def make_url_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, url) — deterministic messy URLs: each doc derives a
+    fetch URL whose *resource identity* is (site = doc_id%40,
+    source, item = doc_id%200) but whose *spelling* varies by doc_id
+    residues across the canonical equivalence axes: upper/lower
+    scheme+host, explicit default port, www. prefix, trailing slash,
+    tracking params, a fragment, and query-param order. Distinct docs
+    that share a resource identity become true duplicates only a
+    canonicalizer can see."""
+    site = F.col("doc_id") % 40
+    item = F.col("doc_id") % 200
+    m2 = F.col("doc_id") % 2
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+    m5 = F.col("doc_id") % 5
+    scheme = F.when(m3 == 0, F.lit("HTTP://")).otherwise(F.lit("http://"))
+    host = F.concat(
+        F.when(m2 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+        site.cast("string"),
+        F.when(m2 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+    )
+    port = F.when(m5 == 0, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/item/"),
+        item.cast("string"),
+        F.when(m4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    # two kept params whose ORDER flips, plus tracking noise
+    kept_a = F.concat(F.lit("id="), item.cast("string"))
+    kept_b = F.lit("lang=en")
+    params = F.when(
+        m2 == 0, F.concat(kept_a, F.lit("&"), kept_b)
+    ).otherwise(F.concat(kept_b, F.lit("&"), kept_a))
+    noise = F.when(
+        m3 == 1, F.lit("&utm_source=feed&utm_medium=rss")
+    ).otherwise(F.when(m3 == 2, F.lit("&ref=homepage")).otherwise(F.lit("")))
+    frag = F.when(m4 == 2, F.lit("#section-2")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            scheme, host, port, path, F.lit("?"), params, noise, frag
+        ).alias("url"),
+    )
+
+
+def url_canonical_dedup(docs: DataFrame) -> DataFrame:
+    """(canonical_url, n_fetches, keeper_doc_id) — group the messy URL
+    corpus by canonical resource key; ``keeper_doc_id`` is the min
+    doc_id (first fetch wins), ``n_fetches`` counts the collapsed
+    spellings. Canonicalization = drop fragment and scheme, lowercase
+    host, strip default :80/:443 ports and a www. prefix, trim
+    trailing slashes, drop utm_*/ref= tracking params, sort surviving
+    query params — all native column expressions (zero UDFs), staged
+    so each derived column is named once.
+
+    Scale: one map-side canonicalization pass + ONE groupBy shuffle on
+    the canonical key — the cheapest dedup pass in a web pipeline,
+    run before any content hashing."""
+    urls = make_url_corpus(docs)
+    staged = (
+        urls.withColumn("nofrag", F.substring_index(F.col("url"), "#", 1))
+        .withColumn("rest", F.substring_index(F.col("nofrag"), "://", -1))
+        .withColumn(
+            "hostport", F.lower(F.substring_index(F.col("rest"), "/", 1))
+        )
+        .withColumn(
+            "host",
+            F.when(
+                F.col("hostport").endswith(":80"),
+                F.expr("substring(hostport, 1, length(hostport) - 3)"),
+            )
+            .when(
+                F.col("hostport").endswith(":443"),
+                F.expr("substring(hostport, 1, length(hostport) - 4)"),
+            )
+            .otherwise(F.col("hostport")),
+        )
+        .withColumn(
+            "host_c",
+            F.when(
+                F.col("host").startswith("www."),
+                F.expr("substring(host, 5)"),
+            ).otherwise(F.col("host")),
+        )
+        .withColumn("pathq", F.expr("substring(rest, length(hostport) + 1)"))
+        .withColumn(
+            "path",
+            F.regexp_replace(
+                F.substring_index(F.col("pathq"), "?", 1), "/+$", ""
+            ),
+        )
+        .withColumn(
+            "query",
+            F.when(
+                F.col("pathq").contains("?"),
+                F.substring_index(F.col("pathq"), "?", -1),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "kept",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(F.col("query"), "&"),
+                        lambda x: (x != "")
+                        & ~x.startswith("utm_")
+                        & ~x.startswith("ref="),
+                    )
+                ),
+                "&",
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            F.concat(
+                F.col("host_c"),
+                F.col("path"),
+                F.when(F.col("kept") == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), F.col("kept"))
+                ),
+            ),
+        )
+    )
+    return (
+        staged.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def url_canonical_dedup_sql() -> str:
+    """Oracle twin of :func:`url_canonical_dedup` — regenerates the
+    messy URL fixture from documents and replays the identical
+    canonicalization with DuckDB string/list functions."""
+    return """
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN 'WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+                  ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+         || '/' || source || '/item/' || CAST(doc_id % 200 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || '?'
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN 'id=' || CAST(doc_id % 200 AS VARCHAR) || '&lang=en'
+                  ELSE 'lang=en&id=' || CAST(doc_id % 200 AS VARCHAR) END)
+         || (CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed&utm_medium=rss'
+                  WHEN doc_id % 3 = 2 THEN '&ref=homepage' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 2 THEN '#section-2' ELSE '' END) AS url
+  FROM documents),
+st AS (
+  SELECT doc_id,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM urls),
+hp AS (
+  SELECT doc_id, rest, lower(split_part(rest, '/', 1)) AS hostport
+  FROM st),
+hs AS (
+  SELECT doc_id, rest, hostport,
+         CASE WHEN hostport LIKE '%:80'
+              THEN substring(hostport, 1, length(hostport) - 3)
+              WHEN hostport LIKE '%:443'
+              THEN substring(hostport, 1, length(hostport) - 4)
+              ELSE hostport END AS host
+  FROM hp),
+pq AS (
+  SELECT doc_id,
+         CASE WHEN host LIKE 'www.%' THEN substring(host, 5) ELSE host END
+           AS host_c,
+         substring(rest, length(hostport) + 1) AS pathq
+  FROM hs),
+parts AS (
+  SELECT doc_id, host_c,
+         regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+         CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2)
+              ELSE '' END AS query
+  FROM pq),
+canon AS (
+  SELECT doc_id, host_c || path ||
+    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url
+  FROM (
+    SELECT doc_id, host_c, path,
+           array_to_string(
+             list_sort(
+               list_filter(str_split(query, '&'),
+                 x -> x != '' AND NOT starts_with(x, 'utm_')
+                      AND NOT starts_with(x, 'ref='))),
+             '&') AS kept
+    FROM parts))
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+""".strip()

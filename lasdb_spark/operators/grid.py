@@ -537,3 +537,133 @@ FROM top t JOIN {prev} s
   ON s.cell_x = t.cell_x AND s.cell_y = t.cell_y
 ORDER BY t.cell_x, t.cell_y
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Contour extraction census (r7): marching squares over the mean surface
+# ---------------------------------------------------------------------------
+#: default contour levels (metres) — bracket the fixture's mean-z band
+CONTOUR_LEVELS = (16.0, 17.5, 19.0)
+
+
+def contour_segments(
+    points: DataFrame, cell: float = CELL, levels: tuple = CONTOUR_LEVELS
+) -> DataFrame:
+    """(level, n_crossed, n_segments) — marching-squares contour census
+    of the gridded MEAN surface: for every 2×2 cell square and every
+    level, classify the 16-case corner pattern (corner mean above /
+    below the level) and count crossed squares and emitted contour
+    segments (saddle cases 5 and 10 emit two). The cartographic
+    contour-extraction kernel (AHN-style DTM products ship isolines),
+    reduced to its countable census so the result is integer-exact.
+
+    Exactness: a corner is 'above' iff mean > level ⟺
+    sum(z_centi) > level_centi · n — BIGINT on both sides, so Spark
+    and DuckDB agree bit-for-bit with no float division anywhere.
+
+    Scale: the cloud collapses to the DEM (one groupBy, |cells| ∝
+    area); corners come from three equi-joins of that small table
+    against shifted copies on the same key — co-partitioned after one
+    exchange; levels explode map-side over the squares (|levels|×
+    fan-out of a cells-sized table); one final groupBy on level."""
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    zq = F.round(F.col("z") * 100).cast("long")
+    dem = (
+        points.select(cx.alias("cell_x"), cy.alias("cell_y"), zq.alias("q"))
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.sum("q").alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+    def shifted(dx: int, dy: int, tag: str) -> DataFrame:
+        return dem.select(
+            (F.col("cell_x") - dx).alias("cell_x"),
+            (F.col("cell_y") - dy).alias("cell_y"),
+            F.col("sq").alias(f"sq_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
+        )
+
+    squares = (
+        dem.join(shifted(1, 0, "b"), ["cell_x", "cell_y"])
+        .join(shifted(1, 1, "c"), ["cell_x", "cell_y"])
+        .join(shifted(0, 1, "d"), ["cell_x", "cell_y"])
+    )
+    lv = squares.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(l)) for l in levels])
+        ).alias("level"),
+    ).withColumn("lq", F.round(F.col("level") * 100).cast("long"))
+
+    def above(sq_col: str, n_col: str):
+        return F.when(
+            F.col(sq_col) > F.col("lq") * F.col(n_col), F.lit(1)
+        ).otherwise(F.lit(0))
+
+    cased = lv.withColumn(
+        "cs",
+        above("sq", "n")
+        + above("sq_b", "n_b") * 2
+        + above("sq_c", "n_c") * 4
+        + above("sq_d", "n_d") * 8,
+    )
+    segs = (
+        F.when(F.col("cs").isin(0, 15), F.lit(0))
+        .when(F.col("cs").isin(5, 10), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        cased.select("level", segs.alias("segs"))
+        .groupBy("level")
+        .agg(
+            F.sum(F.when(F.col("segs") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_crossed"),
+            F.sum("segs").cast("long").alias("n_segments"),
+        )
+        .orderBy("level")
+    )
+
+
+def contour_segments_sql(
+    points_cte: str, cell: float = CELL, levels: tuple = CONTOUR_LEVELS
+) -> str:
+    """Oracle twin of :func:`contour_segments`."""
+    lits = ", ".join(repr(float(l)) for l in levels)
+    return f"""
+{points_cte}, dem AS (
+  SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y,
+         SUM(CAST(round(z * 100) AS BIGINT)) AS sq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM points GROUP BY 1, 2),
+squares AS (
+  SELECT a.cell_x, a.cell_y, a.sq, a.n,
+         b.sq AS sq_b, b.n AS n_b, c.sq AS sq_c, c.n AS n_c,
+         d.sq AS sq_d, d.n AS n_d
+  FROM dem a
+  JOIN dem b ON b.cell_x = a.cell_x + 1 AND b.cell_y = a.cell_y
+  JOIN dem c ON c.cell_x = a.cell_x + 1 AND c.cell_y = a.cell_y + 1
+  JOIN dem d ON d.cell_x = a.cell_x AND d.cell_y = a.cell_y + 1),
+cased AS (
+  SELECT lv.level,
+         (CASE WHEN sq > lq * n THEN 1 ELSE 0 END)
+         + (CASE WHEN sq_b > lq * n_b THEN 1 ELSE 0 END) * 2
+         + (CASE WHEN sq_c > lq * n_c THEN 1 ELSE 0 END) * 4
+         + (CASE WHEN sq_d > lq * n_d THEN 1 ELSE 0 END) * 8 AS cs
+  FROM squares, LATERAL (
+    SELECT t.level, CAST(round(t.level * 100) AS BIGINT) AS lq
+    FROM (SELECT unnest([{lits}]) AS level) t) lv),
+segs AS (
+  SELECT level,
+         CASE WHEN cs IN (0, 15) THEN 0
+              WHEN cs IN (5, 10) THEN 2 ELSE 1 END AS s
+  FROM cased)
+SELECT level,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+       CAST(SUM(s) AS BIGINT) AS n_segments
+FROM segs GROUP BY level ORDER BY level
+""".strip()

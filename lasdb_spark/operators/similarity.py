@@ -2220,3 +2220,108 @@ SELECT c.method, CAST(count(*) AS BIGINT) AS returned,
 FROM cand c LEFT JOIN truth t ON c.vec_id = t.vec_id
 GROUP BY c.method ORDER BY c.method
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dim) embedding audit (r7)
+# ---------------------------------------------------------------------------
+#: prefix lengths audited by matryoshka_recall_report
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def topk_bruteforce_prefix(
+    embs: DataFrame, query_vec_id: int = 0, k: int = TOPK, dim: int = EMB_DIM
+) -> DataFrame:
+    """Exact cosine top-k using only the FIRST ``dim`` embedding
+    components — the matryoshka (MRL) truncation query shape, where a
+    prefix of the vector is itself a usable lower-cost embedding.
+    Same contract as :func:`topk_bruteforce` (vec_id, cos, rank);
+    :func:`topk_bruteforce_sql` with its ``dim`` argument is already
+    the exact SQL twin (its fold reads elements 1..dim)."""
+    q = embs.filter(F.col("vec_id") == query_vec_id).select(
+        F.slice("embedding", 1, dim).alias("qv")
+    )
+    scored = (
+        embs.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _cosine(F.col("qv"), F.slice("embedding", 1, dim)).alias("cos"),
+        )
+    )
+    return _attach_rank(scored.orderBy(F.col("cos").desc(), "vec_id").limit(k))
+
+
+def matryoshka_recall_report(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    dims: tuple = MRL_DIMS,
+) -> DataFrame:
+    """(dim, hits, recall_at_k) — recall of prefix-truncated exact
+    search against the full-dimension ground truth, one row per audited
+    prefix length. The acceptance test for shipping matryoshka
+    embeddings: it measures exactly what is lost by storing/serving the
+    first ``dim`` components (a 64→16 truncation is a 4× index-size and
+    bandwidth cut at 100 TB — this report says what it costs in recall).
+
+    One plan: the full-dim exact top-k broadcasts as truth; each
+    truncated top-k is a TakeOrdered over a map-side prefix fold (no
+    shuffle of the corpus); the union is |dims|·k rows."""
+    from functools import reduce
+
+    truth = topk_bruteforce(embs, query_vec_id, k).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    cand = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            topk_bruteforce_prefix(embs, query_vec_id, k, d).select(
+                F.lit(int(d)).alias("dim"), "vec_id"
+            )
+            for d in dims
+        ],
+    )
+    return (
+        cand.join(F.broadcast(truth), "vec_id", "left")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            "dim",
+            "hits",
+            (F.col("hits").cast("double") / float(k)).alias("recall_at_k"),
+        )
+        .orderBy("dim")
+    )
+
+
+def matryoshka_recall_report_sql(
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    dims: tuple = MRL_DIMS,
+    full_dim: int = EMB_DIM,
+) -> str:
+    """Oracle twin of :func:`matryoshka_recall_report` — each prefix
+    length reuses :func:`topk_bruteforce_sql` (whose fold reads
+    elements 1..dim) nested as a subquery."""
+    union = "\n  UNION ALL\n".join(
+        f"SELECT {int(d)} AS dim, vec_id FROM (\n"
+        f"{topk_bruteforce_sql(query_vec_id, k, dim=int(d))}\n) AS p_{int(d)}"
+        for d in dims
+    )
+    return f"""
+WITH truth AS (
+  SELECT vec_id, 1 AS hit FROM (
+{topk_bruteforce_sql(query_vec_id, k, dim=full_dim)}
+  ) AS t),
+cand AS (
+  {union})
+SELECT c.dim, CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits,
+       CAST(SUM(COALESCE(t.hit, 0)) AS DOUBLE) / {float(k)!r} AS recall_at_k
+FROM cand c LEFT JOIN truth t ON c.vec_id = t.vec_id
+GROUP BY c.dim ORDER BY c.dim
+""".strip()

@@ -26,6 +26,10 @@ ENTRIES = [
     "rel_rate_anomalies",  # BIGINT window sums -> one z expression
     "pc_volume",           # per-cell micro-metre quantization totals
     "rel_shipping_priority",  # cents-exact revenue + top-k ties
+    # r7 additions
+    "emb_matryoshka",      # prefix-fold cosine + recall division
+    "pc_contours",         # BIGINT sum-vs-level·n corner comparisons
+    "ann_ivfpq_stored",    # stored-index ADC micro-unit sums
 ]
 
 
