@@ -126,6 +126,37 @@ def ann_index_meta(path: str) -> dict:
         return json.load(f)
 
 
+def append_ann_index(embs_new: DataFrame, path: str) -> None:
+    """Incrementally index new vectors into an EXISTING index at
+    ``path`` — the daily-increment maintenance job: at 100 TB you
+    retrain cells/codebooks rarely (they drift slowly) but ingest new
+    embeddings continuously. This is an ENCODE-ONLY pass: the stored
+    cells and books are read back (KB), the new vectors run one
+    assignment + one encode (two map-side passes over only the NEW
+    data), and their codes append as new Parquet files inside the
+    existing cell partitions. No training, no touch of the existing
+    codes.
+
+    Encoding is a pure per-row function of (vector, cells, books), so
+    appending in any number of increments yields byte-identical code
+    rows to a single-shot encode — pytest pins build(all) ==
+    build(half) + append(half) down to the query results. Callers own
+    vec_id uniqueness across increments (ids are the dedup key)."""
+    spark = embs_new.sparkSession
+    meta = ann_index_meta(path)
+    m, sub_dim = meta["m"], meta["dim"] // meta["m"]
+    cents = spark.read.parquet(os.path.join(path, "cells")).localCheckpoint()
+    books = spark.read.parquet(os.path.join(path, "books")).localCheckpoint()
+    res = _coarse_assign_residuals(embs_new, cents)
+    codes = _encode_residual_codes(res, books, m, sub_dim)
+    (
+        codes.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
 def topk_ivfpq_stored(
     spark: SparkSession,
     path: str,

@@ -398,3 +398,44 @@ def test_stored_ann_index_query_plan_is_scan_only(spark, sf_dir):
     stored = [tuple(r) for r in df.collect()]
     trained = [tuple(r) for r in topk_ivfpq_trained(embs, 0).collect()]
     assert stored == trained
+
+
+@pytest.mark.spark
+def test_ann_index_incremental_append_equals_single_shot(spark, sf_dir):
+    """r7: append_ann_index is encode-only and per-row pure, so
+    building on half the corpus' codes then appending the other half
+    must equal a single-shot encode of everything — same code rows,
+    same query answers. (Cells/books come from the SAME full-corpus
+    training in both paths; only the code ingestion is split.)"""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        topk_ivfpq_stored,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    single = tempfile.mkdtemp(prefix="lasdb_annidx_a_")
+    split = tempfile.mkdtemp(prefix="lasdb_annidx_b_")
+    build_ann_index(embs, single)
+    build_ann_index(embs, split)
+    # rebuild split's codes from scratch in two increments
+    import shutil
+
+    shutil.rmtree(f"{split}/codes")
+    append_ann_index(embs.where(F.col("vec_id") % 2 == 0), split)
+    append_ann_index(embs.where(F.col("vec_id") % 2 == 1), split)
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{single}/codes").collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(f"{split}/codes").collect()
+    )
+    assert a == b and a
+    qa = [tuple(r) for r in topk_ivfpq_stored(spark, single, embs).collect()]
+    qb = [tuple(r) for r in topk_ivfpq_stored(spark, split, embs).collect()]
+    assert qa == qb
