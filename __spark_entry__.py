@@ -535,6 +535,39 @@ def _q_dedup_url_canonical(spark, sf_dir):
     return url_canonical_dedup(_docs(spark, sf_dir))
 
 
+def _q_text_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY (r7): train the merge table, then encode
+    the whole corpus with it — exact per-doc subword counts. The fold
+    chain runs once per DISTINCT word (vocabulary-sized), natively;
+    the DuckDB twin replays training AND the identical greedy fold."""
+    from lasdb_spark.operators.text import bpe_encode_corpus
+
+    return bpe_encode_corpus(_docs(spark, sf_dir))
+
+
+def _q_dedup_spans(spark, sf_dir):
+    """Exact duplicated-substring runs (r7): maximal runs of 8-token
+    windows recurring in ≥2 distinct documents — the suffix-array
+    substring-dedup shape (Lee et al.) as one fan-out + one groupBy +
+    one islands window."""
+    from lasdb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir))
+
+
+def _q_rel_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (r7): six-table broadcast-chain join — revenue where
+    supplier and customer share a nation, per region/year."""
+    return _rel.local_supplier_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 def _q_dedup_chunk_pairs(spark, sf_dir):
     """Cross-document duplicated passages (chunk-level MinHash)."""
     from lasdb_spark.operators.dedup import chunk_neardup_pairs
@@ -1802,6 +1835,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
         "pc_contours": _grid.contour_segments_sql(_PTS, HAG_CELL),
+        "text_bpe_encode": _text.bpe_encode_corpus_sql(),
+        "dedup_spans": _dedup.duplicate_spans_sql(),
+        "rel_local_supplier": _rel.local_supplier_volume_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1933,7 +1969,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """167 entries, ordered so every query gets a driver CORRECTNESS
+    """170 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-7 rotation (exactly what the r6 docstring
     committed to, with the house results-changed-first rule applied):
@@ -1947,7 +1983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     index; mm_jpeg — real baseline JPEG DCT+Huffman codec on a
     lossless-by-construction block-constant fixture; emb_matryoshka —
     prefix-truncation recall audit; dedup_url_canonical — canonical-URL
-    dedup; pc_contours — marching-squares contour census), then the
+    dedup; pc_contours — marching-squares contour census;
+    text_bpe_encode — tokenizer APPLY closing the train→encode loop;
+    dedup_spans — exact duplicated-substring runs, the Lee-et-al.
+    granularity; rel_local_supplier — TPC-H Q5 six-table join), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -1972,6 +2011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka": _q_emb_matryoshka,
         "dedup_url_canonical": _q_dedup_url_canonical,
         "pc_contours": _q_pc_contours,
+        "text_bpe_encode": _q_text_bpe_encode,
+        "dedup_spans": _q_dedup_spans,
+        "rel_local_supplier": _q_rel_local_supplier,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -164,6 +164,11 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
     suite["pc_volume"] = lambda: _entry.queries()["pc_volume"](
         spark, sf_dir
     )
+    # r7: marching-squares contour census (house rule: every new
+    # operator family gets a regression row the round it ships)
+    suite["pc_contours"] = lambda: _entry.queries()["pc_contours"](
+        spark, sf_dir
+    )
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
@@ -431,6 +436,17 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "text_bpe_merges": lambda: _eq["text_bpe_merges"](
                 spark, sf_dir
             ),
+            # r7 new families (house rule: bench row the round they ship)
+            "mm_jpeg": lambda: _eq["mm_jpeg"](spark, sf_dir),
+            "emb_matryoshka": lambda: _eq["emb_matryoshka"](spark, sf_dir),
+            "dedup_url_canonical": lambda: _eq["dedup_url_canonical"](
+                spark, sf_dir
+            ),
+            "text_bpe_encode": lambda: _eq["text_bpe_encode"](spark, sf_dir),
+            "dedup_spans": lambda: _eq["dedup_spans"](spark, sf_dir),
+            "rel_local_supplier": lambda: _eq["rel_local_supplier"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():
@@ -500,6 +516,17 @@ def _section_heavy(spark, sf_dir, timings) -> None:
     )
     timings["ann_ivfpq_stored"] = _timed(
         spark, lambda: topk_ivfpq_stored(spark, idx, embs).count()
+    )
+    # r7: the daily-increment maintenance job — encode-only append of
+    # a 10% slice into the existing cell partitions (no training);
+    # the row pins append-cost ≪ build-cost round-over-round
+    from pyspark.sql import functions as _F
+
+    from lasdb_spark.operators.ann_index import append_ann_index
+
+    inc = embs.where(_F.col("vec_id") % 10 == 3)
+    timings["ann_index_append"] = _timed(
+        spark, lambda: append_ann_index(inc, idx)
     )
     shutil.rmtree(idx, ignore_errors=True)
 

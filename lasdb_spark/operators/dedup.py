@@ -1668,3 +1668,106 @@ SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_fetches,
        CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
 FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """.strip()
+
+
+DUPSPAN_WIDTH = 8  # tokens per window (the paper's 50-token unit, scaled to fixture docs)
+DUPSPAN_MIN_DOCS = 2
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    width: int = DUPSPAN_WIDTH,
+    min_docs: int = DUPSPAN_MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, run_start, run_end, run_windows, span_tokens) — EXACT
+    duplicated-substring detection, the third dedup granularity next
+    to document-level (minhash_lsh_pairs) and chunk-level
+    (chunk_neardup_pairs): maximal runs of ``width``-token windows
+    whose exact content recurs in ≥ ``min_docs`` DISTINCT documents.
+    This is the Spark-shaped equivalent of suffix-array substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): boilerplate headers, license blocks, and copied
+    passages surface as runs even when the containing documents are
+    globally dissimilar.
+
+    Plan: one map-only fan-out of every token position to its
+    md5(window) (stride 1, like the paper), one groupBy(h) to find
+    cross-document hashes, one join back (on the hash — uniform by
+    construction, no skew), and one per-doc ordered window to stitch
+    adjacent duplicated positions into maximal runs (pos − row_number
+    islands). Fan-out is |tokens| rows regardless of width (the hash
+    collapses the window). At 100 TB nothing is driver-side and every
+    stage is partial-agg friendly; the output is bounded by the
+    duplicated text volume, not the corpus."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    win = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - width),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + 1, width), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        "doc_id", F.posexplode(win).alias("pos", "h")
+    )
+    dup_h = (
+        occ.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    from pyspark.sql import Window as W
+
+    dup_occ = occ.join(dup_h, "h").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    runs = (
+        dup_occ.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("run_start"),
+            F.max("pos").cast("long").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("run_windows"),
+        )
+        .select(
+            "doc_id",
+            "run_start",
+            "run_end",
+            "run_windows",
+            (F.col("run_end") - F.col("run_start") + width)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .orderBy("doc_id", "run_start")
+    )
+    return runs
+
+
+def duplicate_spans_sql(
+    width: int = DUPSPAN_WIDTH, min_docs: int = DUPSPAN_MIN_DOCS
+) -> str:
+    """Oracle twin of :func:`duplicate_spans`."""
+    return f"""
+WITH occ AS (
+  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+         md5(array_to_string(toks[CAST(s.i AS INT) + 1 :
+                                  CAST(s.i AS INT) + {width}], ' ')) AS h
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(0, len(toks) - {width} + 1))) AS s(i)),
+dup_h AS (
+  SELECT h FROM occ GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {min_docs}),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM occ JOIN dup_h USING (h))
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+       CAST(max(pos) AS BIGINT) AS run_end,
+       CAST(count(*) AS BIGINT) AS run_windows,
+       CAST(max(pos) - min(pos) + {width} AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, grp ORDER BY doc_id, run_start
+""".strip()

@@ -1545,3 +1545,98 @@ WHERE c.c_mktsegment = '{segment}'
 GROUP BY 1, 3, 4
 ORDER BY revenue DESC, o_orderkey LIMIT {k}
 """.strip()
+
+
+Q5_REGION = "ASIA"
+Q5_START = "1996-01-01"
+Q5_END = "1997-01-01"
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = Q5_REGION,
+    start: str = Q5_START,
+    end: str = Q5_END,
+) -> DataFrame:
+    """(n_name, revenue) — TPC-H Q5 (local supplier volume): revenue
+    from lineitems where the supplier and the ordering customer sit in
+    the same nation, for one region and one order-date year. The
+    widest classic join in the suite — six tables — and the canonical
+    broadcast-chain exercise.
+
+    Join strategy for 100 TB: region (constant) and nation (25 rows)
+    are FORCED broadcasts — they never grow with SF. supplier and
+    customer grow linearly, so no hint: AQE broadcasts them while the
+    region-pruned side fits, else they shuffle on their keys. The
+    fact-fact join (lineitem x filtered orders) shuffles on orderkey;
+    the same-nation condition (c_nationkey = s_nationkey) rides the
+    supplier join as an equi-key, never a post-filter on a wider
+    join. Revenue aggregates in exact cents (one rounding per
+    lineitem, order-independent BIGINT sums).
+
+    Reference parity: generalizes the reference's single-table
+    aggregation surface (pipeline/query.py) to the multi-dim star
+    shape its schema implies; same contract as DuckDB's TPC-H Q5."""
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    # supplier keyed by (suppkey) carrying its nation; the region
+    # prune lands via the broadcast nat join
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.select("c_custkey", "c_nationkey")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.select("l_orderkey", "l_suppkey", rev_c.alias("rev_c"))
+    joined = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .select(
+            "n_name",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def local_supplier_volume_sql(
+    region_name: str = Q5_REGION, start: str = Q5_START, end: str = Q5_END
+) -> str:
+    """Oracle twin of :func:`local_supplier_volume`."""
+    return f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+            AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{region_name}'
+  AND o.o_orderdate >= TIMESTAMP '{start}'
+  AND o.o_orderdate < TIMESTAMP '{end}'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+""".strip()

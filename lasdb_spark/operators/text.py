@@ -1960,3 +1960,154 @@ def bpe_train_merges_sql(
         f"WITH RECURSIVE {body}\n"
         f"SELECT * FROM (\n  {union})\nORDER BY merge_rank"
     )
+
+
+def _bpe_fold_col(enc, left, right, new):
+    """One greedy leftmost-non-overlapping BPE merge pass over a
+    space-joined symbol string, as a native fold (F.aggregate).
+
+    Correctness of the fold-as-greedy argument: merging appends
+    ``new = left || right`` which can never EQUAL ``left`` (right is
+    non-empty), so a just-merged symbol can never immediately re-merge
+    — exactly the non-overlap rule; consuming left-to-right makes it
+    leftmost. The identical lambda (same CASE arms, same regexes) runs
+    in the DuckDB twin via list_reduce, so the two engines execute the
+    same algorithm rather than two arguably-equivalent ones."""
+    syms = F.split(enc, " ")
+    lam = lambda acc, x: (  # noqa: E731
+        F.when(acc == "", x)
+        .when(
+            (F.regexp_extract(acc, "[^ ]+$", 0) == left) & (x == right),
+            F.ltrim(
+                F.concat(
+                    F.regexp_replace(acc, "( |^)[^ ]+$", ""),
+                    F.lit(" "),
+                    new,
+                )
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x))
+    )
+    return F.aggregate(syms, F.lit(""), lam)
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    min_freq: int = BPE_MIN_FREQ,
+    max_types: int = BPE_MAX_TYPES,
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_bpe_tokens) — tokenizer APPLY:
+    train the BPE merge table (:func:`bpe_train_merges`) and encode
+    the whole corpus with it, reporting exact per-document subword
+    counts. Completes the train → encode loop: training bounds its
+    driver state by (min_freq, max_types); encoding handles EVERY
+    word, including ones training pruned.
+
+    Scale shape: encoding is a pure function of the word, so it runs
+    once per DISTINCT word — the fold chain (one native F.aggregate
+    per merge, no Python) lives on the vocabulary-sized table, never
+    the token stream. The corpus-sized work is one (doc_id, word)
+    tf aggregation; the tf⋈vocab join is on the collapsed tf table
+    (hot words are one row per doc, so the classic stopword skew
+    never concentrates a key beyond a doc count — and AQE skew-join
+    covers even that). At 100 TB: one corpus shuffle for training,
+    one for tf, a vocab-sized fold, one vocab join.
+
+    Reference parity: the tokenize/aggregate text surface the
+    reference's documents pipeline implies (cites SURVEY §2 text
+    family); contract matches HuggingFace-style BPE greedy encoding
+    at word granularity."""
+    merges = [
+        (r["left"], r["right"], r["new_symbol"])
+        for r in bpe_train_merges(
+            docs, n_merges, min_freq, max_types
+        ).collect()
+    ]
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    vocab = tf.select("word").distinct()
+    enc = F.array_join(F.split(F.col("word"), ""), " ")
+    for left, right, new in merges:
+        enc = _bpe_fold_col(enc, F.lit(left), F.lit(right), F.lit(new))
+    vocab = vocab.select(
+        "word",
+        F.size(F.split(enc, " ")).cast("long").alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars_w"),
+    )
+    return (
+        tf.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_chars_w")).alias("n_chars"),
+            F.sum(F.col("tf") * F.col("n_toks")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_corpus_sql(
+    n_merges: int = BPE_N_MERGES,
+    min_freq: int = BPE_MIN_FREQ,
+    max_types: int = BPE_MAX_TYPES,
+) -> str:
+    """Oracle twin of :func:`bpe_encode_corpus`: replays training via
+    the :func:`bpe_train_merges_sql` CTE chain, then applies each
+    learned merge to every distinct corpus word with the IDENTICAL
+    greedy fold lambda (list_reduce with a '' bootstrap = F.aggregate
+    with a '' initial). LEFT JOIN ON TRUE keeps words intact through
+    a round whose training stopped early (empty best{t})."""
+    train = bpe_train_merges_sql(n_merges, min_freq, max_types)
+    # reuse the training CTE body (strip the trailing SELECT)
+    body = train[len("WITH RECURSIVE ") : train.rindex("\nSELECT * FROM (")]
+    n = max(1, n_merges)
+    ctes = [body]
+    pat = WORD_RE.replace("'", "''")
+    ctes.append(f"""tfq AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+    FROM documents) GROUP BY 1, 2)""")
+    ctes.append("""encq0 AS (
+  SELECT word,
+         array_to_string(list_transform(range(1, length(word) + 1),
+             i -> substr(word, CAST(i AS INT), 1)), ' ') AS enc
+  FROM (SELECT DISTINCT word FROM tfq))""")
+    for t in range(n):
+        fold = (
+            "list_reduce(list_prepend('', str_split(e.enc, ' ')),"
+            " (acc, x) -> CASE WHEN acc = '' THEN x"
+            " WHEN regexp_extract(acc, '[^ ]+$') = b.l AND x = b.r2"
+            " THEN ltrim(regexp_replace(acc, '( |^)[^ ]+$', '')"
+            " || ' ' || b.l || b.r2)"
+            " ELSE acc || ' ' || x END)"
+        )
+        ctes.append(f"""encq{t + 1} AS (
+  SELECT e.word,
+         CASE WHEN b.l IS NULL THEN e.enc ELSE {fold} END AS enc
+  FROM encq{t} e LEFT JOIN best{t} b ON TRUE)""")
+    ctes.append(f"""vocabq AS (
+  SELECT word, CAST(len(str_split(enc, ' ')) AS BIGINT) AS n_toks,
+         CAST(length(word) AS BIGINT) AS n_chars_w
+  FROM encq{n})""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+SELECT t.doc_id, SUM(t.tf) AS n_words,
+       SUM(t.tf * v.n_chars_w) AS n_chars,
+       SUM(t.tf * v.n_toks) AS n_bpe_tokens
+FROM tfq t JOIN vocabq v USING (word)
+GROUP BY 1 ORDER BY doc_id"""
+    )

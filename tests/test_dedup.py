@@ -381,3 +381,62 @@ def test_cluster_size_histogram_accounting(spark, sf_dir):
     h = {r.cluster_size: r.n_clusters
          for r in cluster_size_histogram(planted).collect()}
     assert h == {1: 2, 3: 1}
+
+
+@pytest.mark.spark
+def test_duplicate_spans_planted_passage(spark):
+    """A 12-token passage planted in two otherwise-unrelated docs must
+    surface as one maximal run per doc with the exact token extent;
+    unique docs must emit nothing; a same-doc repeat must NOT count
+    (min_docs is DISTINCT docs)."""
+    from lasdb_spark.operators.dedup import duplicate_spans
+
+    passage = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " trailing one"),
+            (2, passage + " completely different ending text follows now"),
+            (3, "nothing shared with anything else at all in this doc"),
+            # doc 4 repeats ITS OWN phrase twice - within-doc repeats
+            # alone never cross the distinct-doc threshold
+            (4, "solo repeated phrase alpha beta gamma delta epsilon "
+                "solo repeated phrase alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    runs = duplicate_spans(docs, width=8, min_docs=2).collect()
+    by_doc = {}
+    for r in runs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    (r1,), (r2,) = by_doc[1], by_doc[2]
+    # doc1: passage tokens 3..14 -> window starts 3..7 (12-8+1=5 wins)
+    assert (r1["run_start"], r1["run_end"], r1["span_tokens"]) == (3, 7, 12)
+    # doc2: passage at 0 -> starts 0..4
+    assert (r2["run_start"], r2["run_end"], r2["span_tokens"]) == (0, 4, 12)
+    assert r1["run_windows"] == 5 and r2["run_windows"] == 5
+
+
+@pytest.mark.spark
+def test_duplicate_spans_short_docs_and_merge(spark):
+    """Docs shorter than the window emit nothing (no negative-range
+    blowup); two disjoint shared passages in one doc yield two runs."""
+    from lasdb_spark.operators.dedup import duplicate_spans
+
+    shared_a = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    shared_b = "one two three four five six seven eight"  # 8 toks
+    docs = spark.createDataFrame(
+        [
+            (1, shared_a + " xx yy zz ww " + shared_b),
+            (2, shared_a),
+            (3, shared_b),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    runs = duplicate_spans(docs, width=8, min_docs=2).collect()
+    d1 = sorted(
+        (r["run_start"], r["run_end"]) for r in runs if r["doc_id"] == 1
+    )
+    assert d1 == [(0, 0), (12, 12)]
+    assert {r["doc_id"] for r in runs} == {1, 2, 3}

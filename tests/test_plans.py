@@ -362,7 +362,13 @@ def test_tpch_growing_sides_unforced_yet_broadcast(spark, sf_dir):
     broadcast via AQE / size estimation, so nothing regressed locally."""
     import __spark_entry__ as entry_mod
 
-    for name in ("rel_min_cost_supplier", "rel_shipping_priority"):
+    # rel_local_supplier (Q5, r7) follows the same policy from birth:
+    # region/nation forced, supplier/customer/orders AQE-gated
+    for name in (
+        "rel_min_cost_supplier",
+        "rel_shipping_priority",
+        "rel_local_supplier",
+    ):
         df = entry_mod.queries()[name](spark, str(sf_dir))
         df.collect()  # let AQE finalize the plan
         plan = _plan(df)

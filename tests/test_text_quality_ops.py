@@ -527,3 +527,51 @@ def test_importance_scores_favor_target_sources(spark, sf_dir):
     t = [r.affinity for r in rows if r.source in DSIR_TARGET_SOURCES]
     r_ = [r.affinity for r in rows if r.source not in DSIR_TARGET_SOURCES]
     assert sum(t) / len(t) > sum(r_) / len(r_)
+
+
+@pytest.mark.spark
+def test_bpe_encode_corpus_hand_case(spark):
+    """Tokenizer APPLY: a corpus whose first two merges are known
+    ('lo', then 'w'+'lo'? — pinned below) must report exactly the
+    hand-computed subword counts, including for a word the trainer's
+    min_freq prune never saw (encoding covers EVERY word)."""
+    from lasdb_spark.operators.text import bpe_encode_corpus
+
+    # 'low' x4, 'lower' x2 -> pair counts: (l,o)=6, (o,w)=6, (w,e)=2,
+    # (e,r)=2; ties break lexically: merge1 = (l,o)->'lo';
+    # round 2: (lo,w)=6 -> merge2 = 'low'; round 3 on survivors:
+    # 'low' is a single symbol (dropped), 'lower' = low|e|r:
+    # (low,e)=2, (e,r)=2 -> merge3 = (e,r)? ties: ('e','r') vs
+    # ('low','e') -> 'e' < 'low' so merge3 = ('e','r')->'er'
+    docs = spark.createDataFrame(
+        [(1, "low low low low"), (2, "lower lower"), (3, "lowest")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in bpe_encode_corpus(docs, n_merges=3, min_freq=2).collect()
+    }
+    # doc1: 4 x 'low' -> 1 token each after merge2
+    assert out[1] == (4, 12, 4)
+    # doc2: 2 x 'lower' -> low|er -> 2 tokens each
+    assert out[2] == (2, 10, 4)
+    # doc3: 'lowest' appears once (pruned from TRAINING by min_freq=2)
+    # but still encodes: low|e|s|t -> 4 tokens
+    assert out[3] == (1, 6, 4)
+
+
+@pytest.mark.spark
+def test_bpe_encode_greedy_nonoverlap(spark):
+    """aaaa -> [aa][aa], aaa -> [aa][a] under merge (a,a): the fold is
+    leftmost-non-overlapping, exactly Java/RE-free greedy BPE."""
+    from lasdb_spark.operators.text import bpe_encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaa aaa")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_corpus(docs, n_merges=1, min_freq=1).collect()
+    }
+    assert out[1] == 4  # two words x [aa][aa]
+    assert out[2] == 4  # two words x [aa][a]
