@@ -555,6 +555,26 @@ def _q_dedup_spans(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir))
 
 
+def _q_rel_key_skew(spark, sf_dir):
+    """Key-skew diagnostics (r7): top-20 heaviest user_ids with exact
+    ppm share + the salt factor that flattens each to mean load — the
+    report you run BEFORE a 100 TB join on a user-chosen key."""
+    return _rel.key_skew_report(_ev(spark, sf_dir))
+
+
+def _q_rel_scd2(spark, sf_dir):
+    """SCD type-2 dimension build (r7): per-user event_type versions
+    with validity intervals; current version open-ended (NULL)."""
+    return _rel.scd2_history(_ev(spark, sf_dir))
+
+
+def _q_rel_profile(spark, sf_dir):
+    """Exact column profiler (r7): one-pass per-column null/distinct
+    counts + numeric min/max over the events table — the ingest
+    quality gate."""
+    return _rel.profile_columns(_ev(spark, sf_dir))
+
+
 def _q_rel_local_supplier(spark, sf_dir):
     """TPC-H Q5 (r7): six-table broadcast-chain join — revenue where
     supplier and customer share a nation, per region/year."""
@@ -1838,6 +1858,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_encode": _text.bpe_encode_corpus_sql(),
         "dedup_spans": _dedup.duplicate_spans_sql(),
         "rel_local_supplier": _rel.local_supplier_volume_sql(),
+        "rel_key_skew": _rel.key_skew_report_sql(),
+        "rel_scd2": _rel.scd2_history_sql(),
+        "rel_profile": _rel.profile_columns_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1969,7 +1992,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """170 entries, ordered so every query gets a driver CORRECTNESS
+    """173 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-7 rotation (exactly what the r6 docstring
     committed to, with the house results-changed-first rule applied):
@@ -1986,7 +2009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup; pc_contours — marching-squares contour census;
     text_bpe_encode — tokenizer APPLY closing the train→encode loop;
     dedup_spans — exact duplicated-substring runs, the Lee-et-al.
-    granularity; rel_local_supplier — TPC-H Q5 six-table join), then the
+    granularity; rel_local_supplier — TPC-H Q5 six-table join;
+    rel_key_skew — skew diagnostics with exact ppm shares + salt
+    factors; rel_scd2 — type-2 dimension build; rel_profile — one-pass
+    exact column profiler), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -2014,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": _q_text_bpe_encode,
         "dedup_spans": _q_dedup_spans,
         "rel_local_supplier": _q_rel_local_supplier,
+        "rel_key_skew": _q_rel_key_skew,
+        "rel_scd2": _q_rel_scd2,
+        "rel_profile": _q_rel_profile,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -447,6 +447,9 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_local_supplier": lambda: _eq["rel_local_supplier"](
                 spark, sf_dir
             ),
+            "rel_key_skew": lambda: _eq["rel_key_skew"](spark, sf_dir),
+            "rel_scd2": lambda: _eq["rel_scd2"](spark, sf_dir),
+            "rel_profile": lambda: _eq["rel_profile"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -1640,3 +1640,232 @@ WHERE r.r_name = '{region_name}'
   AND o.o_orderdate < TIMESTAMP '{end}'
 GROUP BY 1 ORDER BY revenue DESC, n_name
 """.strip()
+
+
+def key_skew_report(
+    events: DataFrame, key: str = "user_id", top_k: int = 20
+) -> DataFrame:
+    """(rank, key_val, n, share_ppm, suggested_salt) — the top-k
+    heaviest grouping keys with their traffic share (exact parts per
+    million) and the salt factor that would flatten each to the mean
+    key load. The ops primitive BEFORE a 100 TB join/groupBy on a
+    user-chosen key: every skew mitigation in this repo (dedup's
+    exact-dup collapse armor, AQE skew-join) starts from knowing which
+    keys are hot and by how much; this makes that a queryable report
+    rather than a post-mortem.
+
+    Exactness: share_ppm = n·10⁶ div total; suggested_salt =
+    ceil(n · n_keys / total) — all BIGINT, zero floats. Plan: ONE
+    partial-agg groupBy(key) (map-side combine absorbs the hot keys —
+    the report itself cannot be skew-broken), a single-row total/keys
+    agg crossed back in (broadcast of 1 row), TakeOrdered top-k."""
+    per_key = events.groupBy(F.col(key).alias("key_val")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    from pyspark.sql import Window as W
+
+    top = (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n").desc(), "key_val")
+        .limit(top_k)
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.col("n").desc(), "key_val")
+    )
+    return top.select(
+        rank.cast("int").alias("rank"),
+        F.col("key_val").cast("long").alias("key_val"),
+        "n",
+        F.expr("(n * 1000000) div total").alias("share_ppm"),
+        F.expr("(n * n_keys + total - 1) div total").alias(
+            "suggested_salt"
+        ),
+    )
+
+
+def key_skew_report_sql(key: str = "user_id", top_k: int = 20) -> str:
+    """Oracle twin of :func:`key_skew_report`."""
+    return f"""
+WITH per_key AS (
+  SELECT {key} AS key_val, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+totals AS (
+  SELECT SUM(n) AS total, CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, key_val) AS INT) AS rank,
+       CAST(key_val AS BIGINT) AS key_val, n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST((n * n_keys + total - 1) // total AS BIGINT)
+         AS suggested_salt
+FROM per_key CROSS JOIN totals
+ORDER BY n DESC, key_val LIMIT {top_k}
+""".strip()
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """(user_id, event_type, valid_from_ms, valid_to_ms, n_events) —
+    slowly-changing-dimension TYPE 2 build: collapse each user's event
+    stream into attribute VERSIONS — consecutive runs of the same
+    event_type become one row with its validity interval; the current
+    version carries valid_to_ms = NULL. The lakehouse dimension-build
+    next to :func:`cdc_snapshot` (type 1, latest-wins): type 2 keeps
+    the full history queryable by AS-OF time.
+
+    Plan: one user-partitioned ordered window (lag → change flag →
+    running version counter), one groupBy(user, version), one more
+    user-partitioned lead for valid_to. All state is per-user ordered
+    windows — partitioned by the key, never global. Event-id
+    tie-breaks make same-timestamp orders deterministic."""
+    from pyspark.sql import Window as W
+
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(ms, "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ms.alias("ts_ms"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    vers = flagged.withColumn(
+        "version",
+        F.sum("chg").over(
+            W.partitionBy("user_id")
+            .orderBy("ts_ms", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    hist = vers.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("valid_from_ms")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(wv).alias("valid_to_ms"),
+        "n_events",
+    ).orderBy("user_id", "valid_from_ms")
+
+
+def scd2_history_sql() -> str:
+    """Oracle twin of :func:`scd2_history`."""
+    return """
+WITH flagged AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+vers AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged),
+hist AS (
+  SELECT user_id, version, event_type,
+         MIN(ts_ms) AS valid_from_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM vers GROUP BY 1, 2, 3)
+SELECT user_id, event_type, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY user_id
+                                 ORDER BY valid_from_ms) AS valid_to_ms,
+       n_events
+FROM hist ORDER BY user_id, valid_from_ms
+""".strip()
+
+
+PROFILE_COLS = (
+    "event_id", "ts", "user_id", "event_type", "value", "props",
+)
+
+
+def profile_columns(events: DataFrame, cols=PROFILE_COLS) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_num, max_num) — exact
+    per-column data-profiling report: row/null/distinct counts for
+    every column, plus numeric min/max (timestamps as epoch-ms;
+    strings carry NULL min/max — no cross-engine string-format
+    roulette). The quality gate a 100 TB ingest runs FIRST: schema
+    drift, null floods, and cardinality explosions all show up here
+    before they poison a downstream join.
+
+    Plan: a single pass — one agg computes every column's counters
+    side by side (count/isnull/min/max are map-side partials;
+    count(DISTINCT a), count(DISTINCT b), … in one agg plans as
+    Spark's EXPAND fan-out: |cols|× map-side rows, ONE shuffle, no
+    per-column jobs), then an unpivot (stack) to the report shape.
+    Nothing is driver-side; fan-out is bounded by the column count."""
+    num_t = {"bigint", "int", "double", "float", "smallint", "long"}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        dt = dict(events.dtypes)[c]
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__dist"))
+        if dt == "timestamp" or dt == "timestamp_ntz":
+            val = F.unix_millis(F.col(c).cast("timestamp")).cast("double")
+        elif dt in num_t:
+            val = F.col(c).cast("double")
+        else:
+            val = F.lit(None).cast("double")
+        aggs.append(F.min(val).alias(f"{c}__min"))
+        aggs.append(F.max(val).alias(f"{c}__max"))
+    one = events.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS "
+                "(column, n_null, n_distinct, min_num, max_num)"
+            ),
+        )
+        .select(
+            "column", "n_rows", "n_null", "n_distinct",
+            "min_num", "max_num",
+        )
+        .orderBy("column")
+    )
+
+
+def profile_columns_sql(cols=PROFILE_COLS) -> str:
+    """Oracle twin of :func:`profile_columns`."""
+    num_t = {"event_id", "user_id", "value"}
+    parts = []
+    for c in cols:
+        if c == "ts":
+            mn = "CAST(min(epoch_ms(ts)) AS DOUBLE)"
+            mx = "CAST(max(epoch_ms(ts)) AS DOUBLE)"
+        elif c in num_t:
+            mn, mx = (
+                f"CAST(min({c}) AS DOUBLE)",
+                f"CAST(max({c}) AS DOUBLE)",
+            )
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+  SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num
+  FROM events""")
+    return (
+        "SELECT * FROM ("
+        + "\n  UNION ALL".join(parts)
+        + ') ORDER BY "column"'
+    )

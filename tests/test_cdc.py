@@ -156,3 +156,89 @@ def test_top_session_paths_semantics(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     got = {r.path: r.n for r in top_session_paths(df, k=10).collect()}
     assert got == {"a>b>c": 1, "b>c>d": 1, "c>d>e": 1}
+
+
+@pytest.mark.spark
+def test_scd2_history_versions_and_open_end(spark):
+    """Consecutive same-type runs collapse to one version; type flips
+    open new versions; the latest version has valid_to_ms NULL and
+    each valid_to equals the next valid_from (no gaps/overlaps)."""
+    from lasdb_spark.operators.relational import scd2_history
+
+    rows = [
+        # user 1: view,view -> click -> view  (3 versions)
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:10:00", 1, "view"),
+        (3, "2024-01-01 00:20:00", 1, "click"),
+        (4, "2024-01-01 00:30:00", 1, "view"),
+        # user 2: single event, stays open
+        (5, "2024-01-01 01:00:00", 2, "error"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_history(ev).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["event_type"] for r in u1] == ["view", "click", "view"]
+    assert [r["n_events"] for r in u1] == [2, 1, 1]
+    # interval chaining: valid_to == next valid_from; last is NULL
+    assert u1[0]["valid_to_ms"] == u1[1]["valid_from_ms"]
+    assert u1[1]["valid_to_ms"] == u1[2]["valid_from_ms"]
+    assert u1[2]["valid_to_ms"] is None
+    (u2,) = [r for r in out if r["user_id"] == 2]
+    assert u2["valid_to_ms"] is None and u2["n_events"] == 1
+
+
+@pytest.mark.spark
+def test_key_skew_report_salt_math(spark):
+    """A planted hot key reads the exact integer share and the salt
+    factor that flattens it to mean key load."""
+    from lasdb_spark.operators.relational import key_skew_report
+
+    # key 7 -> 60 events, keys 1..4 -> 10 each: total 100, n_keys 5
+    rows = []
+    eid = 0
+    for _ in range(60):
+        rows.append((eid, "2024-01-01 00:00:00", 7, "view", 0.0, "{}")); eid += 1
+    for k in (1, 2, 3, 4):
+        for _ in range(10):
+            rows.append((eid, "2024-01-01 00:00:00", k, "view", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["key_val"]: r for r in key_skew_report(ev, top_k=3).collect()}
+    hot = out[7]
+    assert hot["rank"] == 1 and hot["n"] == 60
+    assert hot["share_ppm"] == 600_000  # exactly 60%
+    # mean key load = 100/5 = 20; 60/20 = 3 -> salt 3
+    assert hot["suggested_salt"] == 3
+    assert out[1]["suggested_salt"] == 1  # 10 < mean? 10*5/100 = 0.5 -> ceil 1
+
+
+@pytest.mark.spark
+def test_profile_columns_nulls_and_types(spark):
+    """Null floods and cardinality read exactly; strings carry NULL
+    min/max; timestamps profile as epoch-ms."""
+    from lasdb_spark.operators.relational import profile_columns
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "a", 1.5, None),
+            (2, "2024-01-02 00:00:00", None, "b", None, "{}"),
+            (3, None, 10, "a", 3.5, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["column"]: r for r in profile_columns(ev).collect()}
+    assert out["user_id"]["n_null"] == 1
+    assert out["user_id"]["n_distinct"] == 1
+    assert out["value"]["min_num"] == 1.5 and out["value"]["max_num"] == 3.5
+    assert out["event_type"]["min_num"] is None  # strings: no numeric range
+    assert out["ts"]["n_null"] == 1
+    assert out["ts"]["min_num"] == 1704067200000.0
+    assert all(r["n_rows"] == 3 for r in out.values())
