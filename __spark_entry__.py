@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lasdb_spark.operators import bucketed as _bucketed
 from lasdb_spark.operators import change as _change
 from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
@@ -573,6 +574,33 @@ def _q_rel_profile(spark, sf_dir):
     counts + numeric min/max over the events table — the ingest
     quality gate."""
     return _rel.profile_columns(_ev(spark, sf_dir))
+
+
+_BUCKETED: dict[str, tuple] = {}
+
+
+def _q_rel_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (r7): fact + user-dim both bucketed on
+    user_id — the join plans with ZERO Exchange (pay the shuffle once
+    at write time, never per query); plan-gated in tests/test_plans.py.
+    Values oracle against the same rollup recomputed from raw events."""
+    import re
+    import tempfile
+
+    from lasdb_spark.operators.bucketed import (
+        bucketed_event_user_tables,
+        bucketed_join_rollup,
+    )
+
+    pair = _BUCKETED.get(sf_dir)
+    if pair is None:
+        tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").split("/")[-1])
+        base = tempfile.mkdtemp(prefix="lasdb_bucketed_")
+        pair = bucketed_event_user_tables(
+            spark, _ev(spark, sf_dir), base, tag=tag
+        )
+        _BUCKETED[sf_dir] = pair
+    return bucketed_join_rollup(*pair)
 
 
 def _q_rel_local_supplier(spark, sf_dir):
@@ -1861,6 +1889,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_key_skew": _rel.key_skew_report_sql(),
         "rel_scd2": _rel.scd2_history_sql(),
         "rel_profile": _rel.profile_columns_sql(),
+        "rel_bucketed_join": _bucketed.bucketed_join_rollup_sql(),
         "dedup_chunk_pairs": _dedup.chunk_neardup_pairs_sql(),
         "text_bigram_surprisal": _text.bigram_surprisal_sql(),
         "dedup_crosscorpus": _dedup.crosscorpus_neardup_pairs_sql(),
@@ -1992,7 +2021,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """173 entries, ordered so every query gets a driver CORRECTNESS
+    """174 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-7 rotation (exactly what the r6 docstring
     committed to, with the house results-changed-first rule applied):
@@ -2012,7 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     granularity; rel_local_supplier — TPC-H Q5 six-table join;
     rel_key_skew — skew diagnostics with exact ppm shares + salt
     factors; rel_scd2 — type-2 dimension build; rel_profile — one-pass
-    exact column profiler), then the
+    exact column profiler; rel_bucketed_join — co-located zero-Exchange
+    bucketed join), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -2043,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_key_skew": _q_rel_key_skew,
         "rel_scd2": _q_rel_scd2,
         "rel_profile": _q_rel_profile,
+        "rel_bucketed_join": _q_rel_bucketed_join,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

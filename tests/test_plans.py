@@ -445,3 +445,34 @@ def test_ann_index_incremental_append_equals_single_shot(spark, sf_dir):
     qa = [tuple(r) for r in topk_ivfpq_stored(spark, single, embs).collect()]
     qb = [tuple(r) for r in topk_ivfpq_stored(spark, split, embs).collect()]
     assert qa == qb
+
+
+@pytest.mark.spark
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """r7: the bucketed fact⋈dim join must plan with ZERO Exchange —
+    both sides read as bucketed scans (Bucketed: true, all buckets
+    selected) feeding the SortMergeJoin directly. Broadcast is
+    disabled for the gate so AQE can't mask a missing co-location."""
+    from lasdb_spark.operators.bucketed import (
+        bucketed_enrich_join,
+        bucketed_event_user_tables,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        fact, dim = bucketed_event_user_tables(
+            spark, ev, str(tmp_path / "bkt"), tag="plangate"
+        )
+        j = bucketed_enrich_join(fact, dim)
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # values: row-level enrichment preserves the fact row count
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_fact_plangate")
+        spark.sql("DROP TABLE IF EXISTS bkt_dim_plangate")
