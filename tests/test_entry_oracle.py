@@ -25,22 +25,31 @@ TABLES = [
 
 # Megabyte-scale composed twins (ann_recall_report is ~662 KB of SQL)
 # have flaked with OutOfMemoryException under full-suite memory
-# pressure (24 GB Spark JVM + in-process DuckDB).  Two defenses:
-# every mirror connection gets an explicit memory_limit + a spill
+# pressure (24 GB Spark JVM + in-process DuckDB).  Defenses: every
+# mirror connection gets an explicit memory_limit + its own spill
 # temp_directory (DuckDB spills instead of aborting), and twins above
-# this SQL size run in their OWN dedicated connection.
+# this SQL size run in their OWN dedicated connection with a MUCH
+# higher limit — measured on this host, the ann_recall_report twin
+# holds >8 GB of non-evictable intermediate state (it aborts at
+# memory_limit=8GB even solo with 124 GB free, and completes at 48GB
+# in ~30 s), so the big-twin limit is 48GB; the host always has >100
+# GB and pytest runs the mirror serially, so only one big twin's
+# pool is ever live at once.
 _BIG_SQL_BYTES = 64_000
 
 
-def _configure(con):
-    con.sql("SET memory_limit='8GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.sql("SET max_temp_directory_size='32GB'")
+def _configure(con, big=False):
+    import tempfile
+
+    con.sql(f"SET memory_limit='{'48GB' if big else '8GB'}'")
+    spill = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
+    con.sql(f"SET temp_directory='{spill}'")
+    con.sql("SET max_temp_directory_size='64GB'")
     return con
 
 
-def _fresh_con(sf_dir):
-    con = _configure(duckdb.connect())
+def _fresh_con(sf_dir, big=False):
+    con = _configure(duckdb.connect(), big=big)
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -76,10 +85,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         assert len(srows) >= 0  # rows-only check
         return
     if len(sql) >= _BIG_SQL_BYTES:
-        # dedicated, spill-configured connection for the composed
+        # dedicated, spill-configured 48GB connection for the composed
         # megabyte-scale twins — isolates their peak from the shared
         # module connection and from each other
-        big = _fresh_con(sf_dir)
+        big = _fresh_con(sf_dir, big=True)
         try:
             res = big.sql(sql)
             dcols = res.columns
@@ -92,10 +101,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
             dcols = res.columns
             drows = res.fetchall()
         except duckdb.OutOfMemoryException:
-            # last-ditch armor: a FRESH spill-configured connection
+            # last-ditch armor: a FRESH big-configured connection
             # separates a real oracle failure (re-raises) from an
             # environment flake under memory pressure
-            fresh = _fresh_con(sf_dir)
+            fresh = _fresh_con(sf_dir, big=True)
             try:
                 res = fresh.sql(sql)
                 dcols = res.columns
