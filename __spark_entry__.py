@@ -1735,6 +1735,133 @@ def _q_bloom_probe(spark, sf_dir):
     return bloom_probe_report(_docs(spark, sf_dir))
 
 
+def _q_rel_order_priority(spark, sf_dir):
+    """TPC-H Q4 (r7): late-order counts per priority via an EXISTS
+    semi-join with a non-equi residual."""
+    return _rel.order_priority_check(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_rel_nation_trade(spark, sf_dir):
+    """TPC-H Q7 (r7): bilateral two-nation trade volume per ship year
+    (filter-below-join nation pruning)."""
+    return _rel.nation_trade_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_product_profit(spark, sf_dir):
+    """TPC-H Q9 (r7): product-type profit per supplier nation/year
+    (cents-exact profit, five-table join)."""
+    return _rel.product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_returned_items(spark, sf_dir):
+    """TPC-H Q10 (r7): top-k customers by returned revenue in one
+    quarter (TakeOrdered, never a global sort)."""
+    return _rel.returned_item_report(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_promo_share(spark, sf_dir):
+    """TPC-H Q14 (r7): PROMO-part revenue share per month (conditional
+    cents sums in one partial agg)."""
+    return _rel.promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_snapshot_diff(spark, sf_dir):
+    """Table-versioning DIFF (r7): added/removed/changed keys with a
+    per-column change list, between the CDC snapshot as of the split
+    and the final snapshot."""
+    from lasdb_spark.operators.relational import cdc_snapshot, snapshot_diff
+
+    ev = _ev(spark, sf_dir)
+    ms = F.unix_millis(F.col("ts"))
+    old = cdc_snapshot(ev.filter(ms < CDC_SPLIT_MS))
+    return snapshot_diff(old, cdc_snapshot(ev))
+
+
+def _q_rel_triangles(spark, sf_dir):
+    """Degree-ordered distributed triangle counting (r7) over the
+    parts-bought-together graph."""
+    from lasdb_spark.operators.graph import copurchase_triangles
+
+    return copurchase_triangles(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_pc_density(spark, sf_dir):
+    """Point-density / coverage-gap QA report (r7): dense survey grid
+    generated inside the plan, zero-return cells flagged."""
+    from lasdb_spark.operators.grid import point_density
+
+    return point_density(points_df(spark, sf_dir))
+
+
+def _q_mm_silence(spark, sf_dir):
+    """Audio silence segmentation (r7): maximal silent-frame runs
+    found inside the real WAV byte walk; islands-trick oracle."""
+    from lasdb_spark.operators.multimodal import (
+        detect_silence_segments,
+        make_audio_corpus_gapped,
+    )
+
+    return detect_silence_segments(
+        make_audio_corpus_gapped(_docs(spark, sf_dir))
+    )
+
+
+def _q_rel_brand_discounts(spark, sf_dir):
+    """TPC-H Q19 (r7): OR-of-ANDs brand/size/quantity revenue —
+    disjunction halves pushed below the partkey join."""
+    return _rel.discounted_brand_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_text_perceptron(spark, sf_dir):
+    """Batch-perceptron quality-classifier training (r7): distill the
+    ensemble gate into hashed-unigram linear weights; integer-exact
+    rounds replayed by the unrolled-CTE oracle."""
+    from lasdb_spark.operators.text import perceptron_quality_train
+
+    return perceptron_quality_train(_docs(spark, sf_dir))
+
+
+def _q_stream_cm_topk(spark, sf_dir):
+    """Drained streaming Count-Min sketch (r7) probed for every
+    event type == the batch sketch (additive counters)."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.sketch import (
+        cm_probe_report,
+        drained_final,
+        stream_cm_counts,
+    )
+
+    tbl = _drained(
+        stream_cm_counts(events_stream_multibatch(spark, sf_dir)),
+        "s_cm",
+    )
+    drained = drained_final(spark, tbl, ["d"])
+    return cm_probe_report(drained, _ev(spark, sf_dir))
+
+
 def oracle_sql() -> dict[str, str]:
     (cx, cy), r = CIRCLE
     px, py = KNN_POINT
@@ -1742,6 +1869,19 @@ def oracle_sql() -> dict[str, str]:
     head = sqlgen.split_head_sql("sfc_key", _TAIL_LEN)
     tail = sqlgen.split_tail_sql("sfc_key", _TAIL_LEN)
     return {
+        # --- new in r7 (this session) ---
+        "rel_order_priority": _rel.order_priority_check_sql(),
+        "rel_nation_trade": _rel.nation_trade_volume_sql(),
+        "rel_product_profit": _rel.product_type_profit_sql(),
+        "rel_returned_items": _rel.returned_item_report_sql(),
+        "rel_promo_share": _rel.promo_revenue_share_sql(),
+        "rel_snapshot_diff": _rel.snapshot_diff_sql(CDC_SPLIT_MS),
+        "rel_triangles": _graph.copurchase_triangles_sql(),
+        "pc_density": _grid.point_density_sql(_PTS),
+        "stream_cm_topk": _ssketch.stream_cm_sql(),
+        "text_perceptron": _text.perceptron_quality_train_sql(),
+        "rel_brand_discounts": _rel.discounted_brand_revenue_sql(),
+        "mm_silence": _multimodal.silence_segments_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2042,7 +2182,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_key_skew — skew diagnostics with exact ppm shares + salt
     factors; rel_scd2 — type-2 dimension build; rel_profile — one-pass
     exact column profiler; rel_bucketed_join — co-located zero-Exchange
-    bucketed join), then the
+    bucketed join; rel_order_priority / rel_nation_trade /
+    rel_product_profit / rel_returned_items / rel_promo_share — TPC-H
+    Q4/Q7/Q9/Q10/Q14 shapes adapted to the testdata schema;
+    rel_snapshot_diff — table-versioning DIFF with per-column change
+    lists; rel_triangles — degree-ordered distributed triangle count
+    over the co-purchase graph; pc_density — survey coverage/gap QA
+    over an in-plan dense grid; stream_cm_topk — drained streaming
+    Count-Min sketch probe report; text_perceptron — batch-perceptron
+    quality-classifier training, integer-exact rounds replayed by an
+    unrolled-CTE oracle; rel_brand_discounts — TPC-H Q19 OR-of-ANDs
+    with both disjunction hulls pushed below the join; mm_silence —
+    audio silence segmentation inside the real WAV byte walk), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -2074,6 +2225,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scd2": _q_rel_scd2,
         "rel_profile": _q_rel_profile,
         "rel_bucketed_join": _q_rel_bucketed_join,
+        "rel_order_priority": _q_rel_order_priority,
+        "rel_nation_trade": _q_rel_nation_trade,
+        "rel_product_profit": _q_rel_product_profit,
+        "rel_returned_items": _q_rel_returned_items,
+        "rel_promo_share": _q_rel_promo_share,
+        "rel_snapshot_diff": _q_rel_snapshot_diff,
+        "rel_triangles": _q_rel_triangles,
+        "pc_density": _q_pc_density,
+        "stream_cm_topk": _q_stream_cm_topk,
+        "text_perceptron": _q_text_perceptron,
+        "rel_brand_discounts": _q_rel_brand_discounts,
+        "mm_silence": _q_mm_silence,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -169,6 +169,10 @@ def _section_point_cloud(spark, sf_dir, cpus, base, timings) -> None:
     suite["pc_contours"] = lambda: _entry.queries()["pc_contours"](
         spark, sf_dir
     )
+    # r7 (this session): coverage/gap density QA over the in-plan grid
+    suite["pc_density"] = lambda: _entry.queries()["pc_density"](
+        spark, sf_dir
+    )
     for name, fn in suite.items():
         timings[name] = _timed(spark, lambda fn=fn: fn().count())
 
@@ -455,6 +459,37 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_bucketed_join": lambda: _eq["rel_bucketed_join"](
                 spark, sf_dir
             ),
+            # r7 (this session): TPC-H Q4/Q7/Q9/Q10/Q14 shapes + the
+            # table-versioning DIFF (house rule: bench row the round
+            # they ship)
+            "rel_order_priority": lambda: _eq["rel_order_priority"](
+                spark, sf_dir
+            ),
+            "rel_nation_trade": lambda: _eq["rel_nation_trade"](
+                spark, sf_dir
+            ),
+            "rel_product_profit": lambda: _eq["rel_product_profit"](
+                spark, sf_dir
+            ),
+            "rel_returned_items": lambda: _eq["rel_returned_items"](
+                spark, sf_dir
+            ),
+            "rel_promo_share": lambda: _eq["rel_promo_share"](
+                spark, sf_dir
+            ),
+            "rel_snapshot_diff": lambda: _eq["rel_snapshot_diff"](
+                spark, sf_dir
+            ),
+            # r7 (this session): batch-perceptron classifier training
+            "text_perceptron": lambda: _eq["text_perceptron"](
+                spark, sf_dir
+            ),
+            # r7 (this session): Q19 OR-of-ANDs pushdown revenue
+            "rel_brand_discounts": lambda: _eq["rel_brand_discounts"](
+                spark, sf_dir
+            ),
+            # r7 (this session): audio silence segmentation (VAD)
+            "mm_silence": lambda: _eq["mm_silence"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():
@@ -537,6 +572,13 @@ def _section_heavy(spark, sf_dir, timings) -> None:
         spark, lambda: append_ann_index(inc, idx)
     )
     shutil.rmtree(idx, ignore_errors=True)
+    # r7 (this session): degree-ordered triangle counting — the wedge
+    # join is the widest shuffle in the repo (Σ d_out² rows), so it
+    # lives in the heavy section
+    timings["rel_triangles"] = _timed(
+        spark,
+        lambda: _entry.queries()["rel_triangles"](spark, sf_dir).count(),
+    )
 
 
 def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
@@ -596,6 +638,10 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
     )
     timings["stream_enriched_counts"] = _timed(
         spark, lambda: _eq["stream_enriched_counts"](spark, sf_dir).count()
+    )
+    # r7 (this session): streaming Count-Min sketch probe report
+    timings["stream_cm_topk"] = _timed(
+        spark, lambda: _eq["stream_cm_topk"](spark, sf_dir).count()
     )
 
 

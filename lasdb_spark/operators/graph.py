@@ -185,3 +185,120 @@ SELECT node, round(rank, 6) AS rank
 FROM r{max(1, n_iters)}
 ORDER BY rank DESC, node
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# degree-ordered triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
+    """(part_id, n_triangles) — per-part triangle participation in the
+    co-purchase graph: nodes are parts, an (undirected) edge links two
+    parts that appear in the same order. The census behind
+    "frequently bought together" neighborhoods and graph-feature
+    extraction.
+
+    Scale — the classic degree-ordered (Cohen / "rank-by-degree")
+    distributed triangle count, NOT the naive wedge join:
+
+    * edge construction: one self-join per order key — per-order
+      quadratic bounded by order size (≤7 lineitems here), linear in
+      the fact table overall;
+    * every edge is ORIENTED from its (degree, id)-smaller endpoint to
+      the larger. Wedges are then built only from each apex's
+      out-neighbors, so wedge count is Σ d_out² with d_out = O(√m) on
+      any graph — the skew-proof bound the unordered join lacks (a
+      celebrity node with degree 10⁶ never becomes an apex);
+    * the closing edge of a wedge (y, z) [ordered the same way] is
+      present iff the directed edge y→z exists, so one LEFT SEMI hash
+      join on (y, z) closes every triangle exactly once;
+    * per-part counts: each triangle fans out to its 3 corners (map
+      side) and one partial-agg groupBy produces the census.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dedges = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    d1 = dedges.select("src", F.col("dst").alias("y"), F.col("ddeg").alias("dy"))
+    d2 = dedges.select("src", F.col("dst").alias("z"), F.col("ddeg").alias("dz"))
+    wedges = d1.join(d2, "src").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = dedges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"], "left_semi").select(
+        "src", "y", "z"
+    )
+    corners = tri.select(
+        F.explode(F.array("src", "y", "z")).alias("part_id")
+    )
+    return corners.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def copurchase_triangles_sql() -> str:
+    """Oracle twin of :func:`copurchase_triangles`."""
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY 1),
+dedges AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN dv.d ELSE du.d END AS ddeg
+  FROM edges
+  JOIN deg du ON u = du.node
+  JOIN deg dv ON v = dv.node),
+tri AS (
+  SELECT w.src, w.y, w.z FROM (
+    SELECT d1.src, d1.dst AS y, d2.dst AS z
+    FROM dedges d1 JOIN dedges d2 ON d1.src = d2.src
+    WHERE (d1.ddeg < d2.ddeg)
+       OR (d1.ddeg = d2.ddeg AND d1.dst < d2.dst)) w
+  WHERE EXISTS (SELECT 1 FROM dedges e
+                WHERE e.src = w.y AND e.dst = w.z))
+SELECT part_id, count(*) AS n_triangles
+FROM (
+  SELECT src AS part_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+GROUP BY 1
+""".strip()

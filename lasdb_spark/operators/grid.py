@@ -667,3 +667,79 @@ SELECT level,
        CAST(SUM(s) AS BIGINT) AS n_segments
 FROM segs GROUP BY level ORDER BY level
 """.strip()
+
+
+DENSITY_CELL = 10.0  # metres per density/coverage cell edge
+
+
+def point_density(points: DataFrame, cell: float = DENSITY_CELL) -> DataFrame:
+    """(cell_x, cell_y, n_points, density, is_gap) — per-cell point
+    density over the FULL survey extent including empty cells: the
+    coverage QA report every acquisition runs before accepting a
+    delivery (density floor + hole detection). ``density`` is points
+    per m²; ``is_gap`` flags cells with zero returns.
+
+    Scale: one partial-agg groupBy reduces the cloud to occupied-cell
+    counts (area-bounded, never point-bounded); the dense grid is
+    generated INSIDE the plan from the 1-row cell-span aggregate via
+    two sequence() explodes (area/cell² rows — no driver collect, no
+    literal enumeration), and the counts LEFT-join onto it — grid side
+    grows with surveyed area, counts side with occupancy, both
+    area-bounded, so the join is AQE-gated and at 100 TB the whole
+    report costs one fact shuffle plus an area-sized join. Density is
+    one double division of an exact BIGINT by the literal cell area —
+    bit-stable across engines."""
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    counts = (
+        points.select(cx.alias("cell_x"), cy.alias("cell_y"))
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = counts.agg(
+        F.min("cell_x").alias("mnx"),
+        F.max("cell_x").alias("mxx"),
+        F.min("cell_y").alias("mny"),
+        F.max("cell_y").alias("mxy"),
+    )
+    grid = span.select(
+        F.explode(F.sequence("mnx", "mxx")).alias("cell_x"), "mny", "mxy"
+    ).select(
+        "cell_x", F.explode(F.sequence("mny", "mxy")).alias("cell_y")
+    )
+    area = cell * cell
+    return grid.join(counts, ["cell_x", "cell_y"], "left").select(
+        "cell_x",
+        "cell_y",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_points"),
+        F.round(
+            F.coalesce(F.col("n"), F.lit(0)).cast("double") / area, 6
+        ).alias("density"),
+        (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("is_gap"),
+    )
+
+
+def point_density_sql(points_cte: str, cell: float = DENSITY_CELL) -> str:
+    """Oracle twin of :func:`point_density`."""
+    return f"""
+{points_cte}, counts AS (
+  SELECT CAST(floor(x / {cell}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {cell}) AS BIGINT) AS cell_y,
+         count(*) AS n
+  FROM points GROUP BY 1, 2),
+span AS (
+  SELECT min(cell_x) AS mnx, max(cell_x) AS mxx,
+         min(cell_y) AS mny, max(cell_y) AS mxy
+  FROM counts),
+gx AS (
+  SELECT unnest(generate_series(mnx, mxx)) AS cell_x, mny, mxy FROM span),
+grid AS (
+  SELECT cell_x, unnest(generate_series(mny, mxy)) AS cell_y FROM gx)
+SELECT g.cell_x, g.cell_y,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_points,
+       round(CAST(coalesce(c.n, 0) AS DOUBLE) / {cell * cell}, 6)
+         AS density,
+       coalesce(c.n, 0) = 0 AS is_gap
+FROM grid g
+LEFT JOIN counts c ON g.cell_x = c.cell_x AND g.cell_y = c.cell_y
+""".strip()

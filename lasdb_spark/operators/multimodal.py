@@ -1318,3 +1318,140 @@ SELECT doc_id, CAST(f + 1 AS INT) AS frame_idx,
        round(CAST(sad AS DOUBLE) / (w * h), 6) > {threshold!r} AS is_cut
 FROM sad
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# audio silence segmentation (r7)
+# ---------------------------------------------------------------------------
+
+SIL_BLOCK = 100   # frames per gapped-waveform block
+SIL_PERIOD = 3    # every SIL_PERIOD-th block is silent
+SIL_THRESHOLD = 1024  # |amplitude| below this in EVERY channel = silent frame
+SIL_MIN_FRAMES = 50   # minimum run length to report
+
+SEGMENT_SCHEMA = (
+    "doc_id long, seg int, start_frame long, end_frame long, "
+    "n_frames long"
+)
+
+
+def make_audio_corpus_gapped(docs: DataFrame) -> DataFrame:
+    """Same real-WAV corpus as :func:`make_audio_corpus` but with
+    silent stretches: every ``SIL_PERIOD``-th block of ``SIL_BLOCK``
+    FRAMES is zeroed (frame-aligned across channels) — the fixture a
+    voice-activity / silence-trimming stage needs. Map-only encode."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                rate = 8000 + (doc_id % 4) * 4000
+                channels = doc_id % 2 + 1
+                n_frames = n_chars % 1000 + 250
+                samples = _test_waveform(doc_id, n_frames * channels)
+                frame_idx = np.arange(n_frames * channels) // channels
+                samples = np.where(
+                    (frame_idx // SIL_BLOCK) % SIL_PERIOD == 0, 0, samples
+                )
+                payloads.append(_encode_wav(samples, rate, channels))
+                metas.append(
+                    {"format": "wav", "declared_rate": rate,
+                     "declared_ch": channels}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _enc, schema=AUDIO_META_SCHEMA
+    )
+
+
+def detect_silence_segments(
+    corpus: DataFrame,
+    threshold: int = SIL_THRESHOLD,
+    min_frames: int = SIL_MIN_FRAMES,
+) -> DataFrame:
+    """(doc_id, seg, start_frame, end_frame, n_frames) — maximal runs
+    of >= ``min_frames`` consecutive silent frames (every channel's
+    |amplitude| < ``threshold``), the voice-activity-detection /
+    silence-trimming primitive. ``end_frame`` is exclusive; ``seg``
+    numbers a document's segments in time order.
+
+    Scale: the run detection happens INSIDE the per-asset byte walk
+    (numpy, linear in samples) in the same mapInPandas Arrow batches
+    as the decode — map-only, zero shuffles, output bounded by the
+    true segment count, never frame count. Integer-exact by
+    construction, so the DuckDB twin (islands over the replayed
+    waveform) matches bit-for-bit."""
+
+    def _seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "seg", "start_frame", "end_frame",
+                    "n_frames")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, channels, s = _parse_wav(bytes(payload))
+                frames = s.reshape(-1, channels)
+                silent = (np.abs(frames) < threshold).all(axis=1)
+                # maximal-run walk over the boolean frame vector
+                padded = np.concatenate(([False], silent, [False]))
+                edges = np.flatnonzero(padded[1:] != padded[:-1])
+                starts, ends = edges[0::2], edges[1::2]
+                seg = 0
+                for st, en in zip(starts, ends):
+                    if en - st >= min_frames:
+                        out["doc_id"].append(int(doc_id))
+                        out["seg"].append(seg)
+                        out["start_frame"].append(int(st))
+                        out["end_frame"].append(int(en))
+                        out["n_frames"].append(int(en - st))
+                        seg += 1
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "seg": "int32",
+                 "start_frame": "int64", "end_frame": "int64",
+                 "n_frames": "int64"}
+            )
+
+    return corpus.mapInPandas(_seg, schema=SEGMENT_SCHEMA)
+
+
+def silence_segments_sql(
+    threshold: int = SIL_THRESHOLD, min_frames: int = SIL_MIN_FRAMES
+) -> str:
+    """Oracle twin of make_audio_corpus_gapped ∘
+    detect_silence_segments: replays the gapped waveform arithmetic
+    and finds maximal silent runs with the islands trick."""
+    return f"""
+WITH par AS (
+  SELECT doc_id,
+         doc_id % 2 + 1 AS ch,
+         n_chars % 1000 + 250 AS n_frames
+  FROM documents),
+samp AS (
+  SELECT doc_id, ch, s.i AS i, (s.i // ch) AS frame,
+         CASE WHEN ((s.i // ch) // {SIL_BLOCK}) % {SIL_PERIOD} = 0 THEN 0
+              ELSE (doc_id * 7919 + s.i * 131) % 65536 - 32768 END AS v
+  FROM par, LATERAL (SELECT unnest(range(0, n_frames * ch))) AS s(i)),
+frames AS (
+  SELECT doc_id, frame, max(abs(v)) < {threshold} AS silent
+  FROM samp GROUP BY 1, 2),
+islands AS (
+  SELECT doc_id, frame,
+         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+           AS grp
+  FROM frames WHERE silent),
+runs AS (
+  SELECT doc_id, min(frame) AS start_frame, max(frame) + 1 AS end_frame,
+         count(*) AS n_frames
+  FROM islands GROUP BY doc_id, grp
+  HAVING count(*) >= {min_frames})
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            - 1 AS INTEGER) AS seg,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(end_frame AS BIGINT) AS end_frame,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM runs
+""".strip()

@@ -1869,3 +1869,579 @@ def profile_columns_sql(cols=PROFILE_COLS) -> str:
         + "\n  UNION ALL".join(parts)
         + ') ORDER BY "column"'
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order priority checking via an EXISTS semi-join
+# ---------------------------------------------------------------------------
+Q4_START = "1996-07-01"
+Q4_END = "1996-10-01"
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = Q4_START,
+    end: str = Q4_END,
+) -> DataFrame:
+    """(o_orderpriority, n_late_orders) — TPC-H Q4 (order priority
+    checking), adapted to the testdata schema: the testdata lineitem
+    has no commit/receipt dates (ref query surface: SURVEY §2.5), so
+    "late" is l_shipdate > o_orderdate — EXISTS at least one lineitem
+    shipped strictly after the order date.
+
+    Scale: orders gets its quarter filter pushed to the scan (~1/24 of
+    the table survives); the EXISTS is a LEFT SEMI hash join on
+    l_orderkey — both sides grow with SF so neither is broadcast
+    (AQE size-gates); the non-equi l_shipdate > o_orderdate condition
+    rides the semi-join as a residual, so there is exactly ONE
+    shuffle pair on the order key, then a 5-group partial-agg count."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (ords.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > ords.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+def order_priority_check_sql(start: str = Q4_START, end: str = Q4_END) -> str:
+    """Oracle twin of :func:`order_priority_check`."""
+    return f"""
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{start}'
+  AND o_orderdate < TIMESTAMP '{end}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations, per year
+# ---------------------------------------------------------------------------
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_START = "1996-01-01"
+Q7_END = "1998-01-01"
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    start: str = Q7_START,
+    end: str = Q7_END,
+) -> DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue) — TPC-H Q7 (volume
+    shipping): revenue flowing between two specific nations in both
+    directions, per ship year.
+
+    Scale: the two-nation filter lands on the 25-row nation dim FIRST,
+    then prunes supplier and customer down to ~2/25 of their rows
+    BEFORE their joins (filter-below-join, the Catalyst-friendly
+    order); nation is broadcast unconditionally (constant 25 rows),
+    the pruned supplier/customer sides are AQE size-gated; lineitem
+    keeps its ship-date range filter in the scan. The cross-pair
+    condition (A->B or B->A) is applied after both nation columns
+    exist, on the already-joined row — no extra shuffle. Revenue sums
+    in exact cents (one rounding per lineitem, order-independent)."""
+    nat = nation.where(
+        F.col("n_name").isin(nation_a, nation_b)
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ords = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        rev_c.alias("rev_c"),
+    )
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .where(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum("rev_c").cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def nation_trade_volume_sql(
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    start: str = Q7_START,
+    end: str = Q7_END,
+) -> str:
+    """Oracle twin of :func:`nation_trade_volume`."""
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+            AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+  AND ((sn.n_name = '{nation_a}' AND cn.n_name = '{nation_b}')
+    OR (sn.n_name = '{nation_b}' AND cn.n_name = '{nation_a}'))
+GROUP BY 1, 2, 3
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit per supplier nation and year
+# ---------------------------------------------------------------------------
+Q9_TYPE = "PROMO"
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_type: str = Q9_TYPE,
+) -> DataFrame:
+    """(n_name, o_year, profit) — TPC-H Q9 (product type profit),
+    adapted: the testdata has no partsupp/ps_supplycost, so cost is
+    p_retailprice * l_quantity (the schema's only unit cost); profit
+    per lineitem = extendedprice*(1-discount) - retailprice*quantity,
+    rounded ONCE to exact cents so the grouped sums are
+    order-independent.
+
+    Scale: the p_type filter prunes part (~1/6) before its join;
+    nation broadcasts (25 rows); part/supplier/orders all grow with SF
+    so AQE size-gates each — at 100 TB the partkey and orderkey joins
+    are shuffle hash joins on their natural keys and the agg output is
+    |nations|x|years| (tiny)."""
+    pt = part.where(F.col("p_type") == p_type).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit_c = F.round(
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    li = (
+        lineitem.join(pt, lineitem.l_partkey == pt.p_partkey)
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("l_orderkey", "n_name", profit_c.alias("profit_c"))
+    )
+    ords = orders.select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            (F.sum("profit_c").cast("double") / 100.0).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def product_type_profit_sql(p_type: str = Q9_TYPE) -> str:
+    """Oracle twin of :func:`product_type_profit`."""
+    return f"""
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)
+                 - p_retailprice * l_quantity) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = '{p_type}'
+GROUP BY 1, 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue report (top-k customers)
+# ---------------------------------------------------------------------------
+Q10_START = "1997-01-01"
+Q10_END = "1997-04-01"
+Q10_TOPK = 20
+
+
+def returned_item_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    start: str = Q10_START,
+    end: str = Q10_END,
+    k: int = Q10_TOPK,
+) -> DataFrame:
+    """(c_custkey, c_name, revenue, c_acctbal, n_name) — TPC-H Q10
+    (returned item reporting): the top-k customers by revenue lost to
+    returns (l_returnflag = 'R') on orders placed in one quarter.
+
+    Scale: the quarter filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan; the orderkey join then the
+    custkey join are the only fact shuffles; nation broadcasts.
+    Revenue in exact cents; the top-k is TakeOrdered with
+    (revenue DESC, c_custkey) tie-break — never a global sort."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev_c.alias("rev_c")
+    )
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+def returned_item_report_sql(
+    start: str = Q10_START, end: str = Q10_END, k: int = Q10_TOPK
+) -> str:
+    """Oracle twin of :func:`returned_item_report`."""
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+            AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{start}'
+  AND o_orderdate < TIMESTAMP '{end}'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share per month
+# ---------------------------------------------------------------------------
+Q14_YEAR = 1997
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, year: int = Q14_YEAR
+) -> DataFrame:
+    """(month, promo_revenue, total_revenue, promo_pct) — TPC-H Q14
+    (promotion effect) widened to all 12 months of one ship year: the
+    share of revenue coming from PROMO-type parts.
+
+    Scale: the ship-year range filter pushes to the lineitem scan; ONE
+    partkey shuffle join against the 2-column part projection (AQE
+    size-gates it; part grows with SF so no forced hint); promo and
+    total sum as exact cents in the same partial agg (conditional
+    sum, not two passes); the final share is one double division on
+    the 12-row result — both engines divide identical exact inputs,
+    and IEEE division is exactly rounded, so the twin matches."""
+    start = f"{year}-01-01"
+    end = f"{year + 1}-01-01"
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        F.month("l_shipdate").alias("month"),
+        rev_c.alias("rev_c"),
+    )
+    joined = li.join(
+        part.select("p_partkey", "p_type"),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    agg = joined.groupBy("month").agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_c"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    return agg.select(
+        "month",
+        (F.col("promo_c").cast("double") / 100.0).alias("promo_revenue"),
+        (F.col("total_c").cast("double") / 100.0).alias("total_revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_c").cast("double")
+            / F.col("total_c").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+def promo_revenue_share_sql(year: int = Q14_YEAR) -> str:
+    """Oracle twin of :func:`promo_revenue_share`."""
+    return f"""
+WITH agg AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+         SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                  AS BIGINT) ELSE 0 END) AS promo_c,
+         SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+             AS BIGINT)) AS total_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+    AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+  GROUP BY 1)
+SELECT month, CAST(promo_c AS DOUBLE) / 100.0 AS promo_revenue,
+       CAST(total_c AS DOUBLE) / 100.0 AS total_revenue,
+       round(100.0 * CAST(promo_c AS DOUBLE) / CAST(total_c AS DOUBLE), 6)
+         AS promo_pct
+FROM agg
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: data-versioning delta between two keyed table states
+# ---------------------------------------------------------------------------
+DIFF_COMPARE_COLS = ("last_type", "last_value", "last_ms")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "user_id",
+    compare_cols=DIFF_COMPARE_COLS,
+) -> DataFrame:
+    """(key, status, changed_cols) — the row-level delta between two
+    versions of a keyed table (the lakehouse table-versioning /
+    time-travel DIFF): ``added`` keys exist only in ``new``,
+    ``removed`` only in ``old``, ``changed`` rows exist in both but
+    differ in at least one compared column (null-safe compare);
+    identical rows are dropped. ``changed_cols`` is the
+    comma-joined list of differing column names, in ``compare_cols``
+    order ('' for added/removed — concat_ws skips the NULL markers
+    identically in Spark and DuckDB).
+
+    Scale: ONE full-outer shuffle hash join on the key — both sides
+    are snapshots so neither broadcasts; every comparison is a
+    map-side column expression on the joined row; output is bounded
+    by the true change volume, not table size."""
+    o = old.select(
+        F.col(key).alias("k_old"),
+        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("k_new"),
+        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, o.k_old == n.k_new, "full_outer")
+    status = (
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    diffs = [
+        F.when(
+            ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    both = F.col("k_old").isNotNull() & F.col("k_new").isNotNull()
+    out = j.select(
+        F.coalesce(F.col("k_old"), F.col("k_new")).alias(key),
+        status.alias("status"),
+        F.when(both, F.concat_ws(",", *diffs))
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )
+    return out.where(
+        (F.col("status") != "changed") | (F.col("changed_cols") != "")
+    )
+
+
+def snapshot_diff_sql(split_ms: int, compare_cols=DIFF_COMPARE_COLS) -> str:
+    """Oracle twin of :func:`snapshot_diff` over the CDC snapshots at
+    ``split_ms`` (old) and the full stream (new)."""
+    snap = """
+  SELECT key AS user_id, last_type, last_value, ms AS last_ms
+  FROM (
+    SELECT key, ms, seq, op, last_type, last_value,
+           row_number() OVER (PARTITION BY key ORDER BY ms DESC, seq DESC)
+             AS rn
+    FROM {src})
+  WHERE rn = 1 AND op = 'U'"""
+    diff_markers = ", ".join(
+        f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END"
+        for c in compare_cols
+    )
+    return f"""
+{EV_CTE},
+changes AS (
+  SELECT user_id AS key, epoch_ms(ts) AS ms, event_id AS seq,
+         CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D'
+              ELSE 'U' END AS op,
+         event_type AS last_type, value AS last_value
+  FROM ev),
+old_changes AS (SELECT * FROM changes WHERE ms < {split_ms}),
+old_snap AS ({snap.format(src="old_changes")}),
+new_snap AS ({snap.format(src="changes")})
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN o.user_id IS NULL OR n.user_id IS NULL THEN ''
+            ELSE concat_ws(',', {diff_markers}) END AS changed_cols
+FROM old_snap o
+FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR concat_ws(',', {diff_markers}) <> ''
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+# ---------------------------------------------------------------------------
+Q19_TERMS = (
+    ("Brand#1", 1, 5, 1.0, 11.0),
+    ("Brand#9", 1, 10, 10.0, 20.0),
+    ("Brand#13", 1, 15, 20.0, 30.0),
+)
+
+
+def discounted_brand_revenue(
+    lineitem: DataFrame, part: DataFrame, terms=Q19_TERMS
+) -> DataFrame:
+    """(n_lines, revenue) — TPC-H Q19 (discounted revenue): one
+    scalar revenue under a disjunction of brand/size/quantity
+    conjunctions — the classic "does the optimizer split an
+    OR-of-ANDs across the join?" query.
+
+    Scale: the part-only half of each term (brand + size) and the
+    lineitem-only half (quantity) are each pushed BELOW the join as
+    union-of-ranges scan filters (Catalyst distributes the
+    disjunction: p_size <= max over all terms, quantity within the
+    overall hull), then the exact per-term conjunction evaluates on
+    the joined row; the join itself is one partkey equi-join, AQE
+    size-gated. Revenue sums in exact cents."""
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    # hull prefilters, explicit so the scans prune even when the
+    # optimizer stops short of distributing the full disjunction
+    q_lo = min(t[3] for t in terms)
+    q_hi = max(t[4] for t in terms)
+    s_lo = min(t[1] for t in terms)
+    s_hi = max(t[2] for t in terms)
+    brands = [t[0] for t in terms]
+    li = lineitem.where(F.col("l_quantity").between(q_lo, q_hi)).select(
+        "l_partkey", "l_quantity", rev_c.alias("rev_c")
+    )
+    pt = part.where(
+        F.col("p_brand").isin(brands)
+        & F.col("p_size").between(s_lo, s_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, slo, shi, qlo, qhi in terms:
+        term = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = term if cond is None else (cond | term)
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("rev_c").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+def discounted_brand_revenue_sql(terms=Q19_TERMS) -> str:
+    """Oracle twin of :func:`discounted_brand_revenue`."""
+    disj = "\n   OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in terms
+    )
+    return f"""
+SELECT count(*) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+            AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {disj}
+""".strip()

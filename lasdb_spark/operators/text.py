@@ -2111,3 +2111,182 @@ SELECT t.doc_id, SUM(t.tf) AS n_words,
 FROM tfq t JOIN vocabq v USING (word)
 GROUP BY 1 ORDER BY doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# batch-perceptron quality classifier training (r7)
+# ---------------------------------------------------------------------------
+
+PERC_DIM = 256  # hashed feature buckets (bias rides as bucket = PERC_DIM)
+PERC_ROUNDS = 3
+
+
+def _perc_feats(docs: DataFrame, dim: int) -> DataFrame:
+    """(doc_id, bucket, cnt) hashed unigram counts + a bias feature."""
+    from ..functions.hashing import md5_int60_col
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.select(
+            "doc_id", (md5_int60_col(F.col("token")) % dim).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bias = docs.select(
+        "doc_id",
+        F.lit(dim).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return counts.unionByName(bias)
+
+
+def perceptron_quality_train(
+    docs: DataFrame, dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
+) -> DataFrame:
+    """(round, n_docs, n_misclassified, accuracy_ppm) — distill the
+    fixed-weight :func:`quality_ensemble` gate into a LINEAR classifier
+    over hashed unigram counts (the fastText-style quality-classifier
+    training step of an LLM data pipeline, e.g. the GPT-3/LLaMA
+    quality filters) with the BATCH PERCEPTRON rule: per round, every
+    currently-misclassified document contributes label x features to
+    one summed weight update. All state is integer (counts, ±1
+    labels, BIGINT weights), so every round is bit-reproducible and
+    the DuckDB twin replays training exactly — no sigmoid/exp, which
+    would break cross-engine float parity.
+
+    Scale: features and labels are computed ONCE and localCheckpointed
+    (corpus-sized; a production run would materialize them to Parquet
+    exactly like ``build_ann_index``). Each round is two shuffles —
+    score = feats ⋈ broadcast weights (dim+1 rows, KB-sized
+    driver-held state like the Lloyd codebooks) → doc agg, update =
+    feats ⋈ misclassified docs → bucket agg collected back to the
+    ≤ dim+1-row weight table. Rounds are a small constant; accuracy
+    is reported on each round's PRE-update weights.
+
+    Exactness: accuracy_ppm = (n - mis)·10⁶ div n, BIGINT division."""
+    spark = docs.sparkSession
+    feats = _perc_feats(docs, dim).localCheckpoint()
+    labels = (
+        quality_ensemble(docs)
+        .select(
+            "doc_id",
+            F.when(F.col("keep"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("label"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = labels.count()
+    weights: dict[int, int] = {}
+    report = []
+    for r in range(1, rounds + 1):
+        w_rows = [(b, w) for b, w in sorted(weights.items())] or [(0, 0)]
+        w_df = spark.createDataFrame(w_rows, "bucket long, w long")
+        scores = (
+            feats.join(F.broadcast(w_df), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))).alias(
+                    "score"
+                )
+            )
+        )
+        mis = (
+            scores.join(labels, "doc_id")
+            .where(F.col("label") * F.col("score") <= 0)
+            .select("doc_id", "label")
+        )
+        upd = (
+            feats.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("cnt") * F.col("label")).alias("delta"))
+        )
+        upd_rows = upd.collect()  # <= dim+1 rows: the KB-sized state
+        n_mis = mis.count()
+        report.append(
+            (
+                r,
+                int(n_docs),
+                int(n_mis),
+                (int(n_docs) - int(n_mis)) * 1_000_000 // int(n_docs),
+            )
+        )
+        for row in upd_rows:
+            weights[row.bucket] = weights.get(row.bucket, 0) + int(row.delta)
+    return spark.createDataFrame(
+        report, "round int, n_docs long, n_misclassified long, accuracy_ppm long"
+    )
+
+
+def perceptron_quality_train_sql(
+    src: str = "documents", dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
+) -> str:
+    """Oracle twin of :func:`perceptron_quality_train`: the training
+    loop unrolled into one MATERIALIZED CTE chain per round (the BPE
+    recursive-replay pattern)."""
+    from ..functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("token")
+    parts = [
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id, {h} % {dim} AS bucket FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM {src})
+    WHERE token <> '')
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, CAST({dim} AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
+  FROM {src}),
+labels AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN keep THEN CAST(1 AS BIGINT)
+                      ELSE CAST(-1 AS BIGINT) END AS label
+  FROM ({quality_ensemble_sql(src)})),
+w_0 AS (SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+        WHERE FALSE)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""scores_{r} AS MATERIALIZED (
+  SELECT f.doc_id, SUM(f.cnt * coalesce(w.w, 0)) AS score
+  FROM feats f LEFT JOIN w_{r - 1} w USING (bucket)
+  GROUP BY 1),
+mis_{r} AS MATERIALIZED (
+  SELECT s.doc_id, l.label
+  FROM scores_{r} s JOIN labels l USING (doc_id)
+  WHERE l.label * s.score <= 0),
+upd_{r} AS (
+  SELECT f.bucket, SUM(f.cnt * m.label) AS delta
+  FROM feats f JOIN mis_{r} m USING (doc_id)
+  GROUP BY 1),
+w_{r} AS MATERIALIZED (
+  SELECT bucket, SUM(w) AS w FROM (
+    SELECT bucket, w FROM w_{r - 1}
+    UNION ALL
+    SELECT bucket, delta AS w FROM upd_{r})
+  GROUP BY 1)"""
+        )
+    rows = "\n  UNION ALL\n".join(
+        f"""  SELECT {r} AS round,
+         (SELECT count(*) FROM labels) AS n_docs,
+         (SELECT count(*) FROM mis_{r}) AS n_misclassified""" 
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(round AS INTEGER) AS round,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_misclassified AS BIGINT) AS n_misclassified,
+       CAST((n_docs - n_misclassified) * 1000000 // n_docs AS BIGINT)
+         AS accuracy_ppm
+FROM (
+{rows})
+"""
+    ).strip()

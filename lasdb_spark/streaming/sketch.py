@@ -466,3 +466,155 @@ SELECT event_type,
        CAST(n AS BIGINT) AS n_seen
 FROM sel ORDER BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min sketch + heavy-hitter probe report (r7)
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 256
+CMS_DEPTH = 3
+
+_CM_OUT_SCHEMA = "d integer, counters array<long>, n_seen long"
+_CM_STATE_SCHEMA = "counters array<long>, n long"
+
+
+def _cm_fold(width: int):
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counters, n = list(state.get[0]), state.get[1]
+        else:
+            counters, n = [0] * width, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for b in pdf["bucket"]:
+                counters[int(b)] += 1
+        state.update((counters, n))
+        yield pd.DataFrame(
+            {"d": [key[0]], "counters": [counters], "n_seen": [n]}
+        )
+
+    return fold
+
+
+def stream_cm_counts(
+    event_stream: DataFrame, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Continuously-maintained Count-Min sketch of event-type
+    frequencies: one stateful group per sketch ROW (depth groups),
+    each holding ``width`` BIGINT counters. Counter increments are
+    additive — commutative AND associative — so the drained sketch
+    equals the batch sketch built from the same rows EXACTLY,
+    regardless of micro-batch boundaries.
+
+    Scale: state is depth x width longs TOTAL (a few KB, independent
+    of stream volume); the per-row hash + bucket computation happens
+    NATIVELY before the stateful shuffle, so the Python fold only
+    increments counters inside Arrow batches (the sanctioned custom-
+    state surface). The depth-way fan-out multiplies stream volume by
+    depth (3) on the map side only."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int60_col
+
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    rows = event_stream.select(F.col("event_type"), seeds).select(
+        F.col("d").cast("int").alias("d"),
+        (
+            md5_int60_col(
+                F.concat(F.col("event_type"), F.lit("#"), F.col("d"))
+            )
+            % width
+        ).cast("long").alias("bucket"),
+    )
+    return rows.groupBy("d").applyInPandasWithState(
+        _cm_fold(width),
+        outputStructType=_CM_OUT_SCHEMA,
+        stateStructType=_CM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cm_probe_report(
+    drained: DataFrame,
+    events: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """(event_type, exact_cnt, cm_estimate) — probe the drained
+    streaming sketch for every observed key and audit against exact
+    counts (estimate >= truth always; equality when no bucket
+    collisions). The sketch rows are 3 tiny array rows — broadcast;
+    the exact side is one partial-agg groupBy."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int60_col
+
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    probes = exact.select("event_type", "exact_cnt", seeds).select(
+        "event_type",
+        "exact_cnt",
+        F.col("d").cast("int").alias("d"),
+        (
+            (
+                md5_int60_col(
+                    F.concat(F.col("event_type"), F.lit("#"), F.col("d"))
+                )
+                % width
+            )
+            + 1
+        ).cast("int").alias("idx"),
+    )
+    j = probes.join(
+        F.broadcast(drained.select("d", "counters")), "d"
+    ).select(
+        "event_type",
+        "exact_cnt",
+        F.element_at(F.col("counters"), F.col("idx")).alias("c"),
+    )
+    return (
+        j.groupBy("event_type", "exact_cnt")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "event_type",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        )
+    )
+
+
+def stream_cm_sql(width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> str:
+    """Oracle of the DRAINED streaming Count-Min probe report: the
+    fold is additive, so the drained counters equal one batch
+    bucket-count pass over the same rows."""
+    from ..functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("event_type || '#' || CAST(d AS VARCHAR)")
+    return f"""
+WITH seeds AS (
+  SELECT unnest(generate_series(0, {depth - 1})) AS d),
+rows AS (
+  SELECT d, {h} % {width} AS bucket
+  FROM events CROSS JOIN seeds),
+sketch AS (
+  SELECT d, bucket, count(*) AS c FROM rows GROUP BY 1, 2),
+exact AS (
+  SELECT event_type, count(*) AS exact_cnt FROM events GROUP BY 1),
+probes AS (
+  SELECT event_type, exact_cnt, d, {h} % {width} AS bucket
+  FROM exact CROSS JOIN seeds)
+SELECT event_type, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(c) AS BIGINT) AS cm_estimate
+FROM probes JOIN sketch USING (d, bucket)
+GROUP BY 1, 2
+""".strip()

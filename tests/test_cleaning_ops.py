@@ -268,3 +268,23 @@ def test_pmf_ground_footprint_and_exactness(spark):
     # half-centi-unit quantization of round(z*100)
     bad = out.filter("ground_est > z + 0.005 + 1e-9").count()
     assert bad == 0
+
+
+@pytest.mark.spark
+def test_point_density_grid_and_gaps(spark):
+    """The dense grid spans the full occupied-cell bbox; empty interior
+    cells are flagged as gaps with zero density."""
+    from lasdb_spark.operators.grid import point_density
+
+    pts = spark.createDataFrame(
+        [(5.0, 5.0, 0.0), (6.0, 5.0, 0.0), (25.0, 5.0, 0.0)],
+        "x double, y double, z double",
+    )
+    rows = {(r.cell_x, r.cell_y): r for r in point_density(pts, cell=10.0).collect()}
+    # grid spans cells x in 0..2, y = 0 -> exactly 3 rows
+    assert set(rows) == {(0, 0), (1, 0), (2, 0)}
+    assert rows[(0, 0)].n_points == 2 and not rows[(0, 0)].is_gap
+    assert rows[(0, 0)].density == pytest.approx(0.02)
+    assert rows[(1, 0)].n_points == 0 and rows[(1, 0)].is_gap
+    assert rows[(1, 0)].density == 0.0
+    assert rows[(2, 0)].n_points == 1 and not rows[(2, 0)].is_gap

@@ -25,22 +25,24 @@ TABLES = [
 
 # Megabyte-scale composed twins (ann_recall_report is ~662 KB of SQL)
 # have flaked with OutOfMemoryException under full-suite memory
-# pressure (24 GB Spark JVM + in-process DuckDB).  Defenses: every
-# mirror connection gets an explicit memory_limit + its own spill
-# temp_directory (DuckDB spills instead of aborting), and twins above
-# this SQL size run in their OWN dedicated connection with a MUCH
-# higher limit — measured on this host, the ann_recall_report twin
-# holds >8 GB of non-evictable intermediate state (it aborts at
-# memory_limit=8GB even solo with 124 GB free, and completes at 48GB
-# in ~30 s), so the big-twin limit is 48GB; the host always has >100
-# GB and pytest runs the mirror serially, so only one big twin's
-# pool is ever live at once.
+# pressure (24 GB Spark JVM + in-process DuckDB).  Root cause measured
+# on this host: DuckDB defaults to threads = nproc (32), and 32
+# threads' worth of per-thread operator state on the megabyte-scale
+# composed plan aborts with "bad allocation" NON-DETERMINISTICALLY
+# even at memory_limit=48GB with 124 GB free — while threads=8
+# completes in ~8 s (4x faster than a lucky 32-thread run) within a
+# 24GB limit, 3/3 repeats.  Defenses: every mirror connection gets an
+# explicit memory_limit + its own spill temp_directory (DuckDB spills
+# instead of aborting); twins above this SQL size run in their OWN
+# dedicated connection with threads=8 and a 48GB limit.
 _BIG_SQL_BYTES = 64_000
 
 
 def _configure(con, big=False):
     import tempfile
 
+    if big:
+        con.sql("SET threads=8")
     con.sql(f"SET memory_limit='{'48GB' if big else '8GB'}'")
     spill = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
     con.sql(f"SET temp_directory='{spill}'")

@@ -51,3 +51,42 @@ def test_pagerank_dangling_mass_conserved(spark):
     ranks = {r.node: r.rank for r in event_type_pagerank(ev).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
     assert ranks["end"] > max(ranks["x"], ranks["y"])
+
+
+@pytest.mark.spark
+def test_copurchase_triangles_hand_graph(spark):
+    """Orders {1,2,3}, {3,4}, {1,2} (dup edge), {5,6,7,8}: one
+    triangle on 1-2-3, K4 on 5-8 (4 triangles, every vertex in 3),
+    part 4 in none."""
+    from lasdb_spark.operators.graph import copurchase_triangles
+
+    rows = []
+    for okey, parts in [
+        (1, [1, 2, 3]),
+        (2, [3, 4]),
+        (3, [1, 2]),
+        (4, [5, 6, 7, 8]),
+    ]:
+        for ln, p in enumerate(parts):
+            rows.append((okey, p, ln))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int"
+    )
+    got = {r.part_id: r.n_triangles for r in copurchase_triangles(li).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 3, 6: 3, 7: 3, 8: 3}
+
+
+@pytest.mark.spark
+def test_copurchase_triangles_duplicate_lines_ignored(spark):
+    """The same part appearing twice in one order (two lineitems) must
+    not create self-edges or double-counted triangles."""
+    from lasdb_spark.operators.graph import copurchase_triangles
+
+    rows = [
+        (1, 10, 0), (1, 10, 1), (1, 11, 2), (1, 12, 3),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int"
+    )
+    got = {r.part_id: r.n_triangles for r in copurchase_triangles(li).collect()}
+    assert got == {10: 1, 11: 1, 12: 1}

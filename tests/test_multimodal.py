@@ -565,3 +565,35 @@ def test_jpeg_corpus_roundtrip(spark, sf_dir):
         assert r.n_px == 64 * bw * bh
         assert r.sum_px == 64 * int(g.sum())
         assert (r.min_px, r.max_px) == (int(g.min()), int(g.max()))
+
+
+@pytest.mark.spark
+def test_silence_segments_match_gapped_structure(spark):
+    """The gapped corpus zeroes every 3rd 100-frame block, so every
+    reported segment must be block-aligned, >= the min length, and the
+    noise regions must never produce a segment."""
+    from lasdb_spark.operators.multimodal import (
+        SIL_BLOCK,
+        SIL_PERIOD,
+        detect_silence_segments,
+        make_audio_corpus_gapped,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "web", 300 + i * 37) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    segs = detect_silence_segments(
+        make_audio_corpus_gapped(docs)
+    ).collect()
+    assert segs, "gapped corpus must produce silence segments"
+    for r in segs:
+        # silent blocks start at multiples of SIL_BLOCK*SIL_PERIOD
+        assert r.start_frame % (SIL_BLOCK * SIL_PERIOD) == 0
+        # a full interior block is exactly SIL_BLOCK frames; the final
+        # block may be truncated by the asset end but never extended
+        assert r.n_frames <= SIL_BLOCK
+        assert r.end_frame - r.start_frame == r.n_frames
+    # every doc has at least its first block silent (frames 0..100)
+    firsts = {r.doc_id for r in segs if r.start_frame == 0}
+    assert firsts == set(range(6))

@@ -50,6 +50,9 @@ BOUNDED_GLOBAL_WINDOW = {
     "text_bpe_pairs",
     "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut
     "rel_month_momentum",  # lag over per-month aggregates (≤ months)
+    # r7: rank attachment over the top_k rows left by TakeOrdered
+    # (key_skew_report: .orderBy().limit(k) happens FIRST)
+    "rel_key_skew",
 }
 
 #: Python-eval exemptions: multimodal decode — mm_features/mm_resize/
@@ -62,6 +65,8 @@ PYTHON_EVAL_OK = {
     # r6: same designed Arrow decode path (consecutive-frame SAD over
     # the real byte walk)
     "mm_scene_cuts",
+    # r7: maximal silent-run walk inside the WAV decode batches
+    "mm_silence",
 }
 
 

@@ -476,3 +476,18 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_fact_plangate")
         spark.sql("DROP TABLE IF EXISTS bkt_dim_plangate")
+
+
+@pytest.mark.spark
+def test_q19_disjunction_halves_pushed_to_both_scans(spark, sf_dir):
+    """r7: the OR-of-ANDs hulls must reach BOTH parquet scans — the
+    quantity hull on lineitem, the brand IN-list + size hull on part —
+    so neither side is scanned unfiltered before the join."""
+    from lasdb_spark.operators.relational import discounted_brand_revenue
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plan = _plan(discounted_brand_revenue(li, pt))
+    assert "l_quantity" in plan and ">= 1.0" in plan and "<= 30.0" in plan
+    assert "p_brand" in plan and "IN (Brand#1,Brand#9,Brand#13)" in plan
+    assert "p_size" in plan

@@ -489,3 +489,54 @@ def test_stream_quantiles_converge_to_batch(spark, sf_dir):
     }
     for et, (p50, _, _, _) in got.items():
         assert abs(p50 - true50[et]) <= QGRID, (et, p50, true50[et])
+
+
+@pytest.mark.spark
+def test_stream_cm_converges_to_batch(spark, sf_dir):
+    """The drained multi-micro-batch Count-Min counters equal a pure-
+    python batch fold of the same rows (additive state), and every
+    probe estimate >= its exact count."""
+    import hashlib
+
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming import events as se
+    from lasdb_spark.streaming.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cm_probe_report,
+        drained_final,
+        stream_cm_counts,
+    )
+
+    se.run_to_memory(
+        stream_cm_counts(events_stream_multibatch(spark, sf_dir)),
+        "cm_out",
+        "update",
+    )
+    drained = drained_final(spark, "cm_out", ["d"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r.event_type: (r.exact_cnt, r.cm_estimate)
+        for r in cm_probe_report(drained, ev).collect()
+    }
+    # pure-python batch twin
+    types = [r.event_type for r in ev.select("event_type").collect()]
+    sketch = [[0] * CMS_WIDTH for _ in range(CMS_DEPTH)]
+    for t in types:
+        for d in range(CMS_DEPTH):
+            h = int(hashlib.md5(f"{t}#{d}".encode()).hexdigest()[:15], 16)
+            sketch[d][h % CMS_WIDTH] += 1
+    from collections import Counter
+
+    exact = Counter(types)
+    for t, (ex, est) in got.items():
+        want = min(
+            sketch[d][
+                int(hashlib.md5(f"{t}#{d}".encode()).hexdigest()[:15], 16)
+                % CMS_WIDTH
+            ]
+            for d in range(CMS_DEPTH)
+        )
+        assert ex == exact[t]
+        assert est == want
+        assert est >= ex

@@ -575,3 +575,29 @@ def test_bpe_encode_greedy_nonoverlap(spark):
     }
     assert out[1] == 4  # two words x [aa][aa]
     assert out[2] == 4  # two words x [aa][a]
+
+
+@pytest.mark.spark
+def test_perceptron_learns_separable_labels(spark):
+    """On a corpus whose ensemble gate is linearly separable in the
+    hashed unigrams (fluent prose vs one-token spam), training
+    accuracy must strictly improve from round 1 and reach 100%."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.text import perceptron_quality_train
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and rests. "
+        "a second sentence, with varied words and punctuation marks!"
+    )
+    spam = "buy " * 60
+    rows = [(i, fluent + f" tail{i}", "en", "web") for i in range(12)] + [
+        (100 + i, spam, "en", "web") for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    rep = {r.round: r for r in perceptron_quality_train(docs, rounds=3).collect()}
+    assert rep[1].n_misclassified == rep[1].n_docs  # zero weights
+    assert rep[2].n_misclassified < rep[1].n_misclassified
+    assert rep[3].accuracy_ppm == 1_000_000
