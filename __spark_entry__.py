@@ -1814,6 +1814,26 @@ def _q_pc_density(spark, sf_dir):
     return point_density(points_df(spark, sf_dir))
 
 
+def _q_rel_big_orders(spark, sf_dir):
+    """TPC-H Q18 (r7): HAVING-on-aggregate large-volume customers —
+    the orderkey agg runs before any join."""
+    return _rel.large_volume_customers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def _q_emb_pca(spark, sf_dir):
+    """Top principal component (r7): power iteration on the exact
+    scaled covariance; integer micro-unit loadings."""
+    from lasdb_spark.operators.similarity import embedding_pca_top
+
+    return embedding_pca_top(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 def _q_mm_silence(spark, sf_dir):
     """Audio silence segmentation (r7): maximal silent-frame runs
     found inside the real WAV byte walk; islands-trick oracle."""
@@ -1882,6 +1902,8 @@ def oracle_sql() -> dict[str, str]:
         "text_perceptron": _text.perceptron_quality_train_sql(),
         "rel_brand_discounts": _rel.discounted_brand_revenue_sql(),
         "mm_silence": _multimodal.silence_segments_sql(),
+        "rel_big_orders": _rel.large_volume_customers_sql(),
+        "emb_pca": _similarity.embedding_pca_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2193,7 +2215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quality-classifier training, integer-exact rounds replayed by an
     unrolled-CTE oracle; rel_brand_discounts — TPC-H Q19 OR-of-ANDs
     with both disjunction hulls pushed below the join; mm_silence —
-    audio silence segmentation inside the real WAV byte walk), then the
+    audio silence segmentation inside the real WAV byte walk;
+    rel_big_orders — TPC-H Q18 HAVING-on-aggregate; emb_pca — top
+    principal component via integer-exact power iteration), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -2237,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perceptron": _q_text_perceptron,
         "rel_brand_discounts": _q_rel_brand_discounts,
         "mm_silence": _q_mm_silence,
+        "rel_big_orders": _q_rel_big_orders,
+        "emb_pca": _q_emb_pca,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -490,6 +490,11 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r7 (this session): audio silence segmentation (VAD)
             "mm_silence": lambda: _eq["mm_silence"](spark, sf_dir),
+            # r7 (this session): Q18 HAVING-on-aggregate + exact PCA
+            "rel_big_orders": lambda: _eq["rel_big_orders"](
+                spark, sf_dir
+            ),
+            "emb_pca": lambda: _eq["emb_pca"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -2445,3 +2445,74 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE {disj}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers (HAVING on an aggregate)
+# ---------------------------------------------------------------------------
+Q18_QTY = 170.0
+Q18_TOPK = 100
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    qty_threshold: float = Q18_QTY,
+    k: int = Q18_TOPK,
+) -> DataFrame:
+    """(c_custkey, c_name, o_orderkey, o_orderdate_ms, o_totalprice,
+    total_qty) — TPC-H Q18 (large-volume customers): orders whose
+    total lineitem quantity exceeds a threshold, with their customer.
+
+    Scale: the HAVING aggregate runs FIRST — one partial-agg groupBy
+    on orderkey reduces lineitem to surviving orders (quantity sums
+    in exact deci-units) BEFORE any join; the survivors then join
+    orders and customer on their keys (survivor side is small → AQE
+    broadcasts it; at extreme SF it degrades gracefully to a shuffle
+    join, never an OOM'd forced hint). TakeOrdered top-k with
+    (o_totalprice DESC, o_orderkey) tie-break."""
+    qty_d = F.round(F.col("l_quantity") * 10).cast("long")  # exact deci-units
+    big = (
+        lineitem.select("l_orderkey", qty_d.alias("qty_d"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty_d").alias("qty_d"))
+        .where(F.col("qty_d") > int(qty_threshold * 10))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            "o_totalprice",
+            (F.col("qty_d").cast("double") / 10.0).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
+def large_volume_customers_sql(
+    qty_threshold: float = Q18_QTY, k: int = Q18_TOPK
+) -> str:
+    """Oracle twin of :func:`large_volume_customers`."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity * 10) AS BIGINT)) AS qty_d
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity * 10) AS BIGINT))
+         > {int(qty_threshold * 10)})
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice,
+       CAST(qty_d AS DOUBLE) / 10.0 AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}
+""".strip()

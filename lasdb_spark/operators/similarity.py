@@ -2325,3 +2325,140 @@ SELECT c.dim, CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits,
 FROM cand c LEFT JOIN truth t ON c.vec_id = t.vec_id
 GROUP BY c.dim ORDER BY c.dim
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# top principal component via integer-exact power iteration (r7)
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 4
+PCA_SCALE = 1_000_000  # micro-unit loading scale
+
+
+def embedding_pca_top(
+    embs: DataFrame, dim: int = EMB_DIM, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """(pos, loading) — the corpus's top principal direction as
+    micro-unit integer loadings (max |loading| = 10⁶), via power
+    iteration on the EXACT scaled covariance matrix. The first step of
+    embedding whitening / drift monitoring / anisotropy diagnosis
+    (embedding spaces collapse toward a dominant direction; this
+    measures it).
+
+    Exactness — every step is integer arithmetic, so the DuckDB twin
+    replays training bit-for-bit:
+
+    * C'_jk = n·Σ(q_j·q_k) − S_j·S_k (covariance scaled by n², in
+      DECIMAL(38,0) — micro-unit longs keep products ≪ 10³⁸);
+    * iteration: w = C'·v with v in micro units;
+      renormalize v_j = sign(w_j)·((|w_j|·10⁶) div max|w|) —
+      truncating division on NON-NEGATIVE operands, identical in
+      Spark, python and DuckDB;
+    * orientation: the maximal-|loading| position (ties → lowest pos)
+      is flipped positive.
+
+    Scale: the ONLY corpus-sized stage is the covariance aggregation —
+    the same per-vector LOCAL dim² fan-out + map-side partial aggs as
+    :func:`embedding_cov_pairs` (shuffle carries dim²-bounded state).
+    The iteration itself runs on the collected dim²-row matrix —
+    KB-sized driver state, the Lloyd-codebook pattern — so adding
+    rounds costs zero extra passes over the data."""
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    parts = embs.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("vec_id", "pos", q.alias("q"))
+    a = parts.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qa"))
+    b = parts.select("vec_id", F.col("pos").alias("k"), F.col("q").alias("qb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("j", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("qa").cast("decimal(19,0)")
+                    * F.col("qb").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("sab"),
+            F.sum(F.col("qa").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("qb").cast("decimal(38,0)")).alias("sb"),
+        )
+        .select(
+            "j",
+            "k",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sab")
+                - F.col("sa") * F.col("sb")
+            ).alias("c"),
+        )
+    )
+    rows = cov.collect()  # dim² rows — KB-sized driver state
+    mat: dict[tuple[int, int], int] = {
+        (r.j, r.k): int(r.c) for r in rows
+    }
+    v = [PCA_SCALE] * dim
+    for _ in range(rounds):
+        w = [
+            sum(mat.get((j, k), 0) * v[k] for k in range(dim))
+            for j in range(dim)
+        ]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * PCA_SCALE) // m) for x in w
+        ]
+    # deterministic orientation: maximal-|loading| pos (lowest wins
+    # ties) must be positive
+    lead = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    spark = embs.sparkSession
+    return spark.createDataFrame(
+        [(j, v[j]) for j in range(dim)], "pos int, loading long"
+    )
+
+
+def embedding_pca_sql(dim: int = EMB_DIM, rounds: int = PCA_ROUNDS) -> str:
+    """Oracle twin of :func:`embedding_pca_top`: the power iteration
+    unrolled into one HUGEINT CTE chain per round."""
+    parts = [
+        f"""parts AS MATERIALIZED (
+  SELECT vec_id, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {dim}))) AS s(i)),
+cov AS MATERIALIZED (
+  SELECT a.pos AS j, b.pos AS k,
+         CAST(count(*) AS HUGEINT) * SUM(CAST(a.q AS HUGEINT) * b.q)
+           - SUM(CAST(a.q AS HUGEINT)) * SUM(CAST(b.q AS HUGEINT)) AS c
+  FROM parts a JOIN parts b USING (vec_id)
+  GROUP BY 1, 2),
+v_0 AS (
+  SELECT CAST(s.i AS INT) AS pos, CAST({PCA_SCALE} AS HUGEINT) AS v
+  FROM (SELECT unnest(range(0, {dim})) AS i) s)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w_{r} AS MATERIALIZED (
+  SELECT c.j AS pos, SUM(c.c * v.v) AS w
+  FROM cov c JOIN v_{r - 1} v ON c.k = v.pos
+  GROUP BY 1),
+m_{r} AS (SELECT max(abs(w)) AS m FROM w_{r}),
+v_{r} AS MATERIALIZED (
+  SELECT pos,
+         CASE WHEN w >= 0 THEN (abs(w) * {PCA_SCALE}) // m
+              ELSE -((abs(w) * {PCA_SCALE}) // m) END AS v
+  FROM w_{r}, m_{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+lead AS (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS flip
+  FROM v_{rounds} ORDER BY abs(v) DESC, pos LIMIT 1)
+SELECT pos, CAST(v * flip AS BIGINT) AS loading
+FROM v_{rounds}, lead
+"""
+    ).strip()

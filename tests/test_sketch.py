@@ -540,3 +540,34 @@ def test_stream_cm_converges_to_batch(spark, sf_dir):
         assert ex == exact[t]
         assert est == want
         assert est >= ex
+
+
+@pytest.mark.spark
+def test_embedding_pca_recovers_planted_direction(spark):
+    """Vectors = t * u + small noise for a fixed direction u: the top
+    principal component must align with u (|cos| > 0.99) and the
+    leading-magnitude loading must be oriented positive."""
+    import math
+    import random
+
+    from lasdb_spark.operators.similarity import embedding_pca_top
+
+    rng = random.Random(7)
+    dim = 16
+    u = [math.sin(0.3 * j + 1.0) for j in range(dim)]
+    nrm = math.sqrt(sum(x * x for x in u))
+    u = [x / nrm for x in u]
+    rows = []
+    for i in range(200):
+        t = rng.uniform(-2.0, 2.0)
+        rows.append(
+            (i, [t * u[j] + rng.uniform(-0.01, 0.01) for j in range(dim)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = {r.pos: r.loading for r in embedding_pca_top(df, dim=dim).collect()}
+    vec = [v[j] for j in range(dim)]
+    dot = sum(a * b for a, b in zip(vec, u))
+    na = math.sqrt(sum(a * a for a in vec))
+    assert abs(dot) / na > 0.99
+    lead = max(range(dim), key=lambda j: (abs(vec[j]), -j))
+    assert vec[lead] > 0
