@@ -1814,6 +1814,24 @@ def _q_pc_density(spark, sf_dir):
     return point_density(points_df(spark, sf_dir))
 
 
+def _q_rel_json_profile(spark, sf_dir):
+    """JSON schema-drift profiler (r7): per-key presence + value-type
+    census over a generated drifting corpus."""
+    from lasdb_spark.operators.relational import (
+        json_schema_profile,
+        make_json_corpus,
+    )
+
+    return json_schema_profile(make_json_corpus(_docs(spark, sf_dir)))
+
+
+def _q_text_freq_spectrum(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies spectrum (r7)."""
+    from lasdb_spark.operators.text import freq_spectrum
+
+    return freq_spectrum(_docs(spark, sf_dir))
+
+
 def _q_rel_big_orders(spark, sf_dir):
     """TPC-H Q18 (r7): HAVING-on-aggregate large-volume customers —
     the orderkey agg runs before any join."""
@@ -1904,6 +1922,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_silence": _multimodal.silence_segments_sql(),
         "rel_big_orders": _rel.large_volume_customers_sql(),
         "emb_pca": _similarity.embedding_pca_sql(),
+        "rel_json_profile": _rel.json_schema_profile_sql(),
+        "text_freq_spectrum": _text.freq_spectrum_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2217,7 +2237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with both disjunction hulls pushed below the join; mm_silence —
     audio silence segmentation inside the real WAV byte walk;
     rel_big_orders — TPC-H Q18 HAVING-on-aggregate; emb_pca — top
-    principal component via integer-exact power iteration), then the
+    principal component via integer-exact power iteration;
+    rel_json_profile — JSON schema-drift profiler;
+    text_freq_spectrum — Good-Turing frequency spectrum), then the
     committed r6 cut tail (dedup_lsh_recall …
     pc_outliers, 11 entries), then the r4-green block
     (corpus_token_budget onward — the window cuts partway through it;
@@ -2263,6 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_silence": _q_mm_silence,
         "rel_big_orders": _q_rel_big_orders,
         "emb_pca": _q_emb_pca,
+        "rel_json_profile": _q_rel_json_profile,
+        "text_freq_spectrum": _q_text_freq_spectrum,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

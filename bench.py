@@ -495,6 +495,13 @@ def _section_corpus(spark, sf_dir, timings) -> None:
                 spark, sf_dir
             ),
             "emb_pca": lambda: _eq["emb_pca"](spark, sf_dir),
+            # r7 (this session): schema-drift profiler + Zipf spectrum
+            "rel_json_profile": lambda: _eq["rel_json_profile"](
+                spark, sf_dir
+            ),
+            "text_freq_spectrum": lambda: _eq["text_freq_spectrum"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

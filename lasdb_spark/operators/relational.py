@@ -2516,3 +2516,117 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# JSON schema-drift profiler (r7)
+# ---------------------------------------------------------------------------
+
+
+def make_json_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — a deterministic semi-structured corpus with
+    REAL schema drift, built from the documents table with native
+    string ops (no UDF): ``score`` flips between int and string every
+    7th doc, ``flag`` is present only every 3rd, ``note`` is an
+    explicit JSON null every 5th. The fixture a schema-drift profiler
+    needs; the oracle regenerates it from the same formula."""
+    did = F.col("doc_id")
+    score = F.when(
+        did % 7 == 0, F.concat(F.lit('"s'), (did % 100).cast("string"), F.lit('"'))
+    ).otherwise((did % 100).cast("string"))
+    flag = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(', "flag": '),
+            F.when(did % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        ),
+    ).otherwise(F.lit(""))
+    note = F.when(did % 5 == 0, F.lit(', "note": null')).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"id": '),
+        did.cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "score": '),
+        score,
+        flag,
+        note,
+        F.lit("}"),
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def json_schema_profile(corpus: DataFrame) -> DataFrame:
+    """(key, n_present, n_int, n_bool, n_string, n_null) — per-key
+    presence and VALUE-TYPE census over a JSON column: the ingest-time
+    schema-inference / drift-detection report (which keys exist, how
+    often, and with which — possibly conflicting — types).
+
+    Scale: one ``from_json`` map parse + explode per row (JVM-side,
+    no Python), one partial-agg groupBy on the key — key cardinality
+    is schema-bounded, never row-bounded. Type classification is a
+    fixed regex over the stringified scalar, identical to the
+    oracle's ``json_type``-based labels on the generated corpus."""
+    kv = corpus.select(
+        F.explode(
+            F.from_json(F.col("payload"), "map<string,string>")
+        ).alias("key", "val")
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_bool = F.col("val").isin("true", "false")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.when(is_int, 1).otherwise(0)).cast("long").alias("n_int"),
+        F.sum(F.when(is_bool, 1).otherwise(0)).cast("long").alias("n_bool"),
+        F.sum(
+            F.when(
+                F.col("val").isNotNull() & ~is_int & ~is_bool, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_string"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+    )
+
+
+def json_schema_profile_sql(src: str = "documents") -> str:
+    """Oracle twin of make_json_corpus ∘ json_schema_profile."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         '{{"id": ' || CAST(doc_id AS VARCHAR)
+         || ', "lang": "' || lang || '"'
+         || ', "score": '
+         || CASE WHEN doc_id % 7 = 0
+                 THEN '"s' || CAST(doc_id % 100 AS VARCHAR) || '"'
+                 ELSE CAST(doc_id % 100 AS VARCHAR) END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ', "flag": '
+                      || CASE WHEN doc_id % 2 = 0 THEN 'true'
+                              ELSE 'false' END
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ', "note": null' ELSE '' END
+         || '}}' AS payload
+  FROM {src}),
+kv AS (
+  -- this DuckDB build has no json_each table function; json_keys +
+  -- dynamic-path json_type covers the same census (a JSON null value
+  -- surfaces as SQL NULL from json_type — the key itself exists,
+  -- json_keys guarantees that)
+  SELECT key, json_type(p, key) AS t
+  FROM (SELECT payload::JSON AS p, unnest(json_keys(payload::JSON)) AS key
+        FROM corpus))
+SELECT key,
+       count(*) AS n_present,
+       CAST(SUM(CASE WHEN t IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       CAST(SUM(CASE WHEN t = 'BOOLEAN' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bool,
+       CAST(SUM(CASE WHEN t = 'VARCHAR' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_string,
+       CAST(SUM(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null
+FROM kv GROUP BY 1
+""".strip()

@@ -2290,3 +2290,45 @@ FROM (
 {rows})
 """
     ).strip()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary frequency spectrum (r7)
+# ---------------------------------------------------------------------------
+
+
+def freq_spectrum(docs: DataFrame) -> DataFrame:
+    """(freq, n_types, token_mass) — the frequency-of-frequencies
+    spectrum of the corpus vocabulary (Good-Turing's N_r): how many
+    distinct token types occur exactly ``freq`` times, and the token
+    mass they carry. The Zipf/hapax diagnostic behind vocabulary-size
+    decisions, Good-Turing smoothing, and near-duplicate-corpus
+    detection (a duplicated corpus shows a doubled spectrum).
+
+    Scale: two partial-agg groupBys — corpus → per-token counts
+    (vocabulary-sized), counts → spectrum (distinct-frequency-sized,
+    ~O(√tokens) by Zipf) — both shrink aggressively map-side; no
+    windows, no sorts."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    per_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return per_tok.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.count(F.lit(1)) * F.col("freq")).cast("long").alias("token_mass"),
+    )
+
+
+def freq_spectrum_sql(src: str = "documents") -> str:
+    """Oracle twin of :func:`freq_spectrum`."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM {src}),
+per_tok AS (
+  SELECT token, count(*) AS freq FROM toks WHERE token <> ''
+  GROUP BY 1)
+SELECT freq, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) * freq AS BIGINT) AS token_mass
+FROM per_tok GROUP BY 1
+""".strip()
