@@ -30,6 +30,12 @@ ENTRIES = [
     "emb_matryoshka",      # prefix-fold cosine + recall division
     "pc_contours",         # BIGINT sum-vs-level·n corner comparisons
     "ann_ivfpq_stored",    # stored-index ADC micro-unit sums
+    # r7 (this session) additions
+    "rel_nation_trade",    # cents-exact bilateral revenue per year
+    "rel_promo_share",     # conditional cents sums + one division
+    "emb_pca",             # power iteration on exact covariance
+    "text_perceptron",     # integer weight updates across rounds
+    "rel_triangles",       # degree-ordered wedge counting
 ]
 
 
