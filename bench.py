@@ -660,7 +660,7 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
 #: one representative per operator family for the scale study
 SCALE_REPS = (
     "ingest", "bbox_small", "text_tfidf", "dedup_minhash",
-    "ann_pq_topk", "sketch_hll", "ev_sliding_rates",
+    "ann_pq_topk", "sketch_hll", "ev_sliding_rates", "rel_triangles",
 )
 SCALE_SMALL_SF = "sf0.01"
 
@@ -710,6 +710,9 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
             df, meta, layout = load_dataset(spark, sbase, "scale")
             q = WindowQuerier(df, meta, layout)
             q.bbox([85150.0, 85160.0, 446200.0, 446210.0]).count()
+            from lasdb_spark.operators.graph import copurchase_triangles
+
+            li = spark.read.parquet(f"{data_dir}/lineitem.parquet")
             suite = {
                 "bbox_small": lambda: q.bbox(
                     [85200.0, 85250.0, 446300.0, 446400.0]
@@ -719,6 +722,9 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
                 "ann_pq_topk": lambda: topk_pq(embs),
                 "sketch_hll": lambda: hll_distinct(ev),
                 "ev_sliding_rates": lambda: sliding_event_rates(ev),
+                # r7: the widest new shuffle (wedge join) — its ratio
+                # across the 10x step gates the degree-ordering claim
+                "rel_triangles": lambda: copurchase_triangles(li),
             }
             for name, fn in suite.items():
                 t[name] = _timed(spark, lambda fn=fn: fn().count())

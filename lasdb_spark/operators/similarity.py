@@ -2369,8 +2369,11 @@ def embedding_pca_top(
     ).select("vec_id", "pos", q.alias("q"))
     a = parts.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qa"))
     b = parts.select("vec_id", F.col("pos").alias("k"), F.col("q").alias("qb"))
+    # the covariance is symmetric: compute only j <= k (halving the
+    # per-vector fan-out) and mirror when loading the driver matrix
     cov = (
         a.join(b, "vec_id")
+        .filter(F.col("j") <= F.col("k"))
         .groupBy("j", "k")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2392,10 +2395,11 @@ def embedding_pca_top(
             ).alias("c"),
         )
     )
-    rows = cov.collect()  # dim² rows — KB-sized driver state
-    mat: dict[tuple[int, int], int] = {
-        (r.j, r.k): int(r.c) for r in rows
-    }
+    rows = cov.collect()  # dim(dim+1)/2 rows — KB-sized driver state
+    mat: dict[tuple[int, int], int] = {}
+    for r in rows:
+        mat[(r.j, r.k)] = int(r.c)
+        mat[(r.k, r.j)] = int(r.c)
     v = [PCA_SCALE] * dim
     for _ in range(rounds):
         w = [
@@ -2428,12 +2432,17 @@ def embedding_pca_sql(dim: int = EMB_DIM, rounds: int = PCA_ROUNDS) -> str:
          CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
            AS q
   FROM embeddings, LATERAL (SELECT unnest(range(0, {dim}))) AS s(i)),
-cov AS MATERIALIZED (
+cov_u AS MATERIALIZED (
   SELECT a.pos AS j, b.pos AS k,
          CAST(count(*) AS HUGEINT) * SUM(CAST(a.q AS HUGEINT) * b.q)
            - SUM(CAST(a.q AS HUGEINT)) * SUM(CAST(b.q AS HUGEINT)) AS c
   FROM parts a JOIN parts b USING (vec_id)
+  WHERE a.pos <= b.pos
   GROUP BY 1, 2),
+cov AS MATERIALIZED (
+  SELECT j, k, c FROM cov_u
+  UNION ALL
+  SELECT k AS j, j AS k, c FROM cov_u WHERE j < k),
 v_0 AS (
   SELECT CAST(s.i AS INT) AS pos, CAST({PCA_SCALE} AS HUGEINT) AS v
   FROM (SELECT unnest(range(0, {dim})) AS i) s)"""
