@@ -210,9 +210,18 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
       out-neighbors, so wedge count is Σ d_out² with d_out = O(√m) on
       any graph — the skew-proof bound the unordered join lacks (a
       celebrity node with degree 10⁶ never becomes an apex);
-    * the closing edge of a wedge (y, z) [ordered the same way] is
-      present iff the directed edge y→z exists, so one LEFT SEMI hash
-      join on (y, z) closes every triangle exactly once;
+    * triangles close via per-edge adjacency intersection, NOT a
+      materialized wedge join: each oriented edge (y, z) picks up the
+      out-neighbor arrays of both endpoints (two hash joins of |E|
+      rows against the n-row adjacency table) and
+      `array_intersect(N_out(y), N_out(z))` lists exactly the apexes
+      w with y→w AND z→w — i.e. each triangle a→b, a→c, b→c surfaces
+      exactly once, at its closing edge (a, b) with w = c. The
+      intersection runs in-memory per row (whole-stage codegen), so
+      the Σ d_out² wedge set is never shuffled — the dominant cost of
+      the classic two-leg wedge join at this density. Out-neighbor
+      arrays are O(√m) by the orientation bound, so the carried
+      arrays stay bounded on any degree distribution;
     * per-part counts: each triangle fans out to its 3 corners (map
       side) and one partial-agg groupBy produces the census.
     """
@@ -245,20 +254,24 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
     dedges = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
     )
-    d1 = dedges.select("src", F.col("dst").alias("y"), F.col("ddeg").alias("dy"))
-    d2 = dedges.select("src", F.col("dst").alias("z"), F.col("ddeg").alias("dz"))
-    wedges = d1.join(d2, "src").where(
-        (F.col("dy") < F.col("dz"))
-        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    adj = dedges.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs")
     )
-    closing = dedges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    tri = wedges.join(closing, ["y", "z"], "left_semi").select(
-        "src", "y", "z"
+    ny = adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
+    nz = adj.select(F.col("src").alias("z"), F.col("nbrs").alias("nz"))
+    tri = (
+        dedges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+        .join(ny, "y")
+        .join(nz, "z")
+        .select(
+            "y",
+            "z",
+            F.explode(F.array_intersect("ny", "nz")).alias("w"),
+        )
     )
     corners = tri.select(
-        F.explode(F.array("src", "y", "z")).alias("part_id")
+        F.explode(F.array("y", "z", "w")).alias("part_id")
     )
     return corners.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
