@@ -1842,6 +1842,52 @@ def _q_rel_big_orders(spark, sf_dir):
     )
 
 
+def _q_rel_mkt_share_q8(spark, sf_dir):
+    """TPC-H Q8 (r7): 7-table national market share — fixed dims
+    broadcast, SF-growing joins AQE-gated, cents-exact shares."""
+    return _rel.national_market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def _q_rel_cust_distribution(spark, sf_dir):
+    """TPC-H Q13 (r7): order-count census incl. zero-order customers
+    — fact pre-agg before the LEFT join."""
+    return _rel.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _q_rel_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (r7): quarterly top supplier(s); integer-exact
+    max-revenue tie semantics."""
+    return _rel.top_supplier_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def _q_rel_small_qty(spark, sf_dir):
+    """TPC-H Q17 (r7): small-quantity-order revenue; the correlated
+    per-part average as one pruned groupBy, integer 20% cut."""
+    return _rel.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_dormant_balance(spark, sf_dir):
+    """TPC-H Q22 (r7): above-average positive balances with no
+    orders — LEFT ANTI join on the distinct custkeys."""
+    return _rel.dormant_customer_balance(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def _q_emb_pca(spark, sf_dir):
     """Top principal component (r7): power iteration on the exact
     scaled covariance; integer micro-unit loadings."""
@@ -1924,6 +1970,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca": _similarity.embedding_pca_sql(),
         "rel_json_profile": _rel.json_schema_profile_sql(),
         "text_freq_spectrum": _text.freq_spectrum_sql(),
+        "rel_mkt_share_q8": _rel.national_market_share_sql(),
+        "rel_cust_distribution": _rel.customer_order_distribution_sql(),
+        "rel_top_supplier": _rel.top_supplier_revenue_sql(),
+        "rel_small_qty": _rel.small_quantity_revenue_sql(),
+        "rel_dormant_balance": _rel.dormant_customer_balance_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2287,6 +2338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": _q_emb_pca,
         "rel_json_profile": _q_rel_json_profile,
         "text_freq_spectrum": _q_text_freq_spectrum,
+        "rel_mkt_share_q8": _q_rel_mkt_share_q8,
+        "rel_cust_distribution": _q_rel_cust_distribution,
+        "rel_top_supplier": _q_rel_top_supplier,
+        "rel_small_qty": _q_rel_small_qty,
+        "rel_dormant_balance": _q_rel_dormant_balance,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

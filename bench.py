@@ -502,6 +502,22 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "text_freq_spectrum": lambda: _eq["text_freq_spectrum"](
                 spark, sf_dir
             ),
+            # r7 (this session): TPC-H Q8/Q13/Q15/Q17/Q22
+            "rel_mkt_share_q8": lambda: _eq["rel_mkt_share_q8"](
+                spark, sf_dir
+            ),
+            "rel_cust_distribution": lambda: _eq["rel_cust_distribution"](
+                spark, sf_dir
+            ),
+            "rel_top_supplier": lambda: _eq["rel_top_supplier"](
+                spark, sf_dir
+            ),
+            "rel_small_qty": lambda: _eq["rel_small_qty"](
+                spark, sf_dir
+            ),
+            "rel_dormant_balance": lambda: _eq["rel_dormant_balance"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

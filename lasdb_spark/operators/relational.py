@@ -2630,3 +2630,391 @@ SELECT key,
          AS n_null
 FROM kv GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share
+# ---------------------------------------------------------------------------
+Q8_TYPE = "ECONOMY"
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_7"
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    p_type: str = Q8_TYPE,
+    r_name: str = Q8_REGION,
+    supp_nation: str = Q8_NATION,
+) -> DataFrame:
+    """(o_year, mkt_share) — TPC-H Q8 (national market share): within
+    one region's market for one part type, the share of revenue
+    supplied by one nation, per order year. Reference query surface:
+    the reference's SQL layer (db/__init__.py) runs arbitrary joins
+    over its loaded tables; this is the 7-table exemplar.
+
+    Scale: nation and region are FIXED 25/5-row dims → forced
+    broadcast; the region filter prunes customer BEFORE its join to
+    orders, and the p_type filter prunes part before lineitem — both
+    reach the scans as PushedFilters via the join-side predicates.
+    part/supplier/customer/orders grow with SF so their joins are
+    AQE-gated (policy at the top of this file). Revenue is summed in
+    exact cents for numerator and denominator separately; the share
+    is ONE IEEE division of exact integers per year row."""
+    cust_region = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        lineitem.join(
+            part.where(F.col("p_type") == p_type).select("p_partkey"),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey)
+        .join(supp_nat, lineitem.l_suppkey == supp_nat.s_suppkey)
+        .select(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+            rev_c.alias("rev_c"),
+            F.when(F.col("supp_nation") == supp_nation, rev_c)
+            .otherwise(F.lit(0))
+            .alias("nat_c"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("nat_c").alias("nat_c"),
+            F.sum("rev_c").alias("rev_c"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("nat_c").cast("double")
+                / F.col("rev_c").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def national_market_share_sql(
+    p_type: str = Q8_TYPE,
+    r_name: str = Q8_REGION,
+    supp_nation: str = Q8_NATION,
+) -> str:
+    """Oracle twin of :func:`national_market_share`."""
+    return f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{supp_nation}' THEN rev_c
+                ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(rev_c) AS DOUBLE) AS mkt_share
+FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem) l
+JOIN part ON l_partkey = p_partkey AND p_type = '{p_type}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{r_name}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution
+# ---------------------------------------------------------------------------
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = Q13_EXCLUDE_PRIORITY,
+) -> DataFrame:
+    """(c_count, custdist) — TPC-H Q13 (customer distribution): how
+    many customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers the inner join would lose. The testdata has
+    no o_comment, so the qualifying filter excludes one
+    o_orderpriority class instead (same pre-join pruning shape).
+
+    Scale: the orders side is pre-aggregated to (custkey, n) FIRST —
+    one partial-agg groupBy on the fact table — and the LEFT join
+    against customer is then key-to-key (AQE-gated; neither side is
+    force-broadcast since both grow with SF). The final census
+    groupBy is on c_count (bounded by max orders/customer)."""
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def customer_order_distribution_sql(
+    exclude_priority: str = Q13_EXCLUDE_PRIORITY,
+) -> str:
+    """Oracle twin of :func:`customer_order_distribution`."""
+    return f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey,
+             COALESCE(n_orders, 0) AS c_count
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                 FROM orders
+                 WHERE o_orderpriority <> '{exclude_priority}'
+                 GROUP BY 1) po
+        ON c_custkey = o_custkey)
+GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier by quarterly revenue
+# ---------------------------------------------------------------------------
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = Q15_START,
+    end: str = Q15_END,
+) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue) — TPC-H Q15 (top supplier):
+    the supplier(s) whose shipped revenue over one quarter equals the
+    global maximum (the original's CREATE VIEW + MAX subquery,
+    expressed as one plan).
+
+    Scale: the shipdate window prunes the lineitem scan (pushed);
+    ONE partial-agg groupBy on suppkey produces per-supplier cents;
+    the global max is a 1-row aggregate broadcast back over the
+    per-supplier table (bounded by |supplier|, not |lineitem|).
+    Cents-exact, so 'equals the maximum' is an integer equality —
+    no float-tie hazard."""
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start))
+            & (F.col("l_shipdate") < F.lit(end))
+        )
+        .select("l_suppkey", rev_c.alias("rev_c"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    mx = per_supp.agg(F.max("rev_c").alias("max_c"))
+    return (
+        per_supp.join(
+            F.broadcast(mx), per_supp.rev_c == mx.max_c
+        )
+        .join(supplier, per_supp.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier_revenue_sql(
+    start: str = Q15_START, end: str = Q15_END
+) -> str:
+    """Oracle twin of :func:`top_supplier_revenue`."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+             AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{start}'
+    AND l_shipdate < TIMESTAMP '{end}'
+  GROUP BY 1)
+SELECT s_suppkey, s_name,
+       CAST(rev_c AS DOUBLE) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+Q17_BRAND = "Brand#3"
+Q17_SIZE = 5
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = Q17_BRAND,
+    size: int = Q17_SIZE,
+) -> DataFrame:
+    """1 row (avg_yearly) — TPC-H Q17 (small-quantity-order revenue):
+    yearly-average revenue lost if orders below 20% of a part's mean
+    order quantity were no longer taken, over one brand + size slice
+    (the testdata has no p_container; p_size stands in).
+
+    Scale: the brand/size filter prunes part first and a broadcast-
+    able key list prunes lineitem BEFORE the per-part average — the
+    classic correlated subquery becomes one partial-agg groupBy on
+    partkey over only the filtered parts' lineitems, rejoined to the
+    same pruned rows. The 20% comparison is integer-exact:
+    5·qty_d·cnt < sum_qty_d (deci-units both sides) avoids the float
+    division entirely."""
+    keys = part.where(
+        (F.col("p_brand") == brand) & (F.col("p_size") == size)
+    ).select("p_partkey")
+    li = lineitem.join(
+        keys, lineitem.l_partkey == keys.p_partkey
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 10).cast("long").alias("qty_d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_d").alias("sum_qty_d"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.pk)
+        .where(
+            F.col("qty_d") * F.col("cnt") * F.lit(5) < F.col("sum_qty_d")
+        )
+        .agg(
+            (F.sum("price_c").cast("double") / F.lit(700.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def small_quantity_revenue_sql(
+    brand: str = Q17_BRAND, size: int = Q17_SIZE
+) -> str:
+    """Oracle twin of :func:`small_quantity_revenue`."""
+    return f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 10) AS BIGINT) AS qty_d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}' AND p_size = {size}),
+stats AS (
+  SELECT l_partkey AS pk, SUM(qty_d) AS sum_qty_d,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM li GROUP BY 1)
+SELECT CAST(SUM(price_c) AS DOUBLE) / 700.0 AS avg_yearly
+FROM li JOIN stats ON l_partkey = pk
+WHERE qty_d * cnt * 5 < sum_qty_d
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: dormant high-balance customers
+# ---------------------------------------------------------------------------
+Q22_CODES = ("11", "24", "37", "43", "56", "68", "92")
+Q22_CUTOFF = "2000-01-01"
+
+
+def dormant_customer_balance(
+    customer: DataFrame,
+    orders: DataFrame,
+    codes: tuple = Q22_CODES,
+    cutoff: str = Q22_CUTOFF,
+) -> DataFrame:
+    """(cntrycode, numcust, totacctbal) — TPC-H Q22 (global sales
+    opportunity): customers in a set of country codes with
+    above-average positive account balance and no orders since
+    ``cutoff`` — likely buyers nobody is selling to (the original's
+    "no orders in 7 years" dormancy window). The testdata has no
+    c_phone, so the country code is the last two digits of c_name
+    (the deterministic stand-in; same substring-bucket shape).
+
+    Scale: the positive-balance average is ONE 2-value global agg
+    (sum of cents + count) over the code-filtered customers; the
+    above-average cut is the integer comparison bal_c·cnt > sum_c
+    (no float average materialized). The no-recent-orders test is a
+    LEFT ANTI join on custkey — Spark's dedicated null-safe exclusion
+    join, which needs only the DISTINCT custkeys of the
+    cutoff-filtered orders (the date filter is pushed to the scan and
+    map-side combine collapses the fact table before the shuffle)."""
+    coded = customer.select(
+        "c_custkey",
+        F.substring(F.col("c_name"), -2, 2).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    ).where(F.col("cntrycode").isin(list(codes)))
+    stats = coded.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        coded.join(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(
+            orders.where(F.col("o_orderdate") >= F.lit(cutoff))
+            .select("o_custkey")
+            .distinct(),
+            coded.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+def dormant_customer_balance_sql(
+    codes: tuple = Q22_CODES, cutoff: str = Q22_CUTOFF
+) -> str:
+    """Oracle twin of :func:`dormant_customer_balance`."""
+    code_list = ", ".join(f"'{c}'" for c in codes)
+    return f"""
+WITH coded AS (
+  SELECT c_custkey,
+         substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE substring(c_name, length(c_name) - 1, 2) IN ({code_list})),
+stats AS (
+  SELECT SUM(bal_c) AS sum_c, CAST(count(*) AS BIGINT) AS cnt
+  FROM coded WHERE bal_c > 0)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM coded, stats
+WHERE bal_c * cnt > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY 1
+""".strip()
