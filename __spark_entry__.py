@@ -1888,6 +1888,20 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_mm_phash_pairs(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs (r7): real PGM decode →
+    integer DCT pHash → banded candidate join → exact Hamming."""
+    from lasdb_spark.operators.multimodal import (
+        make_phash_corpus,
+        phash_dup_pairs,
+        phash_hashes,
+    )
+
+    return phash_dup_pairs(
+        phash_hashes(make_phash_corpus(_docs(spark, sf_dir)))
+    )
+
+
 def _q_emb_pca(spark, sf_dir):
     """Top principal component (r7): power iteration on the exact
     scaled covariance; integer micro-unit loadings."""
@@ -1975,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_supplier": _rel.top_supplier_revenue_sql(),
         "rel_small_qty": _rel.small_quantity_revenue_sql(),
         "rel_dormant_balance": _rel.dormant_customer_balance_sql(),
+        "mm_phash_pairs": _multimodal.phash_pairs_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2343,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_supplier": _q_rel_top_supplier,
         "rel_small_qty": _q_rel_small_qty,
         "rel_dormant_balance": _q_rel_dormant_balance,
+        "mm_phash_pairs": _q_mm_phash_pairs,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -518,6 +518,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_dormant_balance": lambda: _eq["rel_dormant_balance"](
                 spark, sf_dir
             ),
+            # r7 (this session): perceptual-hash image near-dup pairs
+            "mm_phash_pairs": lambda: _eq["mm_phash_pairs"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

@@ -1455,3 +1455,236 @@ SELECT doc_id,
        CAST(n_frames AS BIGINT) AS n_frames
 FROM runs
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (pHash) image near-duplicate detection
+# ---------------------------------------------------------------------------
+#: The multimodal analog of MinHash text dedup: decode → 32×32 gray →
+#: 2-D DCT → sign-vs-median bits of the 8×8 low-frequency block →
+#: 64-bit hash → banded candidate join → exact Hamming verify. The
+#: DCT uses a FIXED-POINT integer cosine table (round(cos·2^14)) so
+#: every stage is exact BIGINT arithmetic — the DuckDB oracle replays
+#: the identical integers and the sign bits cannot drift across
+#: float libraries.
+
+PHASH_N = 32  # resampled side; the corpus emits 32×32 directly
+PHASH_LOW = 8  # low-frequency block side (8×8 − DC = 63 hash bits)
+PHASH_SCALE = 1 << 14
+PHASH_FAMILY = 5  # consecutive doc_ids per near-dup family
+PHASH_MAX_HAMMING = 10
+
+PHASH_SCHEMA = "doc_id long, phash long"
+PHASH_PAIR_SCHEMA = "doc_a long, doc_b long, hamming int"
+
+
+def _dct_rows() -> list:
+    """8×32 fixed-point DCT-II rows: T[u][x] = round(cos(π(2x+1)u/64)
+    · 2^14). The SAME integers are embedded into the oracle SQL, so
+    both engines multiply identical constants."""
+    import math
+
+    return [
+        [
+            int(round(math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_N))
+                      * PHASH_SCALE))
+            for x in range(PHASH_N)
+        ]
+        for u in range(PHASH_LOW)
+    ]
+
+
+def _phash_pixel_expr(i: str = "s.i") -> str:
+    """Pixel i (row-major) of the pHash test image for doc_id — the
+    shared generator arithmetic (base gradient per family of
+    PHASH_FAMILY consecutive doc_ids + one perturbed pixel per
+    member), used by the corpus builder (via numpy) and embedded
+    into the oracle SQL verbatim."""
+    g = f"(doc_id // {PHASH_FAMILY})"
+    return (
+        f"(({g} * 37 + ({i} % 32) * (11 + 2 * (({g} * 5) % 13)) "
+        f"+ ({i} // 32) * (13 + 2 * (({g} * 3) % 17))) % 256 "
+        f"+ CASE WHEN {i} = (doc_id * 7) % 1024 "
+        f"THEN (doc_id % {PHASH_FAMILY}) * 8 ELSE 0 END) % 256"
+    )
+
+
+def _phash_image(doc_id: int) -> np.ndarray:
+    """numpy twin of :func:`_phash_pixel_expr`."""
+    g = doc_id // PHASH_FAMILY
+    i = np.arange(PHASH_N * PHASH_N, dtype=np.int64)
+    base = (g * 37 + (i % 32) * (11 + 2 * ((g * 5) % 13))
+            + (i // 32) * (13 + 2 * ((g * 3) % 17))) % 256
+    hot = (doc_id * 7) % 1024
+    base[hot] = (base[hot] + (doc_id % PHASH_FAMILY) * 8) % 256
+    return base
+
+
+def make_phash_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload, meta) — REAL 32×32 PGM bytes in near-dup
+    families: every :data:`PHASH_FAMILY` consecutive doc_ids share a
+    base gradient image and differ by ONE perturbed pixel, so family
+    members are perceptual near-duplicates while families are far
+    apart. Map-only (mapInPandas encode), no shuffle."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                gray = _phash_image(int(doc_id)).astype(np.uint8)
+                payloads.append(
+                    _encode_pnm(gray, PHASH_N, PHASH_N, color=False)
+                )
+                metas.append(
+                    {"format": "pgm", "declared_w": PHASH_N,
+                     "declared_h": PHASH_N}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads,
+                 "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(_enc, schema=IMG_META_SCHEMA)
+
+
+def phash_hashes(corpus: DataFrame) -> DataFrame:
+    """(doc_id, phash) — decode the REAL payload bytes, resample to
+    32×32 (nearest-neighbor; identity here since the corpus is
+    already 32×32, but the resample guards arbitrary inputs), and
+    compute the classic pHash: integer DCT-II (two 8×32 BIGINT
+    matmuls, |values| < 2^47 so int64 is exact), lower-median
+    threshold over the 63 non-DC low-frequency coefficients, bit i =
+    coeff_i > median packed at u·8+v−1.
+
+    Map-only Arrow batches — at 100 TB the hash pass is
+    embarrassingly parallel over input splits; only the 16-byte
+    (doc_id, hash) rows reach the shuffle in the pair stage."""
+    T = np.array(_dct_rows(), dtype=np.int64)
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, gray = _sniff_decode(bytes(payload))
+                img = gray.reshape(h, w)
+                rr = (np.arange(PHASH_N, dtype=np.int64) * h) // PHASH_N
+                cc = (np.arange(PHASH_N, dtype=np.int64) * w) // PHASH_N
+                img = img[rr][:, cc]
+                coeff = T @ img @ T.T  # 8×8 exact int64
+                flat = coeff.reshape(-1)[1:]  # drop DC
+                med = int(np.sort(flat)[(len(flat) - 1) // 2])
+                bits = flat > med
+                hval = 0
+                for i in range(len(bits)):
+                    if bits[i]:
+                        hval |= 1 << i
+                ids.append(doc_id)
+                hashes.append(hval)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return corpus.mapInPandas(_ph, schema=PHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    hashes: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-duplicate image pairs: split
+    each 63-bit hash into four 16-bit bands; candidates share a band
+    (pigeonhole: Hamming ≤ 3 is GUARANTEED caught; the perturbed
+    corpus stays well inside that), then the exact Hamming distance
+    (one bit_count(xor) per candidate) verifies ≤ ``max_hamming``.
+
+    Scale — the SimHash banding argument: the join key is (band_idx,
+    16-bit value), so candidate volume tracks true near-dup density,
+    not N²; everything after the hash pass moves only 16-byte rows.
+    The same-band pre-join duplicate pairs collapse in one distinct
+    on the (a, b) key pair."""
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("phash", 16 * b)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.val")
+    a = bands.select(
+        F.col("band").alias("band"),
+        F.col("val").alias("val"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+    )
+    b = bands.select(
+        F.col("band").alias("band"),
+        F.col("val").alias("val"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def phash_pairs_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
+    """Oracle twin of make_phash_corpus ∘ phash_hashes ∘
+    phash_dup_pairs: replays the pixel generator, the fixed-point
+    DCT (identical embedded integer table), the lower-median sign
+    bits, and the banded pair join in pure SQL. The Spark side
+    derives the same integers from the actual PGM bytes."""
+    T = _dct_rows()
+    trows = ", ".join(
+        f"({u}, {x}, {T[u][x]})"
+        for u in range(PHASH_LOW)
+        for x in range(PHASH_N)
+    )
+    return f"""
+WITH dct(u, x, c) AS (VALUES {trows}),
+px AS (
+  SELECT doc_id, s.i % 32 AS x, s.i // 32 AS y,
+         CAST({_phash_pixel_expr()} AS BIGINT) AS p
+  FROM documents, LATERAL (SELECT unnest(range(0, 1024))) AS s(i)),
+coeff AS (
+  SELECT doc_id, cu.u AS u, cv.u AS v,
+         SUM(p * cu.c * cv.c) AS coeff
+  FROM px
+  JOIN dct cu ON cu.x = px.y
+  JOIN dct cv ON cv.x = px.x
+  GROUP BY 1, 2, 3),
+med AS (
+  SELECT doc_id,
+         list_sort(list(coeff))[32] AS med
+  FROM coeff WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+hashes AS (
+  SELECT coeff.doc_id,
+         SUM(CASE WHEN coeff > med
+             THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1))
+             ELSE 0 END) AS phash
+  FROM coeff JOIN med ON coeff.doc_id = med.doc_id
+  WHERE NOT (u = 0 AND v = 0)
+  GROUP BY 1),
+bands AS (
+  SELECT doc_id, phash, b.b AS band,
+         (phash >> (16 * b.b)) & 65535 AS val
+  FROM hashes, LATERAL (SELECT unnest(range(0, 4))) AS b(b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+""".strip()

@@ -597,3 +597,79 @@ def test_silence_segments_match_gapped_structure(spark):
     # every doc has at least its first block silent (frames 0..100)
     firsts = {r.doc_id for r in segs if r.start_frame == 0}
     assert firsts == set(range(6))
+
+
+@pytest.mark.spark
+def test_phash_family_structure(spark):
+    """Family members (one perturbed pixel apart) hash within the
+    Hamming threshold; the hash survives the real PGM encode/decode
+    round trip bit-for-bit."""
+    import numpy as np
+    from lasdb_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        _dct_rows,
+        _phash_image,
+        make_phash_corpus,
+        phash_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in phash_hashes(make_phash_corpus(docs)).collect()
+    }
+    assert set(got) == set(range(20))
+
+    # bit-for-bit vs the direct numpy computation (no container)
+    T = np.array(_dct_rows(), dtype=np.int64)
+    for d in range(20):
+        img = _phash_image(d).reshape(32, 32)
+        coeff = (T @ img @ T.T).reshape(-1)[1:]
+        med = int(np.sort(coeff)[(len(coeff) - 1) // 2])
+        expect = 0
+        for i, v in enumerate(coeff):
+            if v > med:
+                expect |= 1 << i
+        assert got[d] == expect, d
+
+    # family closeness: members of family 0 (docs 0..4) within thresh
+    for d in range(1, 5):
+        ham = bin(got[0] ^ got[d]).count("1")
+        assert ham <= PHASH_MAX_HAMMING, (d, ham)
+
+
+@pytest.mark.spark
+def test_phash_banding_guarantee(spark):
+    """Pigeonhole: any pair within Hamming 3 shares at least one of
+    the four 16-bit bands, so the banded join NEVER misses it."""
+    from lasdb_spark.operators.multimodal import phash_dup_pairs
+
+    base = 0x123456789ABCDEF
+    flipped3 = base ^ (1 << 2) ^ (1 << 20) ^ (1 << 40)  # 3 bands touched
+    far = base ^ ((1 << 60) - 1)  # scrambles every band
+    hashes = spark.createDataFrame(
+        [(1, base), (2, flipped3), (3, far)], "doc_id long, phash long"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_dup_pairs(hashes, max_hamming=10).collect()
+    }
+    assert pairs == {(1, 2): 3}
+
+
+@pytest.mark.spark
+def test_phash_rejects_malformed_payload(spark):
+    """A corrupted container fails loudly, never fabricates a hash."""
+    from lasdb_spark.operators.multimodal import phash_hashes
+
+    corpus = spark.createDataFrame(
+        [(1, bytearray(b"NOTANIMAGE"), {"format": "pgm",
+                                        "declared_w": 32,
+                                        "declared_h": 32})],
+        "doc_id long, payload binary, "
+        "meta struct<format: string, declared_w: int, declared_h: int>",
+    )
+    with pytest.raises(Exception):
+        phash_hashes(corpus).collect()
