@@ -1485,6 +1485,28 @@ def _drained(stream_df, prefix: str) -> str:
     return name
 
 
+def _q_stream_conversions(spark, sf_dir):
+    """Drained STREAM-STREAM inner join (r7): view→purchase
+    attribution within an event-time window, watermarks on both
+    sides. Inner joins emit matches eagerly (watermarks only bound
+    state eviction), so the drained append sink equals the batch
+    self-join bit-for-bit."""
+    from lasdb_spark.sources.events import events_stream_multibatch
+    from lasdb_spark.streaming.events import (
+        run_to_memory,
+        stream_conversion_join,
+    )
+
+    _STREAM_SEQ[0] += 1
+    name = f"s_conv_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        stream_conversion_join(events_stream_multibatch(spark, sf_dir)),
+        name,
+        "append",
+    )
+    return spark.table(name).orderBy("view_id", "buy_id")
+
+
 def _q_stream_quantiles(spark, sf_dir):
     """Drained streaming fixed-grid quantiles (r6) == the identical
     batch histogram + rank selection."""
@@ -2254,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_distinct": _ssketch.stream_hll_sql(),
         "stream_quantiles": _ssketch.stream_quantiles_sql(),
         "stream_enriched_counts": _sevents.enriched_segment_counts_sql(),
+        "stream_conversions": _sevents.stream_conversion_join_sql(),
         "stream_kmv_distinct": _ssketch.stream_kmv_sql(),
         "stream_cdc_snapshot": _rel.cdc_snapshot_sql(),
         "stream_exact_dedup": _dedup.exact_dedup_sql(),
@@ -2492,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": _q_corpus_importance,
         "ann_recall_report": _q_ann_recall_report,
         "stream_enriched_counts": _q_stream_enriched,
+        "stream_conversions": _q_stream_conversions,
         "rel_rate_anomalies": _q_rel_rate_anomalies,
         "mm_scene_cuts": _q_mm_scene_cuts,
         "pc_volume": _q_pc_volume,

@@ -675,6 +675,10 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
     timings["stream_cm_topk"] = _timed(
         spark, lambda: _eq["stream_cm_topk"](spark, sf_dir).count()
     )
+    # r7 (this session): stream-stream watermarked conversion join
+    timings["stream_conversions"] = _timed(
+        spark, lambda: _eq["stream_conversions"](spark, sf_dir).count()
+    )
 
 
 #: one representative per operator family for the scale study

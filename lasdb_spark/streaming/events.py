@@ -182,3 +182,102 @@ SELECT c.c_mktsegment AS segment, e.event_type,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+CONV_WINDOW_HOURS = 4
+#: Watermark delay = the feed's max event-time DISORDER. The
+#: multi-batch replay splits files by event_id hash, so a batch can
+#: carry any timestamp in the table — disorder up to the full 30-day
+#: span — and exact drained-vs-batch equality needs the watermark to
+#: cover it. A production feed with (say) ≤2 h disorder uses "2
+#: hours" here and the view-side state drops to O(events in
+#: window+disorder); the join logic is unchanged.
+CONV_WATERMARK = "31 days"
+
+
+def stream_conversion_join(
+    stream: DataFrame,
+    window_hours: int = CONV_WINDOW_HOURS,
+    watermark: str = CONV_WATERMARK,
+) -> DataFrame:
+    """STREAM-STREAM inner join with watermarks — the hardest
+    Structured Streaming primitive, missing next to the windowed /
+    session / stateful / stream-static operators: attribute every
+    purchase to the same user's preceding views within
+    ``window_hours`` (ad-attribution / conversion funnels).
+
+    Mechanics: both sides are branches of ONE input stream (a real
+    pipeline would read two topics; the semantics are identical),
+    each with its own event-time watermark. The join condition is
+    user equality PLUS an event-time range — exactly the shape Spark
+    needs to bound the join state: the view-side buffer drops rows
+    once the purchase watermark passes view_ts + window + disorder,
+    so state is O(events in window + disorder), not O(stream). Inner
+    joins emit matches eagerly (watermarks only gate state eviction),
+    so the DRAINED result equals the batch self-join bit-for-bit —
+    PROVIDED the watermark covers the feed's true disorder (see
+    :data:`CONV_WATERMARK`; an undersized watermark silently evicts
+    matchable rows, the classic stream-stream join deployment bug).
+
+    Exactness armor: output columns are the two event ids, the user,
+    the integer lag in seconds, and the purchase value in cents — all
+    BIGINT, so the drained-vs-batch comparison has no float hazard."""
+    from pyspark.sql import functions as F
+
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("value"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    return views.join(
+        buys,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (
+            F.col("buy_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+    ).select(
+        "view_id",
+        "buy_id",
+        "user_id",
+        (
+            F.unix_seconds(F.col("buy_ts"))
+            - F.unix_seconds(F.col("view_ts"))
+        ).alias("lag_s"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def stream_conversion_join_sql(
+    window_hours: int = CONV_WINDOW_HOURS,
+) -> str:
+    """Oracle of the DRAINED stream-stream join: the identical batch
+    self-join over the events table."""
+    return f"""
+SELECT v.event_id AS view_id, p.event_id AS buy_id, p.user_id,
+       epoch_ms(p.ts) // 1000 - epoch_ms(v.ts) // 1000 AS lag_s,
+       CAST(round(p.value * 100) AS BIGINT) AS cents
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {window_hours} HOURS
+""".strip()

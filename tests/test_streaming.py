@@ -290,3 +290,64 @@ def test_windowed_counts_drop_late_beyond_watermark(spark, tmp_path):
     hours = sorted((ms - h0_ms) // 3_600_000 for ms in got)
     assert hours == list(range(9)), hours
     assert all(n == 1 for n in got.values())
+
+
+@pytest.mark.spark
+def test_stream_conversion_join_cross_batch_and_window(spark, tmp_path):
+    """Stream-stream inner join semantics: a purchase in a LATER
+    micro-batch joins a view buffered from an earlier one; purchases
+    outside the attribution window (before the view, or past
+    window_hours) never match; lag and cents are integer-exact."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, typ, user, mins, val=2.5):
+        return (i, user, typ, val, t0 + datetime.timedelta(minutes=mins))
+
+    batches = [
+        # batch 0: two views + one purchase BEFORE any view
+        [ev(1, "view", 7, 0), ev(2, "view", 8, 10),
+         ev(3, "purchase", 7, -30)],
+        # batch 1: in-window purchase for user 7 (cross-batch match),
+        # out-of-window purchase for user 8 (4 h + 1 min later)
+        [ev(4, "purchase", 7, 90, 3.33),
+         ev(5, "purchase", 8, 10 + 241)],
+        # batch 2: same-user purchase exactly AT the view instant
+        [ev(6, "purchase", 8, 10, 1.01)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for bi, rows in enumerate(batches):
+        stage = tmp_path / f"stage{bi}"
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = src / f"batch{bi}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + bi, 1_700_000_000 + bi))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    se.run_to_memory(
+        se.stream_conversion_join(stream), "conv_out", "append"
+    )
+    got = {
+        (r.view_id, r.buy_id): (r.user_id, r.lag_s, r.cents)
+        for r in spark.sql("SELECT * FROM conv_out").collect()
+    }
+    assert got == {
+        (1, 4): (7, 5400, 333),   # cross-batch, 90 min lag
+        (2, 6): (8, 0, 101),      # boundary: buy_ts == view_ts joins
+    }
