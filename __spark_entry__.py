@@ -1910,6 +1910,12 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_kcore(spark, sf_dir):
+    """k-core of the repeat-co-purchase graph (r7): fixed-budget
+    monotone peeling, each round one semi-join pair + degree agg."""
+    return _graph.copurchase_kcore(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_mm_phash_pairs(spark, sf_dir):
     """Perceptual-hash image near-dup pairs (r7): real PGM decode →
     integer DCT pHash → banded candidate join → exact Hamming."""
@@ -2012,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_small_qty": _rel.small_quantity_revenue_sql(),
         "rel_dormant_balance": _rel.dormant_customer_balance_sql(),
         "mm_phash_pairs": _multimodal.phash_pairs_sql(),
+        "rel_kcore": _graph.copurchase_kcore_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2382,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_small_qty": _q_rel_small_qty,
         "rel_dormant_balance": _q_rel_dormant_balance,
         "mm_phash_pairs": _q_mm_phash_pairs,
+        "rel_kcore": _q_rel_kcore,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -522,6 +522,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "mm_phash_pairs": lambda: _eq["mm_phash_pairs"](
                 spark, sf_dir
             ),
+            # r7 (this session): k-core of the repeat-co-purchase graph
+            "rel_kcore": lambda: _eq["rel_kcore"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -315,3 +315,123 @@ FROM (
   UNION ALL SELECT z FROM tri)
 GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction over the repeat-co-purchase graph
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_MIN_WEIGHT = 2
+KCORE_ROUNDS = 14
+
+
+def copurchase_kcore(
+    lineitem: DataFrame,
+    k: int = KCORE_K,
+    min_weight: int = KCORE_MIN_WEIGHT,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """(part_id, core_degree) — the k-core of the REPEAT-co-purchase
+    graph (edges = part pairs bought together in ≥ ``min_weight``
+    distinct orders): iteratively peel nodes with degree < k until
+    fixpoint; survivors form the densest stable neighborhoods (the
+    graph-curation step before community mining, and the classic
+    anti-noise cut for recommendation candidates).
+
+    Scale:
+
+    * edge construction is the same order-bounded self-join as
+      :func:`copurchase_triangles`, plus ONE groupBy to count pair
+      multiplicity — the ``min_weight`` cut keeps only statistically
+      repeated pairs (and makes the graph sparse);
+    * peeling runs a FIXED ``rounds`` budget, not a driver-side
+      convergence loop: each round is one alive-set semi-join pair +
+      one partial-agg degree count. Peeling is MONOTONE (the alive
+      set only shrinks; a round at fixpoint is the identity), so any
+      ``rounds`` ≥ the true peel depth yields the exact k-core —
+      tests pin fixpoint-by-R on the driver data, and the DuckDB
+      oracle replays the identical R rounds so the comparison is
+      exact even if R were undersized;
+    * every round's alive list is localCheckpoint-ed — it is O(|V|)
+      rows and SHRINKING, and each round references it twice, so an
+      un-materialized lineage re-executes the edge build 2^R times
+      (the event_type_pagerank lesson in this module's header,
+      re-confirmed by measurement here: lazy 10-round plan >500 s at
+      sf0.01, checkpointed seconds). The edge list is cached once.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_weight)
+        .select("u", "v")
+    )
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    alive = (
+        edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    )
+    for _ in range(rounds):
+        kept = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+        )
+        alive = (
+            kept.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+    final = (
+        edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+    )
+    return final.groupBy(F.col("u").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def copurchase_kcore_sql(
+    k: int = KCORE_K,
+    min_weight: int = KCORE_MIN_WEIGHT,
+    rounds: int = KCORE_ROUNDS,
+) -> str:
+    """Oracle twin of :func:`copurchase_kcore` — the identical
+    ``rounds`` peel iterations unrolled into materialized CTEs."""
+    parts = [f"""
+WITH half AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_weight}),
+edges AS MATERIALIZED (
+  SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half),
+alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges)"""]
+    for r in range(rounds):
+        parts.append(f""",
+alive{r + 1} AS MATERIALIZED (
+  SELECT e.u AS node, count(*) AS d
+  FROM edges e
+  JOIN alive{r} au ON e.u = au.node
+  JOIN alive{r} av ON e.v = av.node
+  GROUP BY 1 HAVING count(*) >= {k})""")
+    parts.append(f"""
+SELECT e.u AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM edges e
+JOIN alive{rounds} au ON e.u = au.node
+JOIN alive{rounds} av ON e.v = av.node
+GROUP BY 1""")
+    return "".join(parts).strip()

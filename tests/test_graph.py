@@ -90,3 +90,50 @@ def test_copurchase_triangles_duplicate_lines_ignored(spark):
     )
     got = {r.part_id: r.n_triangles for r in copurchase_triangles(li).collect()}
     assert got == {10: 1, 11: 1, 12: 1}
+
+
+@pytest.mark.spark
+def test_kcore_fixpoint_and_invariants(spark, sf_dir):
+    """The round budget exceeds the true peel depth (one more round
+    changes nothing), and the result is a genuine k-core: every
+    surviving node has core_degree >= k."""
+    from lasdb_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        copurchase_kcore,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = sorted(
+        (r.part_id, r.core_degree) for r in copurchase_kcore(li).collect()
+    )
+    more = sorted(
+        (r.part_id, r.core_degree)
+        for r in copurchase_kcore(li, rounds=KCORE_ROUNDS + 1).collect()
+    )
+    assert got == more, "round budget must reach the peel fixpoint"
+    assert all(d >= KCORE_K for _, d in got)
+
+
+@pytest.mark.spark
+def test_kcore_hand_graph(spark):
+    """Hand graph: a triangle with weight-2 edges survives k=2; a
+    pendant chain peels away; single-order pairs never form edges."""
+    from lasdb_spark.operators.graph import copurchase_kcore
+
+    rows = []
+    # orders 1,2 both contain parts 1,2,3 -> triangle edges weight 2
+    for o in (1, 2):
+        for p in (1, 2, 3):
+            rows.append((o, p))
+    # part 4 hangs off part 1 via orders 3,4 (weight-2 pendant edge)
+    for o in (3, 4):
+        rows.append((o, 1)), rows.append((o, 4))
+    # parts 5,6 share only order 5 -> below min_weight, no edge
+    rows.append((5, 5)), rows.append((5, 6))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        r.part_id: r.core_degree
+        for r in copurchase_kcore(li, k=2, min_weight=2, rounds=6).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
