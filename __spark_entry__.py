@@ -2335,11 +2335,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_big_orders — TPC-H Q18 HAVING-on-aggregate; emb_pca — top
     principal component via integer-exact power iteration;
     rel_json_profile — JSON schema-drift profiler;
-    text_freq_spectrum — Good-Turing frequency spectrum), then the
+    text_freq_spectrum — Good-Turing frequency spectrum;
+    rel_mkt_share_q8 / rel_cust_distribution / rel_top_supplier /
+    rel_small_qty / rel_dormant_balance — TPC-H Q8/Q13/Q15/Q17/Q22
+    shapes, integer-exact cuts and max-tie semantics; mm_phash_pairs
+    — perceptual-hash image near-dup pairs over a fixed-point integer
+    DCT; rel_kcore — fixed-budget monotone k-core peeling of the
+    repeat-co-purchase graph; stream_conversions — STREAM-STREAM
+    watermarked inner join, drained == batch self-join. rel_triangles
+    additionally had its PLAN rewritten late in r7: per-edge
+    adjacency intersection replaced the materialized wedge join —
+    values unchanged, in-window row re-proves it), then the
     committed r6 cut tail (dedup_lsh_recall …
-    pc_outliers, 11 entries), then the r4-green block
-    (corpus_token_budget onward — the window cuts partway through it;
-    the remainder slips to r8), then the r3-green family
+    pc_outliers, 11 entries; the window now cuts EXACTLY at
+    pc_outliers — the r4-green block
+    (corpus_token_budget onward) slips to r8 whole), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2390,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dormant_balance": _q_rel_dormant_balance,
         "mm_phash_pairs": _q_mm_phash_pairs,
         "rel_kcore": _q_rel_kcore,
+        "stream_conversions": _q_stream_conversions,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,
@@ -2523,7 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance": _q_corpus_importance,
         "ann_recall_report": _q_ann_recall_report,
         "stream_enriched_counts": _q_stream_enriched,
-        "stream_conversions": _q_stream_conversions,
         "rel_rate_anomalies": _q_rel_rate_anomalies,
         "mm_scene_cuts": _q_mm_scene_cuts,
         "pc_volume": _q_pc_volume,
