@@ -1910,6 +1910,21 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_mm_audio_fp_pairs(spark, sf_dir):
+    """Audio fingerprint near-dup pairs (r7): real WAV decode →
+    frame-energy sign fingerprint → the SAME banded pair join as
+    pHash (modality-agnostic once a 63-bit hash exists)."""
+    from lasdb_spark.operators.multimodal import (
+        audio_fingerprints,
+        make_audio_dup_corpus,
+        phash_dup_pairs,
+    )
+
+    return phash_dup_pairs(
+        audio_fingerprints(make_audio_dup_corpus(_docs(spark, sf_dir)))
+    )
+
+
 def _q_rel_kcore(spark, sf_dir):
     """k-core of the repeat-co-purchase graph (r7): fixed-budget
     monotone peeling, each round one semi-join pair + degree agg."""
@@ -2019,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_dormant_balance": _rel.dormant_customer_balance_sql(),
         "mm_phash_pairs": _multimodal.phash_pairs_sql(),
         "rel_kcore": _graph.copurchase_kcore_sql(),
+        "mm_audio_fp_pairs": _multimodal.audio_fingerprint_pairs_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2342,14 +2358,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — perceptual-hash image near-dup pairs over a fixed-point integer
     DCT; rel_kcore — fixed-budget monotone k-core peeling of the
     repeat-co-purchase graph; stream_conversions — STREAM-STREAM
-    watermarked inner join, drained == batch self-join. rel_triangles
-    additionally had its PLAN rewritten late in r7: per-edge
-    adjacency intersection replaced the materialized wedge join —
-    values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall …
-    pc_outliers, 11 entries; the window now cuts EXACTLY at
-    pc_outliers — the r4-green block
-    (corpus_token_budget onward) slips to r8 whole), then the r3-green family
+    watermarked inner join, drained == batch self-join;
+    mm_audio_fp_pairs — audio frame-energy fingerprint near-dup
+    pairs, completing the text/image/audio near-dup modality matrix.
+    rel_triangles additionally had its PLAN rewritten late in r7:
+    per-edge adjacency intersection replaced the materialized wedge
+    join — values unchanged, in-window row re-proves it), then the
+    committed r6 cut tail (dedup_lsh_recall … pc_hag — never-rowed
+    entries outrank standing-green ones, so the window cuts at
+    pc_hag and the tail's LAST entry pc_outliers slips to r8
+    alongside the whole r4-green block,
+    corpus_token_budget onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2401,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_pairs": _q_mm_phash_pairs,
         "rel_kcore": _q_rel_kcore,
         "stream_conversions": _q_stream_conversions,
+        "mm_audio_fp_pairs": _q_mm_audio_fp_pairs,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -524,6 +524,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r7 (this session): k-core of the repeat-co-purchase graph
             "rel_kcore": lambda: _eq["rel_kcore"](spark, sf_dir),
+            # r7 (this session): audio frame-energy fingerprint pairs
+            "mm_audio_fp_pairs": lambda: _eq["mm_audio_fp_pairs"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

@@ -1688,3 +1688,141 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-duplicate detection
+# ---------------------------------------------------------------------------
+#: The audio leg of the near-dup modality matrix (text: MinHash;
+#: image: pHash; audio: THIS): decode real WAV bytes → frame the
+#: waveform → per-frame |amplitude| energy (exact BIGINT) →
+#: sign-vs-median bits → 63-bit fingerprint → the SAME banded pair
+#: join as pHash (`phash_dup_pairs` is reused verbatim — the banding
+#: is modality-agnostic once a hash exists).
+
+AFP_FRAMES = 64  # frames per asset; frames 1..63 carry the bits
+AFP_FRAME_LEN = 64  # samples per frame
+AFP_FAMILY = 5  # consecutive doc_ids per near-dup family
+
+
+def _afp_pcm_expr(i: str = "s.i") -> str:
+    """Sample i of the fingerprint test waveform for doc_id — shared
+    generator arithmetic (family base + one perturbed frame per
+    member), embedded verbatim into the oracle SQL."""
+    g = f"(doc_id // {AFP_FAMILY})"
+    r = f"(doc_id % {AFP_FAMILY})"
+    hot = f"((doc_id * 11) % {AFP_FRAMES})"
+    raw = (
+        f"((({g} * 7919 + {i} * 131) % 65536 "
+        f"+ CASE WHEN {i} // {AFP_FRAME_LEN} = {hot} "
+        f"THEN {r} * 256 ELSE 0 END) % 65536)"
+    )
+    env = f"(1 + ({g} * 13 + ({i} // {AFP_FRAME_LEN}) * 7) % 16)"
+    # all-non-negative before the final shift, so integer division
+    # has identical floor semantics in numpy, Python and DuckDB
+    return f"({raw} * {env}) // 16 - 32768"
+
+
+def _afp_waveform(doc_id: int) -> np.ndarray:
+    """numpy twin of :func:`_afp_pcm_expr`."""
+    g, r = doc_id // AFP_FAMILY, doc_id % AFP_FAMILY
+    hot = (doc_id * 11) % AFP_FRAMES
+    i = np.arange(AFP_FRAMES * AFP_FRAME_LEN, dtype=np.int64)
+    raw = (g * 7919 + i * 131) % 65536
+    raw = np.where(i // AFP_FRAME_LEN == hot, raw + r * 256, raw) % 65536
+    env = 1 + (g * 13 + (i // AFP_FRAME_LEN) * 7) % 16
+    return (raw * env) // 16 - 32768
+
+
+def make_audio_dup_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload, meta) — REAL mono PCM16 WAV bytes in near-dup
+    families: every :data:`AFP_FAMILY` consecutive doc_ids share a
+    base waveform (family-distinct per-frame amplitude envelope over
+    a common carrier) and differ by one level-shifted frame, so
+    family members are acoustic near-duplicates while families have
+    far-apart energy profiles. Map-only encode."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                samples = _afp_waveform(int(doc_id))
+                payloads.append(_encode_wav(samples, 16000, 1))
+                metas.append(
+                    {"format": "wav", "declared_rate": 16000,
+                     "declared_ch": 1}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads,
+                 "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(_enc, schema=AUDIO_META_SCHEMA)
+
+
+def audio_fingerprints(corpus: DataFrame) -> DataFrame:
+    """(doc_id, phash) — decode the REAL WAV bytes and compute the
+    energy-profile fingerprint: per-frame Σ|amplitude| (exact BIGINT),
+    lower-median threshold over frames 1..63, bit f−1 = energy_f >
+    median. The column is named ``phash`` so
+    :func:`phash_dup_pairs` applies unchanged (same 63-bit layout,
+    same four-band candidate join).
+
+    Map-only Arrow batches; at 100 TB only the 16-byte (doc_id, hash)
+    rows reach the pair shuffle."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = _parse_wav(bytes(payload))
+                n = (len(samples) // AFP_FRAME_LEN) * AFP_FRAME_LEN
+                frames = np.abs(samples[:n]).reshape(-1, AFP_FRAME_LEN)
+                energy = frames.sum(axis=1)[1:AFP_FRAMES]
+                med = int(np.sort(energy)[(len(energy) - 1) // 2])
+                hval = 0
+                for i in range(len(energy)):
+                    if energy[i] > med:
+                        hval |= 1 << i
+                ids.append(doc_id)
+                hashes.append(hval)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return corpus.mapInPandas(_fp, schema=PHASH_SCHEMA)
+
+
+def audio_fingerprint_pairs_sql(
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> str:
+    """Oracle twin of make_audio_dup_corpus ∘ audio_fingerprints ∘
+    phash_dup_pairs: replays the waveform generator, the frame-energy
+    sums, the lower-median sign bits, and the banded pair join."""
+    n = AFP_FRAMES * AFP_FRAME_LEN
+    return f"""
+WITH pcm AS (
+  SELECT doc_id, s.i // {AFP_FRAME_LEN} AS frame,
+         CAST({_afp_pcm_expr()} AS BIGINT) AS amp
+  FROM documents, LATERAL (SELECT unnest(range(0, {n}))) AS s(i)),
+energy AS (
+  SELECT doc_id, frame, SUM(abs(amp)) AS e
+  FROM pcm WHERE frame >= 1 GROUP BY 1, 2),
+med AS (
+  SELECT doc_id, list_sort(list(e))[{(AFP_FRAMES - 2) // 2 + 1}] AS med
+  FROM energy GROUP BY 1),
+hashes AS (
+  SELECT energy.doc_id,
+         SUM(CASE WHEN e > med
+             THEN (CAST(1 AS BIGINT) << (frame - 1))
+             ELSE 0 END) AS phash
+  FROM energy JOIN med ON energy.doc_id = med.doc_id
+  GROUP BY 1),
+bands AS (
+  SELECT doc_id, phash, b.b AS band,
+         (phash >> (16 * b.b)) & 65535 AS val
+  FROM hashes, LATERAL (SELECT unnest(range(0, 4))) AS b(b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+""".strip()

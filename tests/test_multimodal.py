@@ -673,3 +673,36 @@ def test_phash_rejects_malformed_payload(spark):
     )
     with pytest.raises(Exception):
         phash_hashes(corpus).collect()
+
+
+@pytest.mark.spark
+def test_audio_fingerprint_family_structure(spark):
+    """Fingerprints survive the real WAV encode/decode byte walk
+    bit-for-bit, and one-frame perturbations stay within the
+    threshold."""
+    import numpy as np
+    from lasdb_spark.operators.multimodal import (
+        AFP_FRAME_LEN,
+        AFP_FRAMES,
+        PHASH_MAX_HAMMING,
+        _afp_waveform,
+        audio_fingerprints,
+        make_audio_dup_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    got = {
+        r.doc_id: r.phash
+        for r in audio_fingerprints(make_audio_dup_corpus(docs)).collect()
+    }
+    for d in range(15):
+        s = _afp_waveform(d)
+        e = np.abs(s).reshape(-1, AFP_FRAME_LEN).sum(axis=1)[1:AFP_FRAMES]
+        med = int(np.sort(e)[(len(e) - 1) // 2])
+        expect = 0
+        for i, v in enumerate(e):
+            if v > med:
+                expect |= 1 << i
+        assert got[d] == expect, d
+    for d in range(1, 5):
+        assert bin(got[0] ^ got[d]).count("1") <= PHASH_MAX_HAMMING
