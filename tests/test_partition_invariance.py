@@ -36,6 +36,12 @@ ENTRIES = [
     "emb_pca",             # power iteration on exact covariance
     "text_perceptron",     # integer weight updates across rounds
     "rel_triangles",       # degree-ordered wedge counting
+    # r7 (late-session) additions
+    "rel_mkt_share_q8",    # cents numerator/denominator + one division
+    "rel_top_supplier",    # integer max-tie semantics
+    "mm_phash_pairs",      # integer DCT sign bits + banded join
+    "rel_kcore",           # monotone peel rounds over semi-joins
+    "mm_audio_fp_pairs",   # frame-energy sign bits + banded join
 ]
 
 
