@@ -1910,6 +1910,14 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_text_collocations(spark, sf_dir):
+    """PMI collocations (r7): bigram association ranked by exact
+    integer lift (monotone in PMI — no float log in the ranking)."""
+    from lasdb_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
 def _q_mm_audio_fp_pairs(spark, sf_dir):
     """Audio fingerprint near-dup pairs (r7): real WAV decode →
     frame-energy sign fingerprint → the SAME banded pair join as
@@ -2035,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_phash_pairs": _multimodal.phash_pairs_sql(),
         "rel_kcore": _graph.copurchase_kcore_sql(),
         "mm_audio_fp_pairs": _multimodal.audio_fingerprint_pairs_sql(),
+        "text_collocations": _text.pmi_collocations_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2360,14 +2369,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     repeat-co-purchase graph; stream_conversions — STREAM-STREAM
     watermarked inner join, drained == batch self-join;
     mm_audio_fp_pairs — audio frame-energy fingerprint near-dup
-    pairs, completing the text/image/audio near-dup modality matrix.
+    pairs, completing the text/image/audio near-dup modality matrix;
+    text_collocations — PMI collocations ranked by exact integer
+    lift (no float log in the ranking).
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … pc_hag — never-rowed
-    entries outrank standing-green ones, so the window cuts at
-    pc_hag and the tail's LAST entry pc_outliers slips to r8
-    alongside the whole r4-green block,
+    committed r6 cut tail (dedup_lsh_recall … pc_knn_join —
+    never-rowed entries outrank standing-green ones, so the window
+    cuts at pc_knn_join and the tail's last TWO entries (pc_hag,
+    pc_outliers) slip to r8 alongside the whole r4-green block,
     corpus_token_budget onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
@@ -2421,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_kcore": _q_rel_kcore,
         "stream_conversions": _q_stream_conversions,
         "mm_audio_fp_pairs": _q_mm_audio_fp_pairs,
+        "text_collocations": _q_text_collocations,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -528,6 +528,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "mm_audio_fp_pairs": lambda: _eq["mm_audio_fp_pairs"](
                 spark, sf_dir
             ),
+            # r7 (this session): PMI collocations via exact integer lift
+            "text_collocations": lambda: _eq["text_collocations"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

@@ -2332,3 +2332,115 @@ SELECT freq, CAST(count(*) AS BIGINT) AS n_types,
        CAST(count(*) * freq AS BIGINT) AS token_mass
 FROM per_tok GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-level multi-word expressions)
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 100
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK
+) -> DataFrame:
+    """(bigram, c_ab, lift_ppm) — the corpus's strongest collocations:
+    adjacent word pairs ranked by pointwise mutual information. PMI =
+    log p(ab)/(p(a)·p(b)) is MONOTONE in the integer lift
+    c_ab·N_uni² / (N_bg·c_a·c_b), so the ranking needs no float log
+    at all: ``lift_ppm`` is that rational floored to ppm in exact
+    DECIMAL(38,0) arithmetic (the log is a display transform the
+    caller can apply; the ORDER is already PMI order, immune to libm
+    differences, and c_ab·N² overflows int64 long before 100 TB so
+    the DECIMAL(38,0) arithmetic is load-bearing — headroom to
+    ~3×10¹² tokens; past that, drop the ppm scale or bucket-shard the
+    unigram table and the same plan holds).
+
+    Scale: one bigram groupBy + one unigram groupBy (both partial-agg
+    map-side combined), two broadcast-sized joins of the surviving
+    ≥ min_count bigrams against the unigram table, TakeOrdered top-k.
+    The min_count cut runs BEFORE the unigram joins, so join volume
+    tracks the collocation vocabulary, not the corpus."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    bg = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    norm, F.lit(r"(?<![^ ])(?=([^ ]+ [^ ]+))"), F.lit(1)
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bg = bg.agg(F.sum("c_ab").alias("n_bg"))
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    survivors = bg.where(F.col("c_ab") >= min_count).select(
+        "bigram",
+        "c_ab",
+        F.split(F.col("bigram"), " ").getItem(0).alias("wa"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("wb"),
+    )
+    return (
+        survivors.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "bigram",
+            "c_ab",
+            F.expr(
+                "CAST(CAST(c_ab AS DECIMAL(38,0)) * n_uni * n_uni "
+                "* 1000000 DIV (CAST(n_bg AS DECIMAL(38,0)) * c_a * c_b) "
+                "AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "bigram")
+        .limit(k)
+    )
+
+
+def pmi_collocations_sql(
+    min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK
+) -> str:
+    """Oracle twin of :func:`pmi_collocations`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t
+  FROM documents),
+bg AS (
+  SELECT t[s.i] || ' ' || t[s.i + 1] AS bigram, count(*) AS c_ab
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t)))) AS s(i)
+  GROUP BY 1),
+uni AS (
+  SELECT u.w AS w, count(*) AS c
+  FROM toks, LATERAL (SELECT unnest(t)) AS u(w)
+  GROUP BY 1),
+n_uni AS (SELECT SUM(c) AS n_uni FROM uni),
+n_bg AS (SELECT SUM(c_ab) AS n_bg FROM bg),
+survivors AS (
+  SELECT bigram, c_ab,
+         split_part(bigram, ' ', 1) AS wa,
+         split_part(bigram, ' ', 2) AS wb
+  FROM bg WHERE c_ab >= {min_count})
+SELECT bigram, c_ab,
+       CAST(CAST(c_ab AS HUGEINT) * n_uni * n_uni * 1000000
+            // (CAST(n_bg AS HUGEINT) * ua.c * ub.c) AS BIGINT)
+         AS lift_ppm
+FROM survivors
+JOIN uni ua ON wa = ua.w
+JOIN uni ub ON wb = ub.w
+CROSS JOIN n_uni CROSS JOIN n_bg
+ORDER BY lift_ppm DESC, bigram LIMIT {k}
+""".strip()

@@ -601,3 +601,30 @@ def test_perceptron_learns_separable_labels(spark):
     assert rep[1].n_misclassified == rep[1].n_docs  # zero weights
     assert rep[2].n_misclassified < rep[1].n_misclassified
     assert rep[3].accuracy_ppm == 1_000_000
+
+
+@pytest.mark.spark
+def test_pmi_collocations_hand_case(spark):
+    """'zig zag' always co-occurs (high lift); 'the the' is frequent
+    but independent (lift ~= 1e6 ppm scale); min_count prunes rare
+    pairs."""
+    from lasdb_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "zig zag the end the end rare pair"[: None], ) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.bigram: (r.c_ab, r.lift_ppm)
+        for r in pmi_collocations(docs, min_count=6, k=10).collect()
+    }
+    # every doc: tokens = zig zag the end the end rare pair (8 tokens)
+    # N_uni = 48; c(zig)=c(zag)=6, c_ab(zig zag)=6
+    # lift(zig zag) = 6*48*48 / (42*6*6) = 9.142... -> 9142857 ppm
+    assert got["zig zag"] == (6, 9142857)
+    # 'the end' occurs 12x, c(the)=c(end)=12:
+    # lift = 12*48*48/(42*12*12) = 4.571 -> 4571428
+    assert got["the end"] == (12, 4571428)
+    # rare: 'zag the' c_ab=6 >= min_count -> present; 'pair zig' is a
+    # cross-doc boundary bigram that never exists
+    assert "pair zig" not in got
