@@ -1910,6 +1910,12 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_k_anonymity(spark, sf_dir):
+    """k-anonymity generalization-ladder audit (r7): per-level
+    equivalence-class census; one scan, grouping-sets explode."""
+    return _rel.k_anonymity_ladder(_t(spark, sf_dir, "customer"))
+
+
 def _q_text_collocations(spark, sf_dir):
     """PMI collocations (r7): bigram association ranked by exact
     integer lift (monotone in PMI — no float log in the ranking)."""
@@ -2044,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_kcore": _graph.copurchase_kcore_sql(),
         "mm_audio_fp_pairs": _multimodal.audio_fingerprint_pairs_sql(),
         "text_collocations": _text.pmi_collocations_sql(),
+        "rel_k_anonymity": _rel.k_anonymity_ladder_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2371,15 +2378,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mm_audio_fp_pairs — audio frame-energy fingerprint near-dup
     pairs, completing the text/image/audio near-dup modality matrix;
     text_collocations — PMI collocations ranked by exact integer
-    lift (no float log in the ranking).
+    lift (no float log in the ranking); rel_k_anonymity —
+    k-anonymity generalization-ladder audit, one-scan class census.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … pc_knn_join —
+    committed r6 cut tail (dedup_lsh_recall … doc_search —
     never-rowed entries outrank standing-green ones, so the window
-    cuts at pc_knn_join and the tail's last TWO entries (pc_hag,
-    pc_outliers) slip to r8 alongside the whole r4-green block,
-    corpus_token_budget onward), then the r3-green family
+    cuts at doc_search and the tail's last THREE entries
+    (pc_knn_join, pc_hag, pc_outliers) slip to r8 alongside the
+    whole r4-green block, corpus_token_budget onward), then the
+    r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2433,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversions": _q_stream_conversions,
         "mm_audio_fp_pairs": _q_mm_audio_fp_pairs,
         "text_collocations": _q_text_collocations,
+        "rel_k_anonymity": _q_rel_k_anonymity,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

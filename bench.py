@@ -532,6 +532,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "text_collocations": lambda: _eq["text_collocations"](
                 spark, sf_dir
             ),
+            # r7 (this session): k-anonymity generalization ladder
+            "rel_k_anonymity": lambda: _eq["rel_k_anonymity"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

@@ -3018,3 +3018,118 @@ WHERE bal_c * cnt > sum_c
                     AND o_orderdate >= TIMESTAMP '{cutoff}')
 GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization-ladder audit
+# ---------------------------------------------------------------------------
+KANON_K = 5
+
+
+def k_anonymity_ladder(customer: DataFrame, k: int = KANON_K) -> DataFrame:
+    """(level, n_classes, min_class, rows_at_risk, risk_ppm,
+    k_anonymous) — the privacy-release audit: for each generalization
+    level of the quasi-identifier tuple, the equivalence-class census
+    that decides whether a dataset can be published k-anonymously.
+    Levels (coarsening ladder): 0 = (nation, segment, $100 balance
+    bucket); 1 = (nation, segment, $1000 bucket); 2 = (region =
+    nation % 5, segment); 3 = (segment). Balance buckets shift by
+    +$10000 first so the cents value is non-negative and integer
+    division floors identically in every engine (acctbal goes down
+    to -$999.85 in the testdata). ``rows_at_risk`` counts rows in classes
+    smaller than k; ``risk_ppm`` is the exact integer ppm share.
+
+    Scale: ONE scan — every row expands to its 4 generalized tuples
+    map-side (explode of literal structs, the grouping-sets shape),
+    one partial-agg groupBy per (level, class), one level groupBy for
+    the census. No windows, no joins; class strings are bounded."""
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    levels = F.array(
+        F.struct(
+            F.lit(0).alias("level"),
+            F.concat_ws(
+                "|",
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                ((bal_c + F.lit(1000000)) / F.lit(10000)).cast("long"),
+            ).alias("cls"),
+        ),
+        F.struct(
+            F.lit(1).alias("level"),
+            F.concat_ws(
+                "|",
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                ((bal_c + F.lit(1000000)) / F.lit(100000)).cast("long"),
+            ).alias("cls"),
+        ),
+        F.struct(
+            F.lit(2).alias("level"),
+            F.concat_ws(
+                "|", F.col("c_nationkey") % F.lit(5), F.col("c_mktsegment")
+            ).alias("cls"),
+        ),
+        F.struct(
+            F.lit(3).alias("level"),
+            F.col("c_mktsegment").alias("cls"),
+        ),
+    )
+    classes = (
+        customer.select(F.explode(levels).alias("g"))
+        .select("g.level", "g.cls")
+        .groupBy("level", "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        classes.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("n").alias("min_class"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias(
+                "rows_at_risk"
+            ),
+            F.sum("n").alias("total"),
+        )
+        .select(
+            "level",
+            "n_classes",
+            "min_class",
+            "rows_at_risk",
+            (F.col("rows_at_risk") * F.lit(1000000) / F.col("total"))
+            .cast("long")
+            .alias("risk_ppm"),
+            (F.col("min_class") >= k).alias("k_anonymous"),
+        )
+    )
+
+
+def k_anonymity_ladder_sql(k: int = KANON_K) -> str:
+    """Oracle twin of :func:`k_anonymity_ladder`."""
+    return f"""
+WITH g AS (
+  SELECT 0 AS level,
+         c_nationkey || '|' || c_mktsegment || '|' ||
+         ((CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 10000)
+           AS cls
+  FROM customer
+  UNION ALL
+  SELECT 1,
+         c_nationkey || '|' || c_mktsegment || '|' ||
+         ((CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000)
+  FROM customer
+  UNION ALL
+  SELECT 2, (c_nationkey % 5) || '|' || c_mktsegment FROM customer
+  UNION ALL
+  SELECT 3, c_mktsegment FROM customer),
+classes AS (
+  SELECT level, cls, count(*) AS n FROM g GROUP BY 1, 2)
+SELECT level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       MIN(n) AS min_class,
+       CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       SUM(CASE WHEN n < {k} THEN n ELSE 0 END) * 1000000 // SUM(n)
+         AS risk_ppm,
+       MIN(n) >= {k} AS k_anonymous
+FROM classes GROUP BY 1
+""".strip()

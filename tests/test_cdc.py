@@ -242,3 +242,30 @@ def test_profile_columns_nulls_and_types(spark):
     assert out["ts"]["n_null"] == 1
     assert out["ts"]["min_num"] == 1704067200000.0
     assert all(r["n_rows"] == 3 for r in out.values())
+
+
+@pytest.mark.spark
+def test_k_anonymity_ladder_semantics(spark):
+    """Class census math: a 2-row class is below k=3 and counts as at
+    risk; coarsening merges classes and clears the flag; negative
+    balances bucket identically (floor, not truncate-toward-zero)."""
+    from lasdb_spark.operators.relational import k_anonymity_ladder
+
+    customer = spark.createDataFrame(
+        [
+            # level 3 (segment only): AUTO has 4 rows, OK at k=3
+            (0, "AUTO", 150.0), (1, "AUTO", 151.0),
+            (2, "AUTO", 152.0), (5, "AUTO", -950.0),
+            # BIKE: 3 rows, exactly k -> not at risk
+            (3, "BIKE", 500.0), (8, "BIKE", 501.0), (13, "BIKE", 502.0),
+        ],
+        "c_nationkey long, c_mktsegment string, c_acctbal double",
+    )
+    got = {r.level: r for r in k_anonymity_ladder(customer, k=3).collect()}
+    # level 0: nation|segment|$100-bucket -> all classes singletons
+    assert got[0].min_class == 1 and not got[0].k_anonymous
+    assert got[0].rows_at_risk == 7 and got[0].risk_ppm == 1000000
+    # level 3: {AUTO: 4, BIKE: 3} -> k-anonymous at k=3
+    assert got[3].n_classes == 2
+    assert got[3].min_class == 3 and got[3].k_anonymous
+    assert got[3].rows_at_risk == 0 and got[3].risk_ppm == 0
