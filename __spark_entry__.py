@@ -1910,6 +1910,12 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (r7): pure pushdown — scan-level range filters, one
+    partial agg, no joins; basis-point-exact discount band."""
+    return _rel.forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_rel_k_anonymity(spark, sf_dir):
     """k-anonymity generalization-ladder audit (r7): per-level
     equivalence-class census; one scan, grouping-sets explode."""
@@ -2051,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_fp_pairs": _multimodal.audio_fingerprint_pairs_sql(),
         "text_collocations": _text.pmi_collocations_sql(),
         "rel_k_anonymity": _rel.k_anonymity_ladder_sql(),
+        "rel_forecast_revenue": _rel.forecast_revenue_change_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2379,14 +2386,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pairs, completing the text/image/audio near-dup modality matrix;
     text_collocations — PMI collocations ranked by exact integer
     lift (no float log in the ranking); rel_k_anonymity —
-    k-anonymity generalization-ladder audit, one-scan class census.
+    k-anonymity generalization-ladder audit, one-scan class census;
+    rel_forecast_revenue — TPC-H Q6 with Q19-style raw hull
+    prefilters pushed to the scan under the exact basis-point band.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … doc_search —
+    committed r6 cut tail (dedup_lsh_recall … pc_thin —
     never-rowed entries outrank standing-green ones, so the window
-    cuts at doc_search and the tail's last THREE entries
-    (pc_knn_join, pc_hag, pc_outliers) slip to r8 alongside the
+    cuts at pc_thin and the tail's last FOUR entries (doc_search,
+    pc_knn_join, pc_hag, pc_outliers) slip to r8 alongside the
     whole r4-green block, corpus_token_budget onward), then the
     r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
@@ -2443,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_fp_pairs": _q_mm_audio_fp_pairs,
         "text_collocations": _q_text_collocations,
         "rel_k_anonymity": _q_rel_k_anonymity,
+        "rel_forecast_revenue": _q_rel_forecast_revenue,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

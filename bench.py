@@ -536,6 +536,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_k_anonymity": lambda: _eq["rel_k_anonymity"](
                 spark, sf_dir
             ),
+            # r7 (this session): TPC-H Q6 pure-pushdown revenue
+            "rel_forecast_revenue": lambda: _eq["rel_forecast_revenue"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

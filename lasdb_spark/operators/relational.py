@@ -3133,3 +3133,85 @@ SELECT level,
        MIN(n) >= {k} AS k_anonymous
 FROM classes GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue change
+# ---------------------------------------------------------------------------
+Q6_START = "1996-01-01"
+Q6_END = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY = 24.0
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    start: str = Q6_START,
+    end: str = Q6_END,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    qty_below: float = Q6_QTY,
+) -> DataFrame:
+    """1 row (revenue) — TPC-H Q6 (forecast revenue change): the
+    revenue that would have been gained by eliminating small-quantity
+    discounts in one year. The simplest TPC-H query and the purest
+    pushdown test: every predicate is a scan-level range filter, the
+    plan is scan → filter → one partial agg — no joins, no shuffle
+    beyond the 1-row final merge.
+
+    Exactness: the discount band compares in exact basis points
+    (round(discount·10⁴)) and quantity in deci-units, so boundary
+    rows land identically in every engine; revenue sums
+    extendedprice·discount in exact hundredths-of-cents. The exact
+    predicates wrap the column in round() and thus can't reach the
+    scan, so slightly-widened RAW hull prefilters ride ahead of them
+    (the Q19 pattern): the hulls push into PushedFilters, the exact
+    band decides the boundary rows."""
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    qty_d = F.round(F.col("l_quantity") * 10).cast("long")
+    rev_hc = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start))
+            & (F.col("l_shipdate") < F.lit(end))
+            # pushable hulls (widened by one cent / one unit)
+            & (F.col("l_discount") >= disc_lo - 0.01)
+            & (F.col("l_discount") <= disc_hi + 0.01)
+            & (F.col("l_quantity") < qty_below + 1.0)
+            # exact residual band
+            & disc_bp.between(
+                int(disc_lo * 10000), int(disc_hi * 10000)
+            )
+            & (qty_d < int(qty_below * 10))
+        )
+        .agg(
+            (F.sum(rev_hc).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def forecast_revenue_change_sql(
+    start: str = Q6_START,
+    end: str = Q6_END,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    qty_below: float = Q6_QTY,
+) -> str:
+    """Oracle twin of :func:`forecast_revenue_change`."""
+    return f"""
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+  AND l_discount >= {disc_lo - 0.01!r} AND l_discount <= {disc_hi + 0.01!r}
+  AND l_quantity < {qty_below + 1.0!r}
+  AND CAST(round(l_discount * 10000) AS BIGINT)
+      BETWEEN {int(disc_lo * 10000)} AND {int(disc_hi * 10000)}
+  AND CAST(round(l_quantity * 10) AS BIGINT) < {int(qty_below * 10)}
+""".strip()

@@ -248,3 +248,29 @@ def test_national_market_share_fraction(spark):
     assert len(rows) == 1
     assert rows[0].o_year == 1996
     assert rows[0].mkt_share == pytest.approx(0.25)
+
+
+@pytest.mark.spark
+def test_forecast_revenue_band_boundaries(spark):
+    """Q6 band semantics: discount endpoints inclusive in basis
+    points, quantity strictly below, window half-open; the widened
+    raw hulls must never exclude an exact-band row."""
+    from lasdb_spark.operators.relational import forecast_revenue_change
+
+    li = spark.createDataFrame(
+        [
+            (100.0, 0.05, 23.0, "1996-06-01"),  # lo edge: in
+            (100.0, 0.07, 23.0, "1996-06-01"),  # hi edge: in
+            (100.0, 0.04, 23.0, "1996-06-01"),  # below band: out
+            (100.0, 0.08, 23.0, "1996-06-01"),  # above band: out
+            (100.0, 0.06, 24.0, "1996-06-01"),  # qty == 24: out
+            (100.0, 0.06, 23.0, "1997-01-01"),  # window end: out
+        ],
+        "l_extendedprice double, l_discount double, l_quantity double, "
+        "d string",
+    ).selectExpr(
+        "l_extendedprice", "l_discount", "l_quantity",
+        "CAST(d AS TIMESTAMP) AS l_shipdate",
+    )
+    got = forecast_revenue_change(li).collect()[0].revenue
+    assert got == pytest.approx(100.0 * 0.05 + 100.0 * 0.07)
