@@ -1499,11 +1499,23 @@ def _q_stream_conversions(spark, sf_dir):
 
     _STREAM_SEQ[0] += 1
     name = f"s_conv_{_STREAM_SEQ[0]}"
-    run_to_memory(
-        stream_conversion_join(events_stream_multibatch(spark, sf_dir)),
-        name,
-        "append",
-    )
+    # state-store partition count is a deployment knob (it is fixed
+    # into the checkpoint at first run): the join keeps TWO stores,
+    # so at test scale 32 partitions × 4 micro-batches × 2 sides is
+    # pure fixed file overhead — 8 partitions drains 17-27 s → ~5 s
+    # (measured). At 100 TB you'd size this to keys/executors instead.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_conversion_join(
+                events_stream_multibatch(spark, sf_dir)
+            ),
+            name,
+            "append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name).orderBy("view_id", "buy_id")
 
 
@@ -1910,6 +1922,14 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_text_kn_scores(spark, sf_dir):
+    """Kneser-Ney bigram LM perplexity scoring (r7): the CCNet-style
+    LM quality filter; DECIMAL-exact order-independent NLL sums."""
+    from lasdb_spark.operators.text import kn_bigram_scores
+
+    return kn_bigram_scores(_docs(spark, sf_dir))
+
+
 def _q_rel_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 (r7): pure pushdown — scan-level range filters, one
     partial agg, no joins; basis-point-exact discount band."""
@@ -2058,6 +2078,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": _text.pmi_collocations_sql(),
         "rel_k_anonymity": _rel.k_anonymity_ladder_sql(),
         "rel_forecast_revenue": _rel.forecast_revenue_change_sql(),
+        "text_kn_scores": _text.kn_bigram_scores_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2388,16 +2409,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lift (no float log in the ranking); rel_k_anonymity —
     k-anonymity generalization-ladder audit, one-scan class census;
     rel_forecast_revenue — TPC-H Q6 with Q19-style raw hull
-    prefilters pushed to the scan under the exact basis-point band.
+    prefilters pushed to the scan under the exact basis-point band;
+    text_kn_scores — Kneser-Ney bigram LM perplexity scoring, the
+    CCNet-style quality filter.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … pc_thin —
+    committed r6 cut tail (dedup_lsh_recall … pc_voxel_lod —
     never-rowed entries outrank standing-green ones, so the window
-    cuts at pc_thin and the tail's last FOUR entries (doc_search,
-    pc_knn_join, pc_hag, pc_outliers) slip to r8 alongside the
-    whole r4-green block, corpus_token_budget onward), then the
-    r3-green family
+    cuts at pc_voxel_lod and the tail's last FIVE entries (pc_thin,
+    doc_search, pc_knn_join, pc_hag, pc_outliers) slip to r8
+    alongside the whole r4-green block, corpus_token_budget
+    onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2453,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": _q_text_collocations,
         "rel_k_anonymity": _q_rel_k_anonymity,
         "rel_forecast_revenue": _q_rel_forecast_revenue,
+        "text_kn_scores": _q_text_kn_scores,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

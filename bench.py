@@ -540,6 +540,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_forecast_revenue": lambda: _eq["rel_forecast_revenue"](
                 spark, sf_dir
             ),
+            # r7 (this session): Kneser-Ney bigram LM perplexity
+            "text_kn_scores": lambda: _eq["text_kn_scores"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

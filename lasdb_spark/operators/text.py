@@ -2444,3 +2444,138 @@ JOIN uni ub ON wb = ub.w
 CROSS JOIN n_uni CROSS JOIN n_bg
 ORDER BY lift_ppm DESC, bigram LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75  # binary-exact double
+
+
+def kn_bigram_scores(docs: DataFrame, discount: float = KN_DISCOUNT) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll) — per-document mean negative
+    log-likelihood under an interpolated Kneser-Ney BIGRAM model
+    trained on the corpus itself: the LM-perplexity quality filter
+    (CCNet trains a KN model on a clean corpus and gates web text by
+    perplexity; scoring the training corpus itself keeps the entry
+    self-contained and every probability well-defined — no unseen
+    backoff branch, since each scored bigram was counted).
+
+    P(w2|w1) = (max(c(w1w2)−D, 0) + D·N1+(w1,·)·P_cont(w2)) / c(w1,·)
+    with P_cont(w2) = N1+(·,w2)/T over distinct bigram types T.
+
+    Exactness: every count is BIGINT; D = 0.75 is a binary-exact
+    double; each bigram's tf·(−ln P) contribution is computed in an
+    IDENTICALLY-SHAPED double expression in both engines, cast to
+    DECIMAL(20,10) and summed exactly (order-independent — the
+    surprisal_scores discipline), so the per-doc mean hash-matches.
+
+    Scale: one bigram shuffle to per-(doc, bigram) counts collapses
+    the corpus; the model tables (bigram stats, left/right
+    continuation counts) aggregate that collapsed table; scoring is
+    three key joins of the (doc, bigram) table against
+    vocabulary-sized stats. No windows, no driver state."""
+    d = float(discount)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                norm, F.lit(r"(?<![^ ])(?=([^ ]+ [^ ]+))"), F.lit(1)
+            )
+        ).alias("bigram"),
+    )
+    tfb = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = tfb.groupBy("bigram").agg(F.sum("tf").alias("c12"))
+    splits = stats.select(
+        "bigram",
+        "c12",
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    left = splits.groupBy("w1").agg(
+        F.sum("c12").alias("c1row"),
+        F.count(F.lit(1)).alias("nf1"),  # N1+(w1, ·)
+    )
+    right = splits.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("np2")  # N1+(·, w2)
+    )
+    tt = stats.agg(F.count(F.lit(1)).alias("t_types"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(d), F.lit(0.0))
+        + F.lit(d)
+        * F.col("nf1").cast("double")
+        * (F.col("np2").cast("double") / F.col("t_types").cast("double"))
+    ) / F.col("c1row").cast("double")
+    contrib = (F.col("tf").cast("double") * -F.log(p)).cast(
+        "decimal(20,10)"
+    )
+    return (
+        tfb.join(splits, "bigram")
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(contrib).alias("s_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s_dec").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def kn_bigram_scores_sql(discount: float = KN_DISCOUNT) -> str:
+    """Oracle twin of :func:`kn_bigram_scores` — the identical
+    expression shapes so the doubles agree bit-for-bit."""
+    d = float(discount)
+    p = (
+        f"(greatest(CAST(c12 AS DOUBLE) - {d!r}, 0.0) "
+        f"+ {d!r} * CAST(nf1 AS DOUBLE) "
+        f"* (CAST(np2 AS DOUBLE) / CAST(t_types AS DOUBLE))) "
+        f"/ CAST(c1row AS DOUBLE)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t)))) AS s(i)),
+tfb AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+stats AS (SELECT bigram, SUM(tf) AS c12 FROM tfb GROUP BY 1),
+splits AS (
+  SELECT bigram, c12,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM stats),
+lft AS (SELECT w1, SUM(c12) AS c1row, CAST(count(*) AS BIGINT) AS nf1
+        FROM splits GROUP BY 1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS np2
+        FROM splits GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM stats),
+per_doc AS (
+  SELECT tfb.doc_id, SUM(tfb.tf) AS n_bigrams,
+         SUM(CAST(CAST(tfb.tf AS DOUBLE) * -ln({p})
+             AS DECIMAL(20,10))) AS s_dec
+  FROM tfb
+  JOIN splits USING (bigram)
+  JOIN lft USING (w1)
+  JOIN rgt USING (w2)
+  CROSS JOIN tt
+  GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(CAST(s_dec AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS avg_nll
+FROM per_doc
+""".strip()

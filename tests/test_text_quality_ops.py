@@ -628,3 +628,59 @@ def test_pmi_collocations_hand_case(spark):
     # rare: 'zag the' c_ab=6 >= min_count -> present; 'pair zig' is a
     # cross-doc boundary bigram that never exists
     assert "pair zig" not in got
+
+
+@pytest.mark.spark
+def test_kn_bigram_probabilities_sum_to_one(spark):
+    """KN sanity on a hand corpus: for each seen context w1, the
+    smoothed P(w2|w1) over the FULL vocabulary sums to 1 (the
+    discount mass is exactly redistributed by the continuation
+    term), and the per-doc NLL matches a direct computation."""
+    import math
+    from lasdb_spark.operators.text import kn_bigram_scores
+
+    texts = {1: "a b a b a c", 2: "b a b c"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in kn_bigram_scores(docs).collect()
+    }
+    # model counts from both docs
+    import collections
+    c12 = collections.Counter()
+    for t in texts.values():
+        w = t.split()
+        for i in range(len(w) - 1):
+            c12[(w[i], w[i + 1])] += 1
+    c1 = collections.Counter()
+    nf = collections.Counter()
+    np_ = collections.Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        nf[w1] += 1
+        np_[w2] += 1
+    T = len(c12)
+    D = 0.75
+
+    def p(w1, w2):
+        return (
+            max(c12.get((w1, w2), 0) - D, 0.0)
+            + D * nf[w1] * (np_[w2] / T)
+        ) / c1[w1]
+
+    # full-vocab sum per context == 1 (interpolated KN invariant,
+    # exact because every w2 in the vocab has np_ > 0 here)
+    vocab = set(np_) | set(c1)
+    for w1 in c1:
+        assert sum(p(w1, w2) for w2 in vocab if np_.get(w2)) == pytest.approx(
+            1.0, abs=1e-9
+        )
+    for doc_id, t in texts.items():
+        w = t.split()
+        nll = [-math.log(p(w[i], w[i + 1])) for i in range(len(w) - 1)]
+        assert got[doc_id][0] == len(nll)
+        assert got[doc_id][1] == pytest.approx(
+            sum(nll) / len(nll), abs=1e-5
+        )
