@@ -26,6 +26,7 @@ from lasdb_spark.operators import change as _change
 from lasdb_spark.operators import curate as _curate
 from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
+from lasdb_spark.operators import entity as _entity
 from lasdb_spark.operators import graph as _graph
 from lasdb_spark.operators import interval as _interval
 from lasdb_spark.operators import grid as _grid
@@ -1922,6 +1923,17 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_entity_matches(spark, sf_dir):
+    """Entity resolution (r7): blocked candidate generation + native
+    Levenshtein verify over planted typo families."""
+    from lasdb_spark.operators.entity import (
+        entity_match_pairs,
+        make_entity_corpus,
+    )
+
+    return entity_match_pairs(make_entity_corpus(_docs(spark, sf_dir)))
+
+
 def _q_text_kn_scores(spark, sf_dir):
     """Kneser-Ney bigram LM perplexity scoring (r7): the CCNet-style
     LM quality filter; DECIMAL-exact order-independent NLL sums."""
@@ -2079,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_k_anonymity": _rel.k_anonymity_ladder_sql(),
         "rel_forecast_revenue": _rel.forecast_revenue_change_sql(),
         "text_kn_scores": _text.kn_bigram_scores_sql(),
+        "entity_matches": _entity.entity_match_pairs_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2411,16 +2424,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_forecast_revenue — TPC-H Q6 with Q19-style raw hull
     prefilters pushed to the scan under the exact basis-point band;
     text_kn_scores — Kneser-Ney bigram LM perplexity scoring, the
-    CCNet-style quality filter.
+    CCNet-style quality filter; entity_matches — blocked record
+    linkage with native Levenshtein verify.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … pc_voxel_lod —
+    committed r6 cut tail (dedup_lsh_recall … pc_multi_window —
     never-rowed entries outrank standing-green ones, so the window
-    cuts at pc_voxel_lod and the tail's last FIVE entries (pc_thin,
-    doc_search, pc_knn_join, pc_hag, pc_outliers) slip to r8
-    alongside the whole r4-green block, corpus_token_budget
-    onward), then the r3-green family
+    cuts at pc_multi_window and the tail's last SIX entries
+    (pc_voxel_lod, pc_thin, doc_search, pc_knn_join, pc_hag,
+    pc_outliers) slip to r8 alongside the whole r4-green block,
+    corpus_token_budget onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2477,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_k_anonymity": _q_rel_k_anonymity,
         "rel_forecast_revenue": _q_rel_forecast_revenue,
         "text_kn_scores": _q_text_kn_scores,
+        "entity_matches": _q_entity_matches,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

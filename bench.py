@@ -544,6 +544,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "text_kn_scores": lambda: _eq["text_kn_scores"](
                 spark, sf_dir
             ),
+            # r7 (this session): entity resolution (blocked + verify)
+            "entity_matches": lambda: _eq["entity_matches"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

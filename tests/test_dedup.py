@@ -440,3 +440,37 @@ def test_duplicate_spans_short_docs_and_merge(spark):
     )
     assert d1 == [(0, 0), (12, 12)]
     assert {r["doc_id"] for r in runs} == {1, 2, 3}
+
+
+@pytest.mark.spark
+def test_entity_matching_blocking_and_verify(spark):
+    """Every single-typo variant shares a blocking key with its
+    canonical form (drop/duplicate keep the suffix key; swap/replace
+    keep it too — and the verify knows the exact edit distance);
+    unrelated names never pair."""
+    from lasdb_spark.operators.entity import (
+        entity_match_pairs,
+        make_entity_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    ents = make_entity_corpus(docs)
+    names = {r.entity_id: r.name for r in ents.collect()}
+    # family 0 canonical is 'james smith 0'; the four typo variants
+    assert names[0] == "james smith 0"
+    assert names[1] == "jaes smith 0"       # drop pos 3
+    assert names[2] == "jmaes smith 0"      # swap pos 2,3
+    assert names[3] == "jammes smith 0"     # duplicate pos 3
+    assert names[4] == "jxmes smith 0"      # replace pos 2
+    got = {
+        (r.entity_a, r.entity_b): r.lev
+        for r in entity_match_pairs(ents).collect()
+    }
+    # all 10 within-family pairs of family 0 survive; canonical->drop
+    # is edit distance 1, swap is 2
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert got[(0, 3)] == 1
+    assert got[(0, 4)] == 1
+    assert all(a // 5 == b // 5 for (a, b) in got)
+    assert sum(1 for (a, b) in got if a // 5 == 0 == b // 5) == 10
