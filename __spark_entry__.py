@@ -1923,6 +1923,13 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_cusum(spark, sf_dir):
+    """CUSUM change-point alarms (r7): the max(0, ...) recursion via
+    its closed form = prefix sum minus running min — two windows,
+    no fold; integer centi-units throughout."""
+    return _rel.cusum_alarms(_ev(spark, sf_dir))
+
+
 def _q_entity_matches(spark, sf_dir):
     """Entity resolution (r7): blocked candidate generation + native
     Levenshtein verify over planted typo families."""
@@ -2092,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_forecast_revenue": _rel.forecast_revenue_change_sql(),
         "text_kn_scores": _text.kn_bigram_scores_sql(),
         "entity_matches": _entity.entity_match_pairs_sql(),
+        "rel_cusum": _rel.cusum_alarms_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2425,16 +2433,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prefilters pushed to the scan under the exact basis-point band;
     text_kn_scores — Kneser-Ney bigram LM perplexity scoring, the
     CCNet-style quality filter; entity_matches — blocked record
-    linkage with native Levenshtein verify.
+    linkage with native Levenshtein verify; rel_cusum — CUSUM
+    change-point alarms via the prefix-sum-minus-running-min closed
+    form.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … pc_multi_window —
+    committed r6 cut tail (dedup_lsh_recall … text_decontaminate —
     never-rowed entries outrank standing-green ones, so the window
-    cuts at pc_multi_window and the tail's last SIX entries
-    (pc_voxel_lod, pc_thin, doc_search, pc_knn_join, pc_hag,
-    pc_outliers) slip to r8 alongside the whole r4-green block,
-    corpus_token_budget onward), then the r3-green family
+    cuts at text_decontaminate and the tail's last SEVEN entries
+    (pc_multi_window, pc_voxel_lod, pc_thin, doc_search,
+    pc_knn_join, pc_hag, pc_outliers) slip to r8 alongside the
+    whole r4-green block, corpus_token_budget onward), then the
+    r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2492,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_forecast_revenue": _q_rel_forecast_revenue,
         "text_kn_scores": _q_text_kn_scores,
         "entity_matches": _q_entity_matches,
+        "rel_cusum": _q_rel_cusum,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -548,6 +548,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "entity_matches": lambda: _eq["entity_matches"](
                 spark, sf_dir
             ),
+            # r7 (this session): CUSUM change-point alarms
+            "rel_cusum": lambda: _eq["rel_cusum"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

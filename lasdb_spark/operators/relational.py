@@ -3215,3 +3215,120 @@ WHERE l_shipdate >= TIMESTAMP '{start}'
       BETWEEN {int(disc_lo * 10000)} AND {int(disc_hi * 10000)}
   AND CAST(round(l_quantity * 10) AS BIGINT) < {int(qty_below * 10)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over hourly event rates
+# ---------------------------------------------------------------------------
+CUSUM_SLACK_PCT = 10  # slack k = 10% of the per-type hourly mean
+CUSUM_H_MULT = 5  # alarm threshold h = 5x the per-type hourly mean
+
+
+def cusum_alarms(
+    events: DataFrame,
+    slack_pct: int = CUSUM_SLACK_PCT,
+    h_mult: int = CUSUM_H_MULT,
+) -> DataFrame:
+    """(event_type, hour_ms, n_events, s_centi) — CUSUM (cumulative
+    sum control chart) change-point alarms over the gapfilled hourly
+    rate of each event type: the sequential-detection complement to
+    rate_anomalies' trailing z-scores (CUSUM accumulates small
+    sustained shifts a windowed z-score never trips on).
+
+    The recursion s_t = max(0, s_{t-1} + x_t − μ − k) is NOT a plain
+    running sum — but it has the classic closed form
+    s_t = P_t − min(0, min_{j≤t} P_j) over the drift prefix sums
+    P_t = Σ(x_i − μ − k), so it is computed with TWO window
+    functions (a running sum and a running min), no fold, no HOF, no
+    recursion. Both windows are partitioned by event_type and bounded
+    by the TIME DOMAIN (hours in span), not by event volume — the
+    same state argument as the fixed-grid streaming quantiles.
+
+    Exactness: μ and k are exact centi-rates (total·100 DIV hours;
+    slack = slack_pct% of μ floored), drifts and prefix sums are
+    BIGINT centi-units, so alarms are integer comparisons. Emits only
+    rows where s_t > h_mult·μ_centi."""
+    hdiv = F.expr(f"unix_millis(ts) div {HOUR_MS}")
+    hours = events.select(hdiv.alias("h"))
+    span = hours.agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+    grid_h = span.select(
+        F.explode(F.sequence(F.col("h_min"), F.col("h_max"))).alias("h"),
+        (F.col("h_max") - F.col("h_min") + 1).alias("n_hours"),
+    )
+    counts = (
+        events.select("event_type", hdiv.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("total"))
+    dense = (
+        totals.crossJoin(grid_h)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.expr("total * 100 div n_hours").alias("mu_c"),
+        )
+        .withColumn(
+            "k_c", F.expr(f"mu_c * {int(slack_pct)} div 100")
+        )
+        .withColumn("drift_c", F.col("n") * 100 - F.col("mu_c") - F.col("k_c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.col("p_c") - F.least(F.min("p_c").over(w), F.lit(0))
+    return (
+        dense.withColumn("p_c", F.sum("drift_c").over(w))
+        .withColumn("s_c", s)
+        .where(F.col("s_c") > F.col("mu_c") * h_mult)
+        .select(
+            "event_type",
+            (F.col("h") * HOUR_MS).alias("hour_ms"),
+            F.col("n").alias("n_events"),
+            F.col("s_c").alias("s_centi"),
+        )
+    )
+
+
+def cusum_alarms_sql(
+    slack_pct: int = CUSUM_SLACK_PCT, h_mult: int = CUSUM_H_MULT
+) -> str:
+    """Oracle twin of :func:`cusum_alarms`."""
+    return f"""
+{EV_CTE},
+hours AS (SELECT epoch_ms(ts) // {HOUR_MS} AS h FROM ev),
+span AS (SELECT min(h) AS h_min, max(h) AS h_max,
+                max(h) - min(h) + 1 AS n_hours FROM hours),
+grid_h AS (SELECT unnest(range(h_min, h_max + 1)) AS h, n_hours
+           FROM span),
+counts AS (
+  SELECT event_type, epoch_ms(ts) // {HOUR_MS} AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2),
+totals AS (SELECT event_type, SUM(n) AS total FROM counts GROUP BY 1),
+dense AS (
+  SELECT t.event_type, g.h, coalesce(c.n, 0) AS n,
+         t.total * 100 // g.n_hours AS mu_c,
+         (t.total * 100 // g.n_hours) * {int(slack_pct)} // 100 AS k_c
+  FROM totals t CROSS JOIN grid_h g
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h),
+pref AS (
+  SELECT event_type, h, n, mu_c,
+         SUM(n * 100 - mu_c - k_c) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS UNBOUNDED PRECEDING) AS p_c
+  FROM dense),
+cusum AS (
+  SELECT event_type, h, n, mu_c,
+         p_c - least(MIN(p_c) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS UNBOUNDED PRECEDING), 0) AS s_c
+  FROM pref)
+SELECT event_type, h * {HOUR_MS} AS hour_ms,
+       CAST(n AS BIGINT) AS n_events, CAST(s_c AS BIGINT) AS s_centi
+FROM cusum WHERE s_c > mu_c * {int(h_mult)}
+""".strip()

@@ -269,3 +269,50 @@ def test_k_anonymity_ladder_semantics(spark):
     assert got[3].n_classes == 2
     assert got[3].min_class == 3 and got[3].k_anonymous
     assert got[3].rows_at_risk == 0 and got[3].risk_ppm == 0
+
+
+@pytest.mark.spark
+def test_cusum_closed_form_matches_recursion(spark):
+    """The windowed closed form s_t = P_t - min(0, min P_j) equals
+    the textbook recursion s_t = max(0, s_{t-1} + x_t - mu - k) on a
+    planted step shift, and alarms fire only after the shift."""
+    import datetime
+    from lasdb_spark.operators.relational import cusum_alarms
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 20 calm hours of 2 events, then 10 shifted hours of 12 events
+    for h in range(30):
+        n = 2 if h < 20 else 12
+        for _ in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h, minutes=30), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.hour_ms: r.s_centi for r in cusum_alarms(events).collect()
+    }
+    # replay the recursion exactly: total=160, hours=30 ->
+    # mu_c = 533, k_c = 53
+    mu_c, k_c = 16000 // 30, (16000 // 30) * 10 // 100
+    s, expect = 0, {}
+    for h in range(30):
+        n = 2 if h < 20 else 12
+        s = max(0, s + n * 100 - mu_c - k_c)
+        if s > mu_c * 5:
+            hour_ms = int(
+                (t0 + datetime.timedelta(hours=h)).timestamp() * 1000
+            )
+            expect[hour_ms] = s
+    assert expect, "fixture must produce alarms"
+    assert got == expect
+    # no alarm before the shift
+    shift_ms = int((t0 + datetime.timedelta(hours=20)).timestamp() * 1000)
+    assert all(h >= shift_ms for h in got)
