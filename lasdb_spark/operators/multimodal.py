@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # ---------------------------------------------------------------------------
 # REAL image containers: PGM / PPM / BMP encode + decode
@@ -1598,7 +1599,12 @@ def phash_dup_pairs(
     16-bit value), so candidate volume tracks true near-dup density,
     not N²; everything after the hash pass moves only 16-byte rows.
     The same-band pre-join duplicate pairs collapse in one distinct
-    on the (a, b) key pair."""
+    on the (a, b) key pair. The hash table is persisted before the
+    self-join — both join sides consume it, and without the persist
+    the EXPENSIVE upstream (image/audio decode, two mapInPandas
+    stages) executes twice (plan-audited: 2 FileScans + 4 Python
+    stages lazy → 1 + 2 persisted)."""
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
     bands = hashes.select(
         "doc_id",
         "phash",

@@ -2474,7 +2474,13 @@ def kn_bigram_scores(docs: DataFrame, discount: float = KN_DISCOUNT) -> DataFram
     the corpus; the model tables (bigram stats, left/right
     continuation counts) aggregate that collapsed table; scoring is
     three key joins of the (doc, bigram) table against
-    vocabulary-sized stats. No windows, no driver state."""
+    vocabulary-sized stats. The collapsed table is persisted — five
+    downstream branches (stats → splits → left/right/T plus the
+    scoring join) consume it, and without the persist each re-runs
+    the corpus-sized regex extraction (plan-audited: 5 FileScans
+    lazy → 1 persisted). No windows, no driver state."""
+    from pyspark.storagelevel import StorageLevel
+
     d = float(discount)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     bg = docs.select(
@@ -2485,8 +2491,10 @@ def kn_bigram_scores(docs: DataFrame, discount: float = KN_DISCOUNT) -> DataFram
             )
         ).alias("bigram"),
     )
-    tfb = bg.groupBy("doc_id", "bigram").agg(
-        F.count(F.lit(1)).alias("tf")
+    tfb = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = tfb.groupBy("bigram").agg(F.sum("tf").alias("c12"))
     splits = stats.select(
