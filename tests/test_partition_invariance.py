@@ -42,6 +42,9 @@ ENTRIES = [
     "mm_phash_pairs",      # integer DCT sign bits + banded join
     "rel_kcore",           # monotone peel rounds over semi-joins
     "mm_audio_fp_pairs",   # frame-energy sign bits + banded join
+    "text_kn_scores",      # DECIMAL-summed KN NLL contributions
+    "text_collocations",   # integer lift ranking + TakeOrdered ties
+    "rel_cusum",           # prefix-sum/running-min centi-units
 ]
 
 
