@@ -1923,6 +1923,25 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance (r7): delta-apply the second half
+    of the CDC stream onto the first half's materialized rollup; the
+    oracle recomputes from scratch, so equality proves the IVM
+    identity itself."""
+    from lasdb_spark.operators.relational import (
+        cdc_snapshot,
+        rollup_apply_changes,
+        snapshot_rollup,
+    )
+
+    ev = _ev(spark, sf_dir)
+    ms = F.unix_millis(F.col("ts"))
+    snap0 = cdc_snapshot(ev.filter(ms < CDC_SPLIT_MS))
+    return rollup_apply_changes(
+        snap0, snapshot_rollup(snap0), ev.filter(ms >= CDC_SPLIT_MS)
+    )
+
+
 def _q_rel_cusum(spark, sf_dir):
     """CUSUM change-point alarms (r7): the max(0, ...) recursion via
     its closed form = prefix sum minus running min — two windows,
@@ -2100,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_scores": _text.kn_bigram_scores_sql(),
         "entity_matches": _entity.entity_match_pairs_sql(),
         "rel_cusum": _rel.cusum_alarms_sql(),
+        "rel_ivm_rollup": _rel.snapshot_rollup_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2435,17 +2455,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CCNet-style quality filter; entity_matches — blocked record
     linkage with native Levenshtein verify; rel_cusum — CUSUM
     change-point alarms via the prefix-sum-minus-running-min closed
-    form.
+    form; rel_ivm_rollup — incremental view maintenance, the
+    delta-apply path proven equal to the oracle's full recompute.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … text_decontaminate —
+    committed r6 cut tail (dedup_lsh_recall … text_repetition —
     never-rowed entries outrank standing-green ones, so the window
-    cuts at text_decontaminate and the tail's last SEVEN entries
-    (pc_multi_window, pc_voxel_lod, pc_thin, doc_search,
-    pc_knn_join, pc_hag, pc_outliers) slip to r8 alongside the
-    whole r4-green block, corpus_token_budget onward), then the
-    r3-green family
+    cuts at text_repetition and the tail's last EIGHT entries
+    (text_decontaminate, pc_multi_window, pc_voxel_lod, pc_thin,
+    doc_search, pc_knn_join, pc_hag, pc_outliers) slip to r8
+    alongside the whole r4-green block, corpus_token_budget
+    onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2504,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_scores": _q_text_kn_scores,
         "entity_matches": _q_entity_matches,
         "rel_cusum": _q_rel_cusum,
+        "rel_ivm_rollup": _q_rel_ivm_rollup,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

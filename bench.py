@@ -550,6 +550,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r7 (this session): CUSUM change-point alarms
             "rel_cusum": lambda: _eq["rel_cusum"](spark, sf_dir),
+            # r7 (this session): incremental view maintenance
+            "rel_ivm_rollup": lambda: _eq["rel_ivm_rollup"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

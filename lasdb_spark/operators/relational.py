@@ -3332,3 +3332,94 @@ SELECT event_type, h * {HOUR_MS} AS hour_ms,
        CAST(n AS BIGINT) AS n_events, CAST(s_c AS BIGINT) AS s_centi
 FROM cusum WHERE s_c > mu_c * {int(h_mult)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: delta-apply a CDC batch onto a rollup
+# ---------------------------------------------------------------------------
+def snapshot_rollup(snapshot: DataFrame) -> DataFrame:
+    """(last_type, n_users, total_value) — the materialized aggregate
+    over a :func:`cdc_snapshot`-shaped profile table (cents-exact)."""
+    return (
+        snapshot.groupBy("last_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.round(F.col("last_value") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            "last_type",
+            "n_users",
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def rollup_apply_changes(
+    snapshot: DataFrame, rollup: DataFrame, changes: DataFrame
+) -> DataFrame:
+    """(last_type, n_users, total_value) — INCREMENTAL view
+    maintenance: apply a CDC change batch to a materialized rollup
+    WITHOUT recomputing it from the base table. The lakehouse pattern
+    behind streaming-refreshed dashboards: work scales with the
+    BATCH, not the base.
+
+    Mechanics: the batch's touched keys are semi-joined out of the
+    old snapshot (key-pruned access — the only base read); their old
+    contributions are SUBTRACTED from the rollup, the merged new
+    per-key states (latest-wins incl. deletes, via
+    :func:`merge_upsert` on just the touched slice) are ADDED, and
+    groups whose count reaches zero drop — so the result is
+    row-identical to a full recompute over the merged stream, which
+    is exactly what the oracle computes (the driver comparison proves
+    the IVM identity itself, not just the arithmetic).
+
+    Exactness: counts and cents deltas are BIGINT; the ±rollup merge
+    is one groupBy over |rollup| + 2·|touched| rows."""
+    keys = changes.select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    touched = snapshot.join(
+        keys, snapshot.user_id == keys.k, "left_semi"
+    )
+    cents = F.round(F.col("last_value") * 100).cast("long")
+    subs = touched.select(
+        "last_type",
+        F.lit(-1).cast("long").alias("dn"),
+        (-cents).alias("dc"),
+    )
+    adds = merge_upsert(touched, changes).select(
+        "last_type",
+        F.lit(1).cast("long").alias("dn"),
+        cents.alias("dc"),
+    )
+    base = rollup.select(
+        "last_type",
+        F.col("n_users").cast("long").alias("dn"),
+        F.round(F.col("total_value") * 100).cast("long").alias("dc"),
+    )
+    return (
+        base.unionByName(subs)
+        .unionByName(adds)
+        .groupBy("last_type")
+        .agg(F.sum("dn").alias("n_users"), F.sum("dc").alias("cents"))
+        .where(F.col("n_users") > 0)
+        .select(
+            "last_type",
+            "n_users",
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def snapshot_rollup_sql() -> str:
+    """Oracle of the INCREMENTAL path: the one-pass full recompute
+    over the merged stream — equality proves the IVM identity."""
+    return f"""
+WITH snap AS ({cdc_snapshot_sql()})
+SELECT last_type, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(last_value * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value
+FROM snap GROUP BY 1
+""".strip()

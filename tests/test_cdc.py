@@ -316,3 +316,53 @@ def test_cusum_closed_form_matches_recursion(spark):
     # no alarm before the shift
     shift_ms = int((t0 + datetime.timedelta(hours=20)).timestamp() * 1000)
     assert all(h >= shift_ms for h in got)
+
+
+@pytest.mark.spark
+def test_ivm_rollup_equals_recompute(spark):
+    """Delta-apply == full recompute on a hand stream where the batch
+    inserts a new key, updates a key across groups, and deletes the
+    only member of a group (which must then VANISH from the rollup)."""
+    import datetime
+    from lasdb_spark.operators.relational import (
+        cdc_snapshot,
+        rollup_apply_changes,
+        snapshot_rollup,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, val, minutes):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user,
+                typ, val, "{}")
+
+    sch = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double, props string")
+    base_rows = [
+        ev(1, 1, "click", 10.0, 0),
+        ev(2, 2, "view", 20.0, 1),
+        ev(3, 3, "signup", 30.0, 2),   # only signup member
+    ]
+    batch_rows = [
+        ev(4, 4, "click", 5.5, 60),    # new key
+        ev(5, 2, "click", 7.25, 61),   # view -> click group move
+        ev(6, 3, "error", 0.0, 62),    # delete the only signup
+    ]
+    base = spark.createDataFrame(base_rows, sch)
+    batch = spark.createDataFrame(batch_rows, sch)
+    snap0 = cdc_snapshot(base)
+    got = {
+        r.last_type: (r.n_users, r.total_value)
+        for r in rollup_apply_changes(
+            snap0, snapshot_rollup(snap0), batch
+        ).collect()
+    }
+    full = {
+        r.last_type: (r.n_users, r.total_value)
+        for r in snapshot_rollup(
+            cdc_snapshot(base.unionByName(batch))
+        ).collect()
+    }
+    assert got == full
+    assert got == {"click": (3, 22.75)}  # 10.0 + 5.5 + 7.25
+    assert "signup" not in got and "view" not in got
