@@ -554,6 +554,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_ivm_rollup": lambda: _eq["rel_ivm_rollup"](
                 spark, sf_dir
             ),
+            # r7 (this session): Benford first-digit audit
+            "rel_benford": lambda: _eq["rel_benford"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -3423,3 +3423,84 @@ SELECT last_type, CAST(count(*) AS BIGINT) AS n_users,
          / 100.0 AS total_value
 FROM snap GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / fraud screening)
+# ---------------------------------------------------------------------------
+#: expected Benford shares in exact ppm (floor(log10(1+1/d) * 1e6))
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+               51152, 45757)
+
+
+def _first_digit_ladder(col: str) -> str:
+    """First significant digit of a positive BIGINT as a fixed CASE
+    ladder (no float log10 — a power-of-ten boundary must never land
+    on the wrong side); covers the full BIGINT range."""
+    branches = "\n".join(
+        f"      WHEN {col} >= {10 ** p} THEN {col} DIV {10 ** (p)}"
+        for p in range(18, 0, -1)
+    )
+    return f"CASE\n{branches}\n      ELSE {col} END"
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """(digit, n_obs, share_ppm, benford_ppm, dev_ppm) — first-digit
+    distribution of order totals vs Benford's law: the standard
+    data-quality / fraud screen for naturally-occurring amounts
+    (fabricated or truncated data drifts from the log-uniform
+    first-digit law).
+
+    Exactness: amounts become exact cents; the first digit comes from
+    a fixed integer CASE ladder (never float log10 — a power-of-ten
+    boundary must not land on the wrong side); observed shares are
+    floored integer ppm and the expected shares are embedded
+    floor(log10(1+1/d)·1e6) constants, so the deviation column is an
+    exact integer in both engines. One scan, one 9-row groupBy."""
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    ladder = _first_digit_ladder("c")
+    per_digit = (
+        orders.selectExpr(f"{cents} AS c")
+        .where(F.col("c") > 0)
+        .selectExpr(f"{ladder} AS digit")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = per_digit.agg(F.sum("n_obs").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_PPM]), F.col("digit").cast("int")
+    ).cast("long")
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("n_obs * 1000000 div total").alias("share_ppm"),
+            expected.alias("benford_ppm"),
+            (
+                F.expr("n_obs * 1000000 div total") - expected
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def benford_audit_sql() -> str:
+    """Oracle twin of :func:`benford_audit`."""
+    ladder = _first_digit_ladder("c").replace("DIV", "//")
+    ppm = ", ".join(str(p) for p in BENFORD_PPM)
+    return f"""
+WITH amounts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+digits AS (
+  SELECT {ladder} AS digit FROM amounts WHERE c > 0),
+per_digit AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+  FROM digits GROUP BY 1),
+tot AS (SELECT SUM(n_obs) AS total FROM per_digit)
+SELECT digit, n_obs,
+       n_obs * 1000000 // total AS share_ppm,
+       ([{ppm}])[CAST(digit AS INT)] AS benford_ppm,
+       n_obs * 1000000 // total
+         - ([{ppm}])[CAST(digit AS INT)] AS dev_ppm
+FROM per_digit CROSS JOIN tot
+""".strip()

@@ -366,3 +366,21 @@ def test_ivm_rollup_equals_recompute(spark):
     assert got == full
     assert got == {"click": (3, 22.75)}  # 10.0 + 5.5 + 7.25
     assert "signup" not in got and "view" not in got
+
+
+@pytest.mark.spark
+def test_benford_digit_ladder_and_shares(spark):
+    """Digit extraction is integer-exact at power-of-ten boundaries
+    (the float-log failure case), and ppm shares are floored."""
+    from lasdb_spark.operators.relational import benford_audit
+
+    orders = spark.createDataFrame(
+        [(10.00,), (99.99,), (100.00,), (0.01,), (12345.67,), (9.99,)],
+        "o_totalprice double",
+    )
+    got = {r.digit: r for r in benford_audit(orders).collect()}
+    # cents: 1000, 9999, 10000, 1, 1234567, 999 -> digits 1,9,1,1,1,9
+    assert got[1].n_obs == 4 and got[9].n_obs == 2
+    assert got[1].share_ppm == 4 * 1000000 // 6
+    assert got[1].benford_ppm == 301029
+    assert got[1].dev_ppm == got[1].share_ppm - 301029
