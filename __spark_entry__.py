@@ -1923,6 +1923,12 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest (r7): hour-of-day profile vs
+    persistence baseline, all-integer MAE/skill."""
+    return _rel.forecast_backtest(_ev(spark, sf_dir))
+
+
 def _q_rel_benford(spark, sf_dir):
     """Benford first-digit audit (r7): integer digit ladder, exact
     ppm shares vs embedded log-law constants."""
@@ -2127,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_cusum": _rel.cusum_alarms_sql(),
         "rel_ivm_rollup": _rel.snapshot_rollup_sql(),
         "rel_benford": _rel.benford_audit_sql(),
+        "rel_forecast_backtest": _rel.forecast_backtest_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2465,17 +2472,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     form; rel_ivm_rollup — incremental view maintenance, the
     delta-apply path proven equal to the oracle's full recompute;
     rel_benford — Benford first-digit audit via an integer digit
-    ladder.
+    ladder; rel_forecast_backtest — seasonal-naive forecast backtest
+    with integer MAE/skill vs the persistence baseline.
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall … pc_zonal_stats —
-    never-rowed entries outrank standing-green ones, so the window
-    cuts at pc_zonal_stats and the tail's last NINE entries
-    (text_repetition, text_decontaminate, pc_multi_window,
-    pc_voxel_lod, pc_thin, doc_search, pc_knn_join, pc_hag,
-    pc_outliers) slip to r8 alongside the whole r4-green block,
-    corpus_token_budget onward), then the r3-green family
+    committed r6 cut tail (dedup_lsh_recall + pc_zonal_stats is cut
+    entirely to TEN slipped entries — never-rowed entries outrank
+    standing-green ones, so the window cuts at dedup_lsh_recall and
+    the tail's last TEN (pc_zonal_stats, text_repetition,
+    text_decontaminate, pc_multi_window, pc_voxel_lod, pc_thin,
+    doc_search, pc_knn_join, pc_hag, pc_outliers) slip to r8
+    alongside the whole r4-green block, corpus_token_budget
+    onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
@@ -2536,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cusum": _q_rel_cusum,
         "rel_ivm_rollup": _q_rel_ivm_rollup,
         "rel_benford": _q_rel_benford,
+        "rel_forecast_backtest": _q_rel_forecast_backtest,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

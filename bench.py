@@ -556,6 +556,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r7 (this session): Benford first-digit audit
             "rel_benford": lambda: _eq["rel_benford"](spark, sf_dir),
+            # r7 (this session): seasonal-naive forecast backtest
+            "rel_forecast_backtest": lambda: _eq["rel_forecast_backtest"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

@@ -3504,3 +3504,138 @@ SELECT digit, n_obs,
          - ([{ppm}])[CAST(digit AS INT)] AS dev_ppm
 FROM per_digit CROSS JOIN tot
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+FC_TRAIN_DAYS = 23
+FC_HOURS_PER_DAY = 24
+
+
+def forecast_backtest(
+    events: DataFrame, train_days: int = FC_TRAIN_DAYS
+) -> DataFrame:
+    """(event_type, n_test_hours, mae_milli, naive_mae_milli,
+    skill_ppm) — the model-quality loop every rate-forecasting
+    pipeline needs: fit a seasonal profile (mean count per hour-of-day
+    over the first ``train_days``), forecast the remaining days
+    seasonal-naively, and score it against the actuals NEXT to the
+    persistence baseline (forecast = same hour yesterday).
+    ``skill_ppm`` = 1e6·(1 − mae/naive_mae), floored — positive means
+    the profile beats persistence.
+
+    Exactness: profile means are exact milli-counts (sum·1000 DIV
+    days); absolute errors are BIGINT milli-units; MAE divisions are
+    floored integer milli/ppm — no float enters at all.
+
+    Scale: the gapfilled dense grid is |types|×|hours| (time-domain
+    bounded); the profile is one groupBy of the train slice; the
+    persistence baseline is one lag window per type; one final
+    9-column agg per type."""
+    hdiv = F.expr(f"unix_millis(ts) div {HOUR_MS}")
+    hours = events.select(hdiv.alias("h"))
+    span = hours.agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+    grid_h = span.select(
+        F.explode(F.sequence(F.col("h_min"), F.col("h_max"))).alias("h"),
+        F.col("h_min"),
+    )
+    types = events.select("event_type").distinct()
+    counts = (
+        events.select("event_type", hdiv.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dense = (
+        types.crossJoin(grid_h)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            ((F.col("h") - F.col("h_min"))
+             / F.lit(FC_HOURS_PER_DAY)).cast("long").alias("day"),
+            (F.col("h") % F.lit(FC_HOURS_PER_DAY)).alias("hod"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    profile = (
+        dense.where(F.col("day") < train_days)
+        .groupBy("event_type", "hod")
+        .agg(
+            F.expr("sum(n) * 1000 div count(*)").alias("pred_milli")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    test = (
+        dense.withColumn(
+            "prev_day_n", F.lag("n", FC_HOURS_PER_DAY).over(w)
+        )
+        .where(F.col("day") >= train_days)
+        .join(profile, ["event_type", "hod"])
+    )
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_hours"),
+            F.sum(
+                F.abs(F.col("n") * 1000 - F.col("pred_milli"))
+            ).alias("err_milli"),
+            F.sum(
+                F.abs(
+                    (F.col("n") - F.coalesce(F.col("prev_day_n"), F.lit(0)))
+                    * 1000
+                )
+            ).alias("naive_milli"),
+        )
+        .select(
+            "event_type",
+            "n_test_hours",
+            F.expr("err_milli div n_test_hours").alias("mae_milli"),
+            F.expr("naive_milli div n_test_hours").alias("naive_mae_milli"),
+            F.expr(
+                "1000000 - err_milli * 1000000 div "
+                "greatest(naive_milli, 1)"
+            ).alias("skill_ppm"),
+        )
+    )
+
+
+def forecast_backtest_sql(train_days: int = FC_TRAIN_DAYS) -> str:
+    """Oracle twin of :func:`forecast_backtest`."""
+    return f"""
+{EV_CTE},
+hours AS (SELECT epoch_ms(ts) // {HOUR_MS} AS h FROM ev),
+span AS (SELECT min(h) AS h_min, max(h) AS h_max FROM hours),
+grid_h AS (SELECT unnest(range(h_min, h_max + 1)) AS h, h_min FROM span),
+types AS (SELECT DISTINCT event_type FROM ev),
+counts AS (
+  SELECT event_type, epoch_ms(ts) // {HOUR_MS} AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2),
+dense AS (
+  SELECT t.event_type, g.h,
+         (g.h - g.h_min) // {FC_HOURS_PER_DAY} AS day,
+         g.h % {FC_HOURS_PER_DAY} AS hod,
+         coalesce(c.n, 0) AS n
+  FROM types t CROSS JOIN grid_h g
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h),
+profile AS (
+  SELECT event_type, hod, SUM(n) * 1000 // count(*) AS pred_milli
+  FROM dense WHERE day < {train_days} GROUP BY 1, 2),
+test AS (
+  SELECT d.event_type, d.n, p.pred_milli,
+         lag(d.n, {FC_HOURS_PER_DAY}) OVER (
+           PARTITION BY d.event_type ORDER BY d.h) AS prev_day_n,
+         d.day
+  FROM dense d JOIN profile p
+    ON d.event_type = p.event_type AND d.hod = p.hod),
+scored AS (SELECT * FROM test WHERE day >= {train_days})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
+       SUM(abs(n * 1000 - pred_milli)) // count(*) AS mae_milli,
+       SUM(abs((n - coalesce(prev_day_n, 0)) * 1000)) // count(*)
+         AS naive_mae_milli,
+       1000000 - SUM(abs(n * 1000 - pred_milli)) * 1000000
+         // greatest(SUM(abs((n - coalesce(prev_day_n, 0)) * 1000)), 1)
+         AS skill_ppm
+FROM scored GROUP BY 1
+""".strip()

