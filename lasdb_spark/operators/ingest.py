@@ -390,3 +390,64 @@ def load_dataset(spark: SparkSession, base_path: str, name: str) -> tuple[DataFr
     meta, layout = load_metadata(base_path, name)
     df = spark.read.parquet(os.path.join(base_path, f"pc_record_{name}"))
     return df, meta, layout
+
+
+def layout_report(
+    spark: SparkSession,
+    base_path: str,
+    name: str,
+    small_file_bytes: int = 4 * 1024 * 1024,
+) -> dict:
+    """Storage-layout QA for a stored dataset — the compaction
+    PLANNING half next to :func:`compact_dataset`'s execution half:
+
+    returns {n_files, n_small_files, total_bytes, overlap_files,
+    overlap_fraction, clustered} where ``overlap_files`` counts files
+    whose sfc_key range intersects any earlier file's (in lo-sorted
+    order — a globally range-sorted layout has zero; every overlap
+    forces row-group pruning to read multiple files for keys in the
+    intersection) and ``clustered`` is the publishable verdict (no
+    overlaps AND no small files).
+
+    Scale: per-file key ranges come from ONE distributed groupBy on
+    input_file_name() (a metadata column — no extra scan state); the
+    pairwise overlap check runs driver-side on the |files|-sized
+    range list (files per dataset slice is a bounded planning set,
+    the same argument as the quadtree range decomposition). File
+    sizes come from the directory listing, not from reading data."""
+    path = record_path(base_path, name)
+    df = spark.read.parquet(path)
+    ranges = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("sfc_key").alias("lo"),
+            F.max("sfc_key").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    sizes = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                sizes[os.path.basename(p)] = os.path.getsize(p)
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    overlap_pairs = 0
+    max_hi = None
+    for lo, hi in spans:
+        if max_hi is not None and lo <= max_hi:
+            overlap_pairs += 1
+        max_hi = hi if max_hi is None else max(max_hi, hi)
+    n_files = len(spans)
+    n_small = sum(1 for b in sizes.values() if b < small_file_bytes)
+    possible = max(1, n_files - 1)
+    return {
+        "n_files": n_files,
+        "n_rows": int(sum(r.n_rows for r in ranges)),
+        "n_small_files": n_small,
+        "total_bytes": int(sum(sizes.values())),
+        "overlap_files": overlap_pairs,
+        "overlap_fraction": round(overlap_pairs / possible, 6),
+        "clustered": overlap_pairs == 0 and n_small == 0,
+    }
