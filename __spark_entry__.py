@@ -1923,6 +1923,12 @@ def _q_rel_dormant_balance(spark, sf_dir):
     )
 
 
+def _q_rel_acf(spark, sf_dir):
+    """Hourly-rate autocorrelation (r7): integer sufficient stats →
+    bit-reproducible Pearson; the lag-24 peak = the daily cycle."""
+    return _rel.hourly_acf(_ev(spark, sf_dir))
+
+
 def _q_rel_forecast_backtest(spark, sf_dir):
     """Seasonal-naive forecast backtest (r7): hour-of-day profile vs
     persistence baseline, all-integer MAE/skill."""
@@ -2134,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_ivm_rollup": _rel.snapshot_rollup_sql(),
         "rel_benford": _rel.benford_audit_sql(),
         "rel_forecast_backtest": _rel.forecast_backtest_sql(),
+        "rel_acf": _rel.hourly_acf_sql(),
         "pc_bbox": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()}",
         "pc_bbox_maxz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z <= {ZMAX}",
         "pc_bbox_minz": f"{_PTS} SELECT x, y, z FROM points WHERE {_bbox_where()} AND z >= {ZMIN}",
@@ -2477,22 +2484,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_triangles additionally had its PLAN rewritten late in r7:
     per-edge adjacency intersection replaced the materialized wedge
     join — values unchanged, in-window row re-proves it), then the
-    committed r6 cut tail (dedup_lsh_recall + pc_zonal_stats is cut
-    entirely to TEN slipped entries — never-rowed entries outrank
-    standing-green ones, so the window cuts at dedup_lsh_recall and
-    the tail's last TEN (pc_zonal_stats, text_repetition,
+    committed r6 cut tail — which the session's additions have now
+    pushed ENTIRELY out of the window (never-rowed entries outrank
+    standing-green ones; the window's last slot is rel_acf): all
+    eleven (dedup_lsh_recall, pc_zonal_stats, text_repetition,
     text_decontaminate, pc_multi_window, pc_voxel_lod, pc_thin,
-    doc_search, pc_knn_join, pc_hag, pc_outliers) slip to r8
-    alongside the whole r4-green block, corpus_token_budget
-    onward), then the r3-green family
+    doc_search, pc_knn_join, pc_hag, pc_outliers) slip to r8 and
+    LEAD its window, ahead of the r4-green block
+    (corpus_token_budget onward), then the r3-green family
     representatives (pc_bbox … corpus_pack), the now-oldest
     r5-checked blocks, and finally the r6-checked blocks (freshest
     standing rows). Everything past the window keeps its standing
     green row from a prior round AND is re-proven value-exact every
     test run by the all-entries oracle mirror
-    (tests/test_entry_oracle.py). Next round (r8): lead with whatever
-    r4-green remainder the r7 window cut, then the r3 family reps and
-    the r5-checked blocks, leaving the r6/r7-checked rows last."""
+    (tests/test_entry_oracle.py). Next round (r8): lead with the
+    eleven-entry r6 cut tail the r7 window displaced (dedup_lsh_recall
+    … pc_outliers), then the whole r4-green block
+    (corpus_token_budget onward), the r3 family reps, and the
+    r5-checked blocks, leaving the r6/r7-checked rows last."""
     return {
         # --- results changed in r7 (BPE driver-state cap, VERDICT #4) ---
         "text_bpe_merges": _q_text_bpe_merges,
@@ -2546,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ivm_rollup": _q_rel_ivm_rollup,
         "rel_benford": _q_rel_benford,
         "rel_forecast_backtest": _q_rel_forecast_backtest,
+        "rel_acf": _q_rel_acf,
         # --- the r6 cut tail (committed lead) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,

@@ -560,6 +560,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_forecast_backtest": lambda: _eq["rel_forecast_backtest"](
                 spark, sf_dir
             ),
+            # r7 (this session): hourly-rate autocorrelation
+            "rel_acf": lambda: _eq["rel_acf"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -3639,3 +3639,129 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
          AS skill_ppm
 FROM scored GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function over hourly rates (seasonality diagnostics)
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 24
+
+
+def hourly_acf(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """(event_type, lag, n_pairs, acf) — Pearson autocorrelation of
+    the gapfilled hourly counts at lags 1..``max_lag``: the
+    seasonality diagnostic behind period selection for the forecast
+    profile (a daily cycle shows as the lag-24 peak).
+
+    Exactness: every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²
+    per (type, lag)) is an exact BIGINT; the Pearson assembly uses
+    products < 2⁵³ (exact in double), one IEEE sqrt (correctly
+    rounded by the standard) and one division — identical integer
+    inputs therefore give bit-identical doubles in both engines.
+
+    Scale: the dense grid is time-domain bounded; the lag fan-out is
+    one explode (×max_lag) joined back on (type, h+lag) — one
+    partial-agg groupBy per (type, lag), no windows over raw
+    events."""
+    hdiv = F.expr(f"unix_millis(ts) div {HOUR_MS}")
+    hours = events.select(hdiv.alias("h"))
+    span = hours.agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+    grid_h = span.select(
+        F.explode(F.sequence(F.col("h_min"), F.col("h_max"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    counts = (
+        events.select("event_type", hdiv.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dense = (
+        types.crossJoin(grid_h)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    lagged = dense.select(
+        "event_type",
+        "h",
+        F.col("n").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    )
+    rhs = dense.select(
+        F.col("event_type").alias("event_type"),
+        F.col("h").alias("h2"),
+        F.col("n").alias("y"),
+    )
+    pairs = lagged.join(
+        rhs,
+        (lagged.event_type == rhs.event_type)
+        & (rhs.h2 == lagged.h + lagged.lag),
+    ).select(lagged.event_type, "lag", "x", "y")
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return stats.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias(
+            "acf"
+        ),
+    )
+
+
+def hourly_acf_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    """Oracle twin of :func:`hourly_acf` — identical integer
+    sufficient statistics, identical Pearson assembly."""
+    return f"""
+{EV_CTE},
+hours AS (SELECT epoch_ms(ts) // {HOUR_MS} AS h FROM ev),
+span AS (SELECT min(h) AS h_min, max(h) AS h_max FROM hours),
+grid_h AS (SELECT unnest(range(h_min, h_max + 1)) AS h FROM span),
+types AS (SELECT DISTINCT event_type FROM ev),
+counts AS (
+  SELECT event_type, epoch_ms(ts) // {HOUR_MS} AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2),
+dense AS (
+  SELECT t.event_type, g.h, coalesce(c.n, 0) AS n
+  FROM types t CROSS JOIN grid_h g
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h),
+pairs AS (
+  SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+  FROM dense a
+  CROSS JOIN (SELECT unnest(range(1, {int(max_lag)} + 1)) AS lag) l
+  JOIN dense b ON b.event_type = a.event_type AND b.h = a.h + l.lag),
+stats AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS np,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, np AS n_pairs,
+       CASE WHEN sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                      * CAST(np * syy - sy * sy AS DOUBLE)) > 0
+            THEN round(CAST(np * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                              * CAST(np * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS acf
+FROM stats
+""".strip()

@@ -420,3 +420,33 @@ def test_forecast_backtest_known_seasonal_signal(spark):
     # naive floor guard: err=0 -> skill = 1e6 - 0 = 1e6
     assert r.skill_ppm == 1000000
     assert r.n_test_hours == 24
+
+
+@pytest.mark.spark
+def test_hourly_acf_finds_planted_daily_cycle(spark):
+    """A 24h-periodic signal yields acf(24) ~= 1 and a deep
+    anti-correlation at lag 12; white-ish lags stay small."""
+    import datetime
+    from lasdb_spark.operators.relational import hourly_acf
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(6):
+        for hod in range(24):
+            n = 5 + (3 if hod < 12 else -3)  # square daily wave
+            for _ in range(n):
+                rows.append(
+                    (eid, t0 + datetime.timedelta(days=day, hours=hod,
+                                                  minutes=15),
+                     1, "click", 1.0, "{}")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.lag: r.acf for r in hourly_acf(events).collect()}
+    assert got[24] > 0.99
+    assert got[12] < -0.99
+    assert abs(got[1]) > 0.5  # square wave: adjacent hours agree
