@@ -3128,8 +3128,8 @@ SELECT level,
        MIN(n) AS min_class,
        CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT)
          AS rows_at_risk,
-       SUM(CASE WHEN n < {k} THEN n ELSE 0 END) * 1000000 // SUM(n)
-         AS risk_ppm,
+       CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) * 1000000 // SUM(n)
+         AS BIGINT) AS risk_ppm,
        MIN(n) >= {k} AS k_anonymous
 FROM classes GROUP BY 1
 """.strip()
@@ -3498,10 +3498,10 @@ per_digit AS (
   FROM digits GROUP BY 1),
 tot AS (SELECT SUM(n_obs) AS total FROM per_digit)
 SELECT digit, n_obs,
-       n_obs * 1000000 // total AS share_ppm,
-       ([{ppm}])[CAST(digit AS INT)] AS benford_ppm,
-       n_obs * 1000000 // total
-         - ([{ppm}])[CAST(digit AS INT)] AS dev_ppm
+       CAST(n_obs * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(([{ppm}])[CAST(digit AS INT)] AS BIGINT) AS benford_ppm,
+       CAST(n_obs * 1000000 // total
+         - ([{ppm}])[CAST(digit AS INT)] AS BIGINT) AS dev_ppm
 FROM per_digit CROSS JOIN tot
 """.strip()
 
@@ -3631,12 +3631,13 @@ test AS (
     ON d.event_type = p.event_type AND d.hod = p.hod),
 scored AS (SELECT * FROM test WHERE day >= {train_days})
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
-       SUM(abs(n * 1000 - pred_milli)) // count(*) AS mae_milli,
-       SUM(abs((n - coalesce(prev_day_n, 0)) * 1000)) // count(*)
-         AS naive_mae_milli,
-       1000000 - SUM(abs(n * 1000 - pred_milli)) * 1000000
+       CAST(SUM(abs(n * 1000 - pred_milli)) // count(*) AS BIGINT)
+         AS mae_milli,
+       CAST(SUM(abs((n - coalesce(prev_day_n, 0)) * 1000)) // count(*)
+         AS BIGINT) AS naive_mae_milli,
+       CAST(1000000 - SUM(abs(n * 1000 - pred_milli)) * 1000000
          // greatest(SUM(abs((n - coalesce(prev_day_n, 0)) * 1000)), 1)
-         AS skill_ppm
+         AS BIGINT) AS skill_ppm
 FROM scored GROUP BY 1
 """.strip()
 

@@ -2105,9 +2105,9 @@ def bpe_encode_corpus_sql(
         "WITH RECURSIVE "
         + ",\n".join(ctes)
         + """
-SELECT t.doc_id, SUM(t.tf) AS n_words,
-       SUM(t.tf * v.n_chars_w) AS n_chars,
-       SUM(t.tf * v.n_toks) AS n_bpe_tokens
+SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_words,
+       CAST(SUM(t.tf * v.n_chars_w) AS BIGINT) AS n_chars,
+       CAST(SUM(t.tf * v.n_toks) AS BIGINT) AS n_bpe_tokens
 FROM tfq t JOIN vocabq v USING (word)
 GROUP BY 1 ORDER BY doc_id"""
     )
@@ -2582,7 +2582,7 @@ per_doc AS (
   JOIN rgt USING (w2)
   CROSS JOIN tt
   GROUP BY 1)
-SELECT doc_id, n_bigrams,
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
        round(CAST(s_dec AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
          AS avg_nll
 FROM per_doc

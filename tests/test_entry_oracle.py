@@ -97,6 +97,49 @@ def _norm(v):
     return v
 
 
+# -- driver-equivalent TYPE gate (r8) ---------------------------------------
+# The driver's value hash is representation-sensitive: a DuckDB HUGEINT
+# (SUM(BIGINT) promotes; `//` propagates) hash-mismatches a Spark BIGINT
+# even when every value is numerically identical — exactly the r7
+# regression class (rel_benford & friends), which this mirror's pure
+# value comparison (Decimal(1) == 1 == 1.0) could not catch.  So after
+# comparing values we also assert the DuckDB result type is a faithful
+# representation of the Spark schema: int widths up to 64 bits are
+# interchangeable (the driver canonicalizes those), HUGEINT / UBIGINT
+# and DECIMAL-vs-integer / DOUBLE-vs-integer drift are NOT.
+_DUCK_INT_OK = {
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+}
+
+
+def _duck_type_ok(spark_simple, duck_str):
+    s = spark_simple.lower()
+    d = str(duck_str).upper()
+    if s.startswith("array<"):
+        return d.endswith("[]") and _duck_type_ok(s[6:-1], d[:-2])
+    if s.startswith("decimal("):
+        return d.replace(" ", "") == s.upper().replace(" ", "")
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return d in _DUCK_INT_OK
+    exact = {
+        "double": {"DOUBLE"},
+        "float": {"FLOAT"},
+        "string": {"VARCHAR"},
+        "boolean": {"BOOLEAN"},
+        "date": {"DATE"},
+        "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+        "timestamp_ntz": {"TIMESTAMP"},
+        "binary": {"BLOB"},
+    }
+    return d in exact.get(s, set())
+
+
 def _rows(rows, cols):
     # sort columns by name (driver semantics), then sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -123,6 +166,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         try:
             res = big.sql(sql)
             dcols = res.columns
+            dtypes = [str(t) for t in res.types]
             drows = res.fetchall()
         finally:
             big.close()
@@ -130,6 +174,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         try:
             res = duck.sql(sql)
             dcols = res.columns
+            dtypes = [str(t) for t in res.types]
             drows = res.fetchall()
         except duckdb.OutOfMemoryException:
             # last-ditch armor: a FRESH minimal-thread connection
@@ -152,6 +197,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
             try:
                 res = fresh.sql(sql)
                 dcols = res.columns
+                dtypes = [str(t) for t in res.types]
                 drows = res.fetchall()
             finally:
                 fresh.close()
@@ -159,6 +205,14 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
     assert _rows(srows, scols) == _rows(drows, dcols), f"{name}: values differ"
+    sfields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for cname, dt in zip(dcols, dtypes):
+        assert _duck_type_ok(sfields[cname], dt), (
+            f"{name}.{cname}: oracle type {dt} is not a faithful "
+            f"representation of Spark {sfields[cname]} — the driver's "
+            f"hash is type-sensitive (HUGEINT/DECIMAL drift fails it "
+            f"even when values are identical); CAST the oracle column"
+        )
 
 
 @pytest.mark.spark
