@@ -1698,7 +1698,16 @@ def duplicate_spans(
     islands). Fan-out is |tokens| rows regardless of width (the hash
     collapses the window). At 100 TB nothing is driver-side and every
     stage is partial-agg friendly; the output is bounded by the
-    duplicated text volume, not the corpus."""
+    duplicated text volume, not the corpus.
+
+    The fan-out feeds TWO consumers (the cross-doc groupBy and the
+    join back), so it is localCheckpointed once: the expensive
+    regexp-tokenize + per-position md5 stage runs exactly one scan of
+    the corpus instead of two, and both consumers read the
+    materialized (doc_id, pos, h) blocks — disk-spill-safe, and at
+    100 TB strictly cheaper than re-reading and re-hashing the text.
+    ``_spread`` parallelizes under-split inputs first (a no-op at real
+    scale where file splitting already provides parallelism)."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     win = F.when(
         F.size(toks) >= width,
@@ -1709,9 +1718,9 @@ def duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = docs.select(
+    occ = _spread(docs).select(
         "doc_id", F.posexplode(win).alias("pos", "h")
-    )
+    ).localCheckpoint()
     dup_h = (
         occ.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
