@@ -2035,6 +2035,47 @@ FROM agg ORDER BY pos
 """.strip()
 
 
+def _local_pair_fanout(embs: DataFrame, include_diagonal: bool) -> DataFrame:
+    """(pos_a, pos_b, qa, qb) — every ordered dimension pair of every
+    vector (pos_a < pos_b, or ≤ with ``include_diagonal``), with the
+    values quantized to micro-unit longs. Generated MAP-LOCALLY from
+    the embedding array: a nested ``transform`` over the array and its
+    tail ``slice`` builds the dim²/2 structs inside the row, then ONE
+    ``explode`` flattens them — no posexplode + self-join on vec_id,
+    so nothing corpus-sized is ever exchanged. The only shuffle any
+    consumer pays is its own dim²-bounded partial aggregate.
+    ``_spread`` first parallelizes under-split inputs (a single small
+    parquet file would otherwise serialize the fan-out onto one core;
+    no-op at real scale)."""
+    from .dedup import _spread
+
+    start = 1 if include_diagonal else 2
+    qs = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("qs"),
+            lambda va, i: F.transform(
+                F.slice(F.col("qs"), i + F.lit(start), F.size(F.col("qs"))),
+                lambda vb, j: F.struct(
+                    i.cast("int").alias("pos_a"),
+                    (i + j + F.lit(start - 1)).cast("int").alias("pos_b"),
+                    va.alias("qa"),
+                    vb.alias("qb"),
+                ),
+            ),
+        )
+    )
+    return (
+        _spread(embs)
+        .select(qs.alias("qs"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.pos_a", "p.pos_b", "p.qa", "p.qb")
+    )
+
+
 def embedding_cov_pairs(
     embs: DataFrame, k: int = COV_TOPK
 ) -> DataFrame:
@@ -2048,25 +2089,14 @@ def embedding_cov_pairs(
     exact sums (same contract as :func:`embedding_dim_stats`), rounded
     to 9 dp; ties break on (pos_a, pos_b).
 
-    Scale: the per-vector dim×dim fan-out is a LOCAL self-join on
-    vec_id (dim²/2 rows per vector, a constant), aggregated map-side
-    into exactly dim²/2 partial rows per task — the shuffle carries
-    dim²-bounded state, never corpus-sized data. For very wide
-    embeddings, sample vectors first; the estimator shape is
-    unchanged."""
-    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
-    parts = embs.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
-    ).select("vec_id", "pos", q.alias("q"))
-    a = parts.select(
-        "vec_id", F.col("pos").alias("pos_a"), F.col("q").alias("qa")
-    )
-    b = parts.select(
-        "vec_id", F.col("pos").alias("pos_b"), F.col("q").alias("qb")
-    )
+    Scale: the per-vector dim×dim fan-out is :func:`_local_pair_fanout`
+    — built inside each row from the embedding array (no vec_id
+    self-join, nothing corpus-sized shuffled), aggregated map-side
+    into exactly dim²/2 partial rows per task — the one Exchange
+    carries dim²-bounded state. For very wide embeddings, sample
+    vectors first; the estimator shape is unchanged."""
     prod = (
-        a.join(b, "vec_id")
-        .filter(F.col("pos_a") < F.col("pos_b"))
+        _local_pair_fanout(embs, include_diagonal=False)
         .groupBy("pos_a", "pos_b")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2358,22 +2388,17 @@ def embedding_pca_top(
       is flipped positive.
 
     Scale: the ONLY corpus-sized stage is the covariance aggregation —
-    the same per-vector LOCAL dim² fan-out + map-side partial aggs as
-    :func:`embedding_cov_pairs` (shuffle carries dim²-bounded state).
+    the same per-vector MAP-LOCAL dim² fan-out + map-side partial aggs
+    as :func:`embedding_cov_pairs` (:func:`_local_pair_fanout`; the one
+    shuffle carries dim²-bounded state, never corpus-sized data).
     The iteration itself runs on the collected dim²-row matrix —
     KB-sized driver state, the Lloyd-codebook pattern — so adding
     rounds costs zero extra passes over the data."""
-    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
-    parts = embs.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
-    ).select("vec_id", "pos", q.alias("q"))
-    a = parts.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qa"))
-    b = parts.select("vec_id", F.col("pos").alias("k"), F.col("q").alias("qb"))
     # the covariance is symmetric: compute only j <= k (halving the
     # per-vector fan-out) and mirror when loading the driver matrix
     cov = (
-        a.join(b, "vec_id")
-        .filter(F.col("j") <= F.col("k"))
+        _local_pair_fanout(embs, include_diagonal=True)
+        .withColumnsRenamed({"pos_a": "j", "pos_b": "k"})
         .groupBy("j", "k")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2447,6 +2472,10 @@ v_0 AS (
   SELECT CAST(s.i AS INT) AS pos, CAST({PCA_SCALE} AS HUGEINT) AS v
   FROM (SELECT unnest(range(0, {dim})) AS i) s)"""
     ]
+    # the m = 0 branch mirrors the Python `if m == 0: break`: a
+    # degenerate (all-zero covariance) round keeps the PREVIOUS
+    # vector, and since w stays zero every later round too, carrying
+    # v_{r-1} forward each round is exactly the early exit
     for r in range(1, rounds + 1):
         parts.append(
             f"""w_{r} AS MATERIALIZED (
@@ -2455,10 +2484,11 @@ v_0 AS (
   GROUP BY 1),
 m_{r} AS (SELECT max(abs(w)) AS m FROM w_{r}),
 v_{r} AS MATERIALIZED (
-  SELECT pos,
-         CASE WHEN w >= 0 THEN (abs(w) * {PCA_SCALE}) // m
-              ELSE -((abs(w) * {PCA_SCALE}) // m) END AS v
-  FROM w_{r}, m_{r})"""
+  SELECT w.pos,
+         CASE WHEN m.m = 0 THEN p.v
+              WHEN w.w >= 0 THEN (abs(w.w) * {PCA_SCALE}) // m.m
+              ELSE -((abs(w.w) * {PCA_SCALE}) // m.m) END AS v
+  FROM w_{r} w JOIN v_{r - 1} p USING (pos), m_{r} m)"""
         )
     return (
         "WITH "

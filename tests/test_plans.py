@@ -491,3 +491,31 @@ def test_q19_disjunction_halves_pushed_to_both_scans(spark, sf_dir):
     assert "l_quantity" in plan and ">= 1.0" in plan and "<= 30.0" in plan
     assert "p_brand" in plan and "IN (Brand#1,Brand#9,Brand#13)" in plan
     assert "p_size" in plan
+
+
+@pytest.mark.spark
+def test_embedding_pair_fanout_is_map_local(spark, sf_dir):
+    """r8: embedding_cov_pairs / embedding_pca_top build the dim² pair
+    fan-out INSIDE the row (nested transform over the embedding array)
+    — the plan must contain no Join at all and no Exchange of the
+    corpus-sized pair table: the only hashpartitioning Exchange allowed
+    is the dim²-bounded partial aggregate (its child must already be
+    the partial HashAggregate, not a raw fan-out)."""
+    from lasdb_spark.operators.similarity import (
+        _local_pair_fanout,
+        embedding_cov_pairs,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_cov_pairs(embs))
+    assert "Join" not in plan
+    # every hashpartitioning exchange must sit above a partial agg,
+    # i.e. the fan-out itself is never shuffled
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        keys = chunk[:200]
+        assert "pos_a" in keys and "pos_b" in keys
+    # and the raw fan-out is shuffle-free (modulo the _spread
+    # RoundRobin repartition for under-split local files)
+    fan = _plan(_local_pair_fanout(embs, include_diagonal=False))
+    assert "Exchange hashpartitioning" not in fan
+    assert "Join" not in fan
