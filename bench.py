@@ -644,9 +644,9 @@ def _section_heavy(spark, sf_dir, timings) -> None:
         spark, lambda: append_ann_index(inc, idx)
     )
     shutil.rmtree(idx, ignore_errors=True)
-    # r7 (this session): degree-ordered triangle counting — the wedge
-    # join is the widest shuffle in the repo (Σ d_out² rows), so it
-    # lives in the heavy section
+    # r7: degree-ordered triangle counting via per-edge adjacency
+    # intersection — the heaviest graph row (adjacency arrays are
+    # built and joined per edge), so it lives in the heavy section
     timings["rel_triangles"] = _timed(
         spark,
         lambda: _entry.queries()["rel_triangles"](spark, sf_dir).count(),
@@ -786,7 +786,7 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
                 "ann_pq_topk": lambda: topk_pq(embs),
                 "sketch_hll": lambda: hll_distinct(ev),
                 "ev_sliding_rates": lambda: sliding_event_rates(ev),
-                # r7: the widest new shuffle (wedge join) — its ratio
+                # r7: adjacency-intersect triangle close — its ratio
                 # across the 10x step gates the degree-ordering claim
                 "rel_triangles": lambda: copurchase_triangles(li),
             }

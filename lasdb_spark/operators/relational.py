@@ -3622,12 +3622,18 @@ dense AS (
 profile AS (
   SELECT event_type, hod, SUM(n) * 1000 // count(*) AS pred_milli
   FROM dense WHERE day < {train_days} GROUP BY 1, 2),
+lagged AS (
+  -- lag over the FULL dense grid BEFORE the profile join (matching
+  -- the Spark plan): lagging after an inner join would silently stop
+  -- meaning "same hour yesterday" whenever the join drops rows (e.g.
+  -- a train slice that misses some (event_type, hod) cell)
+  SELECT event_type, h, day, hod, n,
+         lag(n, {FC_HOURS_PER_DAY}) OVER (
+           PARTITION BY event_type ORDER BY h) AS prev_day_n
+  FROM dense),
 test AS (
-  SELECT d.event_type, d.n, p.pred_milli,
-         lag(d.n, {FC_HOURS_PER_DAY}) OVER (
-           PARTITION BY d.event_type ORDER BY d.h) AS prev_day_n,
-         d.day
-  FROM dense d JOIN profile p
+  SELECT d.event_type, d.n, p.pred_milli, d.prev_day_n, d.day
+  FROM lagged d JOIN profile p
     ON d.event_type = p.event_type AND d.hod = p.hod),
 scored AS (SELECT * FROM test WHERE day >= {train_days})
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
