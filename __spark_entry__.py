@@ -1519,6 +1519,32 @@ def _drained(stream_df, prefix: str) -> str:
     return name
 
 
+def _q_stream_sessions(spark, sf_dir):
+    """Drained NATIVE session windows (r8): ``F.session_window`` gap
+    sessions per user over the multi-batch replay. Session windows
+    forbid update mode, so this is the APPEND-mode drain: a trailing
+    watermark-flush sentinel file (replayed last, strictly later
+    mtime) pushes the watermark past every real session end and
+    Spark's no-data micro-batch emits the finalized state — each
+    session lands in the sink exactly once. == the batch gap-islands
+    sessionization bit-for-bit (µs boundary math, ms outputs)."""
+    from lasdb_spark.sources.events import events_stream_multibatch_flushed
+    from lasdb_spark.streaming.events import run_to_memory, session_windows
+
+    _STREAM_SEQ[0] += 1
+    name = f"s_sess_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        session_windows(
+            events_stream_multibatch_flushed(spark, sf_dir),
+            gap="30 minutes",
+            watermark="800 hours",
+        ),
+        name,
+        "append",
+    )
+    return spark.table(name)
+
+
 def _q_stream_conversions(spark, sf_dir):
     """Drained STREAM-STREAM inner join (r7): view→purchase
     attribution within an event-time window, watermarks on both
@@ -2315,6 +2341,8 @@ def oracle_sql() -> dict[str, str]:
         # the incremental-append index is encode-only and per-row
         # pure, so the single-shot trained twin is its oracle too
         "ann_index_append": _similarity.topk_ivfpq_trained_sql(),
+        # drained append-mode session windows == batch gap-islands
+        "stream_sessions": _sevents.session_windows_sql(),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
         "pc_contours": _grid.contour_segments_sql(_PTS, HAG_CELL),
@@ -2498,8 +2526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_scores": _q_text_kn_scores,
         "rel_benford": _q_rel_benford,
         "rel_forecast_backtest": _q_rel_forecast_backtest,
-        # --- new in r8 (first driver row) ---
+        # --- new in r8 (first driver rows) ---
         "ann_index_append": _q_ann_index_append,
+        "stream_sessions": _q_stream_sessions,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

@@ -102,6 +102,83 @@ def events_stream_multibatch(
     )
 
 
+#: Sentinel user for the watermark-flush event (filtered everywhere).
+FLUSH_USER = -1
+
+
+def events_stream_multibatch_flushed(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    files_per_trigger: int = 1,
+    delay_hours: int = 800,
+    margin_hours: int = 48,
+) -> DataFrame:
+    """:func:`events_stream_multibatch` plus a trailing WATERMARK-FLUSH
+    file: one sentinel event (``user_id = FLUSH_USER``) timestamped
+    ``max(ts) + delay_hours + margin_hours`` and written with a
+    strictly later modification time, so the file source replays it
+    LAST and the watermark then passes every real window/session end.
+    This is how a finite replay drains APPEND-mode stateful operators
+    (session windows forbid update mode, so they finalize only when
+    the watermark crosses them; Spark's no-data micro-batch then
+    emits the state). Consumers must use ``withWatermark(...,
+    f"{{delay_hours}} hours")`` — the delay covers the replay's
+    full-span disorder (hash-split files ⇒ any file can carry any
+    timestamp), and the sentinel's own session stays unemitted (the
+    watermark never passes it), so sinks never see FLUSH_USER.
+
+    In production nothing flushes an infinite feed — sessions emit
+    continuously as the true watermark advances; the sentinel is the
+    finite-replay stand-in for "time keeps moving"."""
+    import os as _os
+    import tempfile
+
+    _pin_utc(spark)
+    staging = tempfile.mkdtemp(prefix="lasdb_ev_stream_fl_")
+    ev = events_df(spark, sf_dir)
+    ev.repartition(n_files, "event_id").write.mode("overwrite").parquet(
+        staging
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush_dir = tempfile.mkdtemp(prefix="lasdb_ev_flush_")
+    flush = (
+        ev.limit(1)
+        .select(
+            F.lit(-1).cast(dict(ev.dtypes)["event_id"]).alias("event_id"),
+            (
+                F.lit(max_ts)
+                + F.expr(f"INTERVAL {delay_hours + margin_hours} HOURS")
+            ).alias("ts"),
+            F.lit(FLUSH_USER).cast(dict(ev.dtypes)["user_id"]).alias(
+                "user_id"
+            ),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast(dict(ev.dtypes)["props"]).alias("props"),
+        )
+    )
+    flush.coalesce(1).write.mode("overwrite").parquet(flush_dir)
+    # the file source replays oldest-mtime first: stamp the flush file
+    # strictly after every staged file so it is the final micro-batch
+    now = max(
+        _os.path.getmtime(_os.path.join(staging, f))
+        for f in _os.listdir(staging)
+    )
+    for f in _os.listdir(flush_dir):
+        if f.endswith(".parquet"):
+            _os.rename(
+                _os.path.join(flush_dir, f),
+                _os.path.join(staging, "zz_flush.parquet"),
+            )
+    _os.utime(_os.path.join(staging, "zz_flush.parquet"), (now + 60, now + 60))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging)
+    )
+
+
 # DuckDB-side view of the same µs truncation: every oracle query over
 # events selects FROM this CTE (named ev) instead of the raw view.
 EV_CTE = (

@@ -58,10 +58,18 @@ def windowed_counts(
     )
 
 
-def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Native gap-based session windows per user."""
+def session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native gap-based session windows per user
+    (``F.session_window``). ``watermark`` bounds the session state: a
+    session finalizes once the watermark passes its end, so state is
+    O(open sessions within the disorder horizon). For the drained
+    == batch proof the entry pins the watermark past the replay span
+    (the multi-batch replay has full-span disorder — see
+    :data:`CONV_WATERMARK`)."""
     return (
-        stream.withWatermark("ts", "2 hours")
+        stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -71,6 +79,8 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
 
 
 RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
@@ -263,6 +273,36 @@ def stream_conversion_join(
         .cast("long")
         .alias("cents"),
     )
+
+
+def session_windows_sql(gap_minutes: int = 30) -> str:
+    """Oracle of the DRAINED session windows: the batch gap-islands
+    computation over the same rows. Session end = last event + gap
+    (the ``session_window`` contract); boundary comparisons run in µs
+    (the precision both engines hold the timestamps at — see EV_CTE),
+    outputs floor to ms exactly like ``unix_millis``."""
+    from ..sources.events import EV_CTE
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+{EV_CTE},
+seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS prev_t
+  FROM ev),
+grp AS (
+  SELECT user_id, t,
+         SUM(CASE WHEN prev_t IS NULL OR t - prev_t > {gap_us}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM seq)
+SELECT user_id, CAST(min(t) // 1000 AS BIGINT) AS t_start_ms,
+       CAST((max(t) + {gap_us}) // 1000 AS BIGINT) AS t_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM grp GROUP BY user_id, g
+""".strip()
 
 
 def stream_conversion_join_sql(

@@ -37,6 +37,60 @@ def test_session_windows_run(spark, event_stream):
 
 
 @pytest.mark.spark
+def test_session_windows_append_drain_matches_batch(spark, sf_dir):
+    """r8: the append-mode drain (multi-batch replay + watermark-flush
+    sentinel replayed last) must emit every session exactly once and
+    equal the batch gap-islands computation; the sentinel itself must
+    never reach the sink."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.sources.events import (
+        FLUSH_USER,
+        events_df,
+        events_stream_multibatch_flushed,
+    )
+
+    se.run_to_memory(
+        se.session_windows(
+            events_stream_multibatch_flushed(spark, sf_dir),
+            gap="30 minutes",
+            watermark="800 hours",
+        ),
+        "sess_fl",
+        "append",
+    )
+    got = sorted(tuple(r) for r in spark.table("sess_fl").collect())
+    assert got and all(r[0] != FLUSH_USER for r in got)
+    gap_us = 30 * 60 * 1_000_000
+    ev = events_df(spark, sf_dir).select(
+        "user_id", (F.unix_micros("ts")).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    brk = F.when(
+        F.lag("t").over(w).isNull()
+        | ((F.col("t") - F.lag("t").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = sorted(
+        tuple(r)
+        for r in ev.withColumn("g", grp)
+        .groupBy("user_id", "g")
+        .agg(
+            (F.min("t") / 1000).cast("long").alias("t_start_ms"),
+            ((F.max("t") + gap_us) / 1000).cast("long").alias("t_end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "t_start_ms", "t_end_ms", "n_events")
+        .collect()
+    )
+    assert got == batch
+
+
+@pytest.mark.spark
 def test_stream_exact_dedup_matches_batch(spark, sf_dir):
     """The continuously-maintained dedup table must equal the batch
     exact_dedup output once the finite stream drains."""
