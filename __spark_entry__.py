@@ -1519,6 +1519,23 @@ def _drained(stream_df, prefix: str) -> str:
     return name
 
 
+def _q_corpus_shards(spark, sf_dir):
+    """Data-loader sharding audit (r8): salted-hash shard assignment
+    + exact integer token-share balance report per shard."""
+    from lasdb_spark.operators.text import corpus_shards
+
+    return corpus_shards(_docs(spark, sf_dir))
+
+
+def _q_quality_calibration(spark, sf_dir):
+    """Classifier reliability report (r8): final-weight perceptron
+    scores cut into 10 equal-width integer bins vs the actual
+    ensemble-gate keep rate per bin."""
+    from lasdb_spark.operators.text import quality_calibration
+
+    return quality_calibration(_docs(spark, sf_dir))
+
+
 def _q_stream_sessions(spark, sf_dir):
     """Drained NATIVE session windows (r8): ``F.session_window`` gap
     sessions per user over the multi-batch replay. Session windows
@@ -2343,6 +2360,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_append": _similarity.topk_ivfpq_trained_sql(),
         # drained append-mode session windows == batch gap-islands
         "stream_sessions": _sevents.session_windows_sql(),
+        "corpus_shards": _text.corpus_shards_sql(),
+        "quality_calibration": _text.quality_calibration_sql(),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
         "pc_contours": _grid.contour_segments_sql(_PTS, HAG_CELL),
@@ -2529,6 +2548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r8 (first driver rows) ---
         "ann_index_append": _q_ann_index_append,
         "stream_sessions": _q_stream_sessions,
+        "corpus_shards": _q_corpus_shards,
+        "quality_calibration": _q_quality_calibration,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

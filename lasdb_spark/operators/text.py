@@ -1607,6 +1607,92 @@ ORDER BY split, lang
 """.strip()
 
 
+#: shard count for the data-loader sharding audit (a power of two, as
+#: training launchers usually want; the operators take it as a param)
+N_SHARDS = 16
+
+
+def corpus_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """(shard, n_docs, n_tokens, n_chars, token_share_ppm) — the
+    data-loader sharding audit: every document is assigned to one of
+    ``n_shards`` shards by salted content-id hash, and the report
+    shows how evenly the TOKEN load (what a training step actually
+    consumes — not doc count) spreads across them.
+
+    Hash assignment (not round-robin over an ordering) is the
+    reproducibility contract :func:`corpus_split` establishes: a doc
+    lands in the SAME shard across engines, runs, partitionings and
+    corpus versions, so shard-parallel training jobs can resume and
+    re-run without reshuffling data. ``token_share_ppm`` is an exact
+    integer share (sum·10⁶ div total), so imbalance is auditable
+    hash-exactly; a launcher alarms when max/min drifts from 1.
+
+    Scale: map-side shard tag + one ``n_shards``-row partial-agg
+    groupBy; the total is a 1-row agg joined by broadcast. Nothing
+    corpus-sized shuffles."""
+    from ..functions.hashing import md5_int60_col
+
+    tagged = docs.select(
+        F.pmod(
+            md5_int60_col(
+                F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        _n_matches(F.col("text"), TOKEN_RE).cast("long").alias("t"),
+        F.length("text").cast("long").alias("c"),
+    )
+    per = tagged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("c").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000 div tt")
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+def corpus_shards_sql(n_shards: int = N_SHARDS, src: str = "documents") -> str:
+    """Oracle twin of :func:`corpus_shards`."""
+    from ..functions.hashing import md5_int60_sql
+
+    return f"""
+WITH keyed AS (
+  SELECT 'shard:' || CAST(doc_id AS VARCHAR) AS k,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS t,
+         length(text) AS c
+  FROM {src}),
+tagged AS (
+  SELECT CAST({md5_int60_sql("k")} % {n_shards} AS INT) AS shard, t, c
+  FROM keyed),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS n_tokens,
+         CAST(sum(c) AS BIGINT) AS n_chars
+  FROM tagged GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS tt FROM per)
+SELECT shard, n_docs, n_tokens, n_chars,
+       CAST(n_tokens * 1000000 // tt AS BIGINT) AS token_share_ppm
+FROM per CROSS JOIN tot
+ORDER BY shard
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer TRAINING (r6): distributed pair statistics + merge learning
 # ---------------------------------------------------------------------------
@@ -2168,6 +2254,19 @@ def perceptron_quality_train(
     is reported on each round's PRE-update weights.
 
     Exactness: accuracy_ppm = (n - mis)·10⁶ div n, BIGINT division."""
+    _, _, _, report = _perceptron_fit(docs, dim, rounds)
+    return docs.sparkSession.createDataFrame(
+        report, "round int, n_docs long, n_misclassified long, accuracy_ppm long"
+    )
+
+
+def _perceptron_fit(
+    docs: DataFrame, dim: int, rounds: int
+) -> tuple[dict, DataFrame, DataFrame, list]:
+    """The batch-perceptron loop shared by the training report and the
+    calibration audit: returns (final weights, checkpointed feats,
+    checkpointed labels, per-round report rows). Same plan shapes as
+    documented on :func:`perceptron_quality_train`."""
     spark = docs.sparkSession
     feats = _perc_feats(docs, dim).localCheckpoint()
     labels = (
@@ -2218,17 +2317,79 @@ def perceptron_quality_train(
         )
         for row in upd_rows:
             weights[row.bucket] = weights.get(row.bucket, 0) + int(row.delta)
-    return spark.createDataFrame(
-        report, "round int, n_docs long, n_misclassified long, accuracy_ppm long"
+    return weights, feats, labels, report
+
+
+def quality_calibration(
+    docs: DataFrame, dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
+) -> DataFrame:
+    """(bin, n_docs, n_keep, keep_rate_ppm, min_score, max_score) —
+    the trained classifier's RELIABILITY REPORT: score every document
+    with the FINAL perceptron weights, cut the integer score range
+    into 10 equal-width bins, and report per bin how often the
+    teacher (:func:`quality_ensemble`) actually keeps — the audit
+    that decides whether the distilled filter's score is usable as a
+    threshold (keep_rate_ppm should rise monotonically with the bin).
+
+    Exactness: scores are BIGINT sums; the bin is
+    (score − min)·10 div (max − min + 1) — integer math over a 1-row
+    broadcast range, NOT ntile (a global ntile sorts the corpus on one
+    reducer; equal-width integer bins are map-side and hash-exact).
+    keep_rate_ppm = n_keep·10⁶ div n_docs."""
+    weights, feats, labels, _ = _perceptron_fit(docs, dim, rounds)
+    spark = docs.sparkSession
+    w_rows = [(b, w) for b, w in sorted(weights.items())] or [(0, 0)]
+    w_df = spark.createDataFrame(w_rows, "bucket long, w long")
+    scores = (
+        feats.join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))).alias(
+                "score"
+            )
+        )
+    )
+    rng = scores.agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    binned = (
+        scores.crossJoin(F.broadcast(rng))
+        .select(
+            "doc_id",
+            "score",
+            F.expr("CAST((score - mn) * 10 div (mx - mn + 1) AS INT)").alias(
+                "bin"
+            ),
+        )
+        .join(labels, "doc_id")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("label") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_keep"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_keep",
+            F.expr("n_keep * 1000000 div n_docs")
+            .cast("long")
+            .alias("keep_rate_ppm"),
+            "min_score",
+            "max_score",
+        )
+        .orderBy("bin")
     )
 
 
-def perceptron_quality_train_sql(
-    src: str = "documents", dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
-) -> str:
-    """Oracle twin of :func:`perceptron_quality_train`: the training
-    loop unrolled into one MATERIALIZED CTE chain per round (the BPE
-    recursive-replay pattern)."""
+def _perceptron_sql_parts(src: str, dim: int, rounds: int) -> list[str]:
+    """The unrolled training CTE chain (feats/labels/w_0 … w_rounds)
+    shared by the training-report and calibration oracles."""
     from ..functions.hashing import md5_int60_sql
 
     h = md5_int60_sql("token")
@@ -2271,6 +2432,16 @@ w_{r} AS MATERIALIZED (
     SELECT bucket, delta AS w FROM upd_{r})
   GROUP BY 1)"""
         )
+    return parts
+
+
+def perceptron_quality_train_sql(
+    src: str = "documents", dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
+) -> str:
+    """Oracle twin of :func:`perceptron_quality_train`: the training
+    loop unrolled into one MATERIALIZED CTE chain per round (the BPE
+    recursive-replay pattern)."""
+    parts = _perceptron_sql_parts(src, dim, rounds)
     rows = "\n  UNION ALL\n".join(
         f"""  SELECT {r} AS round,
          (SELECT count(*) FROM labels) AS n_docs,
@@ -2288,6 +2459,38 @@ SELECT CAST(round AS INTEGER) AS round,
          AS accuracy_ppm
 FROM (
 {rows})
+"""
+    ).strip()
+
+
+def quality_calibration_sql(
+    src: str = "documents", dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
+) -> str:
+    """Oracle twin of :func:`quality_calibration`: replay training to
+    the final weights, then the same integer-exact score binning."""
+    parts = _perceptron_sql_parts(src, dim, rounds)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+scores_f AS MATERIALIZED (
+  SELECT f.doc_id, SUM(f.cnt * coalesce(w.w, 0)) AS score
+  FROM feats f LEFT JOIN w_{rounds} w USING (bucket)
+  GROUP BY 1),
+rng AS (SELECT min(score) AS mn, max(score) AS mx FROM scores_f),
+binned AS (
+  SELECT s.doc_id, s.score,
+         CAST((s.score - r.mn) * 10 // (r.mx - r.mn + 1) AS INT) AS bin
+  FROM scores_f s CROSS JOIN rng r)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(SUM(CASE WHEN l.label = 1 THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS BIGINT) AS keep_rate_ppm,
+       CAST(min(b.score) AS BIGINT) AS min_score,
+       CAST(max(b.score) AS BIGINT) AS max_score
+FROM binned b JOIN labels l USING (doc_id)
+GROUP BY 1 ORDER BY bin
 """
     ).strip()
 
