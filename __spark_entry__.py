@@ -28,6 +28,7 @@ from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import entity as _entity
 from lasdb_spark.operators import graph as _graph
+from lasdb_spark.operators import segment as _segment
 from lasdb_spark.operators import interval as _interval
 from lasdb_spark.operators import grid as _grid
 from lasdb_spark.operators import lod as _lod
@@ -1527,6 +1528,15 @@ def _q_corpus_shards(spark, sf_dir):
     return corpus_shards(_docs(spark, sf_dir))
 
 
+def _q_pc_segments(spark, sf_dir):
+    """Euclidean voxel segmentation (r8): connected components of
+    occupied voxels in the high slab (26-neighborhood), labeled by the
+    shared path-halving CC machinery; per-segment census."""
+    from lasdb_spark.operators.segment import euclidean_segments
+
+    return euclidean_segments(points_df(spark, sf_dir))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Classifier reliability report (r8): final-weight perceptron
     scores cut into 10 equal-width integer bins vs the actual
@@ -2362,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": _sevents.session_windows_sql(),
         "corpus_shards": _text.corpus_shards_sql(),
         "quality_calibration": _text.quality_calibration_sql(),
+        "pc_segments": _segment.euclidean_segments_sql(_PTS),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
         "pc_contours": _grid.contour_segments_sql(_PTS, HAG_CELL),
@@ -2550,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": _q_stream_sessions,
         "corpus_shards": _q_corpus_shards,
         "quality_calibration": _q_quality_calibration,
+        "pc_segments": _q_pc_segments,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

@@ -1,0 +1,238 @@
+"""Euclidean point-cloud segmentation (r8): voxel connected components.
+
+Object extraction over the high cloud — the PDAL/PCL "Euclidean
+cluster extraction" shape, beyond the reference surface (the reference
+has no segmentation; its queries stop at window retrieval,
+`/root/reference/pipeline/retrieve_data.py:40-41` never groups points
+into objects): filter to z ≥ z_min, voxelize on a metric grid, connect
+occupied voxels under the 26-neighborhood, label components with the
+shared min-label/path-halving machinery
+(:func:`lasdb_spark.operators.dedup.connected_components` — the same
+iterative CC that clusters near-duplicate documents), and report a
+per-segment voxel/point census.
+
+Scale: voxelization is a map + one groupBy to OCCUPANCY (bounded by
+the grid, not the cloud — the point-sized stage never shuffles more
+than once); edges are a 26-way fan-out of voxel ids hash-joined back
+to occupancy (voxel-sized); components run log-diameter rounds, one
+job each; the census is one partial-agg groupBy. Segment ids are the
+component-minimum voxel id — deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: object slab: the top of the synthetic cloud (z in [-5, 40)); at the
+#: default grid this leaves ~4% voxel occupancy — sparse blobs, the
+#: regime segmentation is for (a dense uniform slab is one component).
+SEG_ZMIN = 38.0
+SEG_CELL = 5.0
+_OFF = 1 << 20  # shifts any survey-scale voxel index positive
+_W = 21  # bits per packed axis; all three shifted axes must be < 2^21
+
+
+def _vid(vx, vy, vz):
+    """Pack three shifted voxel indexes into one BIGINT key (exact for
+    |index| < 2^20 — kilometre-scale surveys at metre cells)."""
+    return (
+        ((vx + F.lit(_OFF)) * F.lit(1 << _W) + (vy + F.lit(_OFF)))
+        * F.lit(1 << _W)
+    ) + (vz + F.lit(_OFF))
+
+
+_OFFSETS26 = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+    if (dx, dy, dz) != (0, 0, 0)
+]
+
+#: tile side in voxels for the local union-find level. Iterative
+#: min-label CC alone crawls on grid graphs: near-critical percolation
+#: clusters are snakes hundreds of voxels long, and the propagation
+#: tail was measured LINEAR (changed = 2744/669/316 at rounds 5/10/15
+#: on the sf0.1 slab — 50 rounds split an 883-voxel component into
+#: 606+…). Two-level CC is the scale shape for grids: exact
+#: union-find INSIDE each tile (Arrow batch, no shuffle), then the
+#: iterative rounds only on the CONTRACTED graph, whose diameter is
+#: the tile-path length (diameter / 64) — a handful of rounds.
+_TILE = 64
+
+
+def _tile_cc(pdf):
+    """Exact union-find over one tile's intra-tile 26-adjacency;
+    emits (vid, root = min vid of the local set)."""
+    import pandas as pd
+
+    vids = pdf["vid"].tolist()
+    keys = list(zip(pdf["vx"].tolist(), pdf["vy"].tolist(), pdf["vz"].tolist()))
+    pos = {k: i for i, k in enumerate(keys)}
+    parent = list(range(len(vids)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, (x, y, z) in enumerate(keys):
+        for dx, dy, dz in _OFFSETS26:
+            j = pos.get((x + dx, y + dy, z + dz))
+            if j is not None:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    root_min: dict = {}
+    for i, v in enumerate(vids):
+        r = find(i)
+        root_min[r] = min(root_min.get(r, v), v)
+    return pd.DataFrame(
+        {"vid": vids, "root": [root_min[find(i)] for i in range(len(vids))]}
+    )
+
+
+def euclidean_segments(
+    pts: DataFrame, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
+) -> DataFrame:
+    """(segment_id, n_voxels, n_points, vx_min, vx_max, vy_min,
+    vy_max) — connected components of occupied voxels in the z ≥
+    ``z_min`` slab under 26-connectivity; all outputs integer, so the
+    census is hash-exact.
+
+    TWO-LEVEL labeling (see :data:`_TILE`): exact union-find inside
+    each 64×64-voxel tile (one ``applyInPandas`` pass, Arrow-batched,
+    shuffled once on the tile key), then the shared min-label rounds
+    run only on the CONTRACTED graph — every edge mapped endpoint→
+    local root, intra-tile edges collapsing to self-loops that drop
+    out, ``distinct()`` bounding it by the cross-tile surface. The
+    global component minimum is the minimum over local roots, so the
+    final labels equal single-level CC labels exactly (min vid of the
+    component — what the oracle's reachability closure computes)."""
+    from .dedup import connected_components
+
+    spark = pts.sparkSession
+    vox = pts.where(F.col("z") >= z_min).select(
+        F.floor(F.col("x") / cell).alias("vx"),
+        F.floor(F.col("y") / cell).alias("vy"),
+        F.floor(F.col("z") / cell).alias("vz"),
+    )
+    occ = (
+        vox.groupBy("vx", "vy", "vz")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .withColumn("vid", _vid(F.col("vx"), F.col("vy"), F.col("vz")))
+        .localCheckpoint()
+    )
+    local = (
+        occ.withColumn("tx", F.floor(F.col("vx") / _TILE))
+        .withColumn("ty", F.floor(F.col("vy") / _TILE))
+        .groupBy("tx", "ty")
+        .applyInPandas(_tile_cc, "vid long, root long")
+        .localCheckpoint()
+    )
+    offs = spark.createDataFrame(_OFFSETS26, "dx long, dy long, dz long")
+    nbr = occ.crossJoin(F.broadcast(offs)).select(
+        "vid",
+        _vid(
+            F.col("vx") + F.col("dx"),
+            F.col("vy") + F.col("dy"),
+            F.col("vz") + F.col("dz"),
+        ).alias("nbr"),
+    )
+    edges = (
+        nbr.join(occ.select(F.col("vid").alias("nbr")), "nbr")
+        .where(F.col("vid") < F.col("nbr"))
+        .select("vid", "nbr")
+    )
+    contracted = (
+        edges.join(local.withColumnsRenamed({"root": "ra"}), "vid")
+        .join(
+            local.withColumnsRenamed({"vid": "nbr", "root": "rb"}), "nbr"
+        )
+        .where(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("doc_a"),
+            F.greatest("ra", "rb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(contracted).withColumnsRenamed(
+        {"doc_id": "root", "cluster_id": "seg"}
+    )
+    labeled = (
+        occ.join(local, "vid")
+        .join(comp, "root", "left")
+        .withColumn("seg", F.coalesce(F.col("seg"), F.col("root")))
+    )
+    return (
+        labeled.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_voxels"),
+            F.sum("n_pts").cast("long").alias("n_points"),
+            F.min("vx").cast("long").alias("vx_min"),
+            F.max("vx").cast("long").alias("vx_max"),
+            F.min("vy").cast("long").alias("vy_min"),
+            F.max("vy").cast("long").alias("vy_max"),
+        )
+        .select(
+            F.col("seg").cast("long").alias("segment_id"),
+            "n_voxels",
+            "n_points",
+            "vx_min",
+            "vx_max",
+            "vy_min",
+            "vy_max",
+        )
+        .orderBy("segment_id")
+    )
+
+
+def euclidean_segments_sql(
+    points_cte: str, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
+) -> str:
+    """Oracle twin of :func:`euclidean_segments`: recursive-CTE
+    min-label reachability closure (the :func:`dedup_clusters_sql`
+    pattern) over the same voxel edge list."""
+    pack = (
+        f"((vx + {_OFF}) * {1 << _W} + (vy + {_OFF})) * {1 << _W}"
+        f" + (vz + {_OFF})"
+    )
+    # the reach member is recursive; RECURSIVE must head the chain
+    rec_cte = points_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+{rec_cte},
+vox AS (
+  SELECT CAST(floor(x / {cell}) AS BIGINT) AS vx,
+         CAST(floor(y / {cell}) AS BIGINT) AS vy,
+         CAST(floor(z / {cell}) AS BIGINT) AS vz
+  FROM points WHERE z >= {z_min}),
+occ AS (
+  SELECT vx, vy, vz, count(*) AS n_pts, {pack} AS vid
+  FROM vox GROUP BY 1, 2, 3),
+offs AS (
+  SELECT tx.range AS dx, ty.range AS dy, tz.range AS dz
+  FROM range(-1, 2) tx, range(-1, 2) ty, range(-1, 2) tz
+  WHERE NOT (tx.range = 0 AND ty.range = 0 AND tz.range = 0)),
+edges AS (
+  SELECT a.vid AS src, b.vid AS dst
+  FROM occ a JOIN offs o ON TRUE
+  JOIN occ b ON b.vx = a.vx + o.dx AND b.vy = a.vy + o.dy
+            AND b.vz = a.vz + o.dz),
+reach AS (
+  SELECT vid AS node, vid AS label FROM occ
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(label) AS seg FROM reach GROUP BY 1)
+SELECT CAST(c.seg AS BIGINT) AS segment_id,
+       CAST(count(*) AS BIGINT) AS n_voxels,
+       CAST(sum(i.n_pts) AS BIGINT) AS n_points,
+       CAST(min(i.vx) AS BIGINT) AS vx_min,
+       CAST(max(i.vx) AS BIGINT) AS vx_max,
+       CAST(min(i.vy) AS BIGINT) AS vy_min,
+       CAST(max(i.vy) AS BIGINT) AS vy_max
+FROM occ i JOIN comp c ON c.node = i.vid
+GROUP BY 1 ORDER BY 1
+""".strip()
