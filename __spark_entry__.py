@@ -2515,19 +2515,30 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """210 entries, ordered so every query gets a driver CORRECTNESS
+    """214 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-8 rotation (the r7 docstring promise plus the
-    house results-changed-first rule): the five r7 driver-red entries
-    lead (text_bpe_encode, rel_k_anonymity, text_kn_scores,
+    house results-changed-first rule): the six oracle-representation
+    fixes lead (pc_contours — DuckDB typed the literal contour levels
+    DECIMAL(3,1) where Spark emits double, caught by the r8
+    type-strict mirror; then the five r7 driver-red entries
+    text_bpe_encode, rel_k_anonymity, text_kn_scores,
     rel_benford, rel_forecast_backtest — their oracle SQLs emitted
     DuckDB HUGEINT where Spark emits BIGINT; every output expression is
     now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
     tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the entry NEW in r8 (ann_index_append — the
+    recur), then the five entries NEW in r8 (ann_index_append — the
     incremental encode-only index-maintenance path, driver-proving
     build(all) == build + append against the single-shot trained
-    oracle), then the three entries whose PLANS were rewritten in r8
+    oracle; stream_sessions — drained APPEND-mode native session
+    windows via a watermark-flush sentinel, == batch gap-islands;
+    corpus_shards — salted-hash data-loader sharding with exact
+    token-share balance; quality_calibration — the distilled quality
+    classifier's reliability report over equal-width integer score
+    bins; pc_segments — Euclidean voxel segmentation via two-level
+    connected components: per-tile Arrow union-find + min-label
+    rounds on the contracted cross-tile graph), then the three
+    entries whose PLANS were rewritten in r8
     (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
     by a map-local nested-transform dim² fan-out, no corpus-sized
     Exchange, plan-gated; dedup_spans — the md5 window fan-out is
@@ -2550,7 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the r3 family reps and the r5-checked blocks, leaving the
     r6/r7/r8-checked rows last."""
     return {
-        # --- oracle representation changed in r8 (r7 driver-red: HUGEINT outputs recast to BIGINT; values unchanged) ---
+        # --- oracle representation changed in r8 (r7 driver-red: HUGEINT outputs recast to BIGINT; pc_contours: DECIMAL level cast to DOUBLE, caught by the r8 type-strict mirror; values unchanged) ---
+        "pc_contours": _q_pc_contours,
         "text_bpe_encode": _q_text_bpe_encode,
         "rel_k_anonymity": _q_rel_k_anonymity,
         "text_kn_scores": _q_text_kn_scores,
@@ -2738,7 +2750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg": _q_mm_jpeg,
         "emb_matryoshka": _q_emb_matryoshka,
         "dedup_url_canonical": _q_dedup_url_canonical,
-        "pc_contours": _q_pc_contours,
         "rel_local_supplier": _q_rel_local_supplier,
         "rel_key_skew": _q_rel_key_skew,
         "rel_scd2": _q_rel_scd2,

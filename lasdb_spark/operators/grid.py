@@ -655,7 +655,10 @@ cased AS (
          + (CASE WHEN sq_c > lq * n_c THEN 1 ELSE 0 END) * 4
          + (CASE WHEN sq_d > lq * n_d THEN 1 ELSE 0 END) * 8 AS cs
   FROM squares, LATERAL (
-    SELECT t.level, CAST(round(t.level * 100) AS BIGINT) AS lq
+    -- DuckDB types the literal list DECIMAL(3,1); Spark emits double,
+    -- and the driver hash is representation-sensitive
+    SELECT CAST(t.level AS DOUBLE) AS level,
+           CAST(round(t.level * 100) AS BIGINT) AS lq
     FROM (SELECT unnest([{lits}]) AS level) t) lv),
 segs AS (
   SELECT level,

@@ -46,6 +46,9 @@ BOUNDED_GLOBAL_WINDOW = {
     # r7 stored index: rank after limit(k) only — the training windows
     # ran at BUILD time; the query plan is scan ⋈ broadcast ADC → agg
     "ann_ivfpq_stored",
+    # r8 incremental-append index: identical query plan to the stored
+    # index (rank after limit(k)); only the build path differs
+    "ann_index_append",
     # rank over the top_k rows left by TakeOrdered (20 by default)
     "text_bpe_pairs",
     "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut
