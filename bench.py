@@ -562,6 +562,18 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r7 (this session): hourly-rate autocorrelation
             "rel_acf": lambda: _eq["rel_acf"](spark, sf_dir),
+            # r8: data-loader sharding audit (hash tag + 16-row agg)
+            "corpus_shards": lambda: _eq["corpus_shards"](spark, sf_dir),
+            # r8: classifier reliability report (train + score + bin)
+            "quality_calibration": lambda: _eq["quality_calibration"](
+                spark, sf_dir
+            ),
+            # r8: Euclidean voxel segmentation (two-level CC)
+            "pc_segments": lambda: _eq["pc_segments"](spark, sf_dir),
+            # r8: drained append-mode native session windows
+            "stream_sessions": lambda: _eq["stream_sessions"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():
