@@ -1537,6 +1537,18 @@ def _q_pc_segments(spark, sf_dir):
     return euclidean_segments(points_df(spark, sf_dir))
 
 
+def _q_text_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy decontamination report (r8): tau-Jaccard near-dups of the
+    deterministic benchmark slice, broadcast-probe banded MinHash."""
+    from lasdb_spark.operators.decontaminate import (
+        driver_benchmark,
+        fuzzy_contamination_report,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return fuzzy_contamination_report(docs, driver_benchmark(docs))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Classifier reliability report (r8): final-weight perceptron
     scores cut into 10 equal-width integer bins vs the actual
@@ -2372,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": _sevents.session_windows_sql(),
         "corpus_shards": _text.corpus_shards_sql(),
         "quality_calibration": _text.quality_calibration_sql(),
+        "text_fuzzy_decontaminate": _decon.fuzzy_contamination_report_sql(),
         "pc_segments": _segment.euclidean_segments_sql(_PTS),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
@@ -2574,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": _q_corpus_shards,
         "quality_calibration": _q_quality_calibration,
         "pc_segments": _q_pc_segments,
+        "text_fuzzy_decontaminate": _q_text_fuzzy_decontaminate,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

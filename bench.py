@@ -574,6 +574,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "stream_sessions": lambda: _eq["stream_sessions"](
                 spark, sf_dir
             ),
+            # r8: fuzzy (tau-Jaccard banded) decontamination report
+            "text_fuzzy_decontaminate": lambda: _eq[
+                "text_fuzzy_decontaminate"
+            ](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

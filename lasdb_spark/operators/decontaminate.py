@@ -85,3 +85,151 @@ hits AS (
   GROUP BY 1)
 SELECT doc_id, n_hits FROM hits WHERE n_hits >= {min_hits}
 """.strip()
+
+
+def fuzzy_contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    tau: float | None = None,
+) -> DataFrame:
+    """(doc_id, n_bench_hits, max_jac) — NEAR-duplicate contamination:
+    training docs whose n-gram Jaccard against some benchmark doc is ≥
+    ``tau``, even with no shared full shingle run requirement. The
+    fuzzy companion of :func:`contamination_report` (exact shingle
+    hits miss a lightly-paraphrased eval item; τ-Jaccard catches it —
+    the GPT-3-style 13-gram screen's fuzzy upgrade).
+
+    Scale shape — NOT the both-large cross-corpus pipeline: the eval
+    set is fixed-size, so its MinHash band keys AND its shingle set
+    broadcast, the corpus probes both MAP-SIDE (band join → candidate
+    (doc, bench) pairs; shingle join → exact intersection counts), and
+    the only shuffles are the corpus-side signature/size aggregations
+    on doc_id. Candidate semantics and the Jaccard arithmetic are
+    byte-identical to :func:`~.dedup.minhash_lsh_pairs` (same
+    permutations, band keys, round-6 verify), so the cross-corpus
+    banded oracle reproduces the result exactly."""
+    from ..functions.hashing import md5_int60_col, minhash_perm_coeffs
+    from .dedup import (
+        BAND_SIZE,
+        JACCARD_TAU,
+        MERSENNE31,
+        N_PERMS,
+        shingles,
+    )
+
+    if tau is None:
+        tau = JACCARD_TAU
+    coeffs = minhash_perm_coeffs(N_PERMS)
+    n_bands = N_PERMS // BAND_SIZE
+
+    def _sig(sh):
+        sid = sh.withColumn(
+            "sid", md5_int60_col(F.col("shingle")) % MERSENNE31
+        )
+        return sid.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("sid") + F.lit(b)) % MERSENNE31
+                ).alias(f"mh{j}")
+                for j, (a, b) in enumerate(coeffs)
+            ],
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+
+    def _bands(sig):
+        band_cols = [
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * BAND_SIZE + k}").cast("string")
+                    for k in range(BAND_SIZE)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+        return sig.select(
+            "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "sig")
+        )
+
+    bench_sh = shingles(benchmark).localCheckpoint()  # eval-sized
+    bench_sig = _sig(bench_sh).localCheckpoint()
+    corpus_sh = shingles(docs).cache()
+    corpus_sig = _sig(corpus_sh).cache()
+    cands = (
+        _bands(corpus_sig)
+        .join(
+            F.broadcast(
+                _bands(bench_sig).withColumnsRenamed({"doc_id": "b_id"})
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_id", "b_id")
+        .distinct()
+    )
+    inter = (
+        cands.join(corpus_sh, "doc_id")
+        .join(
+            F.broadcast(
+                bench_sh.withColumnsRenamed({"doc_id": "b_id"})
+            ),
+            ["b_id", "shingle"],
+        )
+        .groupBy("doc_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    pairs = (
+        inter.join(corpus_sig.select("doc_id", F.col("n_sh").alias("n_a")), "doc_id")
+        .join(
+            F.broadcast(
+                bench_sig.select(
+                    F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b")
+                )
+            ),
+            "b_id",
+        )
+        .select("doc_id", "b_id", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= tau)
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        F.max("jac").alias("max_jac"),
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame, benchmark: DataFrame, tau: float | None = None
+) -> DataFrame:
+    """The clean corpus under the fuzzy criterion: ``docs`` minus
+    τ-near-duplicates of benchmark docs (all input columns kept)."""
+    bad = fuzzy_contamination_report(docs, benchmark, tau).select("doc_id")
+    return docs.join(bad, "doc_id", "left_anti")
+
+
+def fuzzy_contamination_report_sql(
+    tau: float | None = None, bench_mod: int = BENCH_MOD
+) -> str:
+    """Oracle twin: the cross-corpus banded pipeline (identical
+    candidate semantics — the broadcast probe is a plan choice, not a
+    semantics choice) over (documents, the benchmark slice), then the
+    per-doc aggregation."""
+    from .dedup import JACCARD_TAU, crosscorpus_neardup_pairs_sql
+
+    if tau is None:
+        tau = JACCARD_TAU
+    cross = crosscorpus_neardup_pairs_sql(
+        tau,
+        src_a="SELECT doc_id, text FROM documents",
+        src_b=(
+            "SELECT doc_id, text FROM documents "
+            f"WHERE doc_id % {bench_mod} = 0"
+        ),
+    )
+    return f"""
+WITH cross_pairs AS ({cross})
+SELECT a_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       max(jac) AS max_jac
+FROM cross_pairs GROUP BY 1
+""".strip()
