@@ -28,6 +28,7 @@ from lasdb_spark.operators import decontaminate as _decon
 from lasdb_spark.operators import dedup as _dedup
 from lasdb_spark.operators import entity as _entity
 from lasdb_spark.operators import graph as _graph
+from lasdb_spark.operators import dedup_index as _dedupidx
 from lasdb_spark.operators import segment as _segment
 from lasdb_spark.operators import interval as _interval
 from lasdb_spark.operators import grid as _grid
@@ -1549,6 +1550,51 @@ def _q_text_fuzzy_decontaminate(spark, sf_dir):
     return fuzzy_contamination_report(docs, driver_benchmark(docs))
 
 
+def _q_dedup_index_probe(spark, sf_dir):
+    """Persisted MinHash dedup index (r8): the corpus (even doc_ids)
+    indexed once at a deterministic temp path; the increment (odd
+    doc_ids) probes the stored buckets + shingles for near-dups —
+    the ingestion-loop dedup shape (build-once/probe-many). Values ==
+    the cross-corpus banded pipeline, which is the oracle."""
+    from lasdb_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = ann_index_path(sf_dir) + "_dedupidx"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_dedup_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    return probe_dedup_index(
+        docs.where(F.col("doc_id") % 2 == 1), spark, path
+    )
+
+
+def _q_corpus_report(spark, sf_dir):
+    """One-row dataset card (r8): docs/tokens/chars, diversity counts,
+    exact-dup rate ppm, mean quality milli."""
+    from lasdb_spark.operators.text import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
+def _q_emb_whiten(spark, sf_dir):
+    """Embedding anisotropy report (r8): share of total variance on
+    the top principal direction — integer sufficient statistics, one
+    fixed-order double division chain."""
+    from lasdb_spark.operators.similarity import embedding_whiten_report
+
+    return embedding_whiten_report(_embs(spark, sf_dir))
+
+
+def _q_text_lang_mix(spark, sf_dir):
+    """Intra-document language consistency (r8): langid each half of
+    every doc (token-midpoint split) and flag disagreement."""
+    from lasdb_spark.operators.text import lang_consistency
+
+    return lang_consistency(_docs(spark, sf_dir))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Classifier reliability report (r8): final-weight perceptron
     scores cut into 10 equal-width integer bins vs the actual
@@ -2385,6 +2431,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shards": _text.corpus_shards_sql(),
         "quality_calibration": _text.quality_calibration_sql(),
         "text_fuzzy_decontaminate": _decon.fuzzy_contamination_report_sql(),
+        "text_lang_mix": _text.lang_consistency_sql(),
+        "emb_whiten": _similarity.embedding_whiten_sql(),
+        "corpus_report": _text.corpus_report_sql(),
+        "dedup_index_probe": _dedupidx.probe_dedup_index_sql(),
         "pc_segments": _segment.euclidean_segments_sql(_PTS),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
@@ -2528,7 +2578,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """214 entries, ordered so every query gets a driver CORRECTNESS
+    """219 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-8 rotation (the r7 docstring promise plus the
     house results-changed-first rule): the six oracle-representation
@@ -2540,7 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB HUGEINT where Spark emits BIGINT; every output expression is
     now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
     tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the five entries NEW in r8 (ann_index_append — the
+    recur), then the ten entries NEW in r8 (ann_index_append — the
     incremental encode-only index-maintenance path, driver-proving
     build(all) == build + append against the single-shot trained
     oracle; stream_sessions — drained APPEND-mode native session
@@ -2550,7 +2600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier's reliability report over equal-width integer score
     bins; pc_segments — Euclidean voxel segmentation via two-level
     connected components: per-tile Arrow union-find + min-label
-    rounds on the contracted cross-tile graph), then the three
+    rounds on the contracted cross-tile graph;
+    text_fuzzy_decontaminate — tau-Jaccard broadcast-probe screen vs
+    the eval set; text_lang_mix — intra-doc language consistency;
+    emb_whiten — anisotropy share of the top principal direction;
+    corpus_report — one-row dataset card; dedup_index_probe — the
+    persisted build-once/probe-many MinHash dedup index), then the three
     entries whose PLANS were rewritten in r8
     (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
     by a map-local nested-transform dim² fan-out, no corpus-sized
@@ -2588,6 +2643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": _q_quality_calibration,
         "pc_segments": _q_pc_segments,
         "text_fuzzy_decontaminate": _q_text_fuzzy_decontaminate,
+        "text_lang_mix": _q_text_lang_mix,
+        "emb_whiten": _q_emb_whiten,
+        "corpus_report": _q_corpus_report,
+        "dedup_index_probe": _q_dedup_index_probe,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

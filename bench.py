@@ -578,6 +578,16 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "text_fuzzy_decontaminate": lambda: _eq[
                 "text_fuzzy_decontaminate"
             ](spark, sf_dir),
+            # r8: intra-doc language-mix audit (map-only, two passes)
+            "text_lang_mix": lambda: _eq["text_lang_mix"](spark, sf_dir),
+            # r8: anisotropy report (pca chain + projection pass)
+            "emb_whiten": lambda: _eq["emb_whiten"](spark, sf_dir),
+            # r8: one-row dataset card
+            "corpus_report": lambda: _eq["corpus_report"](spark, sf_dir),
+            # r8: persisted dedup-index probe (warm-up rep builds it)
+            "dedup_index_probe": lambda: _eq["dedup_index_probe"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

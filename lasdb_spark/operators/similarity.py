@@ -2501,3 +2501,120 @@ SELECT pos, CAST(v * flip AS BIGINT) AS loading
 FROM v_{rounds}, lead
 """
     ).strip()
+
+
+def embedding_whiten_report(
+    embs: DataFrame, dim: int = EMB_DIM, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """(n_vectors, dim, top_var_share) — the corpus's ANISOTROPY: the
+    share of total variance carried by the top principal direction
+    (Mu & Viswanath, "All-but-the-Top": embedding spaces collapse
+    toward a dominant direction; this number decides whether to
+    remove it before cosine retrieval). top_var_share ≈ 1/dim means
+    isotropic; ≫ 1/dim means the mean/top-component removal will
+    change neighbor rankings.
+
+    Exactness: loadings come from :func:`embedding_pca_top` (integer
+    micro-units, KB collect); p_i = Σ q_ij·v_j is a MAP-LOCAL
+    zip_with/aggregate BIGINT per row; both scaled variances use the
+    n·Σx² − (Σx)² integer form in DECIMAL(38,0) (same n² scaling, so
+    the ratio needs no correction); the single division chain runs in
+    doubles in one fixed order and rounds once to 9 dp — identical
+    IEEE ops in both engines.
+
+    Scale: one KB-sized training collect (the pca chain), one map-only
+    projection pass, one 1-row agg, one dim-bounded agg. Nothing
+    corpus-sized shuffles (the per-dim sums ride the same map-local
+    fan-out discipline as :func:`embedding_dim_stats`)."""
+    load = embedding_pca_top(embs, dim, rounds).collect()  # dim rows, KB
+    v = [0] * dim
+    for r in load:
+        v[r["pos"]] = int(r["loading"])
+    v2 = sum(x * x for x in v)  # ≤ dim·SCALE² — BIGINT
+    varr = F.array(*[F.lit(x).cast("long") for x in v])
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    p = F.aggregate(
+        F.zip_with(qarr, varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    proj = embs.select(p.alias("p"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a_agg = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("p").cast("decimal(19,0)")
+                * F.col("p").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sp2"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
+    ).select(
+        "n",
+        (dec("n") * F.col("sp2") - F.col("sp") * F.col("sp")).alias("A"),
+    )
+    per_dim = (
+        embs.select(F.posexplode(qarr).alias("pos", "q"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                (
+                    F.col("q").cast("decimal(19,0)")
+                    * F.col("q").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("sq2"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            (dec("m") * F.col("sq2") - F.col("sq") * F.col("sq")).alias("c")
+        )
+    )
+    t_agg = per_dim.agg(F.sum("c").alias("T"))
+    return a_agg.crossJoin(t_agg).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(dim).cast("int").alias("dim"),
+        F.round(
+            F.col("A").cast("double")
+            / F.lit(float(v2))
+            / F.col("T").cast("double"),
+            9,
+        ).alias("top_var_share"),
+    )
+
+
+def embedding_whiten_sql(
+    dim: int = EMB_DIM, rounds: int = PCA_ROUNDS
+) -> str:
+    """Oracle twin of :func:`embedding_whiten_report`: the pca chain
+    as a nested CTE, then the same integer sufficient statistics and
+    the same one-order division chain."""
+    return f"""
+WITH pca AS MATERIALIZED ({embedding_pca_sql(dim, rounds)}),
+q AS MATERIALIZED (
+  SELECT vec_id, CAST(s.i AS INT) AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {dim}))) AS s(i)),
+p AS (
+  SELECT vec_id, SUM(q.q * pc.loading) AS p
+  FROM q JOIN pca pc USING (pos) GROUP BY 1),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS HUGEINT) * SUM(CAST(p AS HUGEINT) * p)
+           - SUM(CAST(p AS HUGEINT)) * SUM(CAST(p AS HUGEINT)) AS A
+  FROM p),
+t AS (
+  SELECT SUM(c) AS T FROM (
+    SELECT CAST(count(*) AS HUGEINT) * SUM(CAST(q AS HUGEINT) * q)
+             - SUM(CAST(q AS HUGEINT)) * SUM(CAST(q AS HUGEINT)) AS c
+    FROM q GROUP BY pos)),
+v2 AS (SELECT SUM(CAST(loading AS HUGEINT) * loading) AS v2 FROM pca)
+SELECT a.n AS n_vectors, CAST({dim} AS INT) AS dim,
+       round(CAST(a.A AS DOUBLE) / CAST(v2.v2 AS DOUBLE)
+             / CAST(t.T AS DOUBLE), 9) AS top_var_share
+FROM a, t, v2
+""".strip()

@@ -106,10 +106,10 @@ FROM {src}
 # ---------------------------------------------------------------------------
 # language identification (marker-word n-gram heuristic)
 # ---------------------------------------------------------------------------
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred) — argmax of per-language marker counts with a
-    fixed priority tie-break; 'und' when nothing matches."""
-    t = F.col("text")
+def _lang_pred_col(t) -> Column:
+    """The langid argmax as a reusable Column over any text expression
+    — shared by the per-doc scorer and the intra-doc consistency
+    audit so both compute the identical prediction."""
     scores = {lg: _n_matches(t, pat) for lg, pat in LANG_MARKERS.items()}
     pred = F.lit("und")
     # build the CASE chain in reverse so earlier langs win ties
@@ -119,12 +119,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
             if other != lg:
                 cond = cond & (scores[lg] >= scores[other])
         pred = F.when(cond, F.lit(lg)).otherwise(pred)
-    return docs.select("doc_id", pred.alias("lang_pred"))
+    return pred
 
 
-def lang_id_sql() -> str:
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred) — argmax of per-language marker counts with a
+    fixed priority tie-break; 'und' when nothing matches."""
+    return docs.select("doc_id", _lang_pred_col(F.col("text")).alias("lang_pred"))
+
+
+def _lang_case_sql(expr: str) -> str:
+    """The same argmax CASE chain over an arbitrary SQL text expr."""
     score = {
-        lg: f"len(regexp_extract_all(text, '{pat}'))"
+        lg: f"len(regexp_extract_all({expr}, '{pat}'))"
         for lg, pat in LANG_MARKERS.items()
     }
     whens = []
@@ -133,11 +140,69 @@ def lang_id_sql() -> str:
             f"{score[lg]} >= {score[o]}" for o in LANG_ORDER if o != lg
         ]
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def lang_id_sql() -> str:
     return (
-        "SELECT doc_id, CASE "
-        + " ".join(whens)
-        + " ELSE 'und' END AS lang_pred FROM documents"
+        f"SELECT doc_id, {_lang_case_sql('text')} AS lang_pred"
+        " FROM documents"
     )
+
+
+def lang_consistency(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_head, lang_tail, is_mixed) — intra-document
+    language consistency: langid the FIRST and SECOND half of every
+    document (token-midpoint split, single-space rejoin) and flag
+    disagreement. Mixed-language documents degrade both langid-based
+    mixing ratios and monolingual tokenizer fertility, so a curation
+    pipeline quarantines them rather than trusting the whole-doc tag.
+
+    Map-only (two marker-regex passes per row, no shuffle, no UDF);
+    the halves reuse :func:`_lang_pred_col` so a half predicts exactly
+    what :func:`lang_id` would predict on that text."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    m = F.ceil(F.size(toks) / F.lit(2.0)).cast("int")
+    halves = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, m), " ").alias("h"),
+        F.array_join(
+            F.slice(
+                toks, m + 1, F.greatest(F.size(toks) - m, F.lit(0))
+            ),
+            " ",
+        ).alias("t"),
+    )
+    return halves.select(
+        "doc_id",
+        _lang_pred_col(F.col("h")).alias("lang_head"),
+        _lang_pred_col(F.col("t")).alias("lang_tail"),
+        (
+            _lang_pred_col(F.col("h")) != _lang_pred_col(F.col("t"))
+        ).alias("is_mixed"),
+    )
+
+
+def lang_consistency_sql(src: str = "documents") -> str:
+    """Oracle twin of :func:`lang_consistency`."""
+    return f"""
+WITH toksed AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+  FROM {src}),
+halves AS (
+  SELECT doc_id,
+         array_to_string(
+           toks[1:CAST(ceil(len(toks) / 2.0) AS INT)], ' ') AS h,
+         array_to_string(
+           toks[CAST(ceil(len(toks) / 2.0) AS INT) + 1:len(toks)],
+           ' ') AS t
+  FROM toksed)
+SELECT doc_id,
+       {_lang_case_sql('h')} AS lang_head,
+       {_lang_case_sql('t')} AS lang_tail,
+       {_lang_case_sql('h')} != {_lang_case_sql('t')} AS is_mixed
+FROM halves
+""".strip()
 
 
 # ---------------------------------------------------------------------------
@@ -1604,6 +1669,75 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(t) AS BIGINT) AS n_tokens
 FROM tagged GROUP BY 1, 2
 ORDER BY split, lang
+""".strip()
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row dataset card: (n_docs, n_tokens, n_chars, n_langs,
+    n_sources, exact_dup_docs, dup_rate_ppm, mean_quality_milli) —
+    the corpus-level summary a dataset release ships (docs/tokens,
+    diversity counts, duplication rate, mean quality), computed in
+    ONE scan + the distinct aggregates.
+
+    Exactness: token counts use the repo-standard tokenizer;
+    exact_dup_docs = n_docs − |distinct md5(text)| (docs beyond each
+    content group's keeper); rates/means are integer div (ppm /
+    milli) over exact BIGINTs; quality is the shared round-6
+    :func:`quality_col` scaled to milli with one further round.
+
+    Scale: the md5/lang/source distincts are the only shuffles, each
+    with map-side partial distinct; everything else folds into one
+    partial agg."""
+    q_milli = F.round(quality_col() * 1000).cast("long")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_matches(F.col("text"), TOKEN_RE).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_uniq"),
+        F.sum(q_milli).alias("q_sum"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "n_chars",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        (F.col("n_docs") - F.col("n_uniq"))
+        .cast("long")
+        .alias("exact_dup_docs"),
+        F.expr("(n_docs - n_uniq) * 1000000 div n_docs")
+        .cast("long")
+        .alias("dup_rate_ppm"),
+        F.expr("q_sum div n_docs").cast("long").alias("mean_quality_milli"),
+    )
+
+
+def corpus_report_sql(src: str = "documents") -> str:
+    """Oracle twin of :func:`corpus_report`."""
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    n_stop = f"len(regexp_extract_all(text, '\\b({STOPWORDS_EN})\\b'))"
+    stop_ratio = f"({n_stop} / CAST(greatest({n_tok}, 1) AS DOUBLE))"
+    quality = f"round(least({n_tok}, 100) / 100.0 * 0.6 + {stop_ratio} * 0.4, 6)"
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM({n_tok}) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+         SUM(CAST(round({quality} * 1000) AS BIGINT)) AS q_sum
+  FROM {src})
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       CAST(n_docs - n_uniq AS BIGINT) AS exact_dup_docs,
+       CAST((n_docs - n_uniq) * 1000000 // n_docs AS BIGINT)
+         AS dup_rate_ppm,
+       CAST(q_sum // n_docs AS BIGINT) AS mean_quality_milli
+FROM agg
 """.strip()
 
 
