@@ -47,6 +47,7 @@ from lasdb_spark.operators import sketch as _sketch
 from lasdb_spark.operators import text as _text
 from lasdb_spark.operators import topics as _topics
 from lasdb_spark.operators import zorder as _zorder
+from lasdb_spark.streaming import dedup as _sdedup
 from lasdb_spark.streaming import events as _sevents
 from lasdb_spark.streaming import sketch as _ssketch
 from lasdb_spark.operators.ingest import (
@@ -1570,6 +1571,31 @@ def _q_dedup_index_probe(spark, sf_dir):
     )
 
 
+def _q_stream_curate(spark, sf_dir):
+    """Drained streaming curation (r8): quality + stratified-sample
+    gates (the shared batch expressions) then stateful exact-dedup,
+    across real micro-batch boundaries == batch gates + hash-groupBy."""
+    from lasdb_spark.streaming.dedup import (
+        documents_stream_multibatch,
+        stream_curate,
+    )
+    from lasdb_spark.streaming.sketch import drained_final
+
+    tbl = _drained(
+        stream_curate(documents_stream_multibatch(spark, sf_dir)),
+        "s_cur",
+    )
+    return drained_final(spark, tbl, ["text_hash"], counter="n_docs")
+
+
+def _q_text_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (r8): BPE tokens per word and
+    chars per token from the train+apply pass, exact integer ratios."""
+    from lasdb_spark.operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def _q_corpus_report(spark, sf_dir):
     """One-row dataset card (r8): docs/tokens/chars, diversity counts,
     exact-dup rate ppm, mean quality milli."""
@@ -2435,6 +2461,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_whiten": _similarity.embedding_whiten_sql(),
         "corpus_report": _text.corpus_report_sql(),
         "dedup_index_probe": _dedupidx.probe_dedup_index_sql(),
+        "text_fertility": _text.tokenizer_fertility_sql(),
+        "stream_curate": _sdedup.stream_curate_sql(),
         "pc_segments": _segment.euclidean_segments_sql(_PTS),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
@@ -2578,7 +2606,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """219 entries, ordered so every query gets a driver CORRECTNESS
+    """221 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-8 rotation (the r7 docstring promise plus the
     house results-changed-first rule): the six oracle-representation
@@ -2590,7 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB HUGEINT where Spark emits BIGINT; every output expression is
     now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
     tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the ten entries NEW in r8 (ann_index_append — the
+    recur), then the twelve entries NEW in r8 (ann_index_append — the
     incremental encode-only index-maintenance path, driver-proving
     build(all) == build + append against the single-shot trained
     oracle; stream_sessions — drained APPEND-mode native session
@@ -2605,7 +2633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the eval set; text_lang_mix — intra-doc language consistency;
     emb_whiten — anisotropy share of the top principal direction;
     corpus_report — one-row dataset card; dedup_index_probe — the
-    persisted build-once/probe-many MinHash dedup index), then the three
+    persisted build-once/probe-many MinHash dedup index;
+    text_fertility — per-language BPE tokenizer fertility;
+    stream_curate — drained streaming curation gates + stateful
+    exact-dedup == the batch gates + hash-groupBy), then the three
     entries whose PLANS were rewritten in r8
     (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
     by a map-local nested-transform dim² fan-out, no corpus-sized
@@ -2647,6 +2678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_whiten": _q_emb_whiten,
         "corpus_report": _q_corpus_report,
         "dedup_index_probe": _q_dedup_index_probe,
+        "text_fertility": _q_text_fertility,
+        "stream_curate": _q_stream_curate,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

@@ -588,6 +588,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "dedup_index_probe": lambda: _eq["dedup_index_probe"](
                 spark, sf_dir
             ),
+            # r8: per-language tokenizer fertility (BPE train+apply)
+            "text_fertility": lambda: _eq["text_fertility"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():
@@ -736,6 +740,10 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
     )
     timings["stream_enriched_counts"] = _timed(
         spark, lambda: _eq["stream_enriched_counts"](spark, sf_dir).count()
+    )
+    # r8: drained streaming curation (gates + stateful exact dedup)
+    timings["stream_curate"] = _timed(
+        spark, lambda: _eq["stream_curate"](spark, sf_dir).count()
     )
     # r7 (this session): streaming Count-Min sketch probe report
     timings["stream_cm_topk"] = _timed(

@@ -1672,6 +1672,76 @@ ORDER BY split, lang
 """.strip()
 
 
+def tokenizer_fertility(
+    docs: DataFrame,
+    n_merges: int | None = None,
+    min_freq: int | None = None,
+    max_types: int | None = None,
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_bpe_tokens, fertility_ppm,
+    chars_per_token_milli) — per-language TOKENIZER FERTILITY: how
+    many BPE tokens the learned tokenizer spends per word (and chars
+    per token) in each language. The standard multilingual-tokenizer
+    audit — a language with fertility ≫ the corpus mean is being
+    over-segmented, pays more compute per byte of content, and is
+    under-served at a fixed context length.
+
+    Composition: :func:`bpe_encode_corpus` (train + apply, its own
+    oracle-proven numbers) joined back to the docs' ``lang`` tag, then
+    one language-bounded groupBy; ratios are exact integer ppm/milli
+    over the BIGINT sums. Adds nothing corpus-sized beyond the encode
+    pass itself."""
+    kw = {}
+    if n_merges is not None:
+        kw["n_merges"] = n_merges
+    if min_freq is not None:
+        kw["min_freq"] = min_freq
+    if max_types is not None:
+        kw["max_types"] = max_types
+    enc = bpe_encode_corpus(docs, **kw)
+    per = enc.join(docs.select("doc_id", "lang"), "doc_id").groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.expr("n_bpe_tokens * 1000000 div greatest(n_words, 1)")
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.expr("n_chars * 1000 div greatest(n_bpe_tokens, 1)")
+        .cast("long")
+        .alias("chars_per_token_milli"),
+    ).orderBy("lang")
+
+
+def tokenizer_fertility_sql() -> str:
+    """Oracle twin of :func:`tokenizer_fertility`: the encode twin as
+    a CTE, joined to the lang tag, same integer ratios."""
+    return f"""
+WITH enc AS ({bpe_encode_corpus_sql()}),
+per AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+         CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(e.n_chars) AS BIGINT) AS n_chars
+  FROM enc e JOIN documents d USING (doc_id)
+  GROUP BY 1)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       CAST(n_bpe_tokens * 1000000 // greatest(n_words, 1) AS BIGINT)
+         AS fertility_ppm,
+       CAST(n_chars * 1000 // greatest(n_bpe_tokens, 1) AS BIGINT)
+         AS chars_per_token_milli
+FROM per ORDER BY lang
+""".strip()
+
+
 def corpus_report(docs: DataFrame) -> DataFrame:
     """One-row dataset card: (n_docs, n_tokens, n_chars, n_langs,
     n_sources, exact_dup_docs, dup_rate_ppm, mean_quality_milli) —

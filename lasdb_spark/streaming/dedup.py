@@ -112,6 +112,43 @@ def stream_exact_dedup(doc_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_curate_sql() -> str:
+    """Oracle of the DRAINED curation state: the identical batch gates
+    (quality ∧ stratified sample — the same shared expressions) then
+    the exact-dedup groupBy; the drained update-mode sink's max-count
+    row per fingerprint equals this bit-for-bit."""
+    from ..functions.hashing import md5_int60_sql
+    from ..operators.curate import MIN_QUALITY
+    from ..operators.text import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+        STOPWORDS_EN,
+        TOKEN_RE,
+    )
+
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    n_stop = f"len(regexp_extract_all(text, '\\b({STOPWORDS_EN})\\b'))"
+    stop_ratio = f"({n_stop} / CAST(greatest({n_tok}, 1) AS DOUBLE))"
+    quality = (
+        f"round(least({n_tok}, 100) / 100.0 * 0.6 + {stop_ratio} * 0.4, 6)"
+    )
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}"
+        for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    bucket = f"{md5_int60_sql('CAST(doc_id AS VARCHAR)')} % 100"
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {quality} >= {MIN_QUALITY!r}
+    AND {bucket} < (CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END))
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM gated GROUP BY 1
+""".strip()
+
+
 def compact_near_dups(docs: DataFrame, tau: float | None = None) -> DataFrame:
     """The compaction-time half of :func:`stream_curate`: batch MinHash
     near-dup dedup over the ACCUMULATED curated store, returning the
