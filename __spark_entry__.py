@@ -2648,14 +2648,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_decontaminate, pc_multi_window, pc_voxel_lod, pc_thin,
     doc_search, pc_knn_join, pc_hag, pc_outliers), then the r4-green
     block (corpus_token_budget onward — the window cuts partway
-    through it at pc_normals), the r3 family representatives, the
+    through it at pc_epoch_shift), the r3 family representatives, the
     r5-checked blocks, the r6-checked blocks, and the r7-checked block
     last (freshest standing rows). Everything past the window keeps its
     standing green row from a prior round AND is re-proven value-exact
     (and now type-faithful) every test run by the all-entries oracle
     mirror. Next round (r9): lead with the r4-block remainder the r8
-    window displaces (rel_gapfill, mm_png, sketch_kmv_setops,
-    rel_deciles, doc_containment, pc_grid_p95, text_lang_confusion,
+    window displaces (pc_registration, corpus_cluster_sample,
+    sketch_kmv, sketch_cm_tokens, corpus_domain_cap, corpus_temp_mix,
+    text_oov, ann_sq8_topk, rel_cube, rel_concurrency, sketch_bloom,
+    rel_gapfill, mm_png, sketch_kmv_setops, rel_deciles,
+    doc_containment, pc_grid_p95, text_lang_confusion,
     dedup_size_histogram, mm_meta_audit, rel_conversion, text_novelty),
     then the r3 family reps and the r5-checked blocks, leaving the
     r6/r7/r8-checked rows last."""
