@@ -1571,6 +1571,15 @@ def _q_dedup_index_probe(spark, sf_dir):
     )
 
 
+def _q_rel_ab_test(spark, sf_dir):
+    """A/B experiment readout (r8): salted-hash arm assignment, exact
+    integer counts/ppm rates, floored-milli two-proportion z."""
+    from lasdb_spark.operators.relational import ab_test_report
+    from lasdb_spark.sources.events import events_df
+
+    return ab_test_report(events_df(spark, sf_dir))
+
+
 def _q_stream_curate(spark, sf_dir):
     """Drained streaming curation (r8): quality + stratified-sample
     gates (the shared batch expressions) then stateful exact-dedup,
@@ -2463,6 +2472,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index_probe": _dedupidx.probe_dedup_index_sql(),
         "text_fertility": _text.tokenizer_fertility_sql(),
         "stream_curate": _sdedup.stream_curate_sql(),
+        "rel_ab_test": _rel.ab_test_report_sql(),
         "pc_segments": _segment.euclidean_segments_sql(_PTS),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
@@ -2606,7 +2616,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """221 entries, ordered so every query gets a driver CORRECTNESS
+    """222 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-8 rotation (the r7 docstring promise plus the
     house results-changed-first rule): the six oracle-representation
@@ -2618,7 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB HUGEINT where Spark emits BIGINT; every output expression is
     now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
     tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the twelve entries NEW in r8 (ann_index_append — the
+    recur), then the thirteen entries NEW in r8 (ann_index_append — the
     incremental encode-only index-maintenance path, driver-proving
     build(all) == build + append against the single-shot trained
     oracle; stream_sessions — drained APPEND-mode native session
@@ -2636,7 +2646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted build-once/probe-many MinHash dedup index;
     text_fertility — per-language BPE tokenizer fertility;
     stream_curate — drained streaming curation gates + stateful
-    exact-dedup == the batch gates + hash-groupBy), then the three
+    exact-dedup == the batch gates + hash-groupBy; rel_ab_test —
+    salted-arm A/B readout with exact ppm rates and a floored-milli
+    two-proportion z), then the three
     entries whose PLANS were rewritten in r8
     (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
     by a map-local nested-transform dim² fan-out, no corpus-sized
@@ -2683,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_probe": _q_dedup_index_probe,
         "text_fertility": _q_text_fertility,
         "stream_curate": _q_stream_curate,
+        "rel_ab_test": _q_rel_ab_test,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

@@ -592,6 +592,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "text_fertility": lambda: _eq["text_fertility"](
                 spark, sf_dir
             ),
+            # r8: A/B experiment readout (one user-keyed agg)
+            "rel_ab_test": lambda: _eq["rel_ab_test"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -3772,3 +3772,154 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag, np AS n_pairs,
             ELSE 0.0 END AS acf
 FROM stats
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (r8)
+# ---------------------------------------------------------------------------
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """One-row A/B readout: (n_ctrl, n_trt, conv_ctrl, conv_trt,
+    cr_ctrl_ppm, cr_trt_ppm, lift_ppm, z_milli_floor) — users are
+    assigned to arms by salted id hash (the deterministic holdout
+    assignment an event pipeline ships: same user, same arm, across
+    engines/runs), conversion = the user logged MORE purchases than
+    views (a scale-free per-user flag — the synthetic feed gives
+    every user every event type, so mere presence would saturate),
+    and the readout carries exact integer counts/rates plus the
+    two-proportion z statistic (0 when the pooled variance is 0,
+    mirrored in the oracle).
+
+    Exactness: counts and ppm rates are BIGINT; the z-score is the
+    only float — assembled from the exact integers in ONE fixed
+    expression order (pooled p, variance, sqrt, divide) and FLOORED to
+    milli (floor, not round: both engines floor doubles identically,
+    while round-at-half conventions differ for negatives).
+
+    Plan: one user_id-keyed aggregation (per-user conversion flag +
+    arm tag computed map-side), then a 2-row arm rollup pivoted into
+    the single row by conditional aggregation — nothing after the
+    first shuffle is corpus-sized."""
+    from ..functions.hashing import md5_int60_col
+
+    arm = (
+        md5_int60_col(
+            F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+        )
+        % 2
+    ).cast("int")
+    per_user = (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                > F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select(arm.alias("arm"), "conv")
+    )
+    row = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_trt"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_trt"),
+    )
+    p0 = F.col("conv_ctrl").cast("double") / F.col("n_ctrl").cast("double")
+    p1 = F.col("conv_trt").cast("double") / F.col("n_trt").cast("double")
+    pool = (F.col("conv_ctrl") + F.col("conv_trt")).cast("double") / (
+        F.col("n_ctrl") + F.col("n_trt")
+    ).cast("double")
+    conv_tot = F.col("conv_ctrl") + F.col("conv_trt")
+    n_tot = F.col("n_ctrl") + F.col("n_trt")
+    z = F.when(
+        (conv_tot == 0) | (conv_tot == n_tot), F.lit(0.0)
+    ).otherwise(
+        (p1 - p0)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (
+                F.lit(1.0) / F.col("n_ctrl").cast("double")
+                + F.lit(1.0) / F.col("n_trt").cast("double")
+            )
+        )
+    )
+    return row.select(
+        "n_ctrl",
+        "n_trt",
+        "conv_ctrl",
+        "conv_trt",
+        F.expr("conv_ctrl * 1000000 div n_ctrl")
+        .cast("long")
+        .alias("cr_ctrl_ppm"),
+        F.expr("conv_trt * 1000000 div n_trt")
+        .cast("long")
+        .alias("cr_trt_ppm"),
+        (
+            F.expr("conv_trt * 1000000 div n_trt")
+            - F.expr("conv_ctrl * 1000000 div n_ctrl")
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+        F.floor(z * 1000).cast("long").alias("z_milli_floor"),
+    )
+
+
+def ab_test_report_sql() -> str:
+    """Oracle twin of :func:`ab_test_report`."""
+    from ..functions.hashing import md5_int60_sql
+
+    return f"""
+{EV_CTE},
+keyed AS (
+  SELECT user_id, 'ab:' || CAST(user_id AS VARCHAR) AS k,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v
+  FROM ev),
+per_user AS (
+  SELECT CAST({md5_int60_sql("min(k)")} % 2 AS INT) AS arm,
+         CASE WHEN SUM(p) > SUM(v) THEN 1 ELSE 0 END AS conv
+  FROM keyed GROUP BY user_id),
+row_agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ctrl,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_trt,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_ctrl,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_trt
+  FROM per_user)
+SELECT n_ctrl, n_trt, conv_ctrl, conv_trt,
+       CAST(conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS cr_ctrl_ppm,
+       CAST(conv_trt * 1000000 // n_trt AS BIGINT) AS cr_trt_ppm,
+       CAST(conv_trt * 1000000 // n_trt
+            - conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS lift_ppm,
+       CAST(floor((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
+                   - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+            / sqrt((CAST(conv_ctrl + conv_trt AS DOUBLE)
+                    / CAST(n_ctrl + n_trt AS DOUBLE))
+                   * (1.0 - CAST(conv_ctrl + conv_trt AS DOUBLE)
+                            / CAST(n_ctrl + n_trt AS DOUBLE))
+                   * (1.0 / CAST(n_ctrl AS DOUBLE)
+                      + 1.0 / CAST(n_trt AS DOUBLE))) * 1000)
+            AS BIGINT) AS z_milli_floor
+FROM row_agg
+""".strip()
