@@ -1630,6 +1630,14 @@ def _q_text_lang_mix(spark, sf_dir):
     return lang_consistency(_docs(spark, sf_dir))
 
 
+def _q_pc_segment_shape(spark, sf_dir):
+    """Per-segment geometry descriptors (r8): exact height range +
+    closed-form planar covariance eigenvalues + elongation ratio."""
+    from lasdb_spark.operators.segment import segment_shape
+
+    return segment_shape(points_df(spark, sf_dir))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Classifier reliability report (r8): final-weight perceptron
     scores cut into 10 equal-width integer bins vs the actual
@@ -2473,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fertility": _text.tokenizer_fertility_sql(),
         "stream_curate": _sdedup.stream_curate_sql(),
         "rel_ab_test": _rel.ab_test_report_sql(),
+        "pc_segment_shape": _segment.segment_shape_sql(_PTS),
         "pc_segments": _segment.euclidean_segments_sql(_PTS),
         "emb_matryoshka": _similarity.matryoshka_recall_report_sql(),
         "dedup_url_canonical": _dedup.url_canonical_dedup_sql(),
@@ -2616,7 +2625,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """222 entries, ordered so every query gets a driver CORRECTNESS
+    """223 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-8 rotation (the r7 docstring promise plus the
     house results-changed-first rule): the six oracle-representation
@@ -2628,7 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB HUGEINT where Spark emits BIGINT; every output expression is
     now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
     tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the thirteen entries NEW in r8 (ann_index_append — the
+    recur), then the fourteen entries NEW in r8 (ann_index_append — the
     incremental encode-only index-maintenance path, driver-proving
     build(all) == build + append against the single-shot trained
     oracle; stream_sessions — drained APPEND-mode native session
@@ -2648,7 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_curate — drained streaming curation gates + stateful
     exact-dedup == the batch gates + hash-groupBy; rel_ab_test —
     salted-arm A/B readout with exact ppm rates and a floored-milli
-    two-proportion z), then the three
+    two-proportion z; pc_segment_shape — per-segment height range +
+    closed-form planar covariance eigenvalues + elongation), then the three
     entries whose PLANS were rewritten in r8
     (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
     by a map-local nested-transform dim² fan-out, no corpus-sized
@@ -2696,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fertility": _q_text_fertility,
         "stream_curate": _q_stream_curate,
         "rel_ab_test": _q_rel_ab_test,
+        "pc_segment_shape": _q_pc_segment_shape,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,

@@ -570,6 +570,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r8: Euclidean voxel segmentation (two-level CC)
             "pc_segments": lambda: _eq["pc_segments"](spark, sf_dir),
+            # r8: per-segment shape descriptors (labels + one agg)
+            "pc_segment_shape": lambda: _eq["pc_segment_shape"](
+                spark, sf_dir
+            ),
             # r8: drained append-mode native session windows
             "stream_sessions": lambda: _eq["stream_sessions"](
                 spark, sf_dir

@@ -94,13 +94,12 @@ def _tile_cc(pdf):
     )
 
 
-def euclidean_segments(
+def _segment_labels(
     pts: DataFrame, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
 ) -> DataFrame:
-    """(segment_id, n_voxels, n_points, vx_min, vx_max, vy_min,
-    vy_max) — connected components of occupied voxels in the z ≥
-    ``z_min`` slab under 26-connectivity; all outputs integer, so the
-    census is hash-exact.
+    """(vx, vy, vz, n_pts, vid, seg) — every occupied voxel of the
+    z ≥ ``z_min`` slab with its component label (min vid of the
+    component). The shared first half of the census and shape reports.
 
     TWO-LEVEL labeling (see :data:`_TILE`): exact union-find inside
     each 64×64-voxel tile (one ``applyInPandas`` pass, Arrow-batched,
@@ -161,11 +160,23 @@ def euclidean_segments(
     comp = connected_components(contracted).withColumnsRenamed(
         {"doc_id": "root", "cluster_id": "seg"}
     )
-    labeled = (
+    return (
         occ.join(local, "vid")
         .join(comp, "root", "left")
         .withColumn("seg", F.coalesce(F.col("seg"), F.col("root")))
+        .select("vx", "vy", "vz", "n_pts", "vid", "seg")
     )
+
+
+def euclidean_segments(
+    pts: DataFrame, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
+) -> DataFrame:
+    """(segment_id, n_voxels, n_points, vx_min, vx_max, vy_min,
+    vy_max) — connected components of occupied voxels in the z ≥
+    ``z_min`` slab under 26-connectivity; all outputs integer, so the
+    census is hash-exact. Labeling is the two-level CC documented on
+    :func:`_segment_labels`."""
+    labeled = _segment_labels(pts, z_min, cell)
     return (
         labeled.groupBy("seg")
         .agg(
@@ -189,12 +200,13 @@ def euclidean_segments(
     )
 
 
-def euclidean_segments_sql(
-    points_cte: str, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
+def _segments_cte_sql(
+    points_cte: str, z_min: float, cell: float
 ) -> str:
-    """Oracle twin of :func:`euclidean_segments`: recursive-CTE
-    min-label reachability closure (the :func:`dedup_clusters_sql`
-    pattern) over the same voxel edge list."""
+    """The shared oracle chain through the per-voxel component label
+    (``comp(node, seg)`` + ``occ``): recursive-CTE min-label
+    reachability closure (the :func:`dedup_clusters_sql` pattern) over
+    the voxel edge list. Census and shape twins both finish from it."""
     pack = (
         f"((vx + {_OFF}) * {1 << _W} + (vy + {_OFF})) * {1 << _W}"
         f" + (vz + {_OFF})"
@@ -225,7 +237,15 @@ reach AS (
   UNION
   SELECT e.dst AS node, r.label
   FROM reach r JOIN edges e ON e.src = r.node),
-comp AS (SELECT node, min(label) AS seg FROM reach GROUP BY 1)
+comp AS (SELECT node, min(label) AS seg FROM reach GROUP BY 1)""".strip()
+
+
+def euclidean_segments_sql(
+    points_cte: str, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
+) -> str:
+    """Oracle twin of :func:`euclidean_segments`."""
+    return f"""
+{_segments_cte_sql(points_cte, z_min, cell)}
 SELECT CAST(c.seg AS BIGINT) AS segment_id,
        CAST(count(*) AS BIGINT) AS n_voxels,
        CAST(sum(i.n_pts) AS BIGINT) AS n_points,
@@ -235,4 +255,153 @@ SELECT CAST(c.seg AS BIGINT) AS segment_id,
        CAST(max(i.vy) AS BIGINT) AS vy_max
 FROM occ i JOIN comp c ON c.node = i.vid
 GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+#: shape report: ignore fragments below this point count (their 2D
+#: covariance is noise); the census still reports them
+SHAPE_MIN_POINTS = 5
+
+
+def segment_shape(
+    pts: DataFrame,
+    z_min: float = SEG_ZMIN,
+    cell: float = SEG_CELL,
+    min_points: int = SHAPE_MIN_POINTS,
+) -> DataFrame:
+    """(segment_id, n_points, z_min_cm, z_max_cm, lam1, lam2, elong) —
+    per-segment GEOMETRY descriptors: exact centi-unit height range
+    plus the planar covariance eigenvalues (closed-form quadratic —
+    no iteration) and the elongation ratio √(λ2/λ1). The
+    classification step after extraction: elongated segments are
+    linear structures (walls, wires), isotropic ones are blobs.
+
+    Exactness: per-segment sufficient statistics are exact
+    DECIMAL(38,0) sums of centi-unit longs; the covariance → mid/disc
+    → λ chain runs in doubles in ONE fixed expression order and
+    rounds once (6 dp); the λ2 > 0 guard branches on the identical
+    doubles in both engines (an FP −ε under the sqrt must not NaN one
+    side only).
+
+    Scale: points map to their voxel key and hash-join the
+    voxel-count-sized label table; then one partial-agg groupBy on
+    segment. Nothing beyond the labeling's own stages is added."""
+    labeled = _segment_labels(pts, z_min, cell).localCheckpoint()
+    q = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    pvox = pts.where(F.col("z") >= z_min).select(
+        F.floor(F.col("x") / cell).alias("vx"),
+        F.floor(F.col("y") / cell).alias("vy"),
+        F.floor(F.col("z") / cell).alias("vz"),
+        q("x").alias("xq"),
+        q("y").alias("yq"),
+        q("z").alias("zq"),
+    )
+    joined = pvox.join(
+        labeled.select("vx", "vy", "vz", "seg"), ["vx", "vy", "vz"]
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = (
+        joined.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("yq").cast("decimal(38,0)")).alias("sy"),
+            F.sum((d19("xq") * d19("xq")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((d19("yq") * d19("yq")).cast("decimal(38,0)")).alias("syy"),
+            F.sum((d19("xq") * d19("yq")).cast("decimal(38,0)")).alias("sxy"),
+            F.min("zq").alias("z_min_cm"),
+            F.max("zq").alias("z_max_cm"),
+        )
+        .where(F.col("n") >= min_points)
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") / nd - (
+        F.col("sx").cast("double") / nd
+    ) * (F.col("sx").cast("double") / nd)
+    cyy = F.col("syy").cast("double") / nd - (
+        F.col("sy").cast("double") / nd
+    ) * (F.col("sy").cast("double") / nd)
+    cxy = F.col("sxy").cast("double") / nd - (
+        F.col("sx").cast("double") / nd
+    ) * (F.col("sy").cast("double") / nd)
+    mid = (cxx + cyy) / F.lit(2.0)
+    disc = F.sqrt(
+        ((cxx - cyy) / F.lit(2.0)) * ((cxx - cyy) / F.lit(2.0)) + cxy * cxy
+    )
+    lam1 = mid + disc
+    lam2 = mid - disc
+    elong = F.when(
+        (lam1 > 0) & (lam2 > 0), F.round(F.sqrt(lam2 / lam1), 6)
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        F.col("seg").cast("long").alias("segment_id"),
+        F.col("n").cast("long").alias("n_points"),
+        "z_min_cm",
+        "z_max_cm",
+        F.round(lam1, 6).alias("lam1"),
+        F.round(lam2, 6).alias("lam2"),
+        elong.alias("elong"),
+    ).orderBy("segment_id")
+
+
+def segment_shape_sql(
+    points_cte: str,
+    z_min: float = SEG_ZMIN,
+    cell: float = SEG_CELL,
+    min_points: int = SHAPE_MIN_POINTS,
+) -> str:
+    """Oracle twin of :func:`segment_shape`: the shared label chain,
+    then identical sufficient statistics and the same fixed-order
+    eigen chain."""
+    # outer parentheses are load-bearing: the template inlines into
+    # `cxx - cyy`, which without them would flip cyy's subtrahend sign
+    cov = (
+        "(CAST({sab} AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST({sa} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST({sb} AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    cxx = cov.format(sab="sxx", sa="sx", sb="sx")
+    cyy = cov.format(sab="syy", sa="sy", sb="sy")
+    cxy = cov.format(sab="sxy", sa="sx", sb="sy")
+    return f"""
+{_segments_cte_sql(points_cte, z_min, cell)},
+pvox AS (
+  SELECT CAST(floor(x / {cell}) AS BIGINT) AS vx,
+         CAST(floor(y / {cell}) AS BIGINT) AS vy,
+         CAST(floor(z / {cell}) AS BIGINT) AS vz,
+         CAST(round(x * 100) AS BIGINT) AS xq,
+         CAST(round(y * 100) AS BIGINT) AS yq,
+         CAST(round(z * 100) AS BIGINT) AS zq
+  FROM points WHERE z >= {z_min}),
+joined AS (
+  SELECT c.seg, p.xq, p.yq, p.zq
+  FROM pvox p
+  JOIN occ o USING (vx, vy, vz)
+  JOIN comp c ON c.node = o.vid),
+sums AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(xq AS HUGEINT)) AS sx,
+         SUM(CAST(yq AS HUGEINT)) AS sy,
+         SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+         SUM(CAST(yq AS HUGEINT) * yq) AS syy,
+         SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+         CAST(min(zq) AS BIGINT) AS z_min_cm,
+         CAST(max(zq) AS BIGINT) AS z_max_cm
+  FROM joined GROUP BY 1
+  HAVING count(*) >= {min_points}),
+eig AS (
+  SELECT seg, n, z_min_cm, z_max_cm,
+         ({cxx} + {cyy}) / 2.0
+           + sqrt((({cxx} - {cyy}) / 2.0) * (({cxx} - {cyy}) / 2.0)
+                  + ({cxy}) * ({cxy})) AS lam1,
+         ({cxx} + {cyy}) / 2.0
+           - sqrt((({cxx} - {cyy}) / 2.0) * (({cxx} - {cyy}) / 2.0)
+                  + ({cxy}) * ({cxy})) AS lam2
+  FROM sums)
+SELECT CAST(seg AS BIGINT) AS segment_id, n AS n_points,
+       z_min_cm, z_max_cm,
+       round(lam1, 6) AS lam1, round(lam2, 6) AS lam2,
+       CASE WHEN lam1 > 0 AND lam2 > 0
+            THEN round(sqrt(lam2 / lam1), 6) ELSE 0.0 END AS elong
+FROM eig ORDER BY segment_id
 """.strip()
