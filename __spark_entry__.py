@@ -1647,6 +1647,29 @@ def _q_quality_calibration(spark, sf_dir):
     return quality_calibration(_docs(spark, sf_dir))
 
 
+def _q_stream_windows_append(spark, sf_dir):
+    """APPEND-mode finalized tumbling windows (r8): the watermark-flush
+    sentinel pushes every real hour past the watermark, so each window
+    emits exactly once, FINALIZED — the contract file/Kafka sinks need
+    (update-mode upserts don't replay into an append-only sink). ==
+    the batch hourly rollup; the sentinel's own window never finalizes
+    and stays out of the sink."""
+    from lasdb_spark.sources.events import events_stream_multibatch_flushed
+    from lasdb_spark.streaming.events import run_to_memory, windowed_counts
+
+    _STREAM_SEQ[0] += 1
+    name = f"s_winap_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        windowed_counts(
+            events_stream_multibatch_flushed(spark, sf_dir),
+            watermark="800 hours",
+        ),
+        name,
+        "append",
+    )
+    return spark.table(name)
+
+
 def _q_stream_sessions(spark, sf_dir):
     """Drained NATIVE session windows (r8): ``F.session_window`` gap
     sessions per user over the multi-batch replay. Session windows
@@ -2471,6 +2494,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_append": _similarity.topk_ivfpq_trained_sql(),
         # drained append-mode session windows == batch gap-islands
         "stream_sessions": _sevents.session_windows_sql(),
+        # append-mode finalized tumbling windows == the batch rollup
+        "stream_windows_append": _rel.hourly_event_rollup_sql(),
         "corpus_shards": _text.corpus_shards_sql(),
         "quality_calibration": _text.quality_calibration_sql(),
         "text_fuzzy_decontaminate": _decon.fuzzy_contamination_report_sql(),
@@ -2625,7 +2650,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """223 entries, ordered so every query gets a driver CORRECTNESS
+    """224 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-8 rotation (the r7 docstring promise plus the
     house results-changed-first rule): the six oracle-representation
@@ -2637,7 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB HUGEINT where Spark emits BIGINT; every output expression is
     now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
     tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the fourteen entries NEW in r8 (ann_index_append — the
+    recur), then the fifteen entries NEW in r8 (ann_index_append — the
     incremental encode-only index-maintenance path, driver-proving
     build(all) == build + append against the single-shot trained
     oracle; stream_sessions — drained APPEND-mode native session
@@ -2658,7 +2683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact-dedup == the batch gates + hash-groupBy; rel_ab_test —
     salted-arm A/B readout with exact ppm rates and a floored-milli
     two-proportion z; pc_segment_shape — per-segment height range +
-    closed-form planar covariance eigenvalues + elongation), then the three
+    closed-form planar covariance eigenvalues + elongation;
+    stream_windows_append — append-mode FINALIZED tumbling windows
+    via the same watermark-flush drain, each window exactly once), then the three
     entries whose PLANS were rewritten in r8
     (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
     by a map-local nested-transform dim² fan-out, no corpus-sized
@@ -2707,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curate": _q_stream_curate,
         "rel_ab_test": _q_rel_ab_test,
         "pc_segment_shape": _q_pc_segment_shape,
+        "stream_windows_append": _q_stream_windows_append,
         # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,
