@@ -1701,11 +1701,12 @@ def duplicate_spans(
     duplicated text volume, not the corpus.
 
     The fan-out feeds TWO consumers (the cross-doc groupBy and the
-    join back), so it is localCheckpointed once: the expensive
+    join back), so it is persisted DISK_ONLY once: the expensive
     regexp-tokenize + per-position md5 stage runs exactly one scan of
     the corpus instead of two, and both consumers read the
-    materialized (doc_id, pos, h) blocks — disk-spill-safe, and at
-    100 TB strictly cheaper than re-reading and re-hashing the text.
+    materialized (doc_id, pos, h) blocks. DISK_ONLY (not
+    localCheckpoint) keeps the lineage recomputable — losing an
+    executor re-derives its blocks instead of aborting the query.
     ``_spread`` parallelizes under-split inputs first (a no-op at real
     scale where file splitting already provides parallelism)."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
@@ -1718,9 +1719,13 @@ def duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = _spread(docs).select(
-        "doc_id", F.posexplode(win).alias("pos", "h")
-    ).localCheckpoint()
+    from pyspark import StorageLevel
+
+    occ = (
+        _spread(docs)
+        .select("doc_id", F.posexplode(win).alias("pos", "h"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     dup_h = (
         occ.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

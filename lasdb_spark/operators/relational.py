@@ -3912,7 +3912,9 @@ SELECT n_ctrl, n_trt, conv_ctrl, conv_trt,
        CAST(conv_trt * 1000000 // n_trt AS BIGINT) AS cr_trt_ppm,
        CAST(conv_trt * 1000000 // n_trt
             - conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS lift_ppm,
-       CAST(floor((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
+       CAST(CASE WHEN conv_ctrl + conv_trt = 0
+                   OR conv_ctrl + conv_trt = n_ctrl + n_trt THEN 0
+            ELSE floor((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
                    - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
             / sqrt((CAST(conv_ctrl + conv_trt AS DOUBLE)
                     / CAST(n_ctrl + n_trt AS DOUBLE))
@@ -3920,6 +3922,6 @@ SELECT n_ctrl, n_trt, conv_ctrl, conv_trt,
                             / CAST(n_ctrl + n_trt AS DOUBLE))
                    * (1.0 / CAST(n_ctrl AS DOUBLE)
                       + 1.0 / CAST(n_trt AS DOUBLE))) * 1000)
-            AS BIGINT) AS z_milli_floor
+            END AS BIGINT) AS z_milli_floor
 FROM row_agg
 """.strip()

@@ -31,11 +31,17 @@ SEG_ZMIN = 38.0
 SEG_CELL = 5.0
 _OFF = 1 << 20  # shifts any survey-scale voxel index positive
 _W = 21  # bits per packed axis; all three shifted axes must be < 2^21
+#: admissible |voxel index| for packing: one LESS than the shift so the
+#: ±1 neighbor probes of a valid voxel still pack without overflow
+_VID_BOUND = _OFF - 1
 
 
 def _vid(vx, vy, vz):
     """Pack three shifted voxel indexes into one BIGINT key (exact for
-    |index| < 2^20 — kilometre-scale surveys at metre cells)."""
+    |index| < 2^20 — kilometre-scale surveys at metre cells).
+    Occupied voxels are range-checked at the occupancy stage
+    (:func:`_segment_labels`) so an out-of-range index raises instead
+    of silently wrapping into another voxel's key."""
     return (
         ((vx + F.lit(_OFF)) * F.lit(1 << _W) + (vy + F.lit(_OFF)))
         * F.lit(1 << _W)
@@ -118,10 +124,34 @@ def _segment_labels(
         F.floor(F.col("y") / cell).alias("vy"),
         F.floor(F.col("z") / cell).alias("vz"),
     )
+    in_range = (
+        (F.abs(F.col("vx")) < _VID_BOUND)
+        & (F.abs(F.col("vy")) < _VID_BOUND)
+        & (F.abs(F.col("vz")) < _VID_BOUND)
+    )
     occ = (
         vox.groupBy("vx", "vy", "vz")
         .agg(F.count(F.lit(1)).alias("n_pts"))
-        .withColumn("vid", _vid(F.col("vx"), F.col("vy"), F.col("vz")))
+        .withColumn(
+            "vid",
+            # voxel-sized stage, so the guard is ~free; a silent wrap
+            # would merge unrelated segments in BOTH engines (the
+            # oracle packs identically), so fail loudly instead
+            F.when(
+                in_range, _vid(F.col("vx"), F.col("vy"), F.col("vz"))
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "voxel index out of packing range (|idx| >= %d):"
+                        " vx=%d vy=%d vz=%d — use a larger cell size",
+                        F.lit(_VID_BOUND),
+                        F.col("vx"),
+                        F.col("vy"),
+                        F.col("vz"),
+                    )
+                )
+            ),
+        )
         .localCheckpoint()
     )
     local = (
@@ -211,8 +241,15 @@ def _segments_cte_sql(
         f"((vx + {_OFF}) * {1 << _W} + (vy + {_OFF})) * {1 << _W}"
         f" + (vz + {_OFF})"
     )
-    # the reach member is recursive; RECURSIVE must head the chain
-    rec_cte = points_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    # the reach member is recursive; RECURSIVE must head the chain —
+    # fail loudly if the points CTE format ever drifts, instead of
+    # generating silently-broken oracle SQL
+    if not points_cte.startswith("WITH "):
+        raise ValueError(
+            "points_cte must begin with 'WITH ' to be rewritten as "
+            f"'WITH RECURSIVE ': got {points_cte[:32]!r}..."
+        )
+    rec_cte = "WITH RECURSIVE " + points_cte[len("WITH ") :]
     return f"""
 {rec_cte},
 vox AS (
