@@ -2652,74 +2652,98 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """224 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-8 rotation (the r7 docstring promise plus the
-    house results-changed-first rule): the six oracle-representation
-    fixes lead (pc_contours — DuckDB typed the literal contour levels
-    DECIMAL(3,1) where Spark emits double, caught by the r8
-    type-strict mirror; then the five r7 driver-red entries
-    text_bpe_encode, rel_k_anonymity, text_kn_scores,
-    rel_benford, rel_forecast_backtest — their oracle SQLs emitted
-    DuckDB HUGEINT where Spark emits BIGINT; every output expression is
-    now CAST(... AS BIGINT), values unchanged, and the oracle mirror in
-    tests/test_entry_oracle.py is now type-strict so the class cannot
-    recur), then the fifteen entries NEW in r8 (ann_index_append — the
-    incremental encode-only index-maintenance path, driver-proving
-    build(all) == build + append against the single-shot trained
-    oracle; stream_sessions — drained APPEND-mode native session
-    windows via a watermark-flush sentinel, == batch gap-islands;
-    corpus_shards — salted-hash data-loader sharding with exact
-    token-share balance; quality_calibration — the distilled quality
-    classifier's reliability report over equal-width integer score
-    bins; pc_segments — Euclidean voxel segmentation via two-level
-    connected components: per-tile Arrow union-find + min-label
-    rounds on the contracted cross-tile graph;
-    text_fuzzy_decontaminate — tau-Jaccard broadcast-probe screen vs
-    the eval set; text_lang_mix — intra-doc language consistency;
-    emb_whiten — anisotropy share of the top principal direction;
-    corpus_report — one-row dataset card; dedup_index_probe — the
-    persisted build-once/probe-many MinHash dedup index;
-    text_fertility — per-language BPE tokenizer fertility;
-    stream_curate — drained streaming curation gates + stateful
-    exact-dedup == the batch gates + hash-groupBy; rel_ab_test —
-    salted-arm A/B readout with exact ppm rates and a floored-milli
-    two-proportion z; pc_segment_shape — per-segment height range +
-    closed-form planar covariance eigenvalues + elongation;
-    stream_windows_append — append-mode FINALIZED tumbling windows
-    via the same watermark-flush drain, each window exactly once), then the three
-    entries whose PLANS were rewritten in r8
-    (emb_pca / emb_cov_pairs — the vec_id posexplode self-join replaced
-    by a map-local nested-transform dim² fan-out, no corpus-sized
-    Exchange, plan-gated; dedup_spans — the md5 window fan-out is
-    localCheckpointed and _spread so the corpus is scanned and hashed
-    once; values unchanged by construction, in-window rows re-prove
-    it), then the eleven-entry r6 cut tail exactly as the r7 docstring
-    committed (dedup_lsh_recall, pc_zonal_stats, text_repetition,
-    text_decontaminate, pc_multi_window, pc_voxel_lod, pc_thin,
-    doc_search, pc_knn_join, pc_hag, pc_outliers), then the r4-green
-    block (corpus_token_budget onward — the window cuts partway
-    through it at pc_epoch_shift), the r3 family representatives, the
-    r5-checked blocks, the r6-checked blocks, and the r7-checked block
-    last (freshest standing rows). Everything past the window keeps its
-    standing green row from a prior round AND is re-proven value-exact
-    (and now type-faithful) every test run by the all-entries oracle
-    mirror. Next round (r9): lead with the r4-block remainder the r8
-    window displaces (pc_registration, corpus_cluster_sample,
-    sketch_kmv, sketch_cm_tokens, corpus_domain_cap, corpus_temp_mix,
-    text_oov, ann_sq8_topk, rel_cube, rel_concurrency, sketch_bloom,
-    rel_gapfill, mm_png, sketch_kmv_setops, rel_deciles,
-    doc_containment, pc_grid_p95, text_lang_confusion,
-    dedup_size_histogram, mm_meta_audit, rel_conversion, text_novelty),
-    then the r3 family reps and the r5-checked blocks, leaving the
-    r6/r7/r8-checked rows last."""
+    in dict order. Round-9 rotation (executing the r8 docstring
+    promise verbatim): the 22-entry r4-block remainder leads — the
+    stalest standing driver rows in the repo (pc_registration,
+    corpus_cluster_sample, sketch_kmv, sketch_cm_tokens,
+    corpus_domain_cap, corpus_temp_mix, text_oov, ann_sq8_topk,
+    rel_cube, rel_concurrency, sketch_bloom, rel_gapfill, mm_png,
+    sketch_kmv_setops, rel_deciles, doc_containment, pc_grid_p95,
+    text_lang_confusion, dedup_size_histogram, mm_meta_audit,
+    rel_conversion, text_novelty — all last rowed in r4), then the
+    r3-green family representatives (pc_bbox, pc_knn, pc_flat_points,
+    pc_block_pack and six siblings — the core spatial surface the r8
+    VERDICT flagged as the external-signal gap), then the r5-checked
+    spatial family (pc_bbox_maxz/minz/empty, the polygon trio,
+    pc_decode_roundtrip, text_fingerprint — stale since r5), then the
+    r5-checked blocks (rel_cdc_merge onward — the window cuts partway
+    through them). New r9 entries are inserted at the HEAD of the dict
+    as they land (results-changed-first house rule: first driver rows
+    outrank re-rows). Everything past the window keeps its standing
+    green row from a prior round AND is re-proven value-exact and
+    type-faithful every test run by the all-entries oracle mirror
+    (tests/test_entry_oracle.py). Next round (r10): lead with whatever
+    the r9 window displaces from its tail (the r5-checked blocks'
+    remainder and the r5 former-r2 block: text_tokens onward), then
+    the r4-rowed block, leaving the r6/r7/r8-checked rows last."""
     return {
-        # --- oracle representation changed in r8 (r7 driver-red: HUGEINT outputs recast to BIGINT; pc_contours: DECIMAL level cast to DOUBLE, caught by the r8 type-strict mirror; values unchanged) ---
+        # --- r9 window lead: the r4-block remainder (stalest standing driver rows; the committed r8 rotation promise) ---
+        "pc_registration": _q_pc_registration,
+        "corpus_cluster_sample": _q_cluster_sample,
+        "sketch_kmv": _q_kmv_distinct,
+        "sketch_cm_tokens": _q_cm_heavy_hitters,
+        "corpus_domain_cap": _q_domain_cap,
+        "corpus_temp_mix": _q_temperature_mix,
+        "text_oov": _q_oov_rates,
+        "ann_sq8_topk": _q_ann_sq8,
+        "rel_cube": _q_rel_cube,
+        "rel_concurrency": _q_rel_concurrency,
+        "sketch_bloom": _q_bloom_probe,
+        "rel_gapfill": _q_rel_gapfill,
+        "mm_png": _q_mm_png,
+        "sketch_kmv_setops": _q_kmv_set_ops,
+        "rel_deciles": _q_rel_deciles,
+        "doc_containment": _q_doc_containment,
+        "pc_grid_p95": _q_grid_p95,
+        "text_lang_confusion": _q_lang_confusion,
+        "dedup_size_histogram": _q_dedup_histogram,
+        "mm_meta_audit": _q_mm_audit,
+        "rel_conversion": _q_rel_conversion,
+        "text_novelty": _q_text_novelty,
+        # --- r3-green family representatives (core spatial surface, stale since r3) ---
+        "pc_bbox": _q_bbox,
+        "pc_knn": _q_knn,
+        "pc_flat_points": _q_flat_points,
+        "pc_block_pack": _q_block_pack,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "pc_shape": _q_pc_shape,
+        "text_tfidf": _q_text_tfidf,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "corpus_pack": _q_corpus_pack,
+        # --- r5-checked spatial family (polygon/decode entries, stale since r5) ---
+        "pc_bbox_maxz": _q_bbox_maxz,
+        "pc_bbox_minz": _q_bbox_minz,
+        "pc_bbox_empty": _q_bbox_empty,
+        "pc_polygon_diamond": _q_polygon_diamond,
+        "pc_polygon_multi": _q_polygon_multi,
+        "pc_polyline_buffer": _q_polyline_buffer,
+        "pc_decode_roundtrip": _q_decode_roundtrip,
+        "text_fingerprint": _q_text_fingerprint,
+        # --- r5-checked blocks ---
+        "rel_cdc_merge": _q_rel_cdc,
+        "rel_zorder": _q_rel_zorder,
+        "sketch_hll_windows": _q_hll_windowed,
+        "emb_outliers": _q_emb_outliers,
+        "rel_zorder_3d": _q_rel_zorder_3d,
+        "stream_hll_distinct": _q_stream_hll,
+        "stream_kmv_distinct": _q_stream_kmv,
+        "stream_cdc_snapshot": _q_stream_cdc,
+        "stream_exact_dedup": _q_stream_dedup,
+        "stream_windowed_counts": _q_stream_windows,
+        "pc_ground": _q_pc_ground,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "corpus_split": _q_corpus_split,
+        "rel_session_paths": _q_rel_session_paths,
+        "pc_chm": _q_pc_chm,
+        "sketch_kmv_windows": _q_kmv_windowed,
+        # --- standing green rows past the window: r5 former-r2 block, then r8-recast/new/rewritten, r6-cut-tail, r4-rowed, r6, r7 blocks in prior order; all re-proven type-faithful every run by the oracle mirror ---
         "pc_contours": _q_pc_contours,
         "text_bpe_encode": _q_text_bpe_encode,
         "rel_k_anonymity": _q_rel_k_anonymity,
         "text_kn_scores": _q_text_kn_scores,
         "rel_benford": _q_rel_benford,
         "rel_forecast_backtest": _q_rel_forecast_backtest,
-        # --- new in r8 (first driver rows) ---
         "ann_index_append": _q_ann_index_append,
         "stream_sessions": _q_stream_sessions,
         "corpus_shards": _q_corpus_shards,
@@ -2735,11 +2759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ab_test": _q_rel_ab_test,
         "pc_segment_shape": _q_pc_segment_shape,
         "stream_windows_append": _q_stream_windows_append,
-        # --- plans/oracles rewritten in r8 (map-local dim2 fan-out; checkpointed span fan-out; values unchanged) ---
         "emb_pca": _q_emb_pca,
         "emb_cov_pairs": _q_emb_cov_pairs,
         "dedup_spans": _q_dedup_spans,
-        # --- the r6 cut tail (committed lead, displaced by the r7 window) ---
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pc_zonal_stats": _q_zonal,
         "text_repetition": _q_text_repetition,
@@ -2751,7 +2773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_knn_join": _q_knn_join_pc,
         "pc_hag": _q_pc_hag,
         "pc_outliers": _q_pc_outliers,
-        # --- r4-green block (window cuts partway through) ---
         "corpus_token_budget": _q_token_budget,
         "pc_slope": _q_pc_slope,
         "text_entropy": _q_text_entropy,
@@ -2770,58 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sliding_rates": _q_sliding_rates,
         "corpus_topics": _q_corpus_topics,
         "pc_epoch_shift": _q_pc_epoch_shift,
-        "pc_registration": _q_pc_registration,
-        "corpus_cluster_sample": _q_cluster_sample,
-        "sketch_kmv": _q_kmv_distinct,
-        "sketch_cm_tokens": _q_cm_heavy_hitters,
-        "corpus_domain_cap": _q_domain_cap,
-        "corpus_temp_mix": _q_temperature_mix,
-        "text_oov": _q_oov_rates,
-        "ann_sq8_topk": _q_ann_sq8,
-        "rel_cube": _q_rel_cube,
-        "rel_concurrency": _q_rel_concurrency,
-        "sketch_bloom": _q_bloom_probe,
         "pc_normals": _q_pc_normals,
-        "rel_gapfill": _q_rel_gapfill,
-        "mm_png": _q_mm_png,
-        "sketch_kmv_setops": _q_kmv_set_ops,
-        "rel_deciles": _q_rel_deciles,
-        "doc_containment": _q_doc_containment,
-        "pc_grid_p95": _q_grid_p95,
-        "text_lang_confusion": _q_lang_confusion,
-        "dedup_size_histogram": _q_dedup_histogram,
-        "mm_meta_audit": _q_mm_audit,
-        "rel_conversion": _q_rel_conversion,
-        "text_novelty": _q_text_novelty,
-        # --- r3-green family representatives (standing rows + per-run mirror) ---
-        "pc_bbox": _q_bbox,
-        "pc_knn": _q_knn,
-        "pc_flat_points": _q_flat_points,
-        "pc_block_pack": _q_block_pack,
-        "rel_brand_revenue": _q_rel_brand_revenue,
-        "semdedup_pairs": _q_semdedup_pairs,
-        "pc_shape": _q_pc_shape,
-        "text_tfidf": _q_text_tfidf,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "corpus_pack": _q_corpus_pack,
-        # --- r5-checked blocks ---
-        "rel_cdc_merge": _q_rel_cdc,
-        "rel_zorder": _q_rel_zorder,
-        "sketch_hll_windows": _q_hll_windowed,
-        "emb_outliers": _q_emb_outliers,
-        "rel_zorder_3d": _q_rel_zorder_3d,
-        "stream_hll_distinct": _q_stream_hll,
-        "stream_kmv_distinct": _q_stream_kmv,
-        "stream_cdc_snapshot": _q_stream_cdc,
-        "stream_exact_dedup": _q_stream_dedup,
-        "stream_windowed_counts": _q_stream_windows,
-        "pc_ground": _q_pc_ground,
-        "emb_dim_stats": _q_emb_dim_stats,
-        "corpus_split": _q_corpus_split,
-        "rel_session_paths": _q_rel_session_paths,
-        "pc_chm": _q_pc_chm,
-        "sketch_kmv_windows": _q_kmv_windowed,
-        # --- r5-checked: former r2-vintage block ---
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -2847,15 +2817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_revenue_by_nation": _q_rel_revenue_nation,
         "rel_top_orders_per_customer": _q_rel_top_orders,
         "rel_sessionize_events": _q_rel_sessionize,
-        "pc_bbox_maxz": _q_bbox_maxz,
-        "pc_bbox_minz": _q_bbox_minz,
-        "pc_bbox_empty": _q_bbox_empty,
-        "pc_polygon_diamond": _q_polygon_diamond,
-        "pc_polygon_multi": _q_polygon_multi,
-        "pc_polyline_buffer": _q_polyline_buffer,
-        "pc_decode_roundtrip": _q_decode_roundtrip,
-        "text_fingerprint": _q_text_fingerprint,
-        # --- r6-checked blocks ---
         "text_bpe_tokens": _q_text_bpe_tokens,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
@@ -2903,7 +2864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "pc_lod_pyramid": _q_lod_pyramid,
         "pc_classify": _q_pc_classify,
-        # --- r7-checked block (freshest standing rows) ---
         "text_bpe_merges": _q_text_bpe_merges,
         "rel_min_cost_supplier": _q_rel_min_cost_supplier,
         "rel_shipping_priority": _q_rel_shipping_priority,
