@@ -1647,6 +1647,30 @@ def _q_quality_calibration(spark, sf_dir):
     return quality_calibration(_docs(spark, sf_dir))
 
 
+def _q_quality_calibration_stored(spark, sf_dir):
+    """Stored-weights reliability report (r9): the SCORE half of the
+    quality classifier's train-once/score-many split. Weights are
+    trained and persisted at a deterministic temp path if absent
+    (meta.json written last = build-complete marker, the
+    ann_ivfpq_stored protocol), then the calibration runs from the
+    stored (bucket, w) table — one feature pass + teacher labels, NO
+    training shuffles at call time. Weights are a pure function of
+    the corpus, so the values equal the inline-trained report and the
+    same DuckDB training-replay twin is the oracle."""
+    from lasdb_spark.operators.text import (
+        load_quality_weights,
+        quality_calibration,
+        save_quality_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = ann_index_path(sf_dir) + "_qweights"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        save_quality_weights(docs, path)
+    w_df, _ = load_quality_weights(spark, path)
+    return quality_calibration(docs, weights=w_df)
+
+
 def _q_stream_windows_append(spark, sf_dir):
     """APPEND-mode finalized tumbling windows (r8): the watermark-flush
     sentinel pushes every real hour past the watermark, so each window
@@ -2498,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_windows_append": _rel.hourly_event_rollup_sql(),
         "corpus_shards": _text.corpus_shards_sql(),
         "quality_calibration": _text.quality_calibration_sql(),
+        "quality_calibration_stored": _text.quality_calibration_sql(),
         "text_fuzzy_decontaminate": _decon.fuzzy_contamination_report_sql(),
         "text_lang_mix": _text.lang_consistency_sql(),
         "emb_whiten": _similarity.embedding_whiten_sql(),
@@ -2677,6 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remainder and the r5 former-r2 block: text_tokens onward), then
     the r4-rowed block, leaving the r6/r7/r8-checked rows last."""
     return {
+        # --- new in r9 (first driver rows) ---
+        "quality_calibration_stored": _q_quality_calibration_stored,
         # --- r9 window lead: the r4-block remainder (stalest standing driver rows; the committed r8 rotation promise) ---
         "pc_registration": _q_pc_registration,
         "corpus_cluster_sample": _q_cluster_sample,

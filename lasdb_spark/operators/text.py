@@ -2524,8 +2524,61 @@ def _perceptron_fit(
     return weights, feats, labels, report
 
 
-def quality_calibration(
+def train_quality_weights(
     docs: DataFrame, dim: int = PERC_DIM, rounds: int = PERC_ROUNDS
+) -> DataFrame:
+    """(bucket, w) — the FINAL perceptron weight table, as a
+    DataFrame: the TRAIN half of the train-once/score-many split (the
+    same contract :mod:`~.ann_index` gives IVF-PQ — train rarely,
+    score continuously). KB-sized (≤ dim+1 rows), so persisting it is
+    a trivial write and scoring jobs broadcast it."""
+    weights, _, _, _ = _perceptron_fit(docs, dim, rounds)
+    w_rows = [(b, w) for b, w in sorted(weights.items())] or [(0, 0)]
+    return docs.sparkSession.createDataFrame(w_rows, "bucket long, w long")
+
+
+def save_quality_weights(
+    docs: DataFrame,
+    path: str,
+    dim: int = PERC_DIM,
+    rounds: int = PERC_ROUNDS,
+) -> None:
+    """Train and persist the quality-classifier weights at ``path``.
+    ``meta.json`` is written LAST, so its presence marks a complete
+    artifact (a crashed train is retried, never half-read) — the same
+    build-complete marker protocol as :func:`~.ann_index.build_ann_index`."""
+    import json
+    import os
+
+    train_quality_weights(docs, dim, rounds).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "weights"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"kind": "perceptron", "dim": dim, "rounds": rounds}, f)
+
+
+def load_quality_weights(spark, path: str) -> tuple[DataFrame, dict]:
+    """Read back a persisted (weights, meta) pair; raises if the
+    build-complete marker is absent (half-written artifacts are
+    rebuilt, never half-read)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no complete quality-weights artifact at {path}"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "weights")), meta
+
+
+def quality_calibration(
+    docs: DataFrame,
+    dim: int = PERC_DIM,
+    rounds: int = PERC_ROUNDS,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """(bin, n_docs, n_keep, keep_rate_ppm, min_score, max_score) —
     the trained classifier's RELIABILITY REPORT: score every document
@@ -2535,15 +2588,34 @@ def quality_calibration(
     that decides whether the distilled filter's score is usable as a
     threshold (keep_rate_ppm should rise monotonically with the bin).
 
+    ``weights`` (a (bucket, w) DataFrame, e.g. from
+    :func:`load_quality_weights`) skips the inline training replay —
+    the SCORE half of the train-once/score-many split: the stored-
+    weights path runs only one feature pass + the teacher labels, no
+    ``rounds``× training shuffles. With ``weights=None`` the report
+    trains inline (pure function of the corpus, so both paths emit
+    identical rows — pinned by test and by the shared driver oracle).
+
     Exactness: scores are BIGINT sums; the bin is
     (score − min)·10 div (max − min + 1) — integer math over a 1-row
     broadcast range, NOT ntile (a global ntile sorts the corpus on one
     reducer; equal-width integer bins are map-side and hash-exact).
     keep_rate_ppm = n_keep·10⁶ div n_docs."""
-    weights, feats, labels, _ = _perceptron_fit(docs, dim, rounds)
     spark = docs.sparkSession
-    w_rows = [(b, w) for b, w in sorted(weights.items())] or [(0, 0)]
-    w_df = spark.createDataFrame(w_rows, "bucket long, w long")
+    if weights is None:
+        w, feats, labels, _ = _perceptron_fit(docs, dim, rounds)
+        w_rows = [(b, v) for b, v in sorted(w.items())] or [(0, 0)]
+        w_df = spark.createDataFrame(w_rows, "bucket long, w long")
+    else:
+        w_df = weights
+        feats = _perc_feats(docs, dim)
+        labels = quality_ensemble(docs).select(
+            "doc_id",
+            F.when(F.col("keep"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("label"),
+        )
     scores = (
         feats.join(F.broadcast(w_df), "bucket", "left")
         .groupBy("doc_id")

@@ -684,3 +684,44 @@ def test_kn_bigram_probabilities_sum_to_one(spark):
         assert got[doc_id][1] == pytest.approx(
             sum(nll) / len(nll), abs=1e-5
         )
+
+
+@pytest.mark.spark
+def test_quality_calibration_stored_weights_match_inline(spark, tmp_path):
+    """Train-once/score-many split: a calibration run from persisted
+    weights must emit row-identical output to the inline-trained
+    report (weights are a pure function of the corpus), and loading
+    without the build-complete marker must refuse."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.text import (
+        load_quality_weights,
+        quality_calibration,
+        save_quality_weights,
+    )
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and rests. "
+        "a second sentence, with varied words and punctuation marks!"
+    )
+    spam = "buy " * 60
+    rows = [(i, fluent + f" tail{i}", "en", "web") for i in range(12)] + [
+        (100 + i, spam, "en", "web") for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+
+    path = str(tmp_path / "qw")
+    with pytest.raises(FileNotFoundError):
+        load_quality_weights(spark, path)
+    save_quality_weights(docs, path, rounds=2)
+    assert os.path.exists(os.path.join(path, "meta.json"))
+    w_df, meta = load_quality_weights(spark, path)
+    assert meta["rounds"] == 2
+
+    inline = quality_calibration(docs, rounds=2).collect()
+    stored = quality_calibration(docs, weights=w_df).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
