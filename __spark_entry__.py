@@ -1530,13 +1530,38 @@ def _q_corpus_shards(spark, sf_dir):
     return corpus_shards(_docs(spark, sf_dir))
 
 
+def _segment_labels_shared(spark, sf_dir):
+    """Per-voxel segment labels persisted ONCE at a deterministic temp
+    path (done-marker written last, the stored-artifact protocol) and
+    shared by pc_segments AND pc_segment_shape — the label chain
+    dominates both reports and is a pure function of the cloud, so the
+    reuse changes nothing but the cost (r8 VERDICT double-work fix)."""
+    import json
+
+    from lasdb_spark.operators.segment import segment_labels
+
+    path = ann_index_path(sf_dir) + "_seglabels"
+    marker = os.path.join(path, "meta.json")
+    if not os.path.exists(marker):
+        segment_labels(points_df(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "labels"))
+        with open(marker, "w") as f:
+            json.dump({"kind": "segment_labels"}, f)
+    return spark.read.parquet(os.path.join(path, "labels"))
+
+
 def _q_pc_segments(spark, sf_dir):
     """Euclidean voxel segmentation (r8): connected components of
     occupied voxels in the high slab (26-neighborhood), labeled by the
-    shared path-halving CC machinery; per-segment census."""
+    shared path-halving CC machinery; per-segment census. Labels come
+    from the shared persisted chain (r9)."""
     from lasdb_spark.operators.segment import euclidean_segments
 
-    return euclidean_segments(points_df(spark, sf_dir))
+    return euclidean_segments(
+        points_df(spark, sf_dir),
+        labels=_segment_labels_shared(spark, sf_dir),
+    )
 
 
 def _q_text_fuzzy_decontaminate(spark, sf_dir):
@@ -1632,10 +1657,15 @@ def _q_text_lang_mix(spark, sf_dir):
 
 def _q_pc_segment_shape(spark, sf_dir):
     """Per-segment geometry descriptors (r8): exact height range +
-    closed-form planar covariance eigenvalues + elongation ratio."""
+    closed-form planar covariance eigenvalues + elongation ratio.
+    Labels come from the shared persisted chain (r9) — census + shape
+    pay for ONE two-level CC between them."""
     from lasdb_spark.operators.segment import segment_shape
 
-    return segment_shape(points_df(spark, sf_dir))
+    return segment_shape(
+        points_df(spark, sf_dir),
+        labels=_segment_labels_shared(spark, sf_dir),
+    )
 
 
 def _q_quality_calibration(spark, sf_dir):

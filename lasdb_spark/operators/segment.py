@@ -198,15 +198,34 @@ def _segment_labels(
     )
 
 
-def euclidean_segments(
+def segment_labels(
     pts: DataFrame, z_min: float = SEG_ZMIN, cell: float = SEG_CELL
+) -> DataFrame:
+    """Public handle on the shared labeling chain: (vx, vy, vz,
+    n_pts, vid, seg) for every occupied voxel. Compute (or persist)
+    it ONCE and pass it as ``labels=`` to both
+    :func:`euclidean_segments` and :func:`segment_shape` — the label
+    chain dominates both reports, and it is a pure function of the
+    cloud, so sharing it changes nothing but the cost (the
+    ``clusters=`` reuse pattern of the dedup family)."""
+    return _segment_labels(pts, z_min, cell)
+
+
+def euclidean_segments(
+    pts: DataFrame,
+    z_min: float = SEG_ZMIN,
+    cell: float = SEG_CELL,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """(segment_id, n_voxels, n_points, vx_min, vx_max, vy_min,
     vy_max) — connected components of occupied voxels in the z ≥
     ``z_min`` slab under 26-connectivity; all outputs integer, so the
     census is hash-exact. Labeling is the two-level CC documented on
-    :func:`_segment_labels`."""
-    labeled = _segment_labels(pts, z_min, cell)
+    :func:`_segment_labels`; pass a precomputed ``labels`` table
+    (:func:`segment_labels`) to skip it."""
+    labeled = (
+        labels if labels is not None else _segment_labels(pts, z_min, cell)
+    )
     return (
         labeled.groupBy("seg")
         .agg(
@@ -305,6 +324,7 @@ def segment_shape(
     z_min: float = SEG_ZMIN,
     cell: float = SEG_CELL,
     min_points: int = SHAPE_MIN_POINTS,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """(segment_id, n_points, z_min_cm, z_max_cm, lam1, lam2, elong) —
     per-segment GEOMETRY descriptors: exact centi-unit height range
@@ -322,8 +342,14 @@ def segment_shape(
 
     Scale: points map to their voxel key and hash-join the
     voxel-count-sized label table; then one partial-agg groupBy on
-    segment. Nothing beyond the labeling's own stages is added."""
-    labeled = _segment_labels(pts, z_min, cell).localCheckpoint()
+    segment. Nothing beyond the labeling's own stages is added —
+    and a precomputed ``labels`` table (:func:`segment_labels`)
+    removes even those: census + shape then share ONE label chain."""
+    labeled = (
+        labels
+        if labels is not None
+        else _segment_labels(pts, z_min, cell).localCheckpoint()
+    )
     q = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     pvox = pts.where(F.col("z") >= z_min).select(
         F.floor(F.col("x") / cell).alias("vx"),

@@ -75,3 +75,31 @@ def test_segments_match_local_union_find(spark, sf_dir):
         r.n_voxels for r in euclidean_segments(pts).collect()
     )
     assert got == truth
+
+
+@pytest.mark.spark
+def test_shared_labels_match_inline(spark):
+    """labels= reuse: census and shape from a precomputed (even
+    parquet-round-tripped) label table must emit row-identical output
+    to the inline-labeled path."""
+    import tempfile
+
+    from lasdb_spark.operators.segment import (
+        euclidean_segments,
+        segment_labels,
+        segment_shape,
+    )
+    from lasdb_spark.sources.points import points_df
+
+    pts = points_df(spark, "/root/testdata/sf0.001")
+    path = tempfile.mkdtemp() + "/labels"
+    segment_labels(pts).write.parquet(path)
+    labels = spark.read.parquet(path)
+
+    seg_inline = euclidean_segments(pts).collect()
+    seg_shared = euclidean_segments(pts, labels=labels).collect()
+    assert [tuple(r) for r in seg_shared] == [tuple(r) for r in seg_inline]
+
+    shp_inline = segment_shape(pts).collect()
+    shp_shared = segment_shape(pts, labels=labels).collect()
+    assert [tuple(r) for r in shp_shared] == [tuple(r) for r in shp_inline]
