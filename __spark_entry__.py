@@ -1040,10 +1040,17 @@ def _q_ann_ivfpq(spark, sf_dir):
 
 def _q_ann_recall_report(spark, sf_dir):
     """recall@k of every ANN index vs brute force in one plan (r6) —
-    the index-knob acceptance test."""
+    the index-knob acceptance test. The ivfpq_tr arm answers from the
+    PERSISTED index (r9): partition-pruned stored codes, zero inline
+    training chains — same values, the audit just stops paying for
+    two Lloyd runs (it was the suite's slowest row)."""
+    from lasdb_spark.operators.ann_index import build_ann_index
     from lasdb_spark.operators.similarity import ann_recall_report
 
-    return ann_recall_report(_embs(spark, sf_dir))
+    path = ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_ann_index(_embs(spark, sf_dir), path)
+    return ann_recall_report(_embs(spark, sf_dir), index_path=path)
 
 
 def _q_ann_ivfpq_trained(spark, sf_dir):

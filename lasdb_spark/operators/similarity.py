@@ -2167,13 +2167,24 @@ LIMIT {k}
 
 
 def ann_recall_report(
-    embs: DataFrame, query_vec_id: int = 0, k: int = TOPK
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    index_path: str | None = None,
 ) -> DataFrame:
     """(method, returned, hits, recall_at_k) — every approximate index
     (LSH, IVF, PQ, SQ8, IVF-PQ, trained IVF-PQ) scored against the
     exact brute-force
     top-k in ONE plan: the acceptance test that keeps index knobs
     honest (the ANN cousin of dedup's `lsh_recall_report`).
+
+    ``index_path`` (a persisted :func:`~.ann_index.build_ann_index`
+    artifact) answers the ``ivfpq_tr`` arm from the STORED index —
+    partition-pruned codes scan, zero training stages — instead of
+    re-running the two Lloyd chains inline. The stored index is a
+    pure function of the corpus at the same build params, so the
+    values (and the DuckDB trained-replay twin) are unchanged; only
+    the audit's cost drops (it was the suite's slowest row).
 
     `returned` rides along because pruned indexes may surface fewer
     than k candidates (IVF-PQ only scores the probed cells). The
@@ -2183,10 +2194,18 @@ def ann_recall_report(
     truth = topk_bruteforce(embs, query_vec_id, k).select(
         "vec_id", F.lit(1).alias("hit")
     )
+    if index_path is not None:
+        from .ann_index import topk_ivfpq_stored
+
+        def _ivfpq_tr(e, q, kk):
+            return topk_ivfpq_stored(e.sparkSession, index_path, e, q, kk)
+
+    else:
+        _ivfpq_tr = topk_ivfpq_trained
     methods = [
         ("ivf", topk_ivf),
         ("ivfpq", topk_ivfpq),
-        ("ivfpq_tr", topk_ivfpq_trained),
+        ("ivfpq_tr", _ivfpq_tr),
         ("lsh", topk_lsh),
         ("lsh_mp", topk_lsh_multiprobe),
         ("pq", topk_pq),

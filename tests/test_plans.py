@@ -519,3 +519,27 @@ def test_embedding_pair_fanout_is_map_local(spark, sf_dir):
     fan = _plan(_local_pair_fanout(embs, include_diagonal=False))
     assert "Exchange hashpartitioning" not in fan
     assert "Join" not in fan
+
+
+@pytest.mark.spark
+def test_recall_report_stored_arm_matches_inline_and_scans_codes(
+    spark, sf_dir
+):
+    """r9 (VERDICT #4): ann_recall_report(index_path=...) must answer
+    the ivfpq_tr arm from the persisted codes table — the plan scans
+    the index directory, partition-pruned — and the report's values
+    must equal the inline-trained report row-for-row."""
+    import tempfile
+
+    from lasdb_spark.operators.ann_index import build_ann_index
+    from lasdb_spark.operators.similarity import ann_recall_report
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="lasdb_ann_idx_rr_")
+    build_ann_index(embs, path)
+    df = ann_recall_report(embs, index_path=path)
+    plan = _plan(df)
+    assert "codes" in plan and "PartitionFilters" in plan, plan
+    stored = [tuple(r) for r in df.collect()]
+    inline = [tuple(r) for r in ann_recall_report(embs).collect()]
+    assert stored == inline and len(stored) == 7
