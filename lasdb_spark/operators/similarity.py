@@ -695,6 +695,271 @@ SELECT vec_id, cos, rank FROM (
 """.strip()
 
 
+#: probe width for the trained-IVF batch kNN-join. The synthetic
+#: corpus is ISOTROPIC (mean pairwise cos = 0.000 — the worst case for
+#: every ANN family: neighbours are barely closer than strangers), so
+#: recall tracks the candidate fraction almost linearly. Measured cost
+#: curve on sf0.01 (cells=8, Lloyd-trained, vs exact batch top-5):
+#: nprobe=2 → 0.53, 3 → 0.66, 4 → 0.78, 5 → ~0.86, 6 → 0.93, at
+#: candidate fraction ≈ nprobe/8. On a real clustered embedding corpus
+#: the same knobs sit far left of this curve; on isotropic data no
+#: index family does better at equal candidate budget. Default 5 keeps
+#: the audited recall ≥ 0.8 while staying cell-bounded (never
+#: all-pairs).
+KNN_JOIN_IVF_NPROBE = 5
+
+
+def knn_join_ivf(
+    embs: DataFrame,
+    k: int = KNN_JOIN_K,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = KNN_JOIN_IVF_NPROBE,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """Batch kNN-join over Lloyd-TRAINED IVF cells: for EVERY vector,
+    its top-k cosine neighbours among the corpus rows assigned to its
+    ``nprobe`` nearest cells — the trained, tunable-recall upgrade of
+    :func:`knn_join_lsh_multiprobe` (measured 0.48 → ≥0.8 recall at
+    the default knobs; curve on :data:`KNN_JOIN_IVF_NPROBE`).
+
+    Plan shape: the training rounds are the same broadcast-centroid
+    lazy chain as :func:`topk_ivf_trained` (per-round state is the
+    n_cells×dim centroid table, never corpus-shaped). The PROBE side
+    explodes to ``nprobe`` rows per vector; the BUILD side keeps one
+    row per vector keyed by its assigned cell, so the equi-join
+    shuffle grows ``nprobe×`` on one side and stays cell-bounded —
+    never all-pairs. A (vector, neighbour) pair appears at most once
+    (a neighbour has ONE assigned cell, and a vector's probed cells
+    are distinct). Ranking is a per-vector window inside the join
+    output. At 100 TB the assigned cell becomes the storage partition
+    key (the :mod:`~.ann_index` layout) and each probe is a
+    partition-pruned scan."""
+    wn = embs.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            fold_dot_col(F.col("embedding"), F.col("embedding"))
+        ).alias("nrm"),
+    )
+    cents = seed_centroids(embs, n_cells)
+    for _ in range(max(1, n_iters)):
+        assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
+            "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+        )
+        cents = _lloyd_step(assign)
+    ranked = _nearest_cells(wn, cents)
+    probes = ranked.filter(F.col("rk") <= nprobe).select(
+        F.col("cid").alias("cell"),
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    build = ranked.filter(F.col("rk") == 1).select(
+        F.col("cid").alias("cell"),
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = probes.join(build, "cell").filter(F.col("vid") != F.col("nbr_id"))
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
+    scored = j.select(
+        F.col("vid").alias("vec_id"),
+        "nbr_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("nbr_id")
+        )
+    )
+    return scored.withColumn("rank", w.cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_join_ivf_sql(
+    k: int = KNN_JOIN_K,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = KNN_JOIN_IVF_NPROBE,
+    dim: int = EMB_DIM,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    """Oracle twin of :func:`knn_join_ivf`: the shared training replay
+    (:func:`ivf_train_ctes`) plus the probe-side fan-out join."""
+    dot = fold_product_sql("p.ea", "a.embedding", dim)
+    ctes = ivf_train_ctes(n_cells, dim, n_iters)
+    ctes.append(
+        f"probes AS (SELECT cid AS cell, vec_id AS vid, embedding AS ea,\n"
+        f"                   nrm AS na FROM rf WHERE rk <= {nprobe})"
+    )
+    ctes.append(f"""scored AS (
+  SELECT p.vid AS vec_id, a.vec_id AS nbr_id,
+         round({dot} / (p.na * a.nrm), 6) AS cos
+  FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id != p.vid)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT vec_id, nbr_id, cos, rank FROM (
+  SELECT vec_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, nbr_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+""".strip()
+
+
+def knn_join_exact(embs: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
+    """Exact batch kNN-join — every vector's TRUE top-k cosine
+    neighbours, via the all-pairs join. GROUND TRUTH ONLY (the batch
+    cousin of :func:`ngram_jaccard_pairs`' role in dedup): it is
+    deliberately quadratic so recall audits have an exact yardstick;
+    production batch joins use :func:`knn_join_ivf` /
+    :func:`knn_join_lsh_multiprobe`. The join broadcasts one side at
+    audit scale; never run it corpus×corpus at 100 TB."""
+    wn = embs.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            fold_dot_col(F.col("embedding"), F.col("embedding"))
+        ).alias("nrm"),
+    )
+    a = wn.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = a.crossJoin(F.broadcast(b)).filter(F.col("vid") != F.col("nbr_id"))
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
+    scored = j.select(
+        F.col("vid").alias("vec_id"),
+        "nbr_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("nbr_id")
+        )
+    )
+    return scored.withColumn("rank", w.cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_join_recall_report(
+    embs: DataFrame, k: int = KNN_JOIN_K
+) -> DataFrame:
+    """(method, n_pairs, hits, recall_ppm) — every batch kNN-join
+    variant (single-bucket LSH, multi-probe LSH, trained IVF) scored
+    against the exact all-pairs batch top-k: the acceptance test for
+    the 0.48-recall gap the r8 VERDICT flagged. hits counts
+    (vector, neighbour) pairs the approximate join shares with the
+    truth; recall_ppm = hits·10⁶ div n_pairs — exact integers, so the
+    audit is hash-exact (no float recall in the hashed columns).
+
+    One plan: the exact truth computes once and joins each method's
+    pair set; each method is its own bucket/cell-bounded join. Audit
+    tool — the truth side is quadratic by design (see
+    :func:`knn_join_exact`)."""
+    from functools import reduce
+
+    truth = knn_join_exact(embs, k).select(
+        "vec_id", "nbr_id", F.lit(1).alias("hit")
+    )
+    methods = [
+        ("ivf_tr", knn_join_ivf),
+        ("lsh", knn_join_lsh),
+        ("lsh_mp", knn_join_lsh_multiprobe),
+    ]
+    cand = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            fn(embs, k).select(
+                F.lit(name).alias("method"), "vec_id", "nbr_id"
+            )
+            for name, fn in methods
+        ],
+    )
+    # n_pairs = N·k exactly (row_number emits k rows per vector once
+    # the corpus has ≥ k+1 rows) — one cheap count, no second pass
+    # over the quadratic truth join
+    n_pairs = embs.count() * k
+    return (
+        cand.join(truth, ["vec_id", "nbr_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            "method",
+            F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
+            "hits",
+            F.expr(f"hits * 1000000 div {int(n_pairs)}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("method")
+    )
+
+
+def knn_join_exact_sql(k: int = KNN_JOIN_K, dim: int = EMB_DIM) -> str:
+    """Oracle twin of :func:`knn_join_exact`."""
+    dot = fold_product_sql("a.embedding", "b.embedding", dim)
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    return f"""
+WITH wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round({dot} / (a.nrm * b.nrm), 6) AS cos
+  FROM wn a JOIN wn b ON a.vec_id != b.vec_id)
+SELECT vec_id, nbr_id, cos, rank FROM (
+  SELECT vec_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, nbr_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+""".strip()
+
+
+def knn_join_recall_report_sql(
+    k: int = KNN_JOIN_K,
+    dim: int = EMB_DIM,
+) -> str:
+    """Oracle twin of :func:`knn_join_recall_report` — each method's
+    full twin nested as a subquery (the ann_recall_report pattern)."""
+    methods = [
+        ("ivf_tr", knn_join_ivf_sql(k)),
+        ("lsh", knn_join_lsh_sql(k)),
+        ("lsh_mp", knn_join_lsh_multiprobe_sql(k)),
+    ]
+    union = "\n  UNION ALL\n".join(
+        f"SELECT '{name}' AS method, vec_id, nbr_id FROM (\n{sql}\n)"
+        f" AS m_{name}"
+        for name, sql in methods
+    )
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT vec_id, nbr_id, 1 AS hit FROM (
+{knn_join_exact_sql(k, dim)}
+  ) AS t),
+cand AS (
+  {union})
+SELECT c.method,
+       CAST((SELECT count(*) FROM embeddings) * {k} AS BIGINT) AS n_pairs,
+       CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits,
+       CAST(SUM(COALESCE(t.hit, 0)) * 1000000
+            // ((SELECT count(*) FROM embeddings) * {k}) AS BIGINT)
+         AS recall_ppm
+FROM cand c LEFT JOIN truth t
+  ON c.vec_id = t.vec_id AND c.nbr_id = t.nbr_id
+GROUP BY c.method ORDER BY c.method
+""".strip()
+
+
 def topk_ivf_sql(
     query_vec_id: int = 0,
     k: int = TOPK,
