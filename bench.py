@@ -765,6 +765,8 @@ def _section_streaming(spark, sf_dir, cpus, base, timings) -> None:
 SCALE_REPS = (
     "ingest", "bbox_small", "text_tfidf", "dedup_minhash",
     "ann_pq_topk", "sketch_hll", "ev_sliding_rates", "rel_triangles",
+    "pc_segments", "dedup_index_probe", "stream_sessions",
+    "quality_calibration",
 )
 SCALE_SMALL_SF = "sf0.01"
 
@@ -794,6 +796,9 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
     from lasdb_spark.sources.events import events_df
     from lasdb_spark.sources.points import points_df
 
+    import __spark_entry__ as _entry
+
+    _eq = _entry.queries()
     per_sf: dict[str, dict[str, float]] = {}
     for data_dir in (small, sf_dir):
         sbase = tempfile.mkdtemp(prefix="lasdb_bench_scale_")
@@ -829,6 +834,24 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
                 # r7: adjacency-intersect triangle close — its ratio
                 # across the 10x step gates the degree-ordering claim
                 "rel_triangles": lambda: copurchase_triangles(li),
+                # r9 additions (r8 verdict #6): one rep per new r8
+                # family — two-level voxel CC, build+probe dedup
+                # index, drained session windows (fixed micro-batch
+                # overhead dominates at this corpus size, so its
+                # ratio should sit NEAR 1x, not at the data ratio),
+                # and the perceptron train+report chain.
+                "pc_segments": lambda d=data_dir: _eq["pc_segments"](
+                    spark, d
+                ),
+                "dedup_index_probe": lambda d=data_dir: _eq[
+                    "dedup_index_probe"
+                ](spark, d),
+                "stream_sessions": lambda d=data_dir: _eq[
+                    "stream_sessions"
+                ](spark, d),
+                "quality_calibration": lambda d=data_dir: _eq[
+                    "quality_calibration"
+                ](spark, d),
             }
             for name, fn in suite.items():
                 t[name] = _timed(spark, lambda fn=fn: fn().count())
