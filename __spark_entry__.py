@@ -1541,12 +1541,17 @@ _STREAM_SEQ = [0]
 
 def _drained(stream_df, prefix: str) -> str:
     """Drive a streaming frame to completion into a uniquely-named
-    memory sink; returns the sink table name."""
+    memory sink; returns the sink table name. State-store count is
+    pinned to 8 at this replay scale (r9: per-partition store-file
+    overhead × micro-batches dominates the drain — 1.5-1.9× across
+    every entry; see ``run_to_memory``); the drained result is
+    partition-count-independent (commutative state folds, proven
+    drained == batch per entry)."""
     from lasdb_spark.streaming.events import run_to_memory
 
     _STREAM_SEQ[0] += 1
     name = f"{prefix}_{_STREAM_SEQ[0]}"
-    run_to_memory(stream_df, name, "update")
+    run_to_memory(stream_df, name, "update", state_partitions=8)
     return name
 
 
@@ -1748,6 +1753,7 @@ def _q_stream_windows_append(spark, sf_dir):
         ),
         name,
         "append",
+        state_partitions=8,
     )
     return spark.table(name)
 
@@ -1774,6 +1780,7 @@ def _q_stream_sessions(spark, sf_dir):
         ),
         name,
         "append",
+        state_partitions=8,
     )
     return spark.table(name)
 
@@ -1797,18 +1804,12 @@ def _q_stream_conversions(spark, sf_dir):
     # so at test scale 32 partitions × 4 micro-batches × 2 sides is
     # pure fixed file overhead — 8 partitions drains 17-27 s → ~5 s
     # (measured). At 100 TB you'd size this to keys/executors instead.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_to_memory(
-            stream_conversion_join(
-                events_stream_multibatch(spark, sf_dir)
-            ),
-            name,
-            "append",
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    run_to_memory(
+        stream_conversion_join(events_stream_multibatch(spark, sf_dir)),
+        name,
+        "append",
+        state_partitions=8,
+    )
     return spark.table(name).orderBy("view_id", "buy_id")
 
 

@@ -128,18 +128,42 @@ def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    state_partitions: int | None = None,
+):
     """Drive a streaming DataFrame to completion into a memory sink
-    (local smoke pattern); returns the query handle (stopped)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return q
+    (local smoke pattern); returns the query handle (stopped).
+
+    ``state_partitions`` sizes the state store (it binds
+    ``spark.sql.shuffle.partitions`` at query START, when the count
+    is fixed into the checkpoint — a deployment knob, not semantics):
+    at test scale a drained replay pays per-partition state-store
+    FILE overhead × micro-batches, so 32 partitions × 5-6 batches is
+    pure fixed cost — 8 reads 1.5-1.9× faster across every drained
+    entry (r9 measured: sessions 8.7→4.0 s, windows_append 6.0→3.2,
+    quantiles 4.5→2.7, cm_topk 4.9→3.4, curate 5.6→3.7). At 100 TB
+    you size this to keys/executors instead. Restored after the
+    drain so batch plans keep the session's configured parallelism."""
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return q
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def enriched_segment_counts(stream: DataFrame, customers: DataFrame) -> DataFrame:
