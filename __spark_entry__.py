@@ -1164,6 +1164,97 @@ def _q_ann_knn_join_recall(spark, sf_dir):
     return knn_join_recall_report(_embs(spark, sf_dir))
 
 
+def _q_doc_search_hybrid(spark, sf_dir):
+    """Hybrid retrieval (r9): BM25 lexical arm + brute-force cosine
+    dense arm fused by reciprocal rank fusion (RRF) — the standard
+    two-tower retrieval layout; missing-arm ranks report 0."""
+    from lasdb_spark.operators.search import hybrid_search
+
+    return hybrid_search(
+        _docs(spark, sf_dir), _embs(spark, sf_dir), BM25_QUERY
+    )
+
+
+def _q_emb_mmr(spark, sf_dir):
+    """MMR diversified top-k (r9): greedy λ·relevance − (1−λ)·max-
+    similarity-to-picked rerank of the cosine candidates; the greedy
+    loop runs executor-side per query group (applyInPandas), the
+    DuckDB twin replays it with a recursive CTE."""
+    from lasdb_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(_embs(spark, sf_dir))
+
+
+def _q_emb_drift_psi(spark, sf_dir):
+    """Per-dimension PSI drift audit (r9): reference half (even
+    vec_ids) vs current half (odd), micro-unit-integer equal-width
+    bins on the reference range, fixed 10-term smoothed PSI chain."""
+    from lasdb_spark.operators.similarity import embedding_drift_psi
+
+    return embedding_drift_psi(_embs(spark, sf_dir))
+
+
+def _q_corpus_split_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split (r9): assignment hashes the
+    near-dup CLUSTER id so near-duplicates can never straddle splits
+    (the Lee et al. eval-contamination fix); summary per split."""
+    from lasdb_spark.operators.dedup import corpus_split_safe
+
+    return corpus_split_safe(_docs(spark, sf_dir))
+
+
+def _q_stream_dedup_probe(spark, sf_dir):
+    """Streaming ingestion near-dup gate (r9): the increment (odd
+    doc_ids) replayed as a multi-batch stream, each micro-batch
+    probed via foreachBatch against the PERSISTED MinHash index
+    (built once from the even half) with verdicts appended to a
+    parquet sink — drained == the batch probe (per-doc purity)."""
+    import tempfile
+
+    from lasdb_spark.operators.dedup_index import build_dedup_index
+    from lasdb_spark.streaming.dedup import (
+        documents_stream_multibatch,
+        stream_probe_dedup_index,
+    )
+
+    path = ann_index_path(sf_dir) + "_dedupidx"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_dedup_index(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0), path
+        )
+    out = tempfile.mkdtemp(prefix="lasdb_stream_probe_")
+    stream_probe_dedup_index(
+        documents_stream_multibatch(spark, sf_dir).where(
+            F.col("doc_id") % 2 == 1
+        ),
+        path,
+        out,
+    )
+    return spark.read.schema(
+        "new_id long, corpus_id long, jac double"
+    ).parquet(out)
+
+
+def _q_rel_ship_lag(spark, sf_dir):
+    """TPC-H Q12 shape (r9): ship-lag class × order-priority two-way
+    line counts (the reduced schema has no l_shipmode — the lag class
+    replaces it; same join + conditional-count machinery)."""
+    return _rel.ship_lag_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_rel_late_suppliers(spark, sf_dir):
+    """TPC-H Q21 (r9): suppliers who were the SOLE late shipper on
+    finalized multi-supplier orders — both correlated EXISTS branches
+    folded into one per-order aggregate + self-join pair."""
+    return _rel.late_sole_blockers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_mm_features(spark, sf_dir):
     # REAL container decode: genuine PGM bytes parsed back to
     # integer-exact pixel statistics (stub retired for images, r4)
@@ -2399,6 +2490,15 @@ def oracle_sql() -> dict[str, str]:
     head = sqlgen.split_head_sql("sfc_key", _TAIL_LEN)
     tail = sqlgen.split_tail_sql("sfc_key", _TAIL_LEN)
     return {
+        # --- new in r9 ---
+        "doc_search_hybrid": _search.hybrid_search_sql(BM25_QUERY),
+        "emb_mmr": _similarity.mmr_topk_sql(),
+        "emb_drift_psi": _similarity.embedding_drift_psi_sql(),
+        "corpus_split_safe": _dedup.corpus_split_safe_sql(),
+        # drained foreachBatch probe == the batch probe (per-doc pure)
+        "stream_dedup_probe": _dedupidx.probe_dedup_index_sql(),
+        "rel_ship_lag": _rel.ship_lag_priority_sql(),
+        "rel_late_suppliers": _rel.late_sole_blockers_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2764,6 +2864,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r4-rowed block, leaving the r6/r7/r8-checked rows last."""
     return {
         # --- new in r9 (first driver rows) ---
+        "doc_search_hybrid": _q_doc_search_hybrid,
+        "emb_mmr": _q_emb_mmr,
+        "emb_drift_psi": _q_emb_drift_psi,
+        "corpus_split_safe": _q_corpus_split_safe,
+        "stream_dedup_probe": _q_stream_dedup_probe,
+        "rel_ship_lag": _q_rel_ship_lag,
+        "rel_late_suppliers": _q_rel_late_suppliers,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

@@ -1785,3 +1785,93 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
        CAST(max(pos) - min(pos) + {width} AS BIGINT) AS span_tokens
 FROM runs GROUP BY doc_id, grp ORDER BY doc_id, run_start
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split — assignment at near-dup-CLUSTER
+# granularity (Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" documents the eval-contamination failure:
+# a doc-granular hash split puts near-copies of training docs in the
+# eval split, inflating benchmark numbers). Hashing the CLUSTER id
+# instead guarantees every near-duplicate lands in the same split.
+# ---------------------------------------------------------------------------
+
+
+def corpus_split_safe(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """(split, n_clusters, n_docs, n_tokens) — deterministic 90/5/5
+    train/val/test split summary with assignment hashed on the
+    near-dup CLUSTER id (``dedup_clusters``): members of one cluster
+    can NEVER straddle splits, the no-leakage property the doc-hash
+    :func:`~.text.corpus_split` cannot give (two near-dups hash
+    independently there). Same salted-md5 permille cuts, so the two
+    reports are directly comparable.
+
+    Scale: the split tag is a map-side hash over the (doc_id,
+    cluster_id) table the LSH clustering already produces — one extra
+    broadcast-free join on doc_id + one partial-aggregated groupBy to
+    3 rows. Pass a precomputed ``clusters`` to reuse one clustering
+    across keepers / curation / this split (the dedup_keepers
+    contract)."""
+    from ..functions.hashing import md5_int60_col
+    from .text import (
+        SPLIT_TRAIN_PERMILLE,
+        SPLIT_VAL_PERMILLE,
+        TOKEN_RE,
+        _n_matches,
+    )
+
+    if clusters is None:
+        clusters = dedup_clusters(docs, tau)
+    b = (
+        md5_int60_col(
+            F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+        )
+        % 1000
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    tagged = docs.join(clusters, "doc_id").select(
+        split.alias("split"),
+        "cluster_id",
+        _n_matches(F.col("text"), TOKEN_RE).cast("long").alias("t"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def corpus_split_safe_sql(tau: float = JACCARD_TAU) -> str:
+    from ..functions.hashing import md5_int60_sql
+    from .text import SPLIT_TRAIN_PERMILLE, SPLIT_VAL_PERMILLE
+
+    salted = "'split:' || CAST(cluster_id AS VARCHAR)"
+    b = f"{md5_int60_sql(salted)} % 1000"
+    return f"""
+WITH clusters AS MATERIALIZED ({dedup_clusters_sql(tau)}),
+tagged AS (
+  SELECT CASE WHEN {b} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+              WHEN {b} < {SPLIT_VAL_PERMILLE} THEN 'val'
+              ELSE 'test' END AS split,
+         c.cluster_id,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+         END AS t
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id)
+SELECT split, CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens
+FROM tagged GROUP BY 1
+""".strip()

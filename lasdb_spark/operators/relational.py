@@ -3925,3 +3925,185 @@ SELECT n_ctrl, n_trt, conv_ctrl, conv_trt,
             END AS BIGINT) AS z_milli_floor
 FROM row_agg
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape — shipping-lag vs order-priority two-way audit.
+# The testdata lineitem carries no l_shipmode/l_commitdate/l_receiptdate
+# (reduced schema, see order_priority_check), so Q12's "mode" dimension
+# becomes the SHIP-LAG CLASS (days from order to ship) — the same
+# conditional two-way count shape over the same join.
+# ---------------------------------------------------------------------------
+Q12_START = "1996-01-01"
+Q12_END = "1998-01-01"
+
+
+def ship_lag_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = Q12_START,
+    end: str = Q12_END,
+) -> DataFrame:
+    """(lag_class, high_line_count, low_line_count) — TPC-H Q12
+    adapted: lines shipped in the window are classed by ship lag
+    (early <0 days, fast 0–89, normal 90–364, slow ≥365 — the
+    synthetic dates are independent so negative lags exist) and
+    counted into high-priority (1-URGENT/2-HIGH) vs low-priority
+    lines per class — the "is expedited freight actually expedited"
+    audit.
+
+    Scale: the l_shipdate window filter pushes to the lineitem scan;
+    ONE shuffle pair on the order key joins the pruned lineitem to
+    orders (both sides scale with SF — no broadcast); the class is a
+    map-side CASE on datediff; the final agg is 4 groups with
+    map-side partials."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    lag_class = (
+        F.when(lag < 0, "early")
+        .when(lag < 90, "fast")
+        .when(lag < 365, "normal")
+        .otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(lag_class.alias("lag_class"), high.alias("high"))
+        .groupBy("lag_class")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("lag_class")
+    )
+
+
+def ship_lag_priority_sql(start: str = Q12_START, end: str = Q12_END) -> str:
+    lag = "datediff('day', o_orderdate, l_shipdate)"
+    return f"""
+SELECT CASE WHEN {lag} < 0 THEN 'early'
+            WHEN {lag} < 90 THEN 'fast'
+            WHEN {lag} < 365 THEN 'normal'
+            ELSE 'slow' END AS lag_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who kept waiting multi-supplier orders.
+# "Late" is ship lag > LATE_DAYS after the order date (no receipt/
+# commit dates in the reduced schema); the distinctive Q21 machinery —
+# EXISTS another supplier's line on the same order AND NOT EXISTS
+# another supplier's late line — is intact.
+# ---------------------------------------------------------------------------
+Q21_LATE_DAYS = 60
+Q21_TOPK = 20
+
+
+def late_sole_blockers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = Q21_LATE_DAYS,
+    k: int = Q21_TOPK,
+) -> DataFrame:
+    """(s_name, numwait, rank) — TPC-H Q21: for finalized orders
+    ('F') with lines from ≥2 suppliers, count per supplier the orders
+    where THEIR line shipped late (> ``late_days`` after the order
+    date) and NO OTHER supplier's line did — the supplier is the sole
+    blocker. Top ``k`` by numwait desc, s_name.
+
+    Scale: lineitem joins orders once on the order key (the lateness
+    predicate rides as a residual), then ONE self-join pair on
+    l_orderkey implements both EXISTS branches as a single
+    other-lines aggregate (any_other, any_other_late) instead of two
+    correlated passes — Spark's aggregate-then-join form of Q21. The
+    supplier dim is broadcast; top-k is TakeOrdered."""
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    ords = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = li.join(
+        ords, li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        ).alias("late"),
+    )
+    # per (order, supplier): did THIS supplier ship late on the order?
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late")).alias("supp_late")
+    )
+    # per order: supplier count + late-supplier count (one agg
+    # replaces both correlated EXISTS probes)
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    blockers = (
+        per_supp.filter(F.col("supp_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    counts = blockers.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    named = counts.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        counts.l_suppkey == F.col("s_suppkey"),
+    ).select("s_name", "numwait")
+    top = named.orderBy(F.col("numwait").desc(), "s_name").limit(k)
+    w = F.row_number().over(
+        Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+    return top.withColumn("rank", w.cast("int"))
+
+
+def late_sole_blockers_sql(
+    late_days: int = Q21_LATE_DAYS, k: int = Q21_TOPK
+) -> str:
+    return f"""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {int(late_days)} DAYS AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+  FROM lines GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp,
+         sum(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+  FROM per_supp GROUP BY 1),
+counts AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM per_supp ps JOIN per_order po USING (l_orderkey)
+  WHERE ps.supp_late AND po.n_supp >= 2 AND po.n_late = 1
+  GROUP BY 1)
+SELECT s_name, numwait, rank FROM (
+  SELECT s.s_name, c.numwait,
+         CAST(row_number() OVER (ORDER BY c.numwait DESC, s.s_name)
+              AS INT) AS rank
+  FROM counts c JOIN supplier s ON s.s_suppkey = c.l_suppkey)
+WHERE rank <= {int(k)}
+""".strip()

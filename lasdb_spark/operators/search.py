@@ -113,6 +113,97 @@ def bm25_search(
     return top.withColumn("rank", w.cast("int"))
 
 
+def hybrid_search(
+    docs: DataFrame,
+    embs: DataFrame,
+    query: str,
+    query_vec_id: int = 0,
+    k: int = SEARCH_TOPK,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """(doc_id, bm25_rank, cos_rank, rrf, rank) — hybrid retrieval by
+    RECIPROCAL RANK FUSION (Cormack/Clarke/Buettcher SIGIR'09, the
+    standard lexical+dense fusion): the top ``k_cand`` BM25 documents
+    for ``query`` and the top ``k_cand`` cosine neighbours of
+    ``query_vec_id`` (docs ↔ embeddings join on doc_id = vec_id) are
+    fused by rrf = Σ_arms 1/(rrf_k + rank); a doc missing from one
+    arm contributes nothing for that arm and reports rank 0 there
+    (ranks are 1-based, so 0 is unambiguous and keeps the report
+    NULL-free for order-insensitive row comparison). Ties break by
+    doc_id.
+
+    Spark shape: each arm is already a k_cand-row TakeOrdered result,
+    so the fusion join is a broadcast-sized full outer join on two
+    k_cand-row inputs — corpus-scale work happens only inside the two
+    arm plans (BM25's map-side term filter; at billion-doc scale the
+    dense arm swaps to the stored IVF-PQ index, same contract).
+    Determinism: ranks are exact integers, rrf is a two-term fixed
+    addition chain of double reciprocals, round 6."""
+    from .similarity import topk_bruteforce
+
+    bm = bm25_search(docs, query, k_cand).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    dn = topk_bruteforce(embs, query_vec_id, k_cand).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("cos_rank")
+    )
+    fused = bm.join(dn, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    )
+    return top.withColumn("rank", w.cast("int"))
+
+
+def hybrid_search_sql(
+    query: str,
+    query_vec_id: int = 0,
+    k: int = SEARCH_TOPK,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    """Oracle twin of :func:`hybrid_search` — fuses the two arms'
+    existing twins with the identical reciprocal expression tree."""
+    from .similarity import topk_bruteforce_sql
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id, rank AS bm25_rank
+  FROM ({bm25_search_sql(query, k_cand)})),
+dn AS (
+  SELECT vec_id AS doc_id, rank AS cos_rank
+  FROM ({topk_bruteforce_sql(query_vec_id, k_cand)})),
+fused AS (
+  SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         CAST(coalesce(bm.bm25_rank, 0) AS INT) AS bm25_rank,
+         CAST(coalesce(dn.cos_rank, 0) AS INT) AS cos_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm.bm25_rank), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + dn.cos_rank), 0.0),
+               6) AS rrf
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id)
+SELECT doc_id, bm25_rank, cos_rank, rrf, rank FROM (
+  SELECT doc_id, bm25_rank, cos_rank, rrf,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused) WHERE rank <= {k}
+""".strip()
+
+
 def bm25_search_sql(
     query: str,
     k: int = SEARCH_TOPK,

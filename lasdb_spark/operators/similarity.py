@@ -2902,3 +2902,308 @@ SELECT a.n AS n_vectors, CAST({dim} AS INT) AS dim,
              / CAST(t.T AS DOUBLE), 9) AS top_var_share
 FROM a, t, v2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diversified top-k (Carbonell &
+# Goldstein, SIGIR'98): greedily pick argmax λ·cos(q,d) −
+# (1−λ)·max_{s∈S} cos(d,s), trading relevance against redundancy.
+# The standard rerank between retrieval and a context window (RAG) or
+# between ANN recall and a labeling budget (active dedup review).
+# ---------------------------------------------------------------------------
+MMR_K = 10
+MMR_CAND = 50
+MMR_LAMBDA = 0.7
+
+
+def mmr_topk(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """(vec_id, qcos, mmr, rank) — the ``k`` MMR-selected vectors from
+    the ``n_cand`` cosine candidates of ``query_vec_id``; rank is the
+    greedy pick order, mmr the (rounded) selection score at pick time.
+
+    Spark shape: corpus-scale work is the candidate arm (TakeOrdered
+    brute force here; the stored IVF-PQ index at billion scale — same
+    contract). The greedy loop is INHERENTLY sequential in k, so it
+    runs executor-side over one Arrow batch of the n_cand candidates
+    + their n_cand² pairwise cosines via ``applyInPandas`` — at scale
+    the groupBy key is the QUERY id and thousands of per-query
+    reranks run in parallel, each touching only its own candidate
+    rows. Determinism: candidate and pairwise cosines are the same
+    round-6 fold trees as every other entry; the greedy compare uses
+    those rounded doubles with λ/(1−λ) multiplications in a fixed
+    order and ties broken by vec_id, so the pick sequence is
+    engine-exact (the DuckDB twin replays it with a recursive CTE);
+    the output score rounds Spark-side (HALF_UP, never Python's
+    HALF_EVEN round)."""
+    lam_f = float(lam)
+    oml = 1.0 - lam_f
+    cand = topk_bruteforce(embs, query_vec_id, n_cand).select(
+        "vec_id", F.col("cos").alias("qcos")
+    )
+    wc = embs.join(cand.select("vec_id"), "vec_id", "leftsemi")
+    a = wc.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = wc.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a") != F.col("b")).select(
+        "a", "b", _cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    sims = pairs.groupBy("a").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("b", "cos")))
+        ).alias("sims")
+    )
+    grouped = cand.join(sims, cand.vec_id == sims.a, "left").select(
+        cand.vec_id, "qcos", "sims"
+    )
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        qcos = dict(zip(pdf.vec_id, pdf.qcos))
+        simmap = {}
+        for v, m in zip(pdf.vec_id, pdf.sims):
+            if m is None:
+                simmap[v] = {}
+            elif isinstance(m, dict):
+                simmap[v] = m
+            else:  # arrow map as list of (k, v)
+                simmap[v] = dict(m)
+        picked, out = [], []
+        for step in range(1, min(int(k), len(qcos)) + 1):
+            best_score, best_v = None, None
+            for v in sorted(qcos):
+                if v in picked:
+                    continue
+                vs = simmap.get(v) or {}
+                hit = [vs[s] for s in picked if s in vs]
+                ms = max(hit) if hit else 0.0
+                score = lam_f * qcos[v] - oml * ms
+                if best_score is None or score > best_score:
+                    best_score, best_v = score, v
+            picked.append(best_v)
+            out.append((best_v, qcos[best_v], best_score, step))
+        return pd.DataFrame(
+            out, columns=["vec_id", "qcos", "mmr", "rank"]
+        )
+
+    raw = grouped.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _key, pdf: _greedy(pdf),
+        "vec_id long, qcos double, mmr double, rank int",
+    )
+    return raw.select(
+        "vec_id", "qcos", F.round("mmr", 6).alias("mmr"), "rank"
+    ).orderBy("rank")
+
+
+def mmr_topk_sql(
+    query_vec_id: int = 0,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+    dim: int = EMB_DIM,
+) -> str:
+    """Recursive-CTE twin of :func:`mmr_topk`: replays the greedy pick
+    sequence — each iteration LATERAL-selects the argmax of the same
+    λ/(1−λ) expression over the not-yet-picked candidates."""
+    lam_f = float(lam)
+    oml = 1.0 - lam_f
+    dot = fold_product_sql("x.embedding", "y.embedding", dim)
+    nx = fold_product_sql("x.embedding", "x.embedding", dim)
+    ny = fold_product_sql("y.embedding", "y.embedding", dim)
+    cos = f"round({dot} / (sqrt({nx}) * sqrt({ny})), 6)"
+    return f"""
+WITH RECURSIVE cand AS MATERIALIZED (
+  SELECT vec_id, cos AS qcos
+  FROM ({topk_bruteforce_sql(query_vec_id, n_cand)})),
+cemb AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN cand c ON c.vec_id = e.vec_id),
+pairs AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS cos
+  FROM cemb x JOIN cemb y ON x.vec_id != y.vec_id),
+sel(step, picked, vid, mmr) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE)
+  UNION ALL
+  SELECT s.step + 1, list_append(s.picked, pick.vec_id), pick.vec_id,
+         pick.score
+  FROM sel s, LATERAL (
+    SELECT c.vec_id,
+           CAST({lam_f!r} AS DOUBLE) * c.qcos
+             - CAST({oml!r} AS DOUBLE) * coalesce(
+                 (SELECT max(p.cos) FROM pairs p
+                  WHERE p.a = c.vec_id
+                    AND list_contains(s.picked, p.b)), 0.0) AS score
+    FROM cand c
+    WHERE NOT list_contains(s.picked, c.vec_id)
+    ORDER BY score DESC, c.vec_id
+    LIMIT 1) pick
+  WHERE s.step < {int(k)})
+SELECT s.vid AS vec_id, c.qcos, round(s.mmr, 6) AS mmr,
+       CAST(s.step AS INT) AS rank
+FROM sel s JOIN cand c ON c.vec_id = s.vid
+WHERE s.step >= 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# PSI drift audit — population stability index per embedding dimension
+# between a reference corpus half and a current half (the standard
+# model-ops drift gate; PSI > 0.2 is the conventional "investigate"
+# threshold). Catches encoder drift / dataset shift BEFORE it poisons
+# ANN indexes and semantic-dedup centroids built on the old geometry.
+# ---------------------------------------------------------------------------
+PSI_BINS = 10
+PSI_FLAG = 0.2
+
+
+def embedding_drift_psi(embs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """(pos, psi, drifted) — per-dimension PSI between the reference
+    half (even vec_id — stands in for "the corpus the index was
+    trained on") and the current half (odd vec_id — "this week's
+    ingest"): bin the current values into ``bins`` equal-width bins
+    fitted on the REFERENCE range, psi = Σ_b (p_cur − p_ref)·ln(p_cur
+    / p_ref) with +0.5 Laplace smoothing so empty bins are defined.
+
+    Exactness: components quantize to micro-unit longs (the
+    dim-stats convention), the reference range is an integer min/max,
+    and the bin is pure integer math — clamp then (q − mn)·bins div
+    (mx − mn + 1) — so bin assignment is engine-exact; psi itself is
+    a FIXED 10-term addition chain over one double expression per bin
+    (a float SUM would accumulate in partition order), round 6.
+
+    Scale: posexplode map-side to dim×N rows, one partial-aggregated
+    groupBy to dim×bins cells, a dim-row broadcast range join — the
+    one-pass dim-stats shape; nothing corpus-sized shuffles twice."""
+    nb = int(bins)
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    parts = embs.select(
+        (F.col("vec_id") % 2 == 1).alias("cur"),
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select("cur", "pos", q.alias("q"))
+    rng = (
+        parts.filter(~F.col("cur"))
+        .groupBy("pos")
+        .agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
+    )
+    qc = F.least(F.col("mx"), F.greatest(F.col("mn"), F.col("q")))
+    # explicit floor on both sides: DuckDB CAST(DOUBLE AS BIGINT)
+    # ROUNDS while Spark's truncates — floor() is the portable form
+    # (operands are exact non-negative integers well under 2^53, so
+    # the double division can't misround across an integer boundary:
+    # the nearest true ratio ever gets to an integer is 1/den)
+    binned = parts.join(F.broadcast(rng), "pos").select(
+        "pos",
+        "cur",
+        F.floor(
+            ((qc - F.col("mn")) * nb) / (F.col("mx") - F.col("mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("pos", "bin").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("c_cur"),
+    )
+    # zero-fill the dim×bins grid so empty bins contribute their
+    # smoothed term (rng has exactly one row per pos)
+    spark = embs.sparkSession
+    grid = rng.select("pos").crossJoin(
+        F.broadcast(
+            spark.range(nb).select(F.col("id").cast("long").alias("bin"))
+        )
+    )
+    full = grid.join(cells, ["pos", "bin"], "left").select(
+        "pos",
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+    )
+    tot = embs.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    smooth = 0.5 * nb
+    p_ref = (F.col("c_ref").cast("double") + 0.5) / (
+        F.col("n_ref").cast("double") + smooth
+    )
+    p_cur = (F.col("c_cur").cast("double") + 0.5) / (
+        F.col("n_cur").cast("double") + smooth
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    per_bin = [
+        F.max(F.when(F.col("bin") == i, term)).alias(f"_t{i}")
+        for i in range(nb)
+    ]
+    pivoted = (
+        full.crossJoin(F.broadcast(tot)).groupBy("pos").agg(*per_bin)
+    )
+    total = F.coalesce(F.col("_t0"), F.lit(0.0))
+    for i in range(1, nb):
+        total = total + F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+    return pivoted.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round(total, 6).alias("psi"),
+        (F.round(total, 6) > PSI_FLAG).alias("drifted"),
+    ).orderBy("pos")
+
+
+def embedding_drift_psi_sql(bins: int = PSI_BINS) -> str:
+    nb = int(bins)
+    smooth = 0.5 * nb
+    p_ref = f"((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + {smooth!r}))"
+    p_cur = f"((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + {smooth!r}))"
+    term = f"(({p_cur} - {p_ref}) * ln({p_cur} / {p_ref}))"
+    pivot_cols = ",\n".join(
+        f"    max(CASE WHEN bin = {i} THEN {term} END) AS _t{i}"
+        for i in range(nb)
+    )
+    total = " + ".join(f"coalesce(_t{i}, 0.0)" for i in range(nb))
+    return f"""
+WITH parts AS (
+  SELECT vec_id % 2 = 1 AS cur, s.i AS pos,
+         CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+rng AS (
+  SELECT pos, min(q) AS mn, max(q) AS mx FROM parts WHERE NOT cur
+  GROUP BY 1),
+binned AS (
+  SELECT p.pos, p.cur,
+         CAST(floor((least(r.mx, greatest(r.mn, p.q)) - r.mn) * {nb}
+              / (r.mx - r.mn + 1)) AS BIGINT) AS bin
+  FROM parts p JOIN rng r ON r.pos = p.pos),
+cells AS (
+  SELECT pos, bin,
+         CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY 1, 2),
+grid AS (
+  SELECT r.pos, g.b AS bin FROM rng r,
+       LATERAL (SELECT unnest(range(0, {nb}))) AS g(b)),
+filled AS (
+  SELECT g.pos, g.bin,
+         coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+  FROM grid g LEFT JOIN cells c ON c.pos = g.pos AND c.bin = g.bin),
+tot AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM embeddings),
+pivoted AS (
+  SELECT pos,
+{pivot_cols}
+  FROM filled CROSS JOIN tot GROUP BY 1)
+SELECT CAST(pos AS INT) AS pos, round({total}, 6) AS psi,
+       round({total}, 6) > {PSI_FLAG!r} AS drifted
+FROM pivoted
+""".strip()

@@ -219,3 +219,51 @@ def documents_stream_multibatch(
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(staging)
     )
+
+
+def stream_probe_dedup_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    tau: float | None = None,
+) -> None:
+    """Drain ``doc_stream`` through the persisted MinHash dedup index
+    (:mod:`lasdb_spark.operators.dedup_index`): every micro-batch is
+    probed for near-duplicates of the INDEXED corpus via
+    ``foreachBatch`` and the verdicts (new_id, corpus_id, jac) append
+    to ``out_dir`` as parquet — the ONLINE ingestion gate (each
+    arriving document is screened against the historical corpus
+    before admission), the streaming twin of the batch
+    ``probe_dedup_index`` entry.
+
+    Correctness across batch boundaries: the probe is PER-DOC PURE
+    (shingles/signature depend only on the document's text; the index
+    side is frozen), so batch-partitioned probing equals the one-shot
+    batch probe row-for-row regardless of how the replay splits —
+    the same argument that makes index appends order-independent.
+
+    Scale: foreachBatch reuses the full batch plan (band-key hash
+    join into the stored buckets, exact-Jaccard verify against the
+    stored shingle tables) per micro-batch; state lives in the INDEX,
+    not the stream, so there is no state store to size — the
+    watermarkless shape for monotone per-record screens."""
+    from lasdb_spark.operators.dedup import JACCARD_TAU
+    from lasdb_spark.operators.dedup_index import probe_dedup_index
+
+    t = JACCARD_TAU if tau is None else tau
+
+    def _probe(bdf: DataFrame, _bid: int) -> None:
+        probe_dedup_index(
+            bdf, bdf.sparkSession, index_path, t
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(_probe)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,237 @@
+"""Semantics tests for the r9 operators (hybrid RRF retrieval, MMR
+diversification, PSI drift, leakage-safe split, streaming index probe,
+TPC-H Q12/Q21 shapes) — hand-checkable fixtures; value-exactness vs
+DuckDB is proven separately by the all-entries oracle mirror."""
+
+import pytest
+
+
+@pytest.mark.spark
+def test_hybrid_search_rrf_fusion(spark):
+    """A doc present in both arms outranks single-arm docs at equal
+    depth; missing-arm ranks report 0, and rrf is the two-term
+    reciprocal sum."""
+    from lasdb_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta alpha"),  # lexical hit
+            (1, "alpha beta gamma"),             # lexical + dense hit
+            (2, "delta epsilon zeta"),           # neither
+            (3, "unrelated words here"),         # dense hit only
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query vector
+            (1, [0.9, 0.1]),   # close
+            (2, [-1.0, 0.0]),  # far
+            (3, [0.95, 0.05]), # closest
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.doc_id: r
+        for r in hybrid_search(
+            docs, embs, "alpha beta", query_vec_id=0, k=4, k_cand=3
+        ).collect()
+    }
+    # doc 1: bm25 rank 2 (doc 0 has more term mass), cos rank 2
+    assert rows[1].bm25_rank == 2 and rows[1].cos_rank == 2
+    # doc 0 is the query vector -> dense arm excludes it: rank 0
+    assert rows[0].bm25_rank == 1 and rows[0].cos_rank == 0
+    # doc 3: dense-only
+    assert rows[3].bm25_rank == 0 and rows[3].cos_rank == 1
+    # two-arm doc 1 fuses 1/62 + 1/62 > either single arm's 1/61
+    assert rows[1].rank == 1
+    assert rows[1].rrf == round(1 / 62 + 1 / 62, 6)
+    assert rows[0].rrf == round(1 / 61, 6)
+
+
+@pytest.mark.spark
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    """With λ=0.5 the second pick skips the near-duplicate of pick 1
+    (relevance-only ranking would take it) and selects the diverse
+    candidate instead."""
+    from lasdb_spark.operators.similarity import mmr_topk
+
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # query
+            (1, [0.9, 0.436]),     # top relevance (qcos ~0.90)
+            (2, [0.89, 0.444]),    # near-duplicate of 1 (cos(1,2)~1.0,
+                                   # qcos ~0.895): relevance-only rank 2
+            (3, [0.5, -0.866]),    # diverse (cos(1,3)~0.07, qcos 0.5)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    picks = [
+        r.vec_id
+        for r in mmr_topk(embs, query_vec_id=0, k=2, n_cand=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert picks == [1, 3]
+
+
+@pytest.mark.spark
+def test_psi_flags_shifted_dimension_only(spark):
+    """dim 0 identical across halves -> psi ~ smoothing floor; dim 1
+    shifted clear out of the reference range -> large psi, flagged."""
+    from lasdb_spark.operators.similarity import embedding_drift_psi
+
+    rows = []
+    for i in range(40):
+        base = (i // 2) / 20.0  # same value stream in both halves
+        shift = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base, base + shift]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.pos: r for r in embedding_drift_psi(embs).collect()}
+    assert not got[0].drifted and got[0].psi < 0.05
+    assert got[1].drifted and got[1].psi > 1.0
+
+
+@pytest.mark.spark
+def test_corpus_split_safe_is_cluster_granular(spark):
+    """Every member of one cluster lands in the same split: with all
+    docs forced into a single cluster the summary has exactly one
+    row carrying the whole corpus."""
+    from lasdb_spark.operators.dedup import corpus_split_safe
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i} " + "tok " * 5) for i in range(30)],
+        "doc_id long, text string",
+    )
+    one_cluster = spark.createDataFrame(
+        [(i, 0) for i in range(30)], "doc_id long, cluster_id long"
+    )
+    rows = corpus_split_safe(docs, clusters=one_cluster).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 30 and rows[0].n_clusters == 1
+
+
+@pytest.mark.spark
+def test_corpus_split_safe_totals(spark, sf_dir):
+    """Split summaries partition the corpus: doc counts sum to N and
+    every near-dup cluster is wholly inside one split (cluster counts
+    sum to the number of distinct clusters)."""
+    from lasdb_spark.operators.dedup import corpus_split_safe, dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = dedup_clusters(docs)
+    rows = corpus_split_safe(docs, clusters=clusters).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert sum(r.n_clusters for r in rows) == n_clusters
+
+
+@pytest.mark.spark
+def test_stream_probe_equals_batch_probe(spark, sf_dir, tmp_path):
+    """Drained foreachBatch probe of the increment == the one-shot
+    batch probe (per-doc purity across micro-batch boundaries)."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+    from lasdb_spark.streaming.dedup import (
+        documents_stream_multibatch,
+        stream_probe_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    build_dedup_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+    stream_probe_dedup_index(
+        documents_stream_multibatch(spark, sf_dir).where(
+            F.col("doc_id") % 2 == 1
+        ),
+        idx,
+        out,
+    )
+    drained = sorted(
+        tuple(r)
+        for r in spark.read.schema("new_id long, corpus_id long, jac double")
+        .parquet(out)
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in probe_dedup_index(
+            docs.where(F.col("doc_id") % 2 == 1), spark, idx
+        ).collect()
+    )
+    assert drained == batch
+
+
+@pytest.mark.spark
+def test_ship_lag_priority_classes(spark):
+    """Known lags fall in their classes; priority columns split
+    high (1-URGENT/2-HIGH) vs low; out-of-window lines are dropped."""
+    from lasdb_spark.operators.relational import ship_lag_priority
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "1996-06-01"),
+            (2, "5-LOW", "1996-06-01"),
+        ],
+        "o_orderkey long, o_orderpriority string, d string",
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority", "CAST(d AS TIMESTAMP) AS o_orderdate"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "1996-05-01"),  # lag -31 -> early, high
+            (1, "1996-07-01"),  # lag 30 -> fast, high
+            (2, "1996-10-01"),  # lag 122 -> normal, low
+            (2, "1998-06-01"),  # out of window -> dropped
+        ],
+        "l_orderkey long, d string",
+    ).selectExpr("l_orderkey", "CAST(d AS TIMESTAMP) AS l_shipdate")
+    got = {
+        r.lag_class: (r.high_line_count, r.low_line_count)
+        for r in ship_lag_priority(orders, li).collect()
+    }
+    assert got == {"early": (1, 0), "fast": (1, 0), "normal": (0, 1)}
+
+
+@pytest.mark.spark
+def test_late_sole_blockers_exclusion_shape(spark):
+    """Only the sole-late supplier on a multi-supplier finalized order
+    counts: both-late orders, single-supplier orders and non-'F'
+    orders are all excluded."""
+    from lasdb_spark.operators.relational import late_sole_blockers
+
+    supplier = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, "F", "1996-01-01"),  # s1 late, s2 on time -> s1 counts
+            (11, "F", "1996-01-01"),  # both late -> nobody counts
+            (12, "F", "1996-01-01"),  # single supplier late -> excluded
+            (13, "O", "1996-01-01"),  # not finalized -> excluded
+        ],
+        "o_orderkey long, o_orderstatus string, d string",
+    ).selectExpr(
+        "o_orderkey", "o_orderstatus", "CAST(d AS TIMESTAMP) AS o_orderdate"
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 1, "1996-06-01"),  # late (>60d)
+            (10, 2, "1996-01-15"),  # on time
+            (11, 1, "1996-06-01"),
+            (11, 2, "1996-06-01"),
+            (12, 3, "1996-06-01"),
+            (13, 1, "1996-06-01"),
+            (13, 2, "1996-01-15"),
+        ],
+        "l_orderkey long, l_suppkey long, d string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "CAST(d AS TIMESTAMP) AS l_shipdate"
+    )
+    rows = late_sole_blockers(supplier, orders, li).collect()
+    assert [(r.s_name, r.numwait, r.rank) for r in rows] == [("S1", 1, 1)]
