@@ -598,6 +598,39 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r8: A/B experiment readout (one user-keyed agg)
             "rel_ab_test": lambda: _eq["rel_ab_test"](spark, sf_dir),
+            # r9: stored-weights calibration (score-only half)
+            "quality_calibration_stored": lambda: _eq[
+                "quality_calibration_stored"
+            ](spark, sf_dir),
+            # r9: trained-IVF batch kNN join + pairwise recall audit
+            "ann_knn_join_ivf": lambda: _eq["ann_knn_join_ivf"](
+                spark, sf_dir
+            ),
+            "ann_knn_join_recall": lambda: _eq["ann_knn_join_recall"](
+                spark, sf_dir
+            ),
+            # r9: hybrid RRF retrieval (BM25 arm + dense arm + fusion)
+            "doc_search_hybrid": lambda: _eq["doc_search_hybrid"](
+                spark, sf_dir
+            ),
+            # r9: MMR diversified rerank (candidates + pair sims +
+            # one-group greedy)
+            "emb_mmr": lambda: _eq["emb_mmr"](spark, sf_dir),
+            # r9: per-dimension PSI drift audit (one posexplode pass)
+            "emb_drift_psi": lambda: _eq["emb_drift_psi"](spark, sf_dir),
+            # r9: leakage-safe split (clustering + one tagged agg)
+            "corpus_split_safe": lambda: _eq["corpus_split_safe"](
+                spark, sf_dir
+            ),
+            # r9: drained foreachBatch probe of the persisted index
+            "stream_dedup_probe": lambda: _eq["stream_dedup_probe"](
+                spark, sf_dir
+            ),
+            # r9: TPC-H Q12/Q21 shapes
+            "rel_ship_lag": lambda: _eq["rel_ship_lag"](spark, sf_dir),
+            "rel_late_suppliers": lambda: _eq["rel_late_suppliers"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():
