@@ -1255,6 +1255,46 @@ def _q_rel_late_suppliers(spark, sf_dir):
     )
 
 
+def _q_rel_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (r9): parts above 1.3× the mean revenue — the
+    reduced schema's scale-free stand-in for Q11's SF-dependent
+    fraction; integer-scaled decimal membership, TakeOrdered top-k."""
+    return _rel.important_parts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_part_variety(spark, sf_dir):
+    """TPC-H Q16 (r9): distinct suppliers per (brand, type, size)
+    segment, one brand excluded, complaint suppliers (negative
+    balance) anti-joined out."""
+    return _rel.part_supplier_variety(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_rel_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (r9): suppliers shipping an excess share of a
+    name-prefixed part class in the year window — threshold against
+    the broadcast class total, floored integer ppm share."""
+    return _rel.excess_class_shippers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_corpus_triplets(spark, sf_dir):
+    """Contrastive triplet mining (r9): verified near-dup pairs as
+    (anchor, positive), deterministic hash-bucket negatives screened
+    against the anchor's near-dup set."""
+    from lasdb_spark.operators.dedup import contrastive_triplets
+
+    return contrastive_triplets(_docs(spark, sf_dir))
+
+
 def _q_mm_features(spark, sf_dir):
     # REAL container decode: genuine PGM bytes parsed back to
     # integer-exact pixel statistics (stub retired for images, r4)
@@ -2499,6 +2539,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_probe": _dedupidx.probe_dedup_index_sql(),
         "rel_ship_lag": _rel.ship_lag_priority_sql(),
         "rel_late_suppliers": _rel.late_sole_blockers_sql(),
+        "rel_important_parts": _rel.important_parts_sql(),
+        "rel_part_variety": _rel.part_supplier_variety_sql(),
+        "rel_excess_shippers": _rel.excess_class_shippers_sql(),
+        "corpus_triplets": _dedup.contrastive_triplets_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2871,6 +2915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_probe": _q_stream_dedup_probe,
         "rel_ship_lag": _q_rel_ship_lag,
         "rel_late_suppliers": _q_rel_late_suppliers,
+        "rel_important_parts": _q_rel_important_parts,
+        "rel_part_variety": _q_rel_part_variety,
+        "rel_excess_shippers": _q_rel_excess_shippers,
+        "corpus_triplets": _q_corpus_triplets,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

@@ -631,6 +631,20 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_late_suppliers": lambda: _eq["rel_late_suppliers"](
                 spark, sf_dir
             ),
+            # r9: TPC-H Q11/Q16/Q20 shapes (partsupp-free)
+            "rel_important_parts": lambda: _eq["rel_important_parts"](
+                spark, sf_dir
+            ),
+            "rel_part_variety": lambda: _eq["rel_part_variety"](
+                spark, sf_dir
+            ),
+            "rel_excess_shippers": lambda: _eq["rel_excess_shippers"](
+                spark, sf_dir
+            ),
+            # r9: contrastive triplet mining over the near-dup pairs
+            "corpus_triplets": lambda: _eq["corpus_triplets"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

@@ -1875,3 +1875,118 @@ SELECT split, CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
        CAST(sum(t) AS BIGINT) AS n_tokens
 FROM tagged GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplet mining — (anchor, positive, negative) training
+# triplets for embedding/retrieval models: positives are verified
+# near-dup pairs (the hard-positive set a MinHash pipeline already
+# produces), negatives are deterministic hash-bucket draws from the
+# rest of the corpus, screened against the anchor's near-dup set so a
+# "negative" is never actually a positive (the false-negative poison
+# in contrastive training).
+# ---------------------------------------------------------------------------
+TRIPLET_NEG_BUCKETS = 64
+
+
+def contrastive_triplets(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    n_buckets: int = TRIPLET_NEG_BUCKETS,
+) -> DataFrame:
+    """(anchor, positive, negative) — one triplet per verified
+    near-dup pair: the pair is (anchor, positive); the negative is
+    the smallest doc_id in the pair's salted-hash bucket that is
+    neither pair member nor a near-dup of the anchor (pairs whose
+    bucket holds no admissible doc are dropped). Fully deterministic:
+    same corpus ⇒ same triplets across engines/runs/partitionings.
+
+    Scale: the bucket join fans each pair out to ~N/``n_buckets``
+    bucket members before the per-pair min — size ``n_buckets``
+    proportional to the corpus (the LSH ``lsh_bits_for`` sizing rule)
+    to keep buckets O(1); the near-dup screen is one anti-join on the
+    (anchor, near-dup) edge set the pair pipeline already built."""
+    from ..functions.hashing import md5_int60_col
+
+    pairs = minhash_lsh_pairs(docs, tau).select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    )
+    buck = docs.select(
+        "doc_id",
+        (
+            md5_int60_col(
+                F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))
+            )
+            % n_buckets
+        ).alias("bkt"),
+    )
+    pb = pairs.withColumn(
+        "bkt",
+        md5_int60_col(
+            F.concat(
+                F.lit("trip:"),
+                F.col("anchor").cast("string"),
+                F.lit(":"),
+                F.col("positive").cast("string"),
+            )
+        )
+        % n_buckets,
+    )
+    cand = pb.join(buck, "bkt").filter(
+        (F.col("doc_id") != F.col("anchor"))
+        & (F.col("doc_id") != F.col("positive"))
+    )
+    # near-dup edges of the anchor, both directions
+    nd = pairs.select(
+        F.col("anchor").alias("a_id"), F.col("positive").alias("nd_id")
+    ).unionByName(
+        pairs.select(
+            F.col("positive").alias("a_id"), F.col("anchor").alias("nd_id")
+        )
+    )
+    admissible = cand.join(
+        nd,
+        (cand.anchor == nd.a_id) & (cand.doc_id == nd.nd_id),
+        "left_anti",
+    )
+    return (
+        admissible.groupBy("anchor", "positive")
+        .agg(F.min("doc_id").alias("negative"))
+        .orderBy("anchor", "positive")
+    )
+
+
+def contrastive_triplets_sql(
+    tau: float = JACCARD_TAU,
+    n_buckets: int = TRIPLET_NEG_BUCKETS,
+    src: str = "documents",
+) -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    doc_b = md5_int60_sql("'neg:' || CAST(doc_id AS VARCHAR)")
+    pair_b = md5_int60_sql(
+        "'trip:' || CAST(anchor AS VARCHAR) || ':' "
+        "|| CAST(positive AS VARCHAR)"
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT doc_a AS anchor, doc_b AS positive
+  FROM ({minhash_lsh_pairs_sql(tau, src=src)})),
+buck AS (
+  SELECT doc_id, {doc_b} % {int(n_buckets)} AS bkt FROM {src}),
+pb AS (
+  SELECT anchor, positive, {pair_b} % {int(n_buckets)} AS bkt
+  FROM pairs),
+nd AS (
+  SELECT anchor AS a_id, positive AS nd_id FROM pairs
+  UNION ALL
+  SELECT positive, anchor FROM pairs),
+admissible AS (
+  SELECT pb.anchor, pb.positive, b.doc_id
+  FROM pb JOIN buck b USING (bkt)
+  WHERE b.doc_id != pb.anchor AND b.doc_id != pb.positive
+    AND NOT EXISTS (SELECT 1 FROM nd
+                    WHERE nd.a_id = pb.anchor AND nd.nd_id = b.doc_id))
+SELECT anchor, positive, min(doc_id) AS negative
+FROM admissible GROUP BY 1, 2
+""".strip()

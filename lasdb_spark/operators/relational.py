@@ -4107,3 +4107,264 @@ SELECT s_name, numwait, rank FROM (
   FROM counts c JOIN supplier s ON s.s_suppkey = c.l_suppkey)
 WHERE rank <= {int(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — important parts by revenue share. The reduced
+# schema has no partsupp (ps_supplycost·ps_availqty), so "value" is
+# discounted lineitem revenue per part. TPC-H's own fraction is
+# SF-dependent (0.0001/SF); the scale-free equivalent is a MULTIPLE
+# OF THE MEAN part revenue — same HAVING-over-global machinery,
+# non-degenerate at every SF.
+# ---------------------------------------------------------------------------
+Q11_MEAN_PERMILLE = 1300  # keep parts with > 1.3x the mean revenue
+Q11_TOPK = 25
+
+
+def important_parts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    mean_permille: int = Q11_MEAN_PERMILLE,
+    k: int = Q11_TOPK,
+) -> DataFrame:
+    """(p_partkey, p_name, revenue, rank) — TPC-H Q11 shape: the top
+    ``k`` parts among those whose discounted revenue exceeds
+    ``mean_permille``/1000 of the MEAN per-part revenue. Exact:
+    per-part and total revenue are DECIMAL(18,4)/DECIMAL(38,4) sums;
+    membership compares integer-scaled decimals (rev · n_parts · 1000
+    > total · permille) — no float division decides it.
+
+    Scale: ONE shuffle on l_partkey for the per-part agg; the 1-row
+    (total, n_parts) agg broadcasts into the filter; the part dim
+    joins broadcast; top-k is TakeOrdered."""
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(disc).cast("decimal(38,4)").alias("rev")
+    )
+    tot = per_part.agg(
+        F.sum("rev").cast("decimal(38,4)").alias("tot"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    kept = per_part.crossJoin(F.broadcast(tot)).filter(
+        F.col("rev") * F.col("n_parts") * 1000
+        > F.col("tot") * int(mean_permille)
+    )
+    named = kept.join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        kept.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_partkey", "p_name", F.col("rev").cast("double").alias("revenue")
+    )
+    top = named.orderBy(F.col("revenue").desc(), "p_partkey").limit(k)
+    w = F.row_number().over(
+        Window.orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    )
+    return top.withColumn("rank", w.cast("int"))
+
+
+def important_parts_sql(
+    mean_permille: int = Q11_MEAN_PERMILLE, k: int = Q11_TOPK
+) -> str:
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+  FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(rev) AS DECIMAL(38,4)) AS tot,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM per_part)
+SELECT p_partkey, p_name, revenue, rank FROM (
+  SELECT p.p_partkey, p.p_name, CAST(pp.rev AS DOUBLE) AS revenue,
+         CAST(row_number() OVER (ORDER BY CAST(pp.rev AS DOUBLE) DESC,
+                                 p.p_partkey) AS INT) AS rank
+  FROM per_part pp CROSS JOIN tot
+  JOIN part p ON p.p_partkey = pp.l_partkey
+  WHERE pp.rev * tot.n_parts * 1000 > tot.tot * {int(mean_permille)})
+WHERE rank <= {int(k)}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier variety per part segment. No partsupp:
+# the (brand, type, size) → distinct-supplier count comes from the
+# lineitem↔part join; "complaint" suppliers (Q16's NOT IN subquery)
+# are proxied by negative account balance.
+# ---------------------------------------------------------------------------
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 23)
+Q16_TOPK = 20
+
+
+def part_supplier_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = Q16_EXCL_BRAND,
+    sizes: tuple = Q16_SIZES,
+    k: int = Q16_TOPK,
+) -> DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt, rank) — TPC-H Q16:
+    how many distinct suppliers actually ship each (brand, type,
+    size) segment, excluding one brand and the complaint suppliers
+    (s_acctbal < 0 — the reduced schema's stand-in for Q16's
+    complaint-comment subquery). Top ``k`` by count desc, then
+    brand/type/size.
+
+    Scale: part's brand/size filters push to its scan and the
+    SHRUNKEN dim broadcasts into lineitem (the join prunes lineitem
+    to the segment subset map-side); the complaint exclusion is a
+    broadcast anti-join (tiny by construction); distinct-supplier
+    counting shuffles once on the (brand, type, size, suppkey)
+    partial-distinct key."""
+    p = part.where(
+        (F.col("p_brand") != excl_brand)
+        & F.col("p_size").isin(*[int(s) for s in sizes])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = supplier.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    li = lineitem.select("l_partkey", "l_suppkey").join(
+        F.broadcast(complainers), "l_suppkey", "left_anti"
+    )
+    seg = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+    counts = seg.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+    top = counts.orderBy(
+        F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+    ).limit(k)
+    w = F.row_number().over(
+        Window.orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+    return top.withColumn("rank", w.cast("int"))
+
+
+def part_supplier_variety_sql(
+    excl_brand: str = Q16_EXCL_BRAND,
+    sizes: tuple = Q16_SIZES,
+    k: int = Q16_TOPK,
+) -> str:
+    in_list = ", ".join(str(int(s)) for s in sizes)
+    return f"""
+WITH counts AS (
+  SELECT p.p_brand, p.p_type, p.p_size,
+         CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand != '{excl_brand}'
+    AND p.p_size IN ({in_list})
+    AND l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY 1, 2, 3)
+SELECT p_brand, p_type, p_size, supplier_cnt, rank FROM (
+  SELECT p_brand, p_type, p_size, supplier_cnt,
+         CAST(row_number() OVER (ORDER BY supplier_cnt DESC, p_brand,
+                                 p_type, p_size) AS INT) AS rank
+  FROM counts)
+WHERE rank <= {int(k)}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — suppliers shipping excess volume of a part class.
+# No partsupp availqty, so "excess" is a share-of-class threshold:
+# suppliers who shipped more than SHARE_PPM of the class's total
+# quantity in the year — the same filtered-class → per-supplier-agg →
+# threshold-against-global machinery.
+# ---------------------------------------------------------------------------
+Q20_NAME_PREFIX = "red"
+Q20_YEAR_START = "1997-01-01"
+Q20_YEAR_END = "1998-01-01"
+Q20_SHARE_PPM = 12_000  # > 1.2% of the class volume
+
+
+def excess_class_shippers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_prefix: str = Q20_NAME_PREFIX,
+    start: str = Q20_YEAR_START,
+    end: str = Q20_YEAR_END,
+    share_ppm: int = Q20_SHARE_PPM,
+) -> DataFrame:
+    """(s_name, qty, share_ppm) — TPC-H Q20 shape: suppliers whose
+    shipped quantity of '``name_prefix``…' parts inside the year
+    window exceeds ``share_ppm``/1e6 of the class total. Quantities
+    sum as DECIMAL(18,2) (integral doubles in the data); membership
+    compares integer-scaled decimals; the reported share is floored
+    integer ppm.
+
+    Scale: the name-prefix filter shrinks part to the class and
+    broadcasts; the shipdate window pushes to the lineitem scan; one
+    shuffle on l_suppkey aggregates; the 1-row class total broadcasts
+    into the threshold filter; supplier names broadcast-join at the
+    end."""
+    p = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    cls = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+    per_supp = cls.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("qty")
+    )
+    tot = per_supp.agg(F.sum("qty").cast("decimal(38,2)").alias("tot"))
+    kept = per_supp.crossJoin(F.broadcast(tot)).filter(
+        F.col("qty") * 1_000_000 > F.col("tot") * int(share_ppm)
+    )
+    share = F.floor(
+        F.col("qty").cast("double") * 1e6 / F.col("tot").cast("double")
+    ).cast("long")
+    return (
+        kept.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            kept.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "s_name",
+            F.col("qty").cast("double").alias("qty"),
+            share.alias("share_ppm"),
+        )
+        .orderBy(F.col("qty").desc(), "s_name")
+    )
+
+
+def excess_class_shippers_sql(
+    name_prefix: str = Q20_NAME_PREFIX,
+    start: str = Q20_YEAR_START,
+    end: str = Q20_YEAR_END,
+    share_ppm: int = Q20_SHARE_PPM,
+) -> str:
+    return f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{name_prefix}%'
+    AND l_shipdate >= TIMESTAMP '{start}'
+    AND l_shipdate < TIMESTAMP '{end}'
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(qty) AS DECIMAL(38,2)) AS tot FROM per_supp)
+SELECT s.s_name, CAST(ps.qty AS DOUBLE) AS qty,
+       CAST(floor(CAST(ps.qty AS DOUBLE) * 1e6 / CAST(tot.tot AS DOUBLE))
+            AS BIGINT) AS share_ppm
+FROM per_supp ps CROSS JOIN tot
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE ps.qty * 1000000 > tot.tot * {int(share_ppm)}
+ORDER BY qty DESC, s.s_name
+""".strip()

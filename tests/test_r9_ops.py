@@ -235,3 +235,103 @@ def test_late_sole_blockers_exclusion_shape(spark):
     )
     rows = late_sole_blockers(supplier, orders, li).collect()
     assert [(r.s_name, r.numwait, r.rank) for r in rows] == [("S1", 1, 1)]
+
+
+@pytest.mark.spark
+def test_important_parts_mean_threshold(spark):
+    """Membership is rev > permille/1000 x mean: 3 parts with revenue
+    100/100/400 -> mean 200, threshold 1.3x = 260 -> only the 400."""
+    from lasdb_spark.operators.relational import important_parts
+
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 100.0, 0.0), (3, 400.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "p_partkey long, p_name string"
+    )
+    rows = important_parts(li, part).collect()
+    assert [(r.p_partkey, r.revenue, r.rank) for r in rows] == [(3, 400.0, 1)]
+
+
+@pytest.mark.spark
+def test_part_supplier_variety_exclusions(spark):
+    """Complaint suppliers and the excluded brand don't count toward
+    the distinct-supplier tally."""
+    from lasdb_spark.operators.relational import part_supplier_variety
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)],
+        "l_partkey long, l_suppkey long",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#2", "SMALL", 4), (2, "Brand#1", "SMALL", 4)],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(10, 5.0), (11, -1.0), (12, 9.0)],
+        "s_suppkey long, s_acctbal double",
+    )
+    rows = part_supplier_variety(li, part, supplier).collect()
+    # part 2 is the excluded brand; supplier 11 is a complainer
+    assert [(r.p_brand, r.p_size, r.supplier_cnt) for r in rows] == [
+        ("Brand#2", 4, 2)
+    ]
+
+
+@pytest.mark.spark
+def test_excess_class_shippers_threshold(spark):
+    """Only suppliers above the ppm share of the class total pass;
+    out-of-class parts and out-of-window lines don't contribute."""
+    from lasdb_spark.operators.relational import excess_class_shippers
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 98.0, "1997-05-01"),   # in class+window
+            (1, 11, 1.0, "1997-05-01"),    # tiny share
+            (1, 10, 50.0, "1998-05-01"),   # out of window
+            (2, 11, 500.0, "1997-05-01"),  # out of class
+            (1, 12, 1.0, "1997-06-01"),    # tiny share
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, d string",
+    ).selectExpr(
+        "l_partkey", "l_suppkey", "l_quantity",
+        "CAST(d AS TIMESTAMP) AS l_shipdate",
+    )
+    part = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt")],
+        "p_partkey long, p_name string",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10"), (11, "S11"), (12, "S12")],
+        "s_suppkey long, s_name string",
+    )
+    rows = excess_class_shippers(li, part, supplier).collect()
+    assert [(r.s_name, r.qty, r.share_ppm) for r in rows] == [
+        ("S10", 98.0, 980000)
+    ]
+
+
+@pytest.mark.spark
+def test_contrastive_triplets_negative_screen(spark, sf_dir):
+    """Every triplet's negative is a real doc distinct from both pair
+    members and never a near-dup of the anchor."""
+    from lasdb_spark.operators.dedup import (
+        contrastive_triplets,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trips = contrastive_triplets(docs).collect()
+    assert trips, "expected at least one triplet on the test corpus"
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    }
+    nd = pairs | {(b, a) for a, b in pairs}
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    for t in trips:
+        assert (t.anchor, t.positive) in pairs
+        assert t.negative in ids
+        assert t.negative not in (t.anchor, t.positive)
+        assert (t.anchor, t.negative) not in nd
