@@ -1286,6 +1286,37 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_corpus_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (r9): deterministic
+    exponential-race keys (Efraimidis–Spirakis) from the salted md5 —
+    one map pass + TakeOrdered, no corpus shuffle."""
+    from lasdb_spark.operators.text import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir))
+
+
+def _q_dedup_clusters_inc(spark, sf_dir):
+    """Incremental near-dup clustering (r9): yesterday's clusters
+    (even doc_ids) + the increment (odd) ingested via the persisted
+    index probe + increment-only banding — NEVER re-hashing the old
+    corpus. The oracle is the FULL-corpus recompute twin, so the
+    driver row IS the incremental == recompute proof."""
+    from lasdb_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+    from lasdb_spark.operators.dedup_index import build_dedup_index
+
+    docs = _docs(spark, sf_dir)
+    path = ann_index_path(sf_dir) + "_dedupidx"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_dedup_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    old = dedup_clusters(docs.where(F.col("doc_id") % 2 == 0))
+    return dedup_clusters_incremental(
+        docs.where(F.col("doc_id") % 2 == 1), spark, path, old
+    )
+
+
 def _q_corpus_triplets(spark, sf_dir):
     """Contrastive triplet mining (r9): verified near-dup pairs as
     (anchor, positive), deterministic hash-bucket negatives screened
@@ -2543,6 +2574,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_part_variety": _rel.part_supplier_variety_sql(),
         "rel_excess_shippers": _rel.excess_class_shippers_sql(),
         "corpus_triplets": _dedup.contrastive_triplets_sql(),
+        "corpus_weighted_sample": _text.weighted_sample_sql(),
+        # incremental == full recompute: the oracle IS the recompute
+        "dedup_clusters_inc": _dedup.dedup_clusters_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2919,6 +2953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_part_variety": _q_rel_part_variety,
         "rel_excess_shippers": _q_rel_excess_shippers,
         "corpus_triplets": _q_corpus_triplets,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "dedup_clusters_inc": _q_dedup_clusters_inc,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

@@ -645,6 +645,14 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "corpus_triplets": lambda: _eq["corpus_triplets"](
                 spark, sf_dir
             ),
+            # r9: exponential-race weighted sample (map + TakeOrdered)
+            "corpus_weighted_sample": lambda: _eq[
+                "corpus_weighted_sample"
+            ](spark, sf_dir),
+            # r9: incremental clustering == recompute proof
+            "dedup_clusters_inc": lambda: _eq["dedup_clusters_inc"](
+                spark, sf_dir
+            ),
         }
     )
     for name, fn in suite.items():

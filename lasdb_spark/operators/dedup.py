@@ -1990,3 +1990,65 @@ admissible AS (
 SELECT anchor, positive, min(doc_id) AS negative
 FROM admissible GROUP BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup clustering — the production ingestion loop:
+# yesterday's cluster assignment + today's increment, WITHOUT
+# re-hashing the historical corpus. Old connectivity is carried by
+# star edges (member → cluster root); new↔old edges come from the
+# persisted MinHash index probe (stored buckets + shingles — no old
+# text touched); new↔new edges from the banded pipeline on the
+# increment alone. Bucket keys are per-doc pure, so the union's
+# closure equals the full-corpus run's closure — incremental ==
+# recompute, which is exactly what the driver oracle checks.
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters_incremental(
+    docs_new: DataFrame,
+    spark,
+    index_path: str,
+    old_clusters: DataFrame,
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """(doc_id, cluster_id) over old ∪ new docs — near-dup clusters
+    after ingesting ``docs_new`` against a corpus known only through
+    ``old_clusters`` (a prior :func:`dedup_clusters` output) and the
+    persisted index at ``index_path``. cluster_id = min reachable
+    doc_id, exactly as the full recompute labels it.
+
+    Why it equals the recompute: banding is per-doc pure, so the
+    full run's old-old pairs are reproduced (in closure) by the star
+    edges, its old-new pairs by the index probe (same band keys, same
+    exact-Jaccard verify, same τ), its new-new pairs by the increment
+    pipeline — the three unions have the same connected components,
+    hence the same min labels.
+
+    Scale: touches O(|old clusters| + |increment| + probe candidates)
+    rows — never the historical corpus text; the CC rounds run on the
+    edge-induced subgraph only (singletons re-enter via one
+    anti-join), the :func:`dedup_clusters` contract."""
+    from .dedup_index import probe_dedup_index
+
+    cross = probe_dedup_index(docs_new, spark, index_path, tau).select(
+        F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+    )
+    new_new = minhash_lsh_pairs(docs_new, tau, candidates="all").select(
+        "doc_a", "doc_b"
+    )
+    star = old_clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    edges = cross.unionByName(new_new).unionByName(star)
+    final = connected_components(edges)
+    all_ids = old_clusters.select("doc_id").unionByName(
+        docs_new.select("doc_id")
+    )
+    singletons = (
+        all_ids.join(final.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return final.unionByName(singletons)

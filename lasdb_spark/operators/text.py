@@ -3066,3 +3066,66 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          AS avg_nll
 FROM per_doc
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement — exponential-race keys
+# (Efraimidis & Spirakis, IPL 2006: "Weighted random sampling with a
+# reservoir"): each item draws u ~ U(0,1] and keys ln(u)/w; the top-k
+# keys ARE a weighted sample without replacement. One map pass + a
+# TakeOrdered — the canonical distributed weighted sampler (no global
+# sort, no sequential reservoir), here made deterministic by drawing
+# u from the salted md5 hash.
+# ---------------------------------------------------------------------------
+WS_K = 25
+_WS_DENOM = float(1 << 60)
+
+
+def weighted_sample(docs: DataFrame, k: int = WS_K) -> DataFrame:
+    """(doc_id, weight, key, rank) — a deterministic weighted sample
+    without replacement of ``k`` documents, weight = n_chars (longer
+    docs proportionally likelier — the token-mass-faithful sampling a
+    mixing pipeline wants): u = (h + 1)/2^60 from the salted 60-bit
+    md5 (never 0), key = ln(u)/w, top-k by key desc. Same corpus ⇒
+    same sample across engines/runs/partitionings (the corpus_split
+    reproducibility argument applied to sampling).
+
+    Scale: map-side hash + one ln per row, TakeOrdered top-k — no
+    shuffle of the corpus at all."""
+    from ..functions.hashing import md5_int60_col
+    from pyspark.sql.window import Window
+
+    h = md5_int60_col(
+        F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+    )
+    u = (h.cast("double") + 1.0) / F.lit(_WS_DENOM)
+    w = F.col("n_chars").cast("double")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(F.log(u) / w, 9).alias("key"),
+    )
+    top = keyed.orderBy(F.col("key").desc(), "doc_id").limit(int(k))
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+    )
+    return top.withColumn("rank", rnk.cast("int"))
+
+
+def weighted_sample_sql(k: int = WS_K, src: str = "documents") -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("'ws:' || CAST(doc_id AS VARCHAR)")
+    u = f"((CAST({h} AS DOUBLE) + 1.0) / {_WS_DENOM!r})"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         round(ln({u}) / CAST(n_chars AS DOUBLE), 9) AS key
+  FROM {src})
+SELECT doc_id, weight, key, rank FROM (
+  SELECT doc_id, weight, key,
+         CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+           AS rank
+  FROM keyed)
+WHERE rank <= {int(k)}
+""".strip()

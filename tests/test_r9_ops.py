@@ -335,3 +335,45 @@ def test_contrastive_triplets_negative_screen(spark, sf_dir):
         assert t.negative in ids
         assert t.negative not in (t.anchor, t.positive)
         assert (t.anchor, t.negative) not in nd
+
+
+@pytest.mark.spark
+def test_weighted_sample_is_weight_monotone(spark):
+    """With equal hash salt streams, the sample favors heavy docs:
+    a doc with overwhelming weight is always selected, and the keys
+    are valid (ln(u)/w < 0) with ranks dense from 1."""
+    from lasdb_spark.operators.text import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x", 10 if i else 10_000_000) for i in range(100)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = weighted_sample(docs, k=5).orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r.key < 0 for r in rows)
+    assert rows[0].doc_id == 0 and rows[0].weight == 10_000_000
+
+
+@pytest.mark.spark
+def test_incremental_clusters_equal_recompute(spark, sf_dir, tmp_path):
+    """Star edges + index probe + increment banding give exactly the
+    full recompute's labels (the production ingestion loop contract)."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+    from lasdb_spark.operators.dedup_index import build_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+    old = dedup_clusters(docs.where(F.col("doc_id") % 2 == 0))
+    inc = dedup_clusters_incremental(
+        docs.where(F.col("doc_id") % 2 == 1), spark, idx, old
+    )
+    full = dedup_clusters(docs)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
