@@ -1286,6 +1286,15 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_rel_communities(spark, sf_dir):
+    """Label-propagation communities (r9): deterministic synchronous
+    max-weight-label updates on the repeat-co-purchase graph, fixed
+    round budget, oracle replays the identical rounds unrolled."""
+    from lasdb_spark.operators.graph import copurchase_communities
+
+    return copurchase_communities(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_corpus_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (r9): deterministic
     exponential-race keys (Efraimidis–Spirakis) from the salted md5 —
@@ -2577,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_weighted_sample": _text.weighted_sample_sql(),
         # incremental == full recompute: the oracle IS the recompute
         "dedup_clusters_inc": _dedup.dedup_clusters_sql(),
+        "rel_communities": _graph.copurchase_communities_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2955,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_triplets": _q_corpus_triplets,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "dedup_clusters_inc": _q_dedup_clusters_inc,
+        "rel_communities": _q_rel_communities,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

@@ -435,3 +435,122 @@ JOIN alive{rounds} au ON e.u = au.node
 JOIN alive{rounds} av ON e.v = av.node
 GROUP BY 1""")
     return "".join(parts).strip()
+
+
+# ---------------------------------------------------------------------------
+# community detection — synchronous label propagation (Raghavan et al.
+# 2007) on the repeat-co-purchase graph, made DETERMINISTIC: every
+# round each node adopts the label with the max total edge weight
+# among its neighbors, ties to the smaller label; a fixed round budget
+# replaces the usual convergence loop (the kcore/pagerank contract in
+# this module — the oracle replays the identical rounds, so the
+# comparison is exact regardless of convergence).
+# ---------------------------------------------------------------------------
+LP_ROUNDS = 4
+LP_MIN_WEIGHT = 2
+LP_MIN_SIZE = 2
+
+
+def copurchase_communities(
+    lineitem: DataFrame,
+    min_weight: int = LP_MIN_WEIGHT,
+    rounds: int = LP_ROUNDS,
+    min_size: int = LP_MIN_SIZE,
+) -> DataFrame:
+    """(community, n_members) — label-propagation communities of the
+    repeat-co-purchase graph (edges = part pairs bought together in
+    ≥ ``min_weight`` distinct orders), communities of ≥ ``min_size``
+    members after ``rounds`` synchronous updates; community id = the
+    propagated label (a member part id).
+
+    Scale: the same order-bounded edge build + multiplicity cut as
+    :func:`copurchase_kcore`; each round is ONE shuffle pair (edge ×
+    label hash join, (node, label) partial-agg weight sum) + a
+    node-partitioned window argmax — O(|E|) per round, R rounds, no
+    driver loop state beyond the fixed count. Labels localCheckpoint
+    per round (O(|V|), referenced twice next round — the pagerank
+    lineage lesson)."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_weight)
+    )
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).cache()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w_arg = Window.partitionBy("u").orderBy(
+        F.col("s").desc(), F.col("label")
+    )
+    for _ in range(int(rounds)):
+        nb = edges.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        )
+        scores = nb.groupBy("u", "label").agg(F.sum("w").alias("s"))
+        labels = (
+            scores.withColumn("rn", F.row_number().over(w_arg))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") >= int(min_size))
+        .orderBy("community")
+    )
+
+
+def copurchase_communities_sql(
+    min_weight: int = LP_MIN_WEIGHT,
+    rounds: int = LP_ROUNDS,
+    min_size: int = LP_MIN_SIZE,
+) -> str:
+    """Oracle twin: the identical rounds unrolled (the pagerank/kcore
+    unrolling contract)."""
+    ctes = [
+        f"""half AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_weight)})""",
+        """edges AS MATERIALIZED (
+  SELECT u, v, w FROM half UNION ALL SELECT v, u, w FROM half)""",
+        """l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)""",
+    ]
+    for r in range(1, int(rounds) + 1):
+        ctes.append(
+            f"""s{r} AS (
+  SELECT e.u, l.label, sum(e.w) AS s
+  FROM edges e JOIN l{r - 1} l ON l.node = e.v GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY s DESC, label)
+             AS rn
+    FROM s{r}) WHERE rn = 1)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l{int(rounds)} GROUP BY 1 HAVING count(*) >= {int(min_size)}
+""".strip()

@@ -377,3 +377,26 @@ def test_incremental_clusters_equal_recompute(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+@pytest.mark.spark
+def test_label_propagation_finds_planted_communities(spark):
+    """Two disjoint repeat-co-purchase cliques converge to two
+    communities labeled by their smallest member."""
+    from lasdb_spark.operators.graph import copurchase_communities
+
+    rows = []
+    # clique A: parts 1-3 bought together in orders 1..3 (weight 3)
+    for o in (1, 2, 3):
+        for p in (1, 2, 3):
+            rows.append((o, p))
+    # clique B: parts 10-12 in orders 11..13
+    for o in (11, 12, 13):
+        for p in (10, 11, 12):
+            rows.append((o, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        r.community: r.n_members
+        for r in copurchase_communities(li).collect()
+    }
+    assert got == {1: 3, 10: 3}
