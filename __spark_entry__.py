@@ -1286,6 +1286,13 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_rel_markov(spark, sf_dir):
+    """Session Markov transition matrix (r9): within-session
+    first-order event-type transitions, exact counts + floored-ppm
+    conditional probabilities."""
+    return _rel.session_transitions(_ev(spark, sf_dir))
+
+
 def _q_rel_communities(spark, sf_dir):
     """Label-propagation communities (r9): deterministic synchronous
     max-weight-label updates on the repeat-co-purchase graph, fixed
@@ -2587,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental == full recompute: the oracle IS the recompute
         "dedup_clusters_inc": _dedup.dedup_clusters_sql(),
         "rel_communities": _graph.copurchase_communities_sql(),
+        "rel_markov": _rel.session_transitions_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2966,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "dedup_clusters_inc": _q_dedup_clusters_inc,
         "rel_communities": _q_rel_communities,
+        "rel_markov": _q_rel_markov,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

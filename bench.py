@@ -657,6 +657,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "rel_communities": lambda: _eq["rel_communities"](
                 spark, sf_dir
             ),
+            # r9: within-session Markov transition matrix
+            "rel_markov": lambda: _eq["rel_markov"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

@@ -4368,3 +4368,102 @@ JOIN supplier s ON s.s_suppkey = ps.l_suppkey
 WHERE ps.qty * 1000000 > tot.tot * {int(share_ppm)}
 ORDER BY qty DESC, s.s_name
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# first-order Markov transition matrix of event types inside sessions
+# — the generative summary behind path mining: path mining ranks
+# frequent fixed-depth sequences, the transition matrix gives the
+# full conditional next-step distribution (input to next-event
+# prediction baselines and to session-anomaly scoring).
+# ---------------------------------------------------------------------------
+
+
+def session_transitions(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """(prev_type, next_type, n, p_ppm) — within-session event-type
+    transition counts and floored-ppm conditional probabilities
+    (Σ_next p_ppm ≤ 1e6 per prev_type). Transitions never cross a
+    session boundary.
+
+    Shape: the standard one user_id shuffle + session numbering, a
+    map-side lead() pair, ONE (prev, next) partial-agg count — the
+    |types|² result then joins its |types|-row prev totals broadcast;
+    p_ppm is exact integer floor math."""
+    gap_ms = gap_min * 60 * 1000
+    projected = events.select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        "event_id",
+    )
+    ms = F.col("ms")
+    w = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    new_sess = F.when(ms - F.lag(ms).over(w) > gap_ms, 1).otherwise(0)
+    with_sess = projected.withColumn(
+        "session_id", F.sum(new_sess).over(w).cast("int")
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy(
+        "ms", "event_id"
+    )
+    pairs = with_sess.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type", 1).over(sw).alias("next_type"),
+        (
+            F.lead("session_id", 1).over(sw) == F.col("session_id")
+        ).alias("ok"),
+    ).where(F.col("ok"))
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.floor(F.col("n") * 1_000_000 / F.col("tot"))
+            .cast("long")
+            .alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def session_transitions_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    from lasdb_spark.sources.events import EV_CTE
+
+    gap_ms = gap_min * 60 * 1000
+    return f"""
+{EV_CTE},
+g AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+         (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > {gap_ms}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+with_sess AS (
+  SELECT user_id, event_id, event_type, ms,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM g),
+pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type, 1) OVER sw AS next_type,
+         lead(session_id, 1) OVER sw = session_id AS ok
+  FROM with_sess
+  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ms, event_id)),
+counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE ok GROUP BY 1, 2),
+totals AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM counts
+  GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(floor(c.n * 1000000 / t.tot) AS BIGINT) AS p_ppm
+FROM counts c JOIN totals t USING (prev_type)
+""".strip()

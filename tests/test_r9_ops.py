@@ -400,3 +400,35 @@ def test_label_propagation_finds_planted_communities(spark):
         for r in copurchase_communities(li).collect()
     }
     assert got == {1: 3, 10: 3}
+
+
+@pytest.mark.spark
+def test_session_transitions_respect_boundaries(spark):
+    """Transitions never cross the 30-minute session gap, and ppm
+    probabilities are the floored per-prev conditional shares."""
+    from lasdb_spark.operators.relational import session_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a", "2024-01-01 10:00:00"),
+            (2, 1, "b", "2024-01-01 10:05:00"),
+            (3, 1, "a", "2024-01-01 10:10:00"),
+            # > 30 min gap: new session, no b->? or a->? across it
+            (4, 1, "c", "2024-01-01 12:00:00"),
+            (5, 1, "a", "2024-01-01 12:01:00"),
+        ],
+        "event_id long, user_id long, event_type string, d string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "CAST(d AS TIMESTAMP) AS ts"
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p_ppm)
+        for r in session_transitions(ev).collect()
+    }
+    # the 10:10 "a" ends session 1 (its next event is 110 min away),
+    # so there is NO a->c edge; every observed prev has one successor
+    assert got == {
+        ("a", "b"): (1, 1000000),
+        ("b", "a"): (1, 1000000),
+        ("c", "a"): (1, 1000000),
+    }
