@@ -1286,6 +1286,14 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_rel_rules(spark, sf_dir):
+    """Association rules (r9): support/confidence/lift over distinct
+    co-purchase orders, floored-ppm exact, top-k by confidence."""
+    from lasdb_spark.operators.graph import copurchase_rules
+
+    return copurchase_rules(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_rel_markov(spark, sf_dir):
     """Session Markov transition matrix (r9): within-session
     first-order event-type transitions, exact counts + floored-ppm
@@ -2595,6 +2603,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_inc": _dedup.dedup_clusters_sql(),
         "rel_communities": _graph.copurchase_communities_sql(),
         "rel_markov": _rel.session_transitions_sql(),
+        "rel_rules": _graph.copurchase_rules_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2975,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_inc": _q_dedup_clusters_inc,
         "rel_communities": _q_rel_communities,
         "rel_markov": _q_rel_markov,
+        "rel_rules": _q_rel_rules,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

@@ -659,6 +659,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             ),
             # r9: within-session Markov transition matrix
             "rel_markov": lambda: _eq["rel_markov"](spark, sf_dir),
+            # r9: association rules (support/confidence/lift)
+            "rel_rules": lambda: _eq["rel_rules"](spark, sf_dir),
         }
     )
     for name, fn in suite.items():

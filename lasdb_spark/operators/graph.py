@@ -554,3 +554,144 @@ WITH {body}
 SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
 FROM l{int(rounds)} GROUP BY 1 HAVING count(*) >= {int(min_size)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# association rules — support / confidence / lift over co-purchase
+# pairs (Agrawal-Srikant market-basket mining, depth 2): the ranked
+# "customers who bought u also bought v" table with the statistical
+# guardrails (lift > 1) that raw co-occurrence counts lack.
+# ---------------------------------------------------------------------------
+RULES_MIN_PAIRS = 2
+RULES_TOPK = 25
+
+
+def copurchase_rules(
+    lineitem: DataFrame,
+    min_pairs: int = RULES_MIN_PAIRS,
+    k: int = RULES_TOPK,
+) -> DataFrame:
+    """(antecedent, consequent, n_pair, support_ppm, confidence_ppm,
+    lift, rank) — directed association rules u→v over distinct
+    orders: support = P(u ∧ v), confidence = P(v | u), lift =
+    P(u ∧ v) / (P(u)·P(v)); pairs below ``min_pairs`` co-occurrences
+    are cut; top ``k`` by confidence, then support, then (u, v).
+    support/confidence are floored integer ppm (exact); lift is one
+    double expression over exact integers, round 6.
+
+    Scale: the order-bounded pair self-join + multiplicity groupBy
+    (the kcore edge build); per-part order counts are one groupBy of
+    the distinct fact projection, broadcast into the |pairs|-row rule
+    table with the 1-row order total; top-k is TakeOrdered."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_pairs))
+    )
+    pairs = half.unionAll(
+        half.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "n_pair"
+        )
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_u")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    scored = (
+        pairs.join(F.broadcast(per_part), "u")
+        .join(
+            F.broadcast(
+                per_part.select(
+                    F.col("u").alias("v"), F.col("n_u").alias("n_v")
+                )
+            ),
+            "v",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("u").alias("antecedent"),
+            F.col("v").alias("consequent"),
+            "n_pair",
+            F.floor(F.col("n_pair") * 1_000_000 / F.col("n_orders"))
+            .cast("long")
+            .alias("support_ppm"),
+            F.floor(F.col("n_pair") * 1_000_000 / F.col("n_u"))
+            .cast("long")
+            .alias("confidence_ppm"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_u").cast("double") * F.col("n_v").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("confidence_ppm").desc(),
+        F.col("support_ppm").desc(),
+        "antecedent",
+        "consequent",
+    ).limit(int(k))
+    w = Window.orderBy(
+        F.col("confidence_ppm").desc(),
+        F.col("support_ppm").desc(),
+        F.col("antecedent"),
+        F.col("consequent"),
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def copurchase_rules_sql(
+    min_pairs: int = RULES_MIN_PAIRS, k: int = RULES_TOPK
+) -> str:
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_pairs)}),
+pairs AS (
+  SELECT u, v, n_pair FROM half
+  UNION ALL SELECT v, u, n_pair FROM half),
+per_part AS (
+  SELECT l_partkey AS u, CAST(count(*) AS BIGINT) AS n_u FROM li
+  GROUP BY 1),
+n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM li),
+scored AS (
+  SELECT p.u AS antecedent, p.v AS consequent, p.n_pair,
+         CAST(floor(p.n_pair * 1000000 / o.n_orders) AS BIGINT)
+           AS support_ppm,
+         CAST(floor(p.n_pair * 1000000 / pu.n_u) AS BIGINT)
+           AS confidence_ppm,
+         round(CAST(p.n_pair AS DOUBLE) * CAST(o.n_orders AS DOUBLE)
+               / (CAST(pu.n_u AS DOUBLE) * CAST(pv.n_u AS DOUBLE)), 6)
+           AS lift
+  FROM pairs p
+  JOIN per_part pu ON pu.u = p.u
+  JOIN per_part pv ON pv.u = p.v
+  CROSS JOIN n_orders o)
+SELECT antecedent, consequent, n_pair, support_ppm, confidence_ppm,
+       lift, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY confidence_ppm DESC,
+            support_ppm DESC, antecedent, consequent) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {int(k)}
+""".strip()

@@ -56,6 +56,15 @@ BOUNDED_GLOBAL_WINDOW = {
     # r7: rank attachment over the top_k rows left by TakeOrdered
     # (key_skew_report: .orderBy().limit(k) happens FIRST)
     "rel_key_skew",
+    # r9: all five are the same house idiom — rank attachment AFTER
+    # .orderBy().limit(k) (TakeOrderedAndProject reduces to k rows
+    # before the window sees anything)
+    "doc_search_hybrid",   # fusion of two k_cand-row arms, then top-k
+    "rel_late_suppliers",  # rank over the Q21 top-20
+    "rel_important_parts",  # rank over the Q11 top-25
+    "rel_part_variety",    # rank over the Q16 top-20
+    "corpus_weighted_sample",  # rank over the k sampled rows
+    "rel_rules",  # rank over the top-25 rules left by TakeOrdered
 }
 
 #: Python-eval exemptions: multimodal decode — mm_features/mm_resize/

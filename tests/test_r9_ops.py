@@ -432,3 +432,28 @@ def test_session_transitions_respect_boundaries(spark):
         ("b", "a"): (1, 1000000),
         ("c", "a"): (1, 1000000),
     }
+
+
+@pytest.mark.spark
+def test_copurchase_rules_math(spark):
+    """Three orders: {1,2} twice, {1,3} once -> rule 1->2 has
+    support 2/3, confidence 2/3, lift (2*3)/(3*2)=1; pair (1,3)
+    falls below min_pairs and is cut."""
+    from lasdb_spark.operators.graph import copurchase_rules
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in copurchase_rules(li).collect()
+    }
+    assert set(got) == {(1, 2), (2, 1)}
+    r12 = got[(1, 2)]
+    assert r12.n_pair == 2
+    assert r12.support_ppm == 666666       # floor(2e6/3)
+    assert r12.confidence_ppm == 666666    # floor(2e6/3): part 1 in 3 orders
+    assert r12.lift == 1.0                 # 2*3/(3*2)
+    r21 = got[(2, 1)]
+    assert r21.confidence_ppm == 1000000   # part 2 in 2 orders, both with 1
