@@ -2941,32 +2941,31 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """224 entries, ordered so every query gets a driver CORRECTNESS
+    """241 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-9 rotation (executing the r8 docstring
-    promise verbatim): the 22-entry r4-block remainder leads — the
-    stalest standing driver rows in the repo (pc_registration,
-    corpus_cluster_sample, sketch_kmv, sketch_cm_tokens,
-    corpus_domain_cap, corpus_temp_mix, text_oov, ann_sq8_topk,
-    rel_cube, rel_concurrency, sketch_bloom, rel_gapfill, mm_png,
-    sketch_kmv_setops, rel_deciles, doc_containment, pc_grid_p95,
-    text_lang_confusion, dedup_size_histogram, mm_meta_audit,
-    rel_conversion, text_novelty — all last rowed in r4), then the
-    r3-green family representatives (pc_bbox, pc_knn, pc_flat_points,
-    pc_block_pack and six siblings — the core spatial surface the r8
-    VERDICT flagged as the external-signal gap), then the r5-checked
-    spatial family (pc_bbox_maxz/minz/empty, the polygon trio,
-    pc_decode_roundtrip, text_fingerprint — stale since r5), then the
-    r5-checked blocks (rel_cdc_merge onward — the window cuts partway
-    through them). New r9 entries are inserted at the HEAD of the dict
-    as they land (results-changed-first house rule: first driver rows
-    outrank re-rows). Everything past the window keeps its standing
-    green row from a prior round AND is re-proven value-exact and
-    type-faithful every test run by the all-entries oracle mirror
-    (tests/test_entry_oracle.py). Next round (r10): lead with whatever
-    the r9 window displaces from its tail (the r5-checked blocks'
-    remainder and the r5 former-r2 block: text_tokens onward), then
-    the r4-rowed block, leaving the r6/r7/r8-checked rows last."""
+    in dict order. Round-9 rotation: seventeen NEW r9 entries lead
+    (results-changed-first house rule: first driver rows outrank
+    re-rows — doc_search_hybrid, emb_mmr, emb_drift_psi,
+    corpus_split_safe, stream_dedup_probe, rel_ship_lag,
+    rel_late_suppliers, rel_important_parts, rel_part_variety,
+    rel_excess_shippers, corpus_triplets, corpus_weighted_sample,
+    dedup_clusters_inc, rel_communities, rel_markov, rel_rules +
+    the early-r9 trio ann_knn_join_ivf/ann_knn_join_recall/
+    quality_calibration_stored), then the 22-entry r4-block remainder
+    — the stalest standing driver rows in the repo (pc_registration
+    … text_novelty, all last rowed in r4; the committed r8 rotation
+    promise), which together fill the ~50-row window; the first
+    r3-green family representatives sit at the cut line. Everything
+    past the window keeps its standing green row from a prior round
+    AND is re-proven value-exact and type-faithful every test run by
+    the all-entries oracle mirror (tests/test_entry_oracle.py). Next
+    round (r10): lead with the displaced r3-rep/r5-checked spatial
+    families (pc_bbox, pc_knn, pc_flat_points, pc_block_pack, the
+    polygon trio, pc_bbox_maxz/minz/empty, pc_decode_roundtrip,
+    text_fingerprint — the core spatial surface the r8 VERDICT
+    flagged as the external-signal gap), then the r5-checked blocks
+    (rel_cdc_merge onward, text_tokens onward), leaving the
+    r6-r8-checked rows last."""
     return {
         # --- new in r9 (first driver rows) ---
         "doc_search_hybrid": _q_doc_search_hybrid,
