@@ -2941,9 +2941,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """241 entries, ordered so every query gets a driver CORRECTNESS
+    """243 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-9 rotation: seventeen NEW r9 entries lead
+    in dict order. Round-9 rotation: nineteen NEW r9 entries lead
     (results-changed-first house rule: first driver rows outrank
     re-rows — doc_search_hybrid, emb_mmr, emb_drift_psi,
     corpus_split_safe, stream_dedup_probe, rel_ship_lag,
