@@ -1908,8 +1908,16 @@ def contrastive_triplets(
     (anchor, near-dup) edge set the pair pipeline already built."""
     from ..functions.hashing import md5_int60_col
 
-    pairs = minhash_lsh_pairs(docs, tau).select(
-        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    # the pair table feeds BOTH the bucket probe and the near-dup
+    # screen — materialize it once (it is |near-dup pairs|-sized, tiny
+    # next to the corpus) or the whole LSH pipeline runs twice
+    pairs = (
+        minhash_lsh_pairs(docs, tau)
+        .select(
+            F.col("doc_a").alias("anchor"),
+            F.col("doc_b").alias("positive"),
+        )
+        .localCheckpoint()
     )
     buck = docs.select(
         "doc_id",
