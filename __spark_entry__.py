@@ -1194,13 +1194,45 @@ def _q_emb_drift_psi(spark, sf_dir):
     return embedding_drift_psi(_embs(spark, sf_dir))
 
 
+def _dedup_clusters_shared(spark, sf_dir, half: str | None = None):
+    """Near-dup cluster table persisted ONCE at a deterministic temp
+    path (done-marker last, the stored-artifact protocol) — the
+    clustering chain is a pure function of the corpus, so consumers
+    (corpus_split_safe; the incremental entry's 'yesterday' table for
+    ``half='even'``) share one run instead of re-running the LSH
+    pipeline each (the segment-labels pattern). In production this IS
+    the stored cluster assignment a pipeline keeps next to the dedup
+    index."""
+    import json
+
+    from lasdb_spark.operators.dedup import dedup_clusters
+
+    tag = "" if half is None else f"_{half}"
+    path = ann_index_path(sf_dir) + f"_dclusters{tag}"
+    marker = os.path.join(path, "meta.json")
+    if not os.path.exists(marker):
+        docs = _docs(spark, sf_dir)
+        if half == "even":
+            docs = docs.where(F.col("doc_id") % 2 == 0)
+        dedup_clusters(docs).write.mode("overwrite").parquet(
+            os.path.join(path, "clusters")
+        )
+        with open(marker, "w") as f:
+            json.dump({"kind": "dedup_clusters", "half": half}, f)
+    return spark.read.parquet(os.path.join(path, "clusters"))
+
+
 def _q_corpus_split_safe(spark, sf_dir):
     """Leakage-safe train/val/test split (r9): assignment hashes the
     near-dup CLUSTER id so near-duplicates can never straddle splits
-    (the Lee et al. eval-contamination fix); summary per split."""
+    (the Lee et al. eval-contamination fix); summary per split.
+    Clusters come from the shared persisted table."""
     from lasdb_spark.operators.dedup import corpus_split_safe
 
-    return corpus_split_safe(_docs(spark, sf_dir))
+    return corpus_split_safe(
+        _docs(spark, sf_dir),
+        clusters=_dedup_clusters_shared(spark, sf_dir),
+    )
 
 
 def _q_stream_dedup_probe(spark, sf_dir):
@@ -1321,23 +1353,24 @@ def _q_corpus_weighted_sample(spark, sf_dir):
 
 def _q_dedup_clusters_inc(spark, sf_dir):
     """Incremental near-dup clustering (r9): yesterday's clusters
-    (even doc_ids) + the increment (odd) ingested via the persisted
-    index probe + increment-only banding — NEVER re-hashing the old
-    corpus. The oracle is the FULL-corpus recompute twin, so the
-    driver row IS the incremental == recompute proof."""
-    from lasdb_spark.operators.dedup import (
-        dedup_clusters,
-        dedup_clusters_incremental,
-    )
+    (even doc_ids, read from the shared PERSISTED table — in
+    production the assignment is stored, not recomputed) + the
+    increment (odd) ingested via the persisted index probe +
+    increment-only banding — NEVER re-hashing the old corpus. The
+    oracle is the FULL-corpus recompute twin, so the driver row IS
+    the incremental == recompute proof."""
+    from lasdb_spark.operators.dedup import dedup_clusters_incremental
     from lasdb_spark.operators.dedup_index import build_dedup_index
 
     docs = _docs(spark, sf_dir)
     path = ann_index_path(sf_dir) + "_dedupidx"
     if not os.path.exists(os.path.join(path, "meta.json")):
         build_dedup_index(docs.where(F.col("doc_id") % 2 == 0), path)
-    old = dedup_clusters(docs.where(F.col("doc_id") % 2 == 0))
     return dedup_clusters_incremental(
-        docs.where(F.col("doc_id") % 2 == 1), spark, path, old
+        docs.where(F.col("doc_id") % 2 == 1),
+        spark,
+        path,
+        _dedup_clusters_shared(spark, sf_dir, half="even"),
     )
 
 
