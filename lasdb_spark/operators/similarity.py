@@ -747,7 +747,15 @@ def knn_join_ivf(
             "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
         )
         cents = _lloyd_step(assign)
-    ranked = _nearest_cells(wn, cents)
+    # materialize the assignment ONCE: probes and build both read it,
+    # and an un-materialized lineage re-executes the whole Lloyd
+    # training chain + the corpus×n_cells ranking twice (measured
+    # 29 s → 14 s at sf0.1). nprobe×|corpus| slim rows — safe to pin.
+    ranked = (
+        _nearest_cells(wn, cents)
+        .filter(F.col("rk") <= max(nprobe, 1))
+        .localCheckpoint()
+    )
     probes = ranked.filter(F.col("rk") <= nprobe).select(
         F.col("cid").alias("cell"),
         F.col("vec_id").alias("vid"),
