@@ -1318,6 +1318,37 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_stream_psi(spark, sf_dir):
+    """Drained streaming PSI drift monitor (r9): the odd-half
+    embedding feed binned per micro-batch against the FROZEN
+    reference spec (broadcast integer ranges from the even half);
+    dim×bins bounded state; report assembled from the drained counts
+    + one reference-only batch pass == the batch PSI audit."""
+    from lasdb_spark.operators.similarity import (
+        embedding_drift_psi,
+        psi_reference_ranges,
+    )
+    from lasdb_spark.streaming.drift import (
+        embeddings_stream_multibatch,
+        stream_psi_cells,
+    )
+    from lasdb_spark.streaming.sketch import drained_final
+
+    embs = _embs(spark, sf_dir)
+    rng = psi_reference_ranges(embs)
+    tbl = _drained(
+        stream_psi_cells(
+            embeddings_stream_multibatch(spark, sf_dir).where(
+                F.col("vec_id") % 2 == 1
+            ),
+            rng,
+        ),
+        "s_psi",
+    )
+    cur = drained_final(spark, tbl, ["pos", "bin"], counter="c_cur")
+    return embedding_drift_psi(embs, cur_cells=cur)
+
+
 def _q_rel_rules(spark, sf_dir):
     """Association rules (r9): support/confidence/lift over distinct
     co-purchase orders, floored-ppm exact, top-k by confidence."""
@@ -2637,6 +2668,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_communities": _graph.copurchase_communities_sql(),
         "rel_markov": _rel.session_transitions_sql(),
         "rel_rules": _graph.copurchase_rules_sql(),
+        # drained monitor counts == batch scan (commutative fold,
+        # shared bin expression) => the batch PSI twin is the oracle
+        "stream_psi": _similarity.embedding_drift_psi_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -2974,9 +3008,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """243 entries, ordered so every query gets a driver CORRECTNESS
+    """244 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-9 rotation: nineteen NEW r9 entries lead
+    in dict order. Round-9 rotation: twenty NEW r9 entries lead
     (results-changed-first house rule: first driver rows outrank
     re-rows — doc_search_hybrid, emb_mmr, emb_drift_psi,
     corpus_split_safe, stream_dedup_probe, rel_ship_lag,
@@ -3017,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_communities": _q_rel_communities,
         "rel_markov": _q_rel_markov,
         "rel_rules": _q_rel_rules,
+        "stream_psi": _q_stream_psi,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

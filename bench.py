@@ -653,6 +653,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "dedup_clusters_inc": lambda: _eq["dedup_clusters_inc"](
                 spark, sf_dir
             ),
+            # r9: drained streaming PSI drift monitor
+            "stream_psi": lambda: _eq["stream_psi"](spark, sf_dir),
             # r9: deterministic label-propagation communities
             "rel_communities": lambda: _eq["rel_communities"](
                 spark, sf_dir

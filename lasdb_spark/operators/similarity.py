@@ -3070,7 +3070,33 @@ PSI_BINS = 10
 PSI_FLAG = 0.2
 
 
-def embedding_drift_psi(embs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+def psi_reference_ranges(embs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """(pos, mn, mx) — the reference half's per-dimension micro-unit
+    integer range, the frozen binning spec a MONITOR keeps: the
+    streaming twin broadcasts this into its per-batch binning (the
+    reference side never changes while a feed is being watched)."""
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    return (
+        embs.filter(F.col("vec_id") % 2 == 0)
+        .select(F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .select("pos", q.alias("q"))
+        .groupBy("pos")
+        .agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
+    )
+
+
+def psi_bin_col(qcol, mn, mx, bins: int = PSI_BINS):
+    """The shared clamp + explicit-floor equal-width bin expression
+    (see :func:`embedding_drift_psi` for why floor, not cast)."""
+    qc = F.least(mx, F.greatest(mn, qcol))
+    return F.floor(((qc - mn) * int(bins)) / (mx - mn + 1)).cast("long")
+
+
+def embedding_drift_psi(
+    embs: DataFrame,
+    bins: int = PSI_BINS,
+    cur_cells: DataFrame | None = None,
+) -> DataFrame:
     """(pos, psi, drifted) — per-dimension PSI between the reference
     half (even vec_id — stands in for "the corpus the index was
     trained on") and the current half (odd vec_id — "this week's
@@ -3087,7 +3113,13 @@ def embedding_drift_psi(embs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
 
     Scale: posexplode map-side to dim×N rows, one partial-aggregated
     groupBy to dim×bins cells, a dim-row broadcast range join — the
-    one-pass dim-stats shape; nothing corpus-sized shuffles twice."""
+    one-pass dim-stats shape; nothing corpus-sized shuffles twice.
+
+    ``cur_cells`` — a precomputed (pos, bin, c_cur) table for the
+    CURRENT side (e.g. counts drained from the streaming monitor);
+    when given, only the reference half is scanned here and the
+    report is assembled from the supplied counts (values identical by
+    construction: the bin expression is shared)."""
     nb = int(bins)
     q = F.round(F.col("v").cast("double") * 1e6).cast("long")
     parts = embs.select(
@@ -3099,25 +3131,45 @@ def embedding_drift_psi(embs: DataFrame, bins: int = PSI_BINS) -> DataFrame:
         .groupBy("pos")
         .agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
     )
-    qc = F.least(F.col("mx"), F.greatest(F.col("mn"), F.col("q")))
     # explicit floor on both sides: DuckDB CAST(DOUBLE AS BIGINT)
     # ROUNDS while Spark's truncates — floor() is the portable form
     # (operands are exact non-negative integers well under 2^53, so
     # the double division can't misround across an integer boundary:
     # the nearest true ratio ever gets to an integer is 1/den)
-    binned = parts.join(F.broadcast(rng), "pos").select(
-        "pos",
-        "cur",
-        F.floor(
-            ((qc - F.col("mn")) * nb) / (F.col("mx") - F.col("mn") + 1)
+    if cur_cells is None:
+        binned = parts.join(F.broadcast(rng), "pos").select(
+            "pos",
+            "cur",
+            psi_bin_col(
+                F.col("q"), F.col("mn"), F.col("mx"), nb
+            ).alias("bin"),
         )
-        .cast("long")
-        .alias("bin"),
-    )
-    cells = binned.groupBy("pos", "bin").agg(
-        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("c_ref"),
-        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("c_cur"),
-    )
+        cells = binned.groupBy("pos", "bin").agg(
+            F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("c_cur"),
+        )
+    else:
+        ref_binned = (
+            parts.filter(~F.col("cur"))
+            .join(F.broadcast(rng), "pos")
+            .select(
+                "pos",
+                psi_bin_col(
+                    F.col("q"), F.col("mn"), F.col("mx"), nb
+                ).alias("bin"),
+            )
+        )
+        ref_cells = ref_binned.groupBy("pos", "bin").agg(
+            F.count(F.lit(1)).alias("c_ref")
+        )
+        cells = ref_cells.join(
+            cur_cells.select("pos", "bin", "c_cur"), ["pos", "bin"], "full"
+        ).select(
+            "pos",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
     # zero-fill the dim×bins grid so empty bins contribute their
     # smoothed term (rng has exactly one row per pos)
     spark = embs.sparkSession

@@ -457,3 +457,42 @@ def test_copurchase_rules_math(spark):
     assert r12.lift == 1.0                 # 2*3/(3*2)
     r21 = got[(2, 1)]
     assert r21.confidence_ppm == 1000000   # part 2 in 2 orders, both with 1
+
+
+@pytest.mark.spark
+def test_stream_psi_counts_equal_batch(spark, sf_dir):
+    """Drained per-(pos, bin) monitor counts equal the batch scan's
+    counts (commutative fold + shared bin expression), so the
+    assembled report equals the batch PSI audit row-for-row."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.similarity import (
+        embedding_drift_psi,
+        psi_reference_ranges,
+    )
+    from lasdb_spark.streaming.drift import (
+        embeddings_stream_multibatch,
+        stream_psi_cells,
+    )
+    from lasdb_spark.streaming.events import run_to_memory
+    from lasdb_spark.streaming.sketch import drained_final
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = psi_reference_ranges(embs)
+    run_to_memory(
+        stream_psi_cells(
+            embeddings_stream_multibatch(spark, sf_dir).where(
+                F.col("vec_id") % 2 == 1
+            ),
+            rng,
+        ),
+        "psi_cells_t",
+        "update",
+        state_partitions=8,
+    )
+    cur = drained_final(spark, "psi_cells_t", ["pos", "bin"], counter="c_cur")
+    streamed = sorted(
+        map(tuple, embedding_drift_psi(embs, cur_cells=cur).collect())
+    )
+    batch = sorted(map(tuple, embedding_drift_psi(embs).collect()))
+    assert streamed == batch
