@@ -1318,6 +1318,15 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_emb_sq8_error(spark, sf_dir):
+    """SQ8 quantization QA (r9): per-dimension max-abs + RMS
+    reconstruction error (micro-unit exact) of the int8 grid codes —
+    the acceptance gate for serving int8 in place of float32."""
+    from lasdb_spark.operators.similarity import sq8_error_report
+
+    return sq8_error_report(_embs(spark, sf_dir))
+
+
 def _q_stream_psi(spark, sf_dir):
     """Drained streaming PSI drift monitor (r9): the odd-half
     embedding feed binned per micro-batch against the FROZEN
@@ -2671,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         # drained monitor counts == batch scan (commutative fold,
         # shared bin expression) => the batch PSI twin is the oracle
         "stream_psi": _similarity.embedding_drift_psi_sql(),
+        "emb_sq8_error": _similarity.sq8_error_report_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -3008,9 +3018,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """244 entries, ordered so every query gets a driver CORRECTNESS
+    """245 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-9 rotation: twenty NEW r9 entries lead
+    in dict order. Round-9 rotation: twenty-one NEW r9 entries lead
     (results-changed-first house rule: first driver rows outrank
     re-rows — doc_search_hybrid, emb_mmr, emb_drift_psi,
     corpus_split_safe, stream_dedup_probe, rel_ship_lag,
@@ -3052,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_markov": _q_rel_markov,
         "rel_rules": _q_rel_rules,
         "stream_psi": _q_stream_psi,
+        "emb_sq8_error": _q_emb_sq8_error,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

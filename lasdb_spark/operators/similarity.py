@@ -3267,3 +3267,83 @@ SELECT CAST(pos AS INT) AS pos, round({total}, 6) AS psi,
        round({total}, 6) > {PSI_FLAG!r} AS drifted
 FROM pivoted
 """.strip()
+
+
+def sq8_error_report(embs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(pos, max_abs_err_micro, rmse_micro) — quantization QA for the
+    SQ8 layout: encode every component on the per-dim [min, max]/255
+    grid (the :func:`topk_sq8` codes), decode, and report per
+    dimension the max absolute and root-mean-square reconstruction
+    error in micro-units. The acceptance gate for shipping int8
+    codes in place of float32 (errors should sit near step/2; a
+    dimension with outlier-stretched range shows up as a spike).
+
+    Exactness: per-component errors quantize to micro-unit longs;
+    max is order-free and the squared sum accumulates in
+    DECIMAL(38,0) (order-independent), so both outputs hash-match
+    the twin; rmse is one double expression over the exact integers,
+    round 3.
+
+    Scale: the grid is one 64-key agg broadcast back; encode/decode/
+    error are map-side; the report is one dim-row partial agg."""
+    parts = embs.select(
+        F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("v"))
+    grid = parts.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    step = (F.col("mx") - F.col("mn")) / float(SQ8_LEVELS)
+    code = F.when(
+        step > 0.0,
+        F.least(
+            F.lit(float(SQ8_LEVELS)),
+            F.greatest(
+                F.lit(0.0), F.round((F.col("v") - F.col("mn")) / step)
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+    decoded = F.col("mn") + code * step
+    err = F.round((F.col("v") - decoded) * 1e6).cast("long")
+    errs = parts.join(F.broadcast(grid), "pos").select("pos", err.alias("e"))
+    agg = errs.groupBy("pos").agg(
+        F.max(F.abs(F.col("e"))).cast("long").alias("max_abs_err_micro"),
+        F.sum(
+            (F.col("e").cast("decimal(19,0)") * F.col("e")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rmse = F.round(
+        F.sqrt(F.col("s2").cast("double") / F.col("n").cast("double")), 3
+    )
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        "max_abs_err_micro",
+        rmse.alias("rmse_micro"),
+    ).orderBy("pos")
+
+
+def sq8_error_report_sql(dim: int = EMB_DIM) -> str:
+    lv = float(SQ8_LEVELS)
+    step = f"((mx - mn) / {lv!r})"
+    code = (
+        f"CASE WHEN {step} > 0.0 THEN least({lv!r}, greatest(0.0, "
+        f"round((v - mn) / {step}))) ELSE 0.0 END"
+    )
+    err = f"CAST(round((v - (mn + {code} * {step})) * 1e6) AS BIGINT)"
+    return f"""
+WITH parts AS (
+  SELECT s.i AS pos, CAST(embedding[s.i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding)))) AS s(i)),
+grid AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM parts GROUP BY 1),
+errs AS (
+  SELECT p.pos, {err} AS e
+  FROM parts p JOIN grid g ON g.pos = p.pos)
+SELECT CAST(pos AS INT) AS pos,
+       CAST(max(abs(e)) AS BIGINT) AS max_abs_err_micro,
+       round(sqrt(CAST(sum(CAST(e AS DECIMAL(19,0)) * e) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)), 3) AS rmse_micro
+FROM errs GROUP BY pos
+""".strip()

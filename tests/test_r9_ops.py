@@ -496,3 +496,21 @@ def test_stream_psi_counts_equal_batch(spark, sf_dir):
     )
     batch = sorted(map(tuple, embedding_drift_psi(embs).collect()))
     assert streamed == batch
+
+
+@pytest.mark.spark
+def test_sq8_error_bounded_by_half_step(spark):
+    """Reconstruction error of in-range components is bounded by
+    step/2; a constant dimension (step 0) reconstructs exactly."""
+    from lasdb_spark.operators.similarity import sq8_error_report
+
+    embs = spark.createDataFrame(
+        [(i, [i / 10.0, 5.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.pos: r for r in sq8_error_report(embs).collect()}
+    # dim 0: range 1.9, step ~0.00745 -> half-step ~3726 micro
+    assert got[0].max_abs_err_micro <= 3727
+    assert got[0].rmse_micro <= got[0].max_abs_err_micro
+    # dim 1 constant: code 0, decoded == mn == 5.0 -> zero error
+    assert got[1].max_abs_err_micro == 0 and got[1].rmse_micro == 0.0
