@@ -1318,6 +1318,13 @@ def _q_rel_excess_shippers(spark, sf_dir):
     )
 
 
+def _q_rel_ltv(spark, sf_dir):
+    """Cohort LTV curve (r9): cent-exact purchase value accumulated
+    per first-active-day cohort as it ages — the revenue companion to
+    the retention triangle."""
+    return _rel.cohort_ltv(_ev(spark, sf_dir))
+
+
 def _q_emb_sq8_error(spark, sf_dir):
     """SQ8 quantization QA (r9): per-dimension max-abs + RMS
     reconstruction error (micro-unit exact) of the int8 grid codes —
@@ -2681,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         # shared bin expression) => the batch PSI twin is the oracle
         "stream_psi": _similarity.embedding_drift_psi_sql(),
         "emb_sq8_error": _similarity.sq8_error_report_sql(),
+        "rel_ltv": _rel.cohort_ltv_sql(),
         # --- new in r7 (this session) ---
         "rel_order_priority": _rel.order_priority_check_sql(),
         "rel_nation_trade": _rel.nation_trade_volume_sql(),
@@ -3018,9 +3026,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """245 entries, ordered so every query gets a driver CORRECTNESS
+    """246 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-9 rotation: twenty-one NEW r9 entries lead
+    in dict order. Round-9 rotation: twenty-two NEW r9 entries lead
     (results-changed-first house rule: first driver rows outrank
     re-rows — doc_search_hybrid, emb_mmr, emb_drift_psi,
     corpus_split_safe, stream_dedup_probe, rel_ship_lag,
@@ -3063,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rules": _q_rel_rules,
         "stream_psi": _q_stream_psi,
         "emb_sq8_error": _q_emb_sq8_error,
+        "rel_ltv": _q_rel_ltv,
         "ann_knn_join_ivf": _q_ann_knn_join_ivf,
         "ann_knn_join_recall": _q_ann_knn_join_recall,
         "quality_calibration_stored": _q_quality_calibration_stored,

@@ -653,6 +653,8 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "dedup_clusters_inc": lambda: _eq["dedup_clusters_inc"](
                 spark, sf_dir
             ),
+            # r9: cohort LTV curve (user shuffle + triangle agg)
+            "rel_ltv": lambda: _eq["rel_ltv"](spark, sf_dir),
             # r9: SQ8 reconstruction-error QA (map-side + dim agg)
             "emb_sq8_error": lambda: _eq["emb_sq8_error"](spark, sf_dir),
             # r9: drained streaming PSI drift monitor

@@ -4467,3 +4467,77 @@ SELECT c.prev_type, c.next_type, c.n,
        CAST(floor(c.n * 1000000 / t.tot) AS BIGINT) AS p_ppm
 FROM counts c JOIN totals t USING (prev_type)
 """.strip()
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, day_cents, cum_cents) — the cohort
+    LIFETIME-VALUE curve next to :func:`user_retention`'s counts:
+    purchase value accumulated per cohort (users grouped by first
+    active day) as the cohort ages. The revenue question retention
+    triangles can't answer ("day-30 users are retained — but are they
+    worth anything?").
+
+    Exactness: purchase values are cent-quantized longs (the events
+    table is cent-quantized), summed per (cohort, offset) and then
+    cumulated by a COHORT-PARTITIONED ordered window — integer all
+    the way.
+
+    Scale: one user_id shuffle computes first-active day; purchases
+    join back on the same key (co-partitioned); the (cohort, offset)
+    agg is triangle-sized; the cumsum window partitions by cohort —
+    never global."""
+    day = F.expr("unix_millis(ts) div 86400000")
+    cohort = (
+        events.select("user_id", day.alias("day_num"))
+        .groupBy("user_id")
+        .agg(F.min("day_num").alias("cohort_day"))
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        day.alias("day_num"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    aged = buys.join(cohort, "user_id").groupBy(
+        "cohort_day",
+        (F.col("day_num") - F.col("cohort_day")).cast("int").alias(
+            "day_offset"
+        ),
+    ).agg(F.sum("cents").cast("long").alias("day_cents"))
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return aged.select(
+        "cohort_day",
+        "day_offset",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("long").alias("cum_cents"),
+    ).orderBy("cohort_day", "day_offset")
+
+
+def cohort_ltv_sql() -> str:
+    return f"""
+{EV_CTE},
+evd AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day_num, event_type,
+         value
+  FROM ev),
+cohort AS (SELECT user_id, min(day_num) AS cohort_day FROM evd
+           GROUP BY 1),
+aged AS (
+  SELECT c.cohort_day,
+         CAST(e.day_num - c.cohort_day AS INT) AS day_offset,
+         CAST(sum(CAST(round(CAST(e.value AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS day_cents
+  FROM evd e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT cohort_day, day_offset, day_cents,
+       CAST(sum(day_cents) OVER (PARTITION BY cohort_day
+            ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM aged
+""".strip()

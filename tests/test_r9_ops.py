@@ -514,3 +514,34 @@ def test_sq8_error_bounded_by_half_step(spark):
     assert got[0].rmse_micro <= got[0].max_abs_err_micro
     # dim 1 constant: code 0, decoded == mn == 5.0 -> zero error
     assert got[1].max_abs_err_micro == 0 and got[1].rmse_micro == 0.0
+
+
+@pytest.mark.spark
+def test_cohort_ltv_cumsum(spark):
+    """Cohort day is the user's FIRST ACTIVE day (any event type);
+    only purchases carry value; cum_cents accumulates within cohort."""
+    from lasdb_spark.operators.relational import cohort_ltv
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "click", 0.0, "2024-01-01 01:00:00"),
+            (2, 1, "purchase", 10.0, "2024-01-02 01:00:00"),
+            (3, 1, "purchase", 2.5, "2024-01-02 02:00:00"),
+            (4, 1, "purchase", 5.0, "2024-01-03 01:00:00"),
+            (5, 2, "purchase", 1.0, "2024-01-02 01:00:00"),
+        ],
+        "event_id long, user_id long, event_type string, value double, d string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "value",
+        "CAST(d AS TIMESTAMP) AS ts",
+    )
+    rows = {
+        (r.cohort_day, r.day_offset): (r.day_cents, r.cum_cents)
+        for r in cohort_ltv(ev).collect()
+    }
+    d0 = 19723  # 2024-01-01 in epoch days
+    assert rows == {
+        (d0, 1): (1250, 1250),       # user 1: 10.00 + 2.50 on day 1
+        (d0, 2): (500, 1750),        # user 1: 5.00 cumulated
+        (d0 + 1, 0): (100, 100),     # user 2 cohort, day 0
+    }
