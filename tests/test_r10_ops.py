@@ -1,0 +1,171 @@
+"""r10 operators: persisted batch kNN-join index (build / append /
+stored query / compaction) and dedup-index compaction — the
+build-once/query-many + maintenance contracts from the r9 VERDICT
+(next-round items #1 and #6)."""
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.spark
+def test_knn_join_stored_equals_inline(spark, embs):
+    """The stored-index batch join must equal the inline trained join
+    value-for-value (the build replays the exact inline training),
+    and its plan must contain NO training machinery — only scans of
+    the persisted assignment."""
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_ivf_stored,
+    )
+    from lasdb_spark.operators.similarity import knn_join_ivf
+
+    path = tempfile.mkdtemp(prefix="lasdb_knnjoin_idx_")
+    build_knn_join_index(embs, path)
+    stored = knn_join_ivf_stored(spark, path)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    # _lloyd_step's signature op; present in every training chain
+    assert "posexplode" not in plan
+    assert "FileScan" in plan
+    assert _rows(stored) == _rows(knn_join_ivf(embs))
+
+
+@pytest.mark.spark
+def test_knn_join_stored_nprobe_cap(spark, embs):
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_ivf_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_knnjoin_idx_")
+    build_knn_join_index(embs, path, max_nprobe=3)
+    with pytest.raises(ValueError, match="max_nprobe"):
+        knn_join_ivf_stored(spark, path, nprobe=4)
+
+
+@pytest.mark.spark
+def test_knn_join_index_append_equals_single_shot(spark, embs):
+    """Appending assignment rows in two increments (against the same
+    stored centroids) equals the single-shot build row-for-row, down
+    to query results — ranking is per-row pure."""
+    from lasdb_spark.operators.ann_index import (
+        append_knn_join_index,
+        build_knn_join_index,
+        knn_join_ivf_stored,
+    )
+    from lasdb_spark.operators.similarity import knn_join_ivf
+
+    path = tempfile.mkdtemp(prefix="lasdb_knnjoin_inc_")
+    build_knn_join_index(embs, path)
+    shutil.rmtree(f"{path}/assign")
+    append_knn_join_index(embs.where(F.col("vec_id") % 2 == 0), path)
+    append_knn_join_index(embs.where(F.col("vec_id") % 2 == 1), path)
+    assert _rows(knn_join_ivf_stored(spark, path)) == _rows(
+        knn_join_ivf(embs)
+    )
+
+
+@pytest.mark.spark
+def test_compact_ann_index_knn_join_identity(spark, embs):
+    """compact(build + append) == build(all): compaction is a layout
+    rewrite, so the incrementally-grown index answers identically
+    after it — and the per-cell file count shrinks."""
+    from lasdb_spark.operators.ann_index import (
+        append_knn_join_index,
+        build_knn_join_index,
+        compact_ann_index,
+        knn_join_ivf_stored,
+    )
+    from lasdb_spark.operators.similarity import knn_join_ivf
+
+    path = tempfile.mkdtemp(prefix="lasdb_knnjoin_cmp_")
+    build_knn_join_index(embs, path)
+    shutil.rmtree(f"{path}/assign")
+    for m in range(4):
+        append_knn_join_index(embs.where(F.col("vec_id") % 4 == m), path)
+    before = len(glob.glob(f"{path}/assign/cell=*/*.parquet"))
+    compact_ann_index(spark, path)
+    after = len(glob.glob(f"{path}/assign/cell=*/*.parquet"))
+    assert after < before
+    assert _rows(knn_join_ivf_stored(spark, path)) == _rows(
+        knn_join_ivf(embs)
+    )
+
+
+@pytest.mark.spark
+def test_compact_ann_index_ivfpq_identity(spark, embs):
+    """Same identity for the IVF-PQ index's codes table."""
+    from lasdb_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        topk_ivfpq_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_ivfpq_cmp_")
+    build_ann_index(embs, path)
+    want = _rows(topk_ivfpq_stored(spark, path, embs))
+    shutil.rmtree(f"{path}/codes")
+    for m in range(3):
+        append_ann_index(embs.where(F.col("vec_id") % 3 == m), path)
+    compact_ann_index(spark, path)
+    assert _rows(topk_ivfpq_stored(spark, path, embs)) == want
+
+
+@pytest.mark.spark
+def test_compact_dedup_index_identity(spark, sf_dir):
+    """Dedup-index compaction: table contents and probe answers are
+    unchanged; the file counts shrink after fragmented appends."""
+    from lasdb_spark.operators.dedup_index import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="lasdb_dedupidx_cmp_")
+    build_dedup_index(corpus.where(F.col("doc_id") % 8 == 0), path)
+    for m in (2, 4, 6):
+        append_dedup_index(corpus.where(F.col("doc_id") % 8 == m), path)
+    want_tables = {
+        tbl: _rows(spark.read.parquet(f"{path}/{tbl}"))
+        for tbl in ("buckets", "shingles", "sizes")
+    }
+    want_probe = _rows(probe_dedup_index(inc, spark, path))
+    before = len(glob.glob(f"{path}/buckets/*.parquet"))
+    compact_dedup_index(spark, path)
+    after = len(glob.glob(f"{path}/buckets/*.parquet"))
+    assert after <= before
+    for tbl, want in want_tables.items():
+        assert _rows(spark.read.parquet(f"{path}/{tbl}")) == want
+    assert _rows(probe_dedup_index(inc, spark, path)) == want_probe
+
+
+@pytest.mark.spark
+def test_recall_report_stored_arm_matches_inline(spark, embs):
+    """With index_path the ivf_tr arm answers from the stored index;
+    the report (recall ladder included) must be row-identical to the
+    inline one."""
+    from lasdb_spark.operators.ann_index import build_knn_join_index
+    from lasdb_spark.operators.similarity import knn_join_recall_report
+
+    path = tempfile.mkdtemp(prefix="lasdb_knnjoin_rr_")
+    build_knn_join_index(embs, path)
+    inline = _rows(knn_join_recall_report(embs))
+    stored = _rows(knn_join_recall_report(embs, index_path=path))
+    assert stored == inline
