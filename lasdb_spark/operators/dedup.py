@@ -2031,7 +2031,15 @@ def dedup_clusters_incremental(
     edges, its old-new pairs by the index probe (same band keys, same
     exact-Jaccard verify, same τ), its new-new pairs by the increment
     pipeline — the three unions have the same connected components,
-    hence the same min labels.
+    hence the same min labels. This argument is AIRTIGHT when
+    ``old_clusters`` came from a ``candidates='all'`` run (every
+    qualifying bucket pair is an edge in both runs). When it came
+    from the default ``candidates='adjacent'`` mode, the per-bucket
+    adjacency CHAIN over the old docs can differ from the chain over
+    a mixed old/new bucket (e.g. bucket [A_old, B_new, C_old] only
+    verifies (A,C) in the old-only run), so closure equality there
+    is a corpus-level property — test-gated on the driver corpus,
+    not structural (r9 ADVICE).
 
     Scale: touches O(|old clusters| + |increment| + probe candidates)
     rows — never the historical corpus text; the CC rounds run on the

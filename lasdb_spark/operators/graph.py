@@ -576,8 +576,10 @@ def copurchase_rules(
     orders: support = P(u ∧ v), confidence = P(v | u), lift =
     P(u ∧ v) / (P(u)·P(v)); pairs below ``min_pairs`` co-occurrences
     are cut; top ``k`` by confidence, then support, then (u, v).
-    support/confidence are floored integer ppm (exact); lift is one
-    double expression over exact integers, round 6.
+    support/confidence are floored integer ppm — bigint ``div`` on
+    both engines (r9 ADVICE: floor over double division is exact only
+    below 2^53); lift is one double expression over exact integers,
+    round 6.
 
     Scale: the order-bounded pair self-join + multiplicity groupBy
     (the kcore edge build); per-part order counts are one groupBy of
@@ -624,10 +626,10 @@ def copurchase_rules(
             F.col("u").alias("antecedent"),
             F.col("v").alias("consequent"),
             "n_pair",
-            F.floor(F.col("n_pair") * 1_000_000 / F.col("n_orders"))
+            F.expr("n_pair * 1000000 div n_orders")
             .cast("long")
             .alias("support_ppm"),
-            F.floor(F.col("n_pair") * 1_000_000 / F.col("n_u"))
+            F.expr("n_pair * 1000000 div n_u")
             .cast("long")
             .alias("confidence_ppm"),
             F.round(
@@ -676,9 +678,9 @@ n_orders AS (
   FROM li),
 scored AS (
   SELECT p.u AS antecedent, p.v AS consequent, p.n_pair,
-         CAST(floor(p.n_pair * 1000000 / o.n_orders) AS BIGINT)
+         CAST(p.n_pair * 1000000 // o.n_orders AS BIGINT)
            AS support_ppm,
-         CAST(floor(p.n_pair * 1000000 / pu.n_u) AS BIGINT)
+         CAST(p.n_pair * 1000000 // pu.n_u AS BIGINT)
            AS confidence_ppm,
          round(CAST(p.n_pair AS DOUBLE) * CAST(o.n_orders AS DOUBLE)
                / (CAST(pu.n_u AS DOUBLE) * CAST(pv.n_u AS DOUBLE)), 6)

@@ -4130,9 +4130,17 @@ def important_parts(
     """(p_partkey, p_name, revenue, rank) — TPC-H Q11 shape: the top
     ``k`` parts among those whose discounted revenue exceeds
     ``mean_permille``/1000 of the MEAN per-part revenue. Exact:
-    per-part and total revenue are DECIMAL(18,4)/DECIMAL(38,4) sums;
-    membership compares integer-scaled decimals (rev · n_parts · 1000
-    > total · permille) — no float division decides it.
+    per-part and total revenue are decimal sums; membership compares
+    integer-scaled decimals — rev·(n_parts·1000) > total·permille —
+    with every intermediate BOUNDED to fit decimal(38,4) exactly
+    (r9 ADVICE: the unbounded form rev(38,4)·bigint·1000 exceeded
+    precision 38, where Spark rounds and DuckDB promotes differently,
+    so 'exact' could break near the threshold at large totals). The
+    bounds — rev as decimal(23,4) (per-part revenue < 10^19 currency
+    units), n_parts·1000 as decimal(14,0) (< 10^11 parts), tot as
+    decimal(33,4) (< 10^29 total) — make both products land exactly
+    in decimal(38,4) on both engines; any 100 TB corpus sits many
+    orders of magnitude inside them.
 
     Scale: ONE shuffle on l_partkey for the per-part agg; the 1-row
     (total, n_parts) agg broadcasts into the filter; the part dim
@@ -4141,15 +4149,15 @@ def important_parts(
         "decimal(18,4)"
     )
     per_part = lineitem.groupBy("l_partkey").agg(
-        F.sum(disc).cast("decimal(38,4)").alias("rev")
+        F.sum(disc).cast("decimal(23,4)").alias("rev")
     )
     tot = per_part.agg(
-        F.sum("rev").cast("decimal(38,4)").alias("tot"),
-        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("decimal(33,4)").alias("tot"),
+        (F.count(F.lit(1)) * 1000).cast("decimal(14,0)").alias("np1000"),
     )
     kept = per_part.crossJoin(F.broadcast(tot)).filter(
-        F.col("rev") * F.col("n_parts") * 1000
-        > F.col("tot") * int(mean_permille)
+        F.col("rev") * F.col("np1000")
+        > F.col("tot") * F.lit(int(mean_permille)).cast("decimal(4,0)")
     )
     named = kept.join(
         F.broadcast(part.select("p_partkey", "p_name")),
@@ -4171,11 +4179,11 @@ def important_parts_sql(
 WITH per_part AS (
   SELECT l_partkey,
          CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+                       AS DECIMAL(18,4))) AS DECIMAL(23,4)) AS rev
   FROM lineitem GROUP BY 1),
 tot AS (
-  SELECT CAST(sum(rev) AS DECIMAL(38,4)) AS tot,
-         CAST(count(*) AS BIGINT) AS n_parts
+  SELECT CAST(sum(rev) AS DECIMAL(33,4)) AS tot,
+         CAST(count(*) * 1000 AS DECIMAL(14,0)) AS np1000
   FROM per_part)
 SELECT p_partkey, p_name, revenue, rank FROM (
   SELECT p.p_partkey, p.p_name, CAST(pp.rev AS DOUBLE) AS revenue,
@@ -4183,7 +4191,8 @@ SELECT p_partkey, p_name, revenue, rank FROM (
                                  p.p_partkey) AS INT) AS rank
   FROM per_part pp CROSS JOIN tot
   JOIN part p ON p.p_partkey = pp.l_partkey
-  WHERE pp.rev * tot.n_parts * 1000 > tot.tot * {int(mean_permille)})
+  WHERE pp.rev * tot.np1000
+        > tot.tot * CAST({int(mean_permille)} AS DECIMAL(4,0)))
 WHERE rank <= {int(k)}
 """.strip()
 
@@ -4390,7 +4399,9 @@ def session_transitions(
     Shape: the standard one user_id shuffle + session numbering, a
     map-side lead() pair, ONE (prev, next) partial-agg count — the
     |types|² result then joins its |types|-row prev totals broadcast;
-    p_ppm is exact integer floor math."""
+    p_ppm is exact integer floor math (bigint ``div`` on both
+    engines — r9 ADVICE: the earlier floor(n·1e6/tot) was long/long
+    → DOUBLE division, exact only below 2^53)."""
     gap_ms = gap_min * 60 * 1000
     projected = events.select(
         "user_id",
@@ -4426,9 +4437,7 @@ def session_transitions(
             "prev_type",
             "next_type",
             "n",
-            F.floor(F.col("n") * 1_000_000 / F.col("tot"))
-            .cast("long")
-            .alias("p_ppm"),
+            F.expr("n * 1000000 div tot").cast("long").alias("p_ppm"),
         )
         .orderBy("prev_type", "next_type")
     )
@@ -4464,7 +4473,7 @@ totals AS (
   SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM counts
   GROUP BY 1)
 SELECT c.prev_type, c.next_type, c.n,
-       CAST(floor(c.n * 1000000 / t.tot) AS BIGINT) AS p_ppm
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
 FROM counts c JOIN totals t USING (prev_type)
 """.strip()
 

@@ -3004,10 +3004,12 @@ def mmr_topk(
     brute force here; the stored IVF-PQ index at billion scale — same
     contract). The greedy loop is INHERENTLY sequential in k, so it
     runs executor-side over one Arrow batch of the n_cand candidates
-    + their n_cand² pairwise cosines via ``applyInPandas`` — at scale
-    the groupBy key is the QUERY id and thousands of per-query
-    reranks run in parallel, each touching only its own candidate
-    rows. Determinism: candidate and pairwise cosines are the same
+    + their n_cand² pairwise cosines via ``applyInPandas``. This is
+    the SINGLE-query entry (one group); the at-scale shape — groupBy
+    the QUERY id, thousands of per-query reranks in parallel, each
+    touching only its own candidate rows — is :func:`mmr_topk_multi`
+    (r10), whose per-query output equals this function exactly.
+    Determinism: candidate and pairwise cosines are the same
     round-6 fold trees as every other entry; the greedy compare uses
     those rounded doubles with λ/(1−λ) multiplications in a fixed
     order and ties broken by vec_id, so the pick sequence is
@@ -3120,6 +3122,205 @@ sel(step, picked, vid, mmr) AS (
 SELECT s.vid AS vec_id, c.qcos, round(s.mmr, 6) AS mmr,
        CAST(s.step AS INT) AS rank
 FROM sel s JOIN cand c ON c.vec_id = s.vid
+WHERE s.step >= 1
+""".strip()
+
+
+MMR_MULTI_QUERIES = (0, 7, 42)
+
+
+def mmr_topk_multi(
+    embs: DataFrame,
+    query_vec_ids=MMR_MULTI_QUERIES,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """(query_id, vec_id, qcos, mmr, rank) — :func:`mmr_topk` batched
+    over a query SET: every query's greedy MMR rerank of its own
+    ``n_cand`` cosine candidates, all in ONE plan (r9 VERDICT missing
+    #2: the single-query entry's "thousands of per-query reranks in
+    parallel keyed by query id" claim, now exercised code — the
+    ``point_knn_join`` precedent for the retrieval family).
+
+    Spark shape: the query table broadcasts (bounded by the request,
+    KB); candidate scoring is one corpus×queries broadcast pass with a
+    per-query TakeOrdered window; the pairwise-cosine table is an
+    equi-join on query_id over candidate rows only (n_cand² per query,
+    never corpus-squared); the inherently-sequential greedy loop runs
+    executor-side per query group via ``applyInPandas`` — thousands of
+    queries rerank concurrently, each Arrow batch holding only its own
+    n_cand rows. Same round-6 fold-tree cosines and tie-breaks as the
+    single-query entry, so per-query output equals ``mmr_topk`` of
+    that query exactly (pytest-pinned)."""
+    lam_f = float(lam)
+    oml = 1.0 - lam_f
+    qids = sorted({int(q) for q in query_vec_ids})
+    qs = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(F.col("qv"), F.col("embedding")).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), "vec_id"
+    )
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_cand)
+        .drop("rk")
+    )
+    wc = cand.select("query_id", "vec_id").join(
+        embs.select("vec_id", "embedding"), "vec_id"
+    )
+    a = wc.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = wc.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (a.query_id == b.qb) & (F.col("a") != F.col("b"))
+    ).select(
+        "query_id", "a", "b", _cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    sims = (
+        pairs.groupBy("query_id", "a")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("b", "cos")))
+            ).alias("sims")
+        )
+        .select(
+            F.col("query_id").alias("sq"), F.col("a").alias("sa"), "sims"
+        )
+    )
+    grouped = cand.join(
+        sims,
+        (cand.query_id == F.col("sq")) & (cand.vec_id == F.col("sa")),
+        "left",
+    ).select("query_id", "vec_id", "qcos", "sims")
+
+    def _greedy(key, pdf):
+        import pandas as pd
+
+        qid = int(key[0])
+        qcos = dict(zip(pdf.vec_id, pdf.qcos))
+        simmap = {}
+        for v, m in zip(pdf.vec_id, pdf.sims):
+            if m is None:
+                simmap[v] = {}
+            elif isinstance(m, dict):
+                simmap[v] = m
+            else:  # arrow map as list of (k, v)
+                simmap[v] = dict(m)
+        picked, out = [], []
+        for step in range(1, min(int(k), len(qcos)) + 1):
+            best_score, best_v = None, None
+            for v in sorted(qcos):
+                if v in picked:
+                    continue
+                vs = simmap.get(v) or {}
+                hit = [vs[s] for s in picked if s in vs]
+                ms = max(hit) if hit else 0.0
+                score = lam_f * qcos[v] - oml * ms
+                if best_score is None or score > best_score:
+                    best_score, best_v = score, v
+            picked.append(best_v)
+            out.append((qid, best_v, qcos[best_v], best_score, step))
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "qcos", "mmr", "rank"]
+        )
+
+    raw = grouped.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, vec_id long, qcos double, mmr double, rank int",
+    )
+    return raw.select(
+        "query_id", "vec_id", "qcos", F.round("mmr", 6).alias("mmr"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def mmr_topk_multi_sql(
+    query_vec_ids=MMR_MULTI_QUERIES,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+    dim: int = EMB_DIM,
+) -> str:
+    """Recursive-CTE twin of :func:`mmr_topk_multi`: one working row
+    per query in the recursion, each iteration LATERAL-selecting that
+    query's argmax over its not-yet-picked candidates.
+
+    ``qs`` must NOT be MATERIALIZED: DuckDB silently produces zero
+    recursive rows when the recursion's base member reads a
+    materialized CTE (measured on 1.x); the heavy multi-referenced
+    stages (scored/cand/pairs) stay materialized as usual."""
+    lam_f = float(lam)
+    oml = 1.0 - lam_f
+    qids = ", ".join(str(int(q)) for q in sorted({int(q) for q in query_vec_ids}))
+    qdot = fold_product_sql("q.qv", "e.embedding", dim)
+    nq = fold_product_sql("q.qv", "q.qv", dim)
+    ne = fold_product_sql("e.embedding", "e.embedding", dim)
+    qcos = f"round({qdot} / (sqrt({nq}) * sqrt({ne})), 6)"
+    pdot = fold_product_sql("x.embedding", "y.embedding", dim)
+    nx = fold_product_sql("x.embedding", "x.embedding", dim)
+    ny = fold_product_sql("y.embedding", "y.embedding", dim)
+    pcos = f"round({pdot} / (sqrt({nx}) * sqrt({ny})), 6)"
+    return f"""
+WITH RECURSIVE qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({qids})),
+scored AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id, {qcos} AS qcos
+  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id != q.query_id),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id, qcos FROM (
+    SELECT query_id, vec_id, qcos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY qcos DESC, vec_id) AS rk
+    FROM scored) WHERE rk <= {int(n_cand)}),
+cemb AS MATERIALIZED (
+  SELECT c.query_id, e.vec_id, e.embedding FROM embeddings e
+  JOIN cand c ON c.vec_id = e.vec_id),
+pairs AS MATERIALIZED (
+  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b, {pcos} AS cos
+  FROM cemb x JOIN cemb y
+    ON x.query_id = y.query_id AND x.vec_id != y.vec_id),
+sel(query_id, step, picked, vid, mmr) AS (
+  SELECT query_id, 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE)
+  FROM qs
+  UNION ALL
+  SELECT s.query_id, s.step + 1, list_append(s.picked, pick.vec_id),
+         pick.vec_id, pick.score
+  FROM sel s, LATERAL (
+    SELECT c.vec_id,
+           CAST({lam_f!r} AS DOUBLE) * c.qcos
+             - CAST({oml!r} AS DOUBLE) * coalesce(
+                 (SELECT max(p.cos) FROM pairs p
+                  WHERE p.query_id = s.query_id AND p.a = c.vec_id
+                    AND list_contains(s.picked, p.b)), 0.0) AS score
+    FROM cand c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.picked, c.vec_id)
+    ORDER BY score DESC, c.vec_id
+    LIMIT 1) pick
+  WHERE s.step < {int(k)})
+SELECT s.query_id, s.vid AS vec_id, c.qcos, round(s.mmr, 6) AS mmr,
+       CAST(s.step AS INT) AS rank
+FROM sel s JOIN cand c
+  ON c.query_id = s.query_id AND c.vec_id = s.vid
 WHERE s.step >= 1
 """.strip()
 

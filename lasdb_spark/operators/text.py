@@ -3091,10 +3091,17 @@ def weighted_sample(docs: DataFrame, k: int = WS_K) -> DataFrame:
     reproducibility argument applied to sampling).
 
     Scale: map-side hash + one ln per row, TakeOrdered top-k — no
-    shuffle of the corpus at all."""
+    shuffle of the corpus at all.
+
+    Zero-weight docs are filtered BEFORE keying (r9 ADVICE): an
+    n_chars = 0 doc has zero selection probability by definition, and
+    keying it anyway would hand it ln(u)/0 = -Infinity — correct only
+    while both engines keep IEEE division semantics, and still
+    sampleable when fewer than k positive-weight docs exist."""
     from ..functions.hashing import md5_int60_col
     from pyspark.sql.window import Window
 
+    docs = docs.filter(F.col("n_chars") > 0)
     h = md5_int60_col(
         F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
     )
@@ -3121,7 +3128,7 @@ def weighted_sample_sql(k: int = WS_K, src: str = "documents") -> str:
 WITH keyed AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
          round(ln({u}) / CAST(n_chars AS DOUBLE), 9) AS key
-  FROM {src})
+  FROM {src} WHERE n_chars > 0)
 SELECT doc_id, weight, key, rank FROM (
   SELECT doc_id, weight, key,
          CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
