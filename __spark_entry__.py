@@ -2111,15 +2111,18 @@ def _q_stream_conversions(spark, sf_dir):
     _STREAM_SEQ[0] += 1
     name = f"s_conv_{_STREAM_SEQ[0]}"
     # state-store partition count is a deployment knob (it is fixed
-    # into the checkpoint at first run): the join keeps TWO stores,
-    # so at test scale 32 partitions × 4 micro-batches × 2 sides is
-    # pure fixed file overhead — 8 partitions drains 17-27 s → ~5 s
-    # (measured). At 100 TB you'd size this to keys/executors instead.
+    # into the checkpoint at first run): a stream-stream join keeps
+    # TWO state stores, so per-micro-batch fixed file overhead is
+    # 2× per partition and this query wants FEWER partitions than the
+    # single-store drains (r9 VERDICT #3, pinned r10 with the n=5
+    # solo fresh-session protocol: sp=2 → 5.96 s, 4 → 6.29, 8 → 8.68,
+    # 16 → 10.7 — monotonic in partitions at test scale). 4 keeps
+    # some drain parallelism; at 100 TB you'd size to keys/executors.
     run_to_memory(
         stream_conversion_join(events_stream_multibatch(spark, sf_dir)),
         name,
         "append",
-        state_partitions=8,
+        state_partitions=4,
     )
     return spark.table(name).orderBy("view_id", "buy_id")
 
