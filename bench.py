@@ -609,6 +609,22 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "ann_knn_join_recall": lambda: _eq["ann_knn_join_recall"](
                 spark, sf_dir
             ),
+            # r10: batch kNN join answered from the persisted index
+            # (first call builds the shared index fixture; the
+            # median-of-3 reads the stored tables — probe-only cost)
+            "ann_knn_join_stored": lambda: _eq["ann_knn_join_stored"](
+                spark, sf_dir
+            ),
+            # r10: multi-query MMR (3 queries, one plan, one rerank
+            # group per query)
+            "emb_mmr_multi": lambda: _eq["emb_mmr_multi"](
+                spark, sf_dir
+            ),
+            # r10: stored IVF-PQ query over the compacted
+            # incrementally-grown codes table
+            "ann_index_compact": lambda: _eq["ann_index_compact"](
+                spark, sf_dir
+            ),
             # r9: hybrid RRF retrieval (BM25 arm + dense arm + fusion)
             "doc_search_hybrid": lambda: _eq["doc_search_hybrid"](
                 spark, sf_dir
@@ -836,6 +852,13 @@ SCALE_REPS = (
     "ann_pq_topk", "sketch_hll", "ev_sliding_rates", "rel_triangles",
     "pc_segments", "dedup_index_probe", "stream_sessions",
     "quality_calibration",
+    # r10 additions (r9 verdict #7): the heavy r9/r10 shapes —
+    # trained-IVF batch kNN join (inline) and its stored-index twin,
+    # incremental near-dup clustering, the foreachBatch dedup-index
+    # ingestion gate (fixed micro-batch overhead dominates at this
+    # corpus size, so its ratio should sit near 1x), hybrid retrieval
+    "ann_knn_join_ivf", "ann_knn_join_stored", "dedup_clusters_inc",
+    "stream_dedup_probe", "doc_search_hybrid",
 )
 SCALE_SMALL_SF = "sf0.01"
 
@@ -921,6 +944,21 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
                 "quality_calibration": lambda d=data_dir: _eq[
                     "quality_calibration"
                 ](spark, d),
+                "ann_knn_join_ivf": lambda d=data_dir: _eq[
+                    "ann_knn_join_ivf"
+                ](spark, d),
+                "ann_knn_join_stored": lambda d=data_dir: _eq[
+                    "ann_knn_join_stored"
+                ](spark, d),
+                "dedup_clusters_inc": lambda d=data_dir: _eq[
+                    "dedup_clusters_inc"
+                ](spark, d),
+                "stream_dedup_probe": lambda d=data_dir: _eq[
+                    "stream_dedup_probe"
+                ](spark, d),
+                "doc_search_hybrid": lambda d=data_dir: _eq[
+                    "doc_search_hybrid"
+                ](spark, d),
             }
             for name, fn in suite.items():
                 t[name] = _timed(spark, lambda fn=fn: fn().count())
@@ -974,6 +1012,30 @@ def main() -> None:
                 # the scale-regression gauge (r5)
                 "scale_ratios": scale_ratios,
                 "scale_small": SCALE_SMALL_SF,
+            }
+        )
+    )
+    # compact SECOND line, printed LAST (r9 verdict #8): the recorded
+    # bench artifact keeps only the tail of stdout, which truncated
+    # the head of the full JSON line above — so the reference-
+    # comparable headline rows (BASELINE.md r1 numbers) and the scale
+    # gauge are re-emitted here in <1.5 KB, guaranteed visible.
+    headline_keys = (
+        "ingest", "bbox_small", "bbox_large", "knn_1000",
+        "dedup_minhash", "dedup_clusters", "ann_knn_join",
+        "ann_knn_join_ivf", "ann_knn_join_stored", "stream_conversions",
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_subset",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    k: timings[k] for k in headline_keys if k in timings
+                },
+                "sf": sf,
+                "scale_ratios": scale_ratios,
             }
         )
     )
