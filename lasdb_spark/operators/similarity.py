@@ -743,10 +743,15 @@ def knn_join_ivf(
     # precedent): the lineage stays recomputable — an executor loss
     # re-derives its blocks instead of aborting the query — and
     # nothing corpus-scale pins executor-local disk outside the
-    # managed block store.
+    # managed block store. The count() makes the fill EAGER: with a
+    # lazy persist the probe and build stages can BOTH miss the cold
+    # cache and run the Lloyd chain concurrently (measured 28 s
+    # stampede at sf0.1); one cheap action fills the cache exactly
+    # once, which is what the old eager localCheckpoint provided.
     from pyspark import StorageLevel
 
     ranked = ranked.persist(StorageLevel.DISK_ONLY)
+    ranked.count()
     return _knn_join_from_ranked(ranked, k, nprobe)
 
 
