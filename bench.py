@@ -629,6 +629,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "doc_search_hybrid": lambda: _eq["doc_search_hybrid"](
                 spark, sf_dir
             ),
+            # r10: batched hybrid retrieval (3 requests, one plan)
+            "doc_search_hybrid_multi": lambda: _eq[
+                "doc_search_hybrid_multi"
+            ](spark, sf_dir),
             # r9: MMR diversified rerank (candidates + pair sims +
             # one-group greedy)
             "emb_mmr": lambda: _eq["emb_mmr"](spark, sf_dir),

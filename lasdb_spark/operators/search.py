@@ -255,3 +255,268 @@ SELECT doc_id, score, rank FROM (
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
   FROM scored) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# batched hybrid retrieval (r10) — the serving shape: a REQUEST SET of
+# (query_id, text, query_vec_id) triples answered in one plan.
+# ---------------------------------------------------------------------------
+HYBRID_MULTI_QUERIES = (
+    (0, "fast hash join vector", 0),
+    (1, "stream window agg sort", 7),
+    (2, "scan filter column batch", 42),
+)
+
+
+def hybrid_search_multi(
+    docs: DataFrame,
+    embs: DataFrame,
+    queries=HYBRID_MULTI_QUERIES,
+    k: int = SEARCH_TOPK,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, bm25_rank, cos_rank, rrf, rank) —
+    :func:`hybrid_search` batched over a query SET in ONE plan: every
+    query's BM25 arm, dense arm and RRF fusion, ranked per query.
+
+    Spark shape (the serving batch): the corpus token explode +
+    (doc_id, term) tf table computes ONCE for the UNION of all query
+    terms (map-side ``term IN`` filter before any shuffle), then a
+    broadcast (query_id, term) literal table fans the scored terms
+    out to their queries — corpus work is independent of the query
+    count; per-query work is candidate-bounded. The dense arm scores
+    all query vectors in one broadcast pass (the
+    :func:`~.similarity.mmr_topk_multi` pattern). All ranks are
+    per-query row_number windows; the fusion joins two
+    |queries|·k_cand-row inputs.
+
+    Determinism: per-(query, doc) BM25 totals are SUMS of round-6
+    micro-unit BIGINT term parts — associative under any partitioning
+    and engine-exact, unlike a float sum (the single-query entry uses
+    a fixed per-term addition chain instead; same contract, different
+    mechanism because the term set here varies per query). rrf is the
+    same two-term double chain, round 6."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from .similarity import _cosine
+
+    qlist = [(int(qid), _query_terms(qtext), int(qvid))
+             for qid, qtext, qvid in queries]
+    all_terms = sorted({t for _, terms, _ in qlist for t in terms})
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+    )
+    exploded = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(all_terms))
+    tf = exploded.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_len"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    part = (
+        idf
+        * (tfd * (k1 + 1.0))
+        / (tfd + k1 * (1.0 - b + b * dld / avgdl))
+    )
+    parts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(part * 1e6).cast("long").alias("pm"),
+        )
+    )
+    qt = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            docs.sparkSession.range(1).select(
+                F.lit(qid).alias("query_id"), F.lit(t).alias("term")
+            )
+            for qid, terms, _ in qlist
+            for t in terms
+        ],
+    )
+    bm_scores = (
+        parts.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pm").alias("bm_micro"))
+    )
+    wq = Window.partitionBy("query_id")
+    bm = (
+        bm_scores.withColumn(
+            "bm25_rank",
+            F.row_number()
+            .over(wq.orderBy(F.col("bm_micro").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("bm25_rank") <= k_cand)
+        .select("query_id", "doc_id", "bm25_rank")
+    )
+    qcase = None
+    for qid, _, qvid in qlist:
+        branch = F.when(F.col("vec_id") == qvid, F.lit(qid))
+        qcase = branch if qcase is None else qcase.when(
+            F.col("vec_id") == qvid, F.lit(qid)
+        )
+    qsel = embs.filter(
+        F.col("vec_id").isin([qvid for _, _, qvid in qlist])
+    ).select(
+        qcase.alias("query_id"),
+        F.col("vec_id").alias("qvid"),
+        F.col("embedding").alias("qv"),
+    )
+    dcos = (
+        embs.crossJoin(F.broadcast(qsel))
+        .filter(F.col("vec_id") != F.col("qvid"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    dn = (
+        dcos.withColumn(
+            "cos_rank",
+            F.row_number()
+            .over(wq.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("cos_rank") <= k_cand)
+        .select("query_id", "doc_id", "cos_rank")
+    )
+    fused = bm.join(dn, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    ranked = fused.withColumn(
+        "rank",
+        F.row_number()
+        .over(wq.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+        .cast("int"),
+    ).filter(F.col("rank") <= k)
+    return ranked.orderBy("query_id", "rank")
+
+
+def hybrid_search_multi_sql(
+    queries=HYBRID_MULTI_QUERIES,
+    k: int = SEARCH_TOPK,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    dim: int = 64,
+) -> str:
+    """Oracle twin of :func:`hybrid_search_multi` — literal
+    (query_id, term) / (query_id, qvid) VALUES tables, the identical
+    micro-unit BM25 parts and cosine/RRF trees."""
+    from .similarity import fold_product_sql
+
+    qlist = [(int(qid), _query_terms(qtext), int(qvid))
+             for qid, qtext, qvid in queries]
+    all_terms = sorted({t for _, terms, _ in qlist for t in terms})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in all_terms)
+    qt_vals = ", ".join(
+        f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for qid, terms, _ in qlist
+        for t in terms
+    )
+    qv_vals = ", ".join(f"({qid}, {qvid})" for qid, _, qvid in qlist)
+    idf = (
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    avgdl = "(CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    part = (
+        f"{idf} * (CAST(tf AS DOUBLE) * ({k1!r} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {k1!r} * (1.0 - {b!r}"
+        f" + {b!r} * CAST(dl AS DOUBLE) / {avgdl}))"
+    )
+    qdot = fold_product_sql("q.qv", "e.embedding", dim)
+    nq = fold_product_sql("q.qv", "q.qv", dim)
+    ne = fold_product_sql("e.embedding", "e.embedding", dim)
+    cos = f"round({qdot} / (sqrt({nq}) * sqrt({ne})), 6)"
+    word_re = WORD_RE.replace("'", "''")
+    return f"""
+WITH qt(query_id, term) AS (VALUES {qt_vals}),
+qvm(query_id, qvid) AS (VALUES {qv_vals}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{word_re}') AS t
+  FROM documents),
+exploded AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM exploded
+  WHERE term IN ({in_list}) GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks),
+parts AS (
+  SELECT t.doc_id, t.term,
+         CAST(round(({part}) * 1000000.0) AS BIGINT) AS pm
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats),
+bm_scores AS (
+  SELECT q.query_id, p.doc_id, sum(p.pm) AS bm_micro
+  FROM parts p JOIN qt q USING (term) GROUP BY 1, 2),
+bm AS (
+  SELECT query_id, doc_id, bm25_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY bm_micro DESC, doc_id) AS INT) AS bm25_rank
+    FROM bm_scores) WHERE bm25_rank <= {int(k_cand)}),
+qe AS (
+  SELECT m.query_id, m.qvid, e.embedding AS qv
+  FROM qvm m JOIN embeddings e ON e.vec_id = m.qvid),
+dcos AS (
+  SELECT q.query_id, e.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings e CROSS JOIN qe q WHERE e.vec_id != q.qvid),
+dn AS (
+  SELECT query_id, doc_id, cos_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, doc_id) AS INT) AS cos_rank
+    FROM dcos) WHERE cos_rank <= {int(k_cand)}),
+fused AS (
+  SELECT coalesce(bm.query_id, dn.query_id) AS query_id,
+         coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         CAST(coalesce(bm.bm25_rank, 0) AS INT) AS bm25_rank,
+         CAST(coalesce(dn.cos_rank, 0) AS INT) AS cos_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm.bm25_rank), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + dn.cos_rank), 0.0),
+               6) AS rrf
+  FROM bm FULL OUTER JOIN dn
+    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
+SELECT query_id, doc_id, bm25_rank, cos_rank, rrf, rank FROM (
+  SELECT query_id, doc_id, bm25_rank, cos_rank, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused) WHERE rank <= {int(k)}
+""".strip()

@@ -169,3 +169,51 @@ def test_recall_report_stored_arm_matches_inline(spark, embs):
     inline = _rows(knn_join_recall_report(embs))
     stored = _rows(knn_join_recall_report(embs, index_path=path))
     assert stored == inline
+
+
+@pytest.mark.spark
+def test_hybrid_multi_per_query_matches_single(spark, sf_dir):
+    """hybrid_search_multi restricted to one query equals the
+    single-query hybrid_search (same arms, same fusion; the batched
+    BM25 arm's micro-unit sums land on the same ranking)."""
+    from lasdb_spark.operators.search import (
+        hybrid_search,
+        hybrid_search_multi,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    multi = sorted(
+        (r.doc_id, r.bm25_rank, r.cos_rank, r.rank)
+        for r in hybrid_search_multi(docs, embs).collect()
+        if r.query_id == 0
+    )
+    single = sorted(
+        (r.doc_id, r.bm25_rank, r.cos_rank, r.rank)
+        for r in hybrid_search(docs, embs, "fast hash join vector", 0).collect()
+    )
+    assert multi == single
+
+
+@pytest.mark.spark
+def test_hybrid_multi_rank_contract(spark, sf_dir):
+    """Per-query ranks are contiguous from 1 and rrf is the exact
+    two-term reciprocal of the reported ranks."""
+    from lasdb_spark.operators.search import hybrid_search_multi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = hybrid_search_multi(docs, embs, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        for r in rs:
+            want = round(
+                (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0)
+                + (1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0),
+                6,
+            )
+            assert abs(r.rrf - want) < 1e-9, (q, r)
