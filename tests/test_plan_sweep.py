@@ -49,6 +49,9 @@ BOUNDED_GLOBAL_WINDOW = {
     # r8 incremental-append index: identical query plan to the stored
     # index (rank after limit(k)); only the build path differs
     "ann_index_append",
+    # r10 compacted index: same stored-query plan again (rank after
+    # limit(k)); compaction only rewrote the codes file layout
+    "ann_index_compact",
     # rank over the top_k rows left by TakeOrdered (20 by default)
     "text_bpe_pairs",
     "ann_sq8_topk",  # rank over the k rows left by the exact re-rank cut
