@@ -1214,6 +1214,29 @@ def _q_ann_knn_join_stored(spark, sf_dir):
     return knn_join_ivf_stored(spark, _knn_join_index(spark, sf_dir))
 
 
+def _q_ann_knn_probe_stored(spark, sf_dir):
+    """ANN increment probe (r10): a NEW embedding slice (odd vec_ids)
+    scored top-k against the INDEXED corpus (even vec_ids) — the ANN
+    twin of dedup_index_probe, the crawl-admission loop's shape: zero
+    training at probe time, |increment| broadcast-centroid ranking +
+    the cell-bounded equi-join against the stored partitions."""
+    import shutil
+
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_probe_stored,
+    )
+
+    embs = _embs(spark, sf_dir)
+    path = knn_join_index_path(sf_dir) + "_even"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        build_knn_join_index(embs.where(F.col("vec_id") % 2 == 0), path)
+    return knn_join_probe_stored(
+        embs.where(F.col("vec_id") % 2 == 1), spark, path
+    )
+
+
 def _q_ann_knn_join_recall(spark, sf_dir):
     """Batch kNN-join recall audit (r9): single-bucket LSH,
     multi-probe LSH and trained-IVF joins scored pairwise against the
@@ -2946,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         # stored build replays the inline training exactly — the
         # inline twin IS the stored oracle (the ann_ivfpq_stored rule)
         "ann_knn_join_stored": _similarity.knn_join_ivf_sql(),
+        "ann_knn_probe_stored": _similarity.knn_join_probe_sql(),
         "ann_knn_join_recall": _similarity.knn_join_recall_report_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "ann_ivf_trained": _similarity.topk_ivf_trained_sql(),
@@ -3127,13 +3151,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """250 entries, ordered so every query gets a driver CORRECTNESS
+    """251 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-10 rotation (_R10_LEAD, the committed r9
-    promise — rotation hygiene over breadth this round, only 4 new
-    entries): the 4 NEW r10 entries lead (ann_knn_join_stored,
-    emb_mmr_multi, ann_index_compact, doc_search_hybrid_multi — first
-    driver rows outrank re-rows), then the 4
+    promise — rotation hygiene over breadth this round, only 5 new
+    entries): the 5 NEW r10 entries lead (ann_knn_join_stored,
+    emb_mmr_multi, ann_index_compact, doc_search_hybrid_multi,
+    ann_knn_probe_stored — first driver rows outrank re-rows), then
+    the 4
     entries whose RESULTS changed under the r9 ADVICE exactness fixes
     (rel_markov, rel_rules: ppm now bigint div; rel_important_parts:
     decimal-bounded membership compare; corpus_weighted_sample:
@@ -3143,9 +3168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_pipeline, corpus_pack), the four r4 rows
     (rel_sliding_rates, corpus_topics, pc_epoch_shift, pc_normals),
     then the r5 block in order (pc_bbox_maxz … rel_sessionize_events)
-    — 34 of its 49 fit the 50-row window (through dedup_ngram_jaccard);
-    the 15 leftovers sit immediately after the cut line and lead the
-    r11 rotation together with the r6 block. Everything past the window keeps its standing
+    — 33 of its 49 fit the 50-row window (through dedup_exact); the
+    16 leftovers sit immediately after the cut line and lead the r11
+    rotation together with the r6 block. Everything past the window keeps its standing
     green row from a prior round AND is re-proven value-exact and
     type-faithful every test run by the all-entries oracle mirror
     (tests/test_entry_oracle.py)."""
@@ -3407,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_multi": _q_emb_mmr_multi,
         "ann_index_compact": _q_ann_index_compact,
         "doc_search_hybrid_multi": _q_doc_search_hybrid_multi,
+        "ann_knn_probe_stored": _q_ann_knn_probe_stored,
     }
     out = {name: base[name] for name in _R10_LEAD}
     out.update(base)
@@ -3420,6 +3446,7 @@ _R10_LEAD = (
     "emb_mmr_multi",
     "ann_index_compact",
     "doc_search_hybrid_multi",
+    "ann_knn_probe_stored",
     # results changed by the r9 ADVICE exactness fixes
     "rel_markov",
     "rel_rules",
@@ -3469,8 +3496,8 @@ _R10_LEAD = (
     "corpus_curate",
     "emb_centroids",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     # --- the 50-row window cut line falls here (entry #50 above) ---
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",

@@ -633,6 +633,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "doc_search_hybrid_multi": lambda: _eq[
                 "doc_search_hybrid_multi"
             ](spark, sf_dir),
+            # r10: increment probe against the stored even-slice index
+            "ann_knn_probe_stored": lambda: _eq["ann_knn_probe_stored"](
+                spark, sf_dir
+            ),
             # r9: MMR diversified rerank (candidates + pair sims +
             # one-group greedy)
             "emb_mmr": lambda: _eq["emb_mmr"](spark, sf_dir),

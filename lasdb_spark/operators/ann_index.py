@@ -399,3 +399,77 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         .parquet(tmp)
     )
     _swap_dir(tmp, target)
+
+
+def knn_join_probe_stored(
+    embs_new: DataFrame,
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """(vec_id, nbr_id, cos, rank) — top-k cosine neighbours of a NEW
+    embedding increment among the INDEXED corpus at ``path``: the ANN
+    twin of :func:`~.dedup_index.probe_dedup_index` (the ingestion
+    loop a training pipeline actually runs — every crawl increment is
+    scored against the maintained corpus index before admission).
+
+    Work is |increment| broadcast-centroid ranking (map-side, zero
+    training) + an equi-join of the increment's nprobe probe rows
+    against the stored cell partitions — per probed cell, cost is the
+    stored cell's size, independent of corpus size elsewhere. The
+    increment never triggers a retrain and the stored corpus is never
+    re-ranked."""
+    from .similarity import (
+        KNN_JOIN_IVF_NPROBE,
+        KNN_JOIN_K,
+        _nearest_cells,
+        embs_with_norm,
+    )
+    from ..functions.hashing import fold_dot_col
+
+    k = KNN_JOIN_K if k is None else k
+    nprobe = KNN_JOIN_IVF_NPROBE if nprobe is None else nprobe
+    meta = ann_index_meta(path)
+    if int(nprobe) > int(meta["max_nprobe"]):
+        raise ValueError(
+            f"nprobe={nprobe} exceeds stored max_nprobe="
+            f"{meta['max_nprobe']} — rebuild the index with a larger "
+            "fan-out"
+        )
+    cents = spark.read.parquet(
+        os.path.join(path, "cells")
+    ).localCheckpoint()
+    probes = (
+        _nearest_cells(embs_with_norm(embs_new), cents)
+        .filter(F.col("rk") <= int(nprobe))
+        .select(
+            F.col("cid").alias("cell"),
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    build = (
+        spark.read.parquet(os.path.join(path, "assign"))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    j = probes.join(build, "cell").filter(F.col("vid") != F.col("nbr_id"))
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
+    scored = j.select(
+        F.col("vid").alias("vec_id"),
+        "nbr_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= int(k))

@@ -613,21 +613,26 @@ def topk_ivf_trained(
 
 
 def ivf_train_ctes(
-    n_cells: int = IVF_CELLS, dim: int = EMB_DIM, n_iters: int = IVF_ITERS
+    n_cells: int = IVF_CELLS,
+    dim: int = EMB_DIM,
+    n_iters: int = IVF_ITERS,
+    src: str = "embeddings",
 ) -> list[str]:
     """The k-means-training CTE chain shared by every trained-centroid
     oracle (:func:`topk_ivf_trained_sql`, semantic dedup): seed
     centroids → ``n_iters`` × (assign → per-cell mean → rebuild) →
     final ranking ``rf`` and assignment ``af`` (vec_id, embedding,
-    nrm, cell)."""
+    nrm, cell). ``src`` is the training relation (a table name or a
+    parenthesized subquery) — r10: the probe-increment twin trains on
+    the indexed slice only."""
     nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
     cdot = fold_product_sql("w.embedding", "c.ce", dim)
     cnrm = f"sqrt({fold_product_sql('ce', 'ce', dim)})"
     n_iters = max(1, n_iters)
     ctes = [
-        f"wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
+        f"wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM {src} AS s)",
         f"""c0 AS (SELECT vec_id AS cid, embedding AS ce, {nrm} AS cnrm
-       FROM embeddings ORDER BY vec_id LIMIT {n_cells})""",
+       FROM {src} AS s ORDER BY vec_id LIMIT {n_cells})""",
     ]
     for t in range(n_iters):
         ctes.append(f"""r{t} AS (
@@ -867,6 +872,58 @@ SELECT vec_id, nbr_id, cos, rank FROM (
          CAST(row_number() OVER (PARTITION BY vec_id
               ORDER BY cos DESC, nbr_id) AS INT) AS rank
   FROM scored) WHERE rank <= {k}
+""".strip()
+
+
+def knn_join_probe_sql(
+    k: int = KNN_JOIN_K,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = KNN_JOIN_IVF_NPROBE,
+    dim: int = EMB_DIM,
+    n_iters: int = IVF_ITERS,
+    corpus_pred: str = "vec_id % 2 = 0",
+    probe_pred: str = "vec_id % 2 = 1",
+) -> str:
+    """Oracle twin of :func:`~.ann_index.knn_join_probe_stored` over
+    (corpus, increment) slices of the embeddings table: the training
+    replay runs on the CORPUS slice only (``ivf_train_ctes(src=...)``),
+    the increment ranks against the final centroids and joins the
+    corpus assignment — exactly what the stored-index probe reads."""
+    nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    cdot = fold_product_sql("w.embedding", "c.ce", dim)
+    dot = fold_product_sql("p.ea", "a.embedding", dim)
+    f = max(1, n_iters)
+    ctes = ivf_train_ctes(
+        n_cells,
+        dim,
+        n_iters,
+        src=f"(SELECT * FROM embeddings WHERE {corpus_pred})",
+    )
+    ctes.append(
+        f"pw AS (SELECT vec_id, embedding, {nrm} AS nrm\n"
+        f"        FROM embeddings WHERE {probe_pred})"
+    )
+    ctes.append(f"""pr AS (
+  SELECT w.vec_id, w.embedding, w.nrm, c.cid,
+         row_number() OVER (PARTITION BY w.vec_id
+           ORDER BY round({cdot} / (w.nrm * c.cnrm), 6) DESC, c.cid) AS rk
+  FROM pw w CROSS JOIN c{f} c)""")
+    ctes.append(
+        f"probes AS (SELECT cid AS cell, vec_id AS vid, embedding AS ea,\n"
+        f"                   nrm AS na FROM pr WHERE rk <= {int(nprobe)})"
+    )
+    ctes.append(f"""scored AS (
+  SELECT p.vid AS vec_id, a.vec_id AS nbr_id,
+         round({dot} / (p.na * a.nrm), 6) AS cos
+  FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id != p.vid)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT vec_id, nbr_id, cos, rank FROM (
+  SELECT vec_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, nbr_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {int(k)}
 """.strip()
 
 

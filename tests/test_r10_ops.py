@@ -217,3 +217,65 @@ def test_hybrid_multi_rank_contract(spark, sf_dir):
                 6,
             )
             assert abs(r.rrf - want) < 1e-9, (q, r)
+
+
+@pytest.mark.spark
+def test_knn_probe_stored_matches_crosscorpus_truth(spark, embs):
+    """The increment probe against a stored even-slice index equals
+    the same join computed from scratch: rank the odd slice against
+    centroids trained on the even slice, join the even assignment."""
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_probe_stored,
+    )
+    from lasdb_spark.operators.similarity import (
+        _nearest_cells,
+        embs_with_norm,
+        knn_join_train_cents,
+    )
+    from lasdb_spark.functions.hashing import fold_dot_col
+    from pyspark.sql.window import Window
+
+    corpus = embs.where(F.col("vec_id") % 2 == 0)
+    inc = embs.where(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="lasdb_knnprobe_")
+    build_knn_join_index(corpus, path)
+    got = _rows(knn_join_probe_stored(inc, spark, path))
+
+    cents = knn_join_train_cents(corpus).localCheckpoint()
+    probes = (
+        _nearest_cells(embs_with_norm(inc), cents)
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("cid").alias("cell"),
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    build = (
+        _nearest_cells(embs_with_norm(corpus), cents)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cid").alias("cell"),
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    j = probes.join(build, "cell")
+    dot = fold_dot_col(F.col("ea"), F.col("eb"))
+    scored = j.select(
+        F.col("vid").alias("vec_id"),
+        "nbr_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id")
+    )
+    want = _rows(
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        ).filter(F.col("rank") <= 5)
+    )
+    assert got == want
