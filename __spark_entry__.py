@@ -1237,6 +1237,17 @@ def _q_ann_knn_probe_stored(spark, sf_dir):
     )
 
 
+def _q_ann_index_stats(spark, sf_dir):
+    """Stored-index health report (r10): per-cell home-assignment
+    counts + exact ppm share and mean-relative skew of the persisted
+    kNN-join index — the IVF observability op (a runaway cell means
+    the join's largest task grows with it; this report triggers the
+    retrain/split decision). One scan of the stored assignment."""
+    from lasdb_spark.operators.ann_index import knn_join_index_stats
+
+    return knn_join_index_stats(spark, _knn_join_index(spark, sf_dir))
+
+
 def _q_ann_knn_join_recall(spark, sf_dir):
     """Batch kNN-join recall audit (r9): single-bucket LSH,
     multi-probe LSH and trained-IVF joins scored pairwise against the
@@ -2970,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
         # inline twin IS the stored oracle (the ann_ivfpq_stored rule)
         "ann_knn_join_stored": _similarity.knn_join_ivf_sql(),
         "ann_knn_probe_stored": _similarity.knn_join_probe_sql(),
+        "ann_index_stats": _similarity.knn_join_index_stats_sql(),
         "ann_knn_join_recall": _similarity.knn_join_recall_report_sql(),
         "ann_ivf_topk": _similarity.topk_ivf_sql(),
         "ann_ivf_trained": _similarity.topk_ivf_trained_sql(),
@@ -3151,14 +3163,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """251 entries, ordered so every query gets a driver CORRECTNESS
+    """252 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-10 rotation (_R10_LEAD, the committed r9
-    promise — rotation hygiene over breadth this round, only 5 new
-    entries): the 5 NEW r10 entries lead (ann_knn_join_stored,
+    promise — rotation hygiene over breadth this round, only 6 new
+    entries): the 6 NEW r10 entries lead (ann_knn_join_stored,
     emb_mmr_multi, ann_index_compact, doc_search_hybrid_multi,
-    ann_knn_probe_stored — first driver rows outrank re-rows), then
-    the 4
+    ann_knn_probe_stored, ann_index_stats — first driver rows outrank
+    re-rows), then the 4
     entries whose RESULTS changed under the r9 ADVICE exactness fixes
     (rel_markov, rel_rules: ppm now bigint div; rel_important_parts:
     decimal-bounded membership compare; corpus_weighted_sample:
@@ -3168,8 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_pipeline, corpus_pack), the four r4 rows
     (rel_sliding_rates, corpus_topics, pc_epoch_shift, pc_normals),
     then the r5 block in order (pc_bbox_maxz … rel_sessionize_events)
-    — 33 of its 49 fit the 50-row window (through dedup_exact); the
-    16 leftovers sit immediately after the cut line and lead the r11
+    — 32 of its 49 fit the 50-row window (through emb_centroids); the
+    17 leftovers sit immediately after the cut line and lead the r11
     rotation together with the r6 block. Everything past the window keeps its standing
     green row from a prior round AND is re-proven value-exact and
     type-faithful every test run by the all-entries oracle mirror
@@ -3433,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_compact": _q_ann_index_compact,
         "doc_search_hybrid_multi": _q_doc_search_hybrid_multi,
         "ann_knn_probe_stored": _q_ann_knn_probe_stored,
+        "ann_index_stats": _q_ann_index_stats,
     }
     out = {name: base[name] for name in _R10_LEAD}
     out.update(base)
@@ -3447,6 +3460,7 @@ _R10_LEAD = (
     "ann_index_compact",
     "doc_search_hybrid_multi",
     "ann_knn_probe_stored",
+    "ann_index_stats",
     # results changed by the r9 ADVICE exactness fixes
     "rel_markov",
     "rel_rules",
@@ -3495,8 +3509,8 @@ _R10_LEAD = (
     "corpus_sample",
     "corpus_curate",
     "emb_centroids",
-    "dedup_exact",
     # --- the 50-row window cut line falls here (entry #50 above) ---
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -637,6 +637,10 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "ann_knn_probe_stored": lambda: _eq["ann_knn_probe_stored"](
                 spark, sf_dir
             ),
+            # r10: per-cell health report of the stored join index
+            "ann_index_stats": lambda: _eq["ann_index_stats"](
+                spark, sf_dir
+            ),
             # r9: MMR diversified rerank (candidates + pair sims +
             # one-group greedy)
             "emb_mmr": lambda: _eq["emb_mmr"](spark, sf_dir),

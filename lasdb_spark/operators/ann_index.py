@@ -473,3 +473,44 @@ def knn_join_probe_stored(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= int(k))
+
+
+def knn_join_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n_vecs, share_ppm, skew_ppm) — per-cell health of the
+    stored kNN-join index: home-assignment count per Lloyd cell, its
+    exact ppm share of the corpus, and the cell's size relative to
+    the MEAN cell (skew_ppm = n·n_cells·10⁶ div total; 1e6 = balanced)
+    — the observability op an IVF deployment actually monitors: a
+    runaway cell means the equi-join's largest task grows with it,
+    and the fix (retrain or split) is a maintenance decision this
+    report triggers. All integer math (bigint div), so the report is
+    hash-exact.
+
+    One partition-pruned-free scan of the stored assignment (rk = 1
+    rows only — Parquet row-group stats prune the probe fan-out), one
+    cell-keyed partial agg, a broadcast 1-row total."""
+    meta = ann_index_meta(path)
+    n_cells = int(meta["n_cells"])
+    assign = (
+        spark.read.parquet(os.path.join(path, "assign"))
+        .filter(F.col("rk") == 1)
+        .select(F.col("cell").cast("long").alias("cell"))
+    )
+    counts = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = counts.agg(F.sum("n_vecs").cast("long").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 div tot")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr(f"n_vecs * {n_cells} * 1000000 div tot")
+            .cast("long")
+            .alias("skew_ppm"),
+        )
+        .orderBy("cell")
+    )

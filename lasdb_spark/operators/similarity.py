@@ -927,6 +927,29 @@ SELECT vec_id, nbr_id, cos, rank FROM (
 """.strip()
 
 
+def knn_join_index_stats_sql(
+    n_cells: int = IVF_CELLS,
+    dim: int = EMB_DIM,
+    n_iters: int = IVF_ITERS,
+) -> str:
+    """Oracle twin of :func:`~.ann_index.knn_join_index_stats`: the
+    training replay's final assignment, counted per cell with the
+    identical integer share/skew expressions."""
+    ctes = ivf_train_ctes(n_cells, dim, n_iters)
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+counts AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM af GROUP BY 1),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM counts)
+SELECT c.cell, c.n_vecs,
+       CAST(c.n_vecs * 1000000 // t.tot AS BIGINT) AS share_ppm,
+       CAST(c.n_vecs * {int(n_cells)} * 1000000 // t.tot AS BIGINT)
+         AS skew_ppm
+FROM counts c CROSS JOIN tot t ORDER BY c.cell
+""".strip()
+
+
 def knn_join_exact(embs: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
     """Exact batch kNN-join — every vector's TRUE top-k cosine
     neighbours, via the all-pairs join. GROUND TRUTH ONLY (the batch

@@ -279,3 +279,22 @@ def test_knn_probe_stored_matches_crosscorpus_truth(spark, embs):
         ).filter(F.col("rank") <= 5)
     )
     assert got == want
+
+
+@pytest.mark.spark
+def test_knn_join_index_stats_totals(spark, embs):
+    """Stats rows cover every vector exactly once (Σ n_vecs = corpus),
+    shares sum to ~1e6, and skew_ppm is n·n_cells·1e6 div total."""
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_index_stats,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_knnstats_")
+    build_knn_join_index(embs, path)
+    rows = knn_join_index_stats(spark, path).collect()
+    n = embs.count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert n * 0.99 <= sum(r.share_ppm for r in rows) / 1e6 * n <= n
+    for r in rows:
+        assert r.skew_ppm == r.n_vecs * len(rows) * 1_000_000 // n
