@@ -364,15 +364,45 @@ def knn_join_ivf_stored(
 
 
 def _swap_dir(tmp: str, target: str) -> None:
-    """Atomic-enough directory swap (side-dir write + rename), the
-    ``compact_document_store`` discipline: a crash mid-compaction
-    leaves the original table intact."""
+    """Side-dir + two-rename directory swap, shared by both index
+    compactors (:func:`compact_ann_index` and
+    :func:`~.dedup_index.compact_dedup_index`).
+
+    Crash contract (r10 ADVICE, honestly stated): the swap is NOT a
+    single atomic step — between ``rename(target, target_old)`` and
+    ``rename(tmp, target)`` the table directory is briefly absent, so
+    a crash inside that window leaves the data stranded in
+    ``*_old``. :func:`_recover_swap` (run on entry here and by the
+    compactors) repairs both failure shapes before the next attempt:
+    a missing target with a surviving ``*_old`` is renamed back, and
+    a stale ``*_compacting``/``*_old`` leftover is removed so the
+    renames cannot collide. Compactors call it BEFORE writing the
+    side dir (here, ``tmp`` is usually ``*_compacting`` itself, so
+    recovery inside the swap would destroy the fresh write — only
+    the stale-``*_old`` guard runs here). Crash BEFORE the first
+    rename (the whole side-dir write) leaves the original
+    untouched."""
     import shutil
 
     old = target + "_old"
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(target, old)
     os.rename(tmp, target)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_swap(target: str) -> None:
+    """Repair leftovers of an interrupted :func:`_swap_dir` run: if
+    the target vanished mid-swap, restore it from ``*_old``;
+    otherwise drop stale ``*_old`` / ``*_compacting`` side dirs so a
+    fresh compaction's renames can't fail on them."""
+    import shutil
+
+    old = target + "_old"
+    if not os.path.exists(target) and os.path.exists(old):
+        os.rename(old, target)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(target + "_compacting", ignore_errors=True)
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> None:
@@ -383,13 +413,17 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     partition layout degrades). Rewrites the corpus-sized table —
     ``codes`` for an IVF-PQ index, ``assign`` for a kNN-join index —
     repartitioned by cell into right-sized files, via side-dir +
-    rename swap so a crash mid-compaction leaves the index intact.
-    Row content is untouched (compaction is a layout operation), so
-    compact(build + append) == build(all) down to query results —
-    pytest-pinned."""
+    rename swap (see :func:`_swap_dir` for the exact crash window and
+    :func:`_recover_swap`, run on entry, for repair of an interrupted
+    prior run). Row content is untouched (compaction is a layout
+    operation), so compact(build + append) == build(all) down to
+    query results — pytest-pinned. Maintenance-window op: don't run
+    it concurrently with appends — an append that lands in the old
+    directory during the swap is silently discarded."""
     meta = ann_index_meta(path)
     table = "assign" if meta.get("kind") == "knn_join_ivf" else "codes"
     target = os.path.join(path, table)
+    _recover_swap(target)
     df = spark.read.parquet(target)
     tmp = target + "_compacting"
     (

@@ -231,19 +231,22 @@ def compact_dedup_index(spark: SparkSession, path: str) -> None:
     :func:`append_dedup_index` increment adds one small file per
     table; after many increments every probe pays per-file open cost
     on buckets/shingles/sizes). Each table is rewritten — shuffled by
-    its probe-join key so co-access stays clustered — through a side
-    directory + rename swap (the ``compact_document_store``
-    discipline: a crash mid-compaction leaves the index intact).
-    Content is untouched, so compact(build + append) == build(all)
-    down to probe results — pytest-pinned. Maintenance-window op:
-    don't run it concurrently with appends.
+    its probe-join key so co-access stays clustered — through the
+    shared :func:`~.ann_index._swap_dir` side-dir + rename swap (see
+    its docstring for the exact two-rename crash window;
+    :func:`~.ann_index._recover_swap` runs per table on entry to
+    repair an interrupted prior run). Content is untouched, so
+    compact(build + append) == build(all) down to probe results —
+    pytest-pinned. Maintenance-window op: don't run it concurrently
+    with appends — an append landing in the old directory during the
+    swap is silently discarded.
 
     The target file count per table is its post-packing read
     partition count: Spark's file packing (maxPartitionBytes +
     openCostInBytes) already yields a size-proportional partition
     count over the fragmented input, so the rewrite converges to
     ~maxPartitionBytes files per table at any corpus size."""
-    import shutil
+    from .ann_index import _recover_swap, _swap_dir
 
     for table, keys in (
         ("buckets", ["band", "sig"]),
@@ -251,11 +254,9 @@ def compact_dedup_index(spark: SparkSession, path: str) -> None:
         ("sizes", ["doc_id"]),
     ):
         target = os.path.join(path, table)
+        _recover_swap(target)
         df = spark.read.parquet(target)
         n = max(1, df.rdd.getNumPartitions())
         tmp = target + "_compacting"
         df.repartition(n, *keys).write.mode("overwrite").parquet(tmp)
-        old = target + "_old"
-        os.rename(target, old)
-        os.rename(tmp, target)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_dir(tmp, target)

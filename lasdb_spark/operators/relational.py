@@ -4140,7 +4140,15 @@ def important_parts(
     units), n_parts·1000 as decimal(14,0) (< 10^11 parts), tot as
     decimal(33,4) (< 10^29 total) — make both products land exactly
     in decimal(38,4) on both engines; any 100 TB corpus sits many
-    orders of magnitude inside them.
+    orders of magnitude inside them. Failure-mode asymmetry if the
+    rev bound were ever exceeded (r10 ADVICE, documented): with ANSI
+    mode off, Spark turns the overflowing decimal(23,4) cast into
+    NULL — the comparison is NULL and that part silently leaves the
+    membership — while the DuckDB twin raises on the same overflow.
+    At 10^19 currency units per part this is unreachable (the whole
+    100 TB corpus's revenue is ~10 orders below it), so we document
+    rather than spend a per-row assert; re-derive the bound before
+    reusing this shape on wider inputs.
 
     Scale: ONE shuffle on l_partkey for the per-part agg; the 1-row
     (total, n_parts) agg broadcasts into the filter; the part dim

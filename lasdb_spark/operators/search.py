@@ -370,18 +370,27 @@ def hybrid_search_multi(
         .filter(F.col("bm25_rank") <= k_cand)
         .select("query_id", "doc_id", "bm25_rank")
     )
-    qcase = None
-    for qid, _, qvid in qlist:
-        branch = F.when(F.col("vec_id") == qvid, F.lit(qid))
-        qcase = branch if qcase is None else qcase.when(
-            F.col("vec_id") == qvid, F.lit(qid)
-        )
-    qsel = embs.filter(
-        F.col("vec_id").isin([qvid for _, _, qvid in qlist])
-    ).select(
-        qcase.alias("query_id"),
-        F.col("vec_id").alias("qvid"),
-        F.col("embedding").alias("qv"),
+    # (query_id, qvid) as a literal table joined to embs — NOT a
+    # filter+CASE chain: two queries may legally share a query_vec_id,
+    # and a CASE maps the shared vector to only its first query,
+    # silently dropping the other query's dense arm (r10 ADVICE). The
+    # join yields one row per (query_id, vector) pair, mirroring the
+    # SQL twin's VALUES join exactly.
+    qvm = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            docs.sparkSession.range(1).select(
+                F.lit(qid).alias("query_id"), F.lit(qvid).alias("qvid")
+            )
+            for qid, _, qvid in qlist
+        ],
+    )
+    qsel = F.broadcast(qvm).join(
+        embs.select(
+            F.col("vec_id").alias("qvid"),
+            F.col("embedding").alias("qv"),
+        ),
+        "qvid",
     )
     dcos = (
         embs.crossJoin(F.broadcast(qsel))

@@ -753,11 +753,43 @@ def knn_join_ivf(
     # cache and run the Lloyd chain concurrently (measured 28 s
     # stampede at sf0.1); one cheap action fills the cache exactly
     # once, which is what the old eager localCheckpoint provided.
+    # Leak cap (r10 ADVICE): persisted relations live in the
+    # CacheManager and are NOT GC-reclaimed, so a persist-per-call
+    # with no unpersist grows executor disk for the session lifetime
+    # (bench reps, recall-report arms, tests). We cannot unpersist
+    # before the caller materializes the returned lazy plan, so
+    # instead each call EVICTS the previous call's assignment — disk
+    # held is bounded by ONE nprobe×|corpus| slim relation per
+    # session — and :func:`release_knn_join_cache` frees even that.
     from pyspark import StorageLevel
 
+    global _KNN_JOIN_CACHED
+    if _KNN_JOIN_CACHED is not None:
+        try:
+            _KNN_JOIN_CACHED.unpersist(blocking=False)
+        except Exception:
+            pass
     ranked = ranked.persist(StorageLevel.DISK_ONLY)
     ranked.count()
+    _KNN_JOIN_CACHED = ranked
     return _knn_join_from_ranked(ranked, k, nprobe)
+
+
+#: the single persisted IVF-assignment relation (see knn_join_ivf).
+_KNN_JOIN_CACHED = None
+
+
+def release_knn_join_cache() -> None:
+    """Unpersist :func:`knn_join_ivf`'s cached assignment, if any —
+    call after the consumer has fully materialized (bench rep
+    boundaries, test teardown) to return the executor disk early."""
+    global _KNN_JOIN_CACHED
+    if _KNN_JOIN_CACHED is not None:
+        try:
+            _KNN_JOIN_CACHED.unpersist(blocking=False)
+        except Exception:
+            pass
+        _KNN_JOIN_CACHED = None
 
 
 def embs_with_norm(embs: DataFrame) -> DataFrame:

@@ -298,3 +298,59 @@ def test_knn_join_index_stats_totals(spark, embs):
     assert n * 0.99 <= sum(r.share_ppm for r in rows) / 1e6 * n <= n
     for r in rows:
         assert r.skew_ppm == r.n_vecs * len(rows) * 1_000_000 // n
+
+
+@pytest.mark.spark
+def test_hybrid_multi_shared_query_vec(spark, sf_dir):
+    """Two queries sharing one query_vec_id BOTH keep their dense arm
+    (r10 ADVICE: the old filter+CASE query selector mapped a shared
+    vector to only its first query, silently dropping the second
+    query's cosine ranking)."""
+    from lasdb_spark.operators.search import hybrid_search_multi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    shared = (
+        (0, "fast hash join vector", 7),
+        (1, "stream window agg sort", 7),
+    )
+    rows = hybrid_search_multi(docs, embs, queries=shared, k=10).collect()
+    dense = {q: [r for r in rows if r.query_id == q and r.cos_rank > 0]
+             for q in (0, 1)}
+    assert dense[0] and dense[1]
+    # identical vector => identical dense ranking; fusion may admit
+    # different doc subsets per query (BM25 arms differ), but any doc
+    # surviving in BOTH outputs must carry the same cos_rank
+    r0 = {r.doc_id: r.cos_rank for r in dense[0]}
+    r1 = {r.doc_id: r.cos_rank for r in dense[1]}
+    common = set(r0) & set(r1)
+    assert common and all(r0[d] == r1[d] for d in common)
+
+
+@pytest.mark.spark
+def test_swap_dir_recovery(tmp_path):
+    """_recover_swap repairs both interrupted-swap shapes: target
+    missing with *_old surviving (restore), and stale side dirs
+    (clear so the next compaction's renames can't collide)."""
+    import os
+
+    from lasdb_spark.operators.ann_index import _recover_swap, _swap_dir
+
+    target = str(tmp_path / "assign")
+    os.makedirs(target)
+    open(os.path.join(target, "x.parquet"), "w").write("v1")
+    # crash window: target renamed away, tmp never promoted
+    os.rename(target, target + "_old")
+    os.makedirs(target + "_compacting")
+    _recover_swap(target)
+    assert os.path.exists(target)
+    assert open(os.path.join(target, "x.parquet")).read() == "v1"
+    assert not os.path.exists(target + "_old")
+    assert not os.path.exists(target + "_compacting")
+    # normal swap still promotes tmp and clears old
+    tmp = target + "_compacting"
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "x.parquet"), "w").write("v2")
+    _swap_dir(tmp, target)
+    assert open(os.path.join(target, "x.parquet")).read() == "v2"
+    assert not os.path.exists(target + "_old")
