@@ -290,8 +290,17 @@ def _registration(pts):
     )
 
 
-def _section_corpus(spark, sf_dir, timings) -> None:
-    """LLM-pipeline operators on the documents/embeddings tables."""
+def _section_dedup(spark, sf_dir, timings) -> None:
+    """The batch dedup family in its OWN fresh session, nothing
+    before it (r10 VERDICT #1): dedup_minhash / dedup_clusters are
+    the documented cumulative-JVM noise family — identical code has
+    read 7.0 s vs 15.9 s depending only on suite position (module
+    docstring) and the r10 driver artifact recorded 11.3 / 15.2 s
+    against ~2 / ~4.7 s solo bands, the only >2×-baseline rows. A
+    dedicated section makes the recorded rows reproduce the solo
+    protocol instead of whatever GC state ~60 prior plans left."""
+    from pyspark.sql import functions as F
+
     from lasdb_spark.operators.dedup import (
         chunk_neardup_pairs,
         crosscorpus_neardup_pairs,
@@ -299,6 +308,32 @@ def _section_corpus(spark, sf_dir, timings) -> None:
         exact_dedup,
         minhash_lsh_pairs,
     )
+
+    import __spark_entry__ as _entry
+
+    _eq = _entry.queries()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.count()
+    suite = {
+        "dedup_exact": lambda: exact_dedup(docs),
+        "dedup_minhash": lambda: minhash_lsh_pairs(docs),
+        "dedup_clusters": lambda: dedup_clusters(docs),
+        "dedup_chunks": lambda: chunk_neardup_pairs(docs),
+        "dedup_crosscorpus": lambda: crosscorpus_neardup_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
+        "dedup_url_canonical": lambda: _eq["dedup_url_canonical"](
+            spark, sf_dir
+        ),
+        "dedup_spans": lambda: _eq["dedup_spans"](spark, sf_dir),
+    }
+    for name, fn in suite.items():
+        timings[name] = _timed(spark, lambda fn=fn: fn().count())
+
+
+def _section_corpus(spark, sf_dir, timings) -> None:
+    """LLM-pipeline operators on the documents/embeddings tables."""
     from pyspark.sql import functions as F
     from lasdb_spark.operators.multimodal import (
         decode_audio_features,
@@ -330,20 +365,12 @@ def _section_corpus(spark, sf_dir, timings) -> None:
         "text_tfidf": lambda: tfidf_top_terms(docs),
         "text_surprisal": lambda: surprisal_scores(docs),
         "text_bm25": lambda: bm25_search(docs, "fast hash join vector"),
-        "dedup_exact": lambda: exact_dedup(docs),
-        "dedup_minhash": lambda: minhash_lsh_pairs(docs),
-        "dedup_clusters": lambda: dedup_clusters(docs),
-        "dedup_chunks": lambda: chunk_neardup_pairs(docs),
         "ann_pq_topk": lambda: topk_pq(embs),
         "mm_audio": lambda: decode_audio_features(make_audio_corpus(docs)),
         "text_pii": lambda: pii_redact(docs),
         # r4 second batch
         "text_bigram": lambda: bigram_surprisal(docs),
         "text_ensemble": lambda: quality_ensemble(docs),
-        "dedup_crosscorpus": lambda: crosscorpus_neardup_pairs(
-            docs.filter(F.col("doc_id") % 2 == 0),
-            docs.filter(F.col("doc_id") % 2 == 1),
-        ),
         "ev_pagerank": lambda: event_type_pagerank(ev),
         "ev_interval_join": lambda: incident_impact(ev),
         "ev_sliding_rates": lambda: sliding_event_rates(ev),
@@ -443,11 +470,21 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             # r7 new families (house rule: bench row the round they ship)
             "mm_jpeg": lambda: _eq["mm_jpeg"](spark, sf_dir),
             "emb_matryoshka": lambda: _eq["emb_matryoshka"](spark, sf_dir),
-            "dedup_url_canonical": lambda: _eq["dedup_url_canonical"](
+            "text_bpe_encode": lambda: _eq["text_bpe_encode"](spark, sf_dir),
+            # r11 new family: stored text-retrieval index (house
+            # rule: bench row the round they ship) — stored BM25 and
+            # stored-arm hybrid against their inline rows text_bm25 /
+            # doc_search_hybrid; the warm-up rep pays the one-time
+            # index build at the deterministic temp path
+            "doc_search_bm25_stored": lambda: _eq["doc_search_bm25_stored"](
                 spark, sf_dir
             ),
-            "text_bpe_encode": lambda: _eq["text_bpe_encode"](spark, sf_dir),
-            "dedup_spans": lambda: _eq["dedup_spans"](spark, sf_dir),
+            "doc_search_hybrid_stored": lambda: _eq[
+                "doc_search_hybrid_stored"
+            ](spark, sf_dir),
+            "text_index_stats": lambda: _eq["text_index_stats"](
+                spark, sf_dir
+            ),
             "rel_local_supplier": lambda: _eq["rel_local_supplier"](
                 spark, sf_dir
             ),
@@ -871,6 +908,14 @@ SCALE_REPS = (
     # corpus size, so its ratio should sit near 1x), hybrid retrieval
     "ann_knn_join_ivf", "ann_knn_join_stored", "dedup_clusters_inc",
     "stream_dedup_probe", "doc_search_hybrid",
+    # r11 additions (r10 verdict #7): the batched/probe serving
+    # shapes — multi-query hybrid retrieval and MMR (corpus work
+    # independent of query count, so their ratios should track the
+    # single-query rows), the stored-index increment probe, and the
+    # stored text-retrieval query (build amortized in the warm-up;
+    # the measured reps are the pruned-scan serving cost)
+    "doc_search_hybrid_multi", "emb_mmr_multi", "ann_knn_probe_stored",
+    "doc_search_bm25_stored",
 )
 SCALE_SMALL_SF = "sf0.01"
 
@@ -971,6 +1016,18 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
                 "doc_search_hybrid": lambda d=data_dir: _eq[
                     "doc_search_hybrid"
                 ](spark, d),
+                "doc_search_hybrid_multi": lambda d=data_dir: _eq[
+                    "doc_search_hybrid_multi"
+                ](spark, d),
+                "emb_mmr_multi": lambda d=data_dir: _eq["emb_mmr_multi"](
+                    spark, d
+                ),
+                "ann_knn_probe_stored": lambda d=data_dir: _eq[
+                    "ann_knn_probe_stored"
+                ](spark, d),
+                "doc_search_bm25_stored": lambda d=data_dir: _eq[
+                    "doc_search_bm25_stored"
+                ](spark, d),
             }
             for name, fn in suite.items():
                 t[name] = _timed(spark, lambda fn=fn: fn().count())
@@ -994,6 +1051,9 @@ def main() -> None:
     scale_ratios: dict[str, float] = {}
     sections = [
         lambda s: _section_point_cloud(s, sf_dir, cpus, base, timings),
+        # dedup runs in its own fresh session with nothing before it
+        # (r10 VERDICT #1 — the cumulative-JVM noise family)
+        lambda s: _section_dedup(s, sf_dir, timings),
         lambda s: _section_corpus(s, sf_dir, timings),
         lambda s: _section_heavy(s, sf_dir, timings),
         lambda s: _section_streaming(s, sf_dir, cpus, base, timings),
@@ -1010,23 +1070,32 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_runs": N_RUNS,
-                "stat": "median_per_query",
-                # t(main sf) / t(sf0.01) per family representative;
-                # the scale-regression gauge (r5)
-                "scale_ratios": scale_ratios,
-                "scale_small": SCALE_SMALL_SF,
-            }
+    full = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_runs": N_RUNS,
+        "stat": "median_per_query",
+        # t(main sf) / t(sf0.01) per family representative;
+        # the scale-regression gauge (r5)
+        "scale_ratios": scale_ratios,
+        "scale_small": SCALE_SMALL_SF,
+    }
+    print(json.dumps(full))
+    # also dump the full row set next to the script (r10 VERDICT #8):
+    # the recorded bench artifact keeps only a ~2 KB stdout tail,
+    # which hides 130+ rows from round-over-round diffing — the file
+    # copy is committed per round as BENCH_LOCAL_r{N}.json
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
         )
-    )
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout already carries the data
     # compact SECOND line, printed LAST (r9 verdict #8): the recorded
     # bench artifact keeps only the tail of stdout, which truncated
     # the head of the full JSON line above — so the reference-

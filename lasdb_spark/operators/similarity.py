@@ -441,6 +441,32 @@ def seed_centroids(embs: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
+def seed_centroids_hash(embs: DataFrame, n_cells: int) -> DataFrame:
+    """(cid, ce, cnrm) — DENSITY-PROPORTIONAL deterministic centroid
+    seed: the ``n_cells`` lowest ``xxhash64(vec_id)`` rows (tie-break
+    vec_id). A uniform hash sample of the corpus puts seeds where the
+    data is — a region holding half the vectors gets ~half the seeds
+    — which is what a REBUILD after drift needs: the lowest-vec_id
+    seed (:func:`seed_centroids`) can never land inside a clump of
+    newly-appended ids, so Lloyd can never split it. TakeOrdered on a
+    hash — per-partition heaps, deterministic, scale-safe (no global
+    sort). cid is renumbered 0..n_cells-1 by hash order so cell ids
+    stay dense."""
+    hashed = embs.select(
+        "vec_id",
+        "embedding",
+        F.xxhash64(F.col("vec_id")).alias("h"),
+    ).orderBy("h", "vec_id").limit(n_cells)
+    w = Window.orderBy("h", "vec_id")
+    return hashed.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(
+            fold_dot_col(F.col("embedding"), F.col("embedding"))
+        ).alias("cnrm"),
+    )
+
+
 def topk_ivf(
     embs: DataFrame,
     query_vec_id: int = 0,
@@ -807,12 +833,29 @@ def knn_join_train_cents(
     embs: DataFrame,
     n_cells: int = IVF_CELLS,
     n_iters: int = IVF_ITERS,
+    reseed_by_hash: bool = False,
 ) -> DataFrame:
     """(cid, ce, cnrm) — the batch kNN-join's Lloyd-trained centroid
     table (deterministic seed + ``n_iters`` refinements; per-round
-    state is always the KB centroid table)."""
+    state is always the KB centroid table). ``reseed_by_hash`` swaps
+    the lowest-vec_id seed for the density-proportional
+    :func:`seed_centroids_hash` — the REBUILD path after a skewed
+    increment (default off: the inline entries' oracles pin the
+    lowest-id seed)."""
     wn = embs_with_norm(embs)
-    cents = seed_centroids(embs, n_cells)
+    seeder = seed_centroids_hash if reseed_by_hash else seed_centroids
+    return lloyd_refine(wn, seeder(embs, n_cells), n_iters)
+
+
+def lloyd_refine(
+    wn: DataFrame, cents: DataFrame, n_iters: int = IVF_ITERS
+) -> DataFrame:
+    """``n_iters`` Lloyd refinements of a given (cid, ce, cnrm) seed
+    over a normed corpus (:func:`embs_with_norm` projection) — the
+    shared training loop of :func:`knn_join_train_cents` and the
+    stored index's stratified rebuild
+    (:func:`~.ann_index.rebuild_knn_join_index`). Per-round state is
+    always the KB centroid table."""
     for _ in range(max(1, n_iters)):
         assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
             "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
@@ -982,14 +1025,23 @@ FROM counts c CROSS JOIN tot t ORDER BY c.cell
 """.strip()
 
 
-def knn_join_exact(embs: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
+def knn_join_exact(
+    embs: DataFrame, k: int = KNN_JOIN_K, query_mod: int = 1
+) -> DataFrame:
     """Exact batch kNN-join — every vector's TRUE top-k cosine
     neighbours, via the all-pairs join. GROUND TRUTH ONLY (the batch
     cousin of :func:`ngram_jaccard_pairs`' role in dedup): it is
     deliberately quadratic so recall audits have an exact yardstick;
     production batch joins use :func:`knn_join_ivf` /
     :func:`knn_join_lsh_multiprobe`. The join broadcasts one side at
-    audit scale; never run it corpus×corpus at 100 TB."""
+    audit scale; never run it corpus×corpus at 100 TB.
+
+    ``query_mod`` > 1 restricts the QUERY side to the deterministic
+    hash sample ``vec_id % query_mod == 0`` (r10 VERDICT #3): a
+    vector's true top-k is independent of the other query vectors, so
+    the sampled rows are bit-identical to the full run's — only the
+    quadratic cost divides by ``query_mod``. The neighbour side stays
+    the FULL corpus."""
     wn = embs.select(
         "vec_id",
         "embedding",
@@ -1002,6 +1054,8 @@ def knn_join_exact(embs: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
+    if query_mod > 1:
+        a = a.filter(F.col("vid") % query_mod == 0)
     b = wn.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("eb"),
@@ -1024,21 +1078,41 @@ def knn_join_exact(embs: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
     )
 
 
+#: recall-audit query sample: measure on vec_id % 4 == 0 (¼ of the
+#: query vectors, the full corpus as neighbours). Recall is a mean of
+#: per-query hit rates; a 25% deterministic hash sample estimates it
+#: within ~±1.5% absolute at the audited corpus sizes while cutting
+#: the deliberately-quadratic truth arm's cost 4× (it was the suite's
+#: widest-band row two rounds running — r10 VERDICT #3). The predicate
+#: is shared literally with the DuckDB twin, so the entry stays
+#: value-exact.
+KNN_JOIN_RECALL_QUERY_MOD = 4
+
+
 def knn_join_recall_report(
-    embs: DataFrame, k: int = KNN_JOIN_K, index_path: str | None = None
+    embs: DataFrame,
+    k: int = KNN_JOIN_K,
+    index_path: str | None = None,
+    query_mod: int = KNN_JOIN_RECALL_QUERY_MOD,
 ) -> DataFrame:
     """(method, n_pairs, hits, recall_ppm) — every batch kNN-join
     variant (single-bucket LSH, multi-probe LSH, trained IVF) scored
-    against the exact all-pairs batch top-k: the acceptance test for
-    the 0.48-recall gap the r8 VERDICT flagged. hits counts
-    (vector, neighbour) pairs the approximate join shares with the
-    truth; recall_ppm = hits·10⁶ div n_pairs — exact integers, so the
-    audit is hash-exact (no float recall in the hashed columns).
+    against the exact batch top-k on the ``vec_id % query_mod == 0``
+    query sample: the acceptance test for the 0.48-recall gap the r8
+    VERDICT flagged. hits counts sampled (vector, neighbour) pairs
+    the approximate join shares with the truth; recall_ppm =
+    hits·10⁶ div n_pairs — exact integers, so the audit is hash-exact
+    (no float recall in the hashed columns).
 
-    One plan: the exact truth computes once and joins each method's
-    pair set; each method is its own bucket/cell-bounded join. Audit
-    tool — the truth side is quadratic by design (see
-    :func:`knn_join_exact`).
+    One plan: the exact truth computes once (query side sampled, the
+    quadratic cost ÷ query_mod — see :data:`KNN_JOIN_RECALL_QUERY_MOD`
+    for the estimator contract) and joins each method's pair set
+    filtered to the same sample; each method is its own bucket/cell-
+    bounded join. A method's top-k for a sampled vector is unchanged
+    by the filter (per-vector independence), so sampled recall is the
+    exact recall of the sampled queries, not an approximation of
+    them. Audit tool — the truth side stays quadratic in the sample
+    by design (see :func:`knn_join_exact`).
 
     With ``index_path`` the ivf_tr arm answers from the PERSISTED
     kNN-join index (r10, the ``ann_recall_report`` r9 precedent): the
@@ -1047,7 +1121,7 @@ def knn_join_recall_report(
     paying for the inline Lloyd retrain, its heaviest component."""
     from functools import reduce
 
-    truth = knn_join_exact(embs, k).select(
+    truth = knn_join_exact(embs, k, query_mod=query_mod).select(
         "vec_id", "nbr_id", F.lit(1).alias("hit")
     )
     if index_path is None:
@@ -1067,16 +1141,16 @@ def knn_join_recall_report(
     cand = reduce(
         lambda x, y: x.unionByName(y),
         [
-            fn(embs, k).select(
-                F.lit(name).alias("method"), "vec_id", "nbr_id"
-            )
+            fn(embs, k)
+            .filter(F.col("vec_id") % query_mod == 0)
+            .select(F.lit(name).alias("method"), "vec_id", "nbr_id")
             for name, fn in methods
         ],
     )
-    # n_pairs = N·k exactly (row_number emits k rows per vector once
-    # the corpus has ≥ k+1 rows) — one cheap count, no second pass
-    # over the quadratic truth join
-    n_pairs = embs.count() * k
+    # n_pairs = |sample|·k exactly (row_number emits k rows per vector
+    # once the corpus has ≥ k+1 rows) — one cheap count, no second
+    # pass over the quadratic truth join
+    n_pairs = embs.filter(F.col("vec_id") % query_mod == 0).count() * k
     return (
         cand.join(truth, ["vec_id", "nbr_id"], "left")
         .groupBy("method")
@@ -1097,16 +1171,22 @@ def knn_join_recall_report(
     )
 
 
-def knn_join_exact_sql(k: int = KNN_JOIN_K, dim: int = EMB_DIM) -> str:
-    """Oracle twin of :func:`knn_join_exact`."""
+def knn_join_exact_sql(
+    k: int = KNN_JOIN_K, dim: int = EMB_DIM, query_mod: int = 1
+) -> str:
+    """Oracle twin of :func:`knn_join_exact` (same query-side sample
+    predicate when ``query_mod`` > 1)."""
     dot = fold_product_sql("a.embedding", "b.embedding", dim)
     nrm = f"sqrt({fold_product_sql('embedding', 'embedding', dim)})"
+    qpred = (
+        f" AND a.vec_id % {int(query_mod)} = 0" if query_mod > 1 else ""
+    )
     return f"""
 WITH wn AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
 scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          round({dot} / (a.nrm * b.nrm), 6) AS cos
-  FROM wn a JOIN wn b ON a.vec_id != b.vec_id)
+  FROM wn a JOIN wn b ON a.vec_id != b.vec_id{qpred})
 SELECT vec_id, nbr_id, cos, rank FROM (
   SELECT vec_id, nbr_id, cos,
          CAST(row_number() OVER (PARTITION BY vec_id
@@ -1118,9 +1198,12 @@ SELECT vec_id, nbr_id, cos, rank FROM (
 def knn_join_recall_report_sql(
     k: int = KNN_JOIN_K,
     dim: int = EMB_DIM,
+    query_mod: int = KNN_JOIN_RECALL_QUERY_MOD,
 ) -> str:
     """Oracle twin of :func:`knn_join_recall_report` — each method's
-    full twin nested as a subquery (the ann_recall_report pattern)."""
+    full twin nested as a subquery (the ann_recall_report pattern),
+    filtered to the same literal ``vec_id % query_mod = 0`` query
+    sample as the Spark side."""
     methods = [
         ("ivf_tr", knn_join_ivf_sql(k)),
         ("lsh", knn_join_lsh_sql(k)),
@@ -1128,21 +1211,25 @@ def knn_join_recall_report_sql(
     ]
     union = "\n  UNION ALL\n".join(
         f"SELECT '{name}' AS method, vec_id, nbr_id FROM (\n{sql}\n)"
-        f" AS m_{name}"
+        f" AS m_{name} WHERE vec_id % {int(query_mod)} = 0"
         for name, sql in methods
+    )
+    n_sample = (
+        f"(SELECT count(*) FROM embeddings"
+        f" WHERE vec_id % {int(query_mod)} = 0)"
     )
     return f"""
 WITH truth AS MATERIALIZED (
   SELECT vec_id, nbr_id, 1 AS hit FROM (
-{knn_join_exact_sql(k, dim)}
+{knn_join_exact_sql(k, dim, query_mod)}
   ) AS t),
 cand AS (
   {union})
 SELECT c.method,
-       CAST((SELECT count(*) FROM embeddings) * {k} AS BIGINT) AS n_pairs,
+       CAST({n_sample} * {k} AS BIGINT) AS n_pairs,
        CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits,
        CAST(SUM(COALESCE(t.hit, 0)) * 1000000
-            // ((SELECT count(*) FROM embeddings) * {k}) AS BIGINT)
+            // ({n_sample} * {k}) AS BIGINT)
          AS recall_ppm
 FROM cand c LEFT JOIN truth t
   ON c.vec_id = t.vec_id AND c.nbr_id = t.nbr_id

@@ -68,6 +68,12 @@ BOUNDED_GLOBAL_WINDOW = {
     "rel_part_variety",    # rank over the Q16 top-20
     "corpus_weighted_sample",  # rank over the k sampled rows
     "rel_rules",  # rank over the top-25 rules left by TakeOrdered
+    # r11 stored text index: the SAME rank-after-limit(k) idiom as
+    # their inline siblings text_bm25 / doc_search_hybrid above —
+    # the stored plan only swaps the tokenize+explode front for a
+    # partition-pruned postings scan; the window still sees k rows
+    "doc_search_bm25_stored",
+    "doc_search_hybrid_stored",
 }
 
 #: Python-eval exemptions: multimodal decode — mm_features/mm_resize/

@@ -1,0 +1,183 @@
+"""Persisted text-retrieval index (r11): build / stored query /
+append / compact / stats — the build-once/query-many contract from
+the r10 VERDICT missing #1 (retrieval was the last family whose every
+call re-tokenized the corpus)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+QUERY = "fast hash join vector"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(docs):
+    from lasdb_spark.operators.text_index import build_text_index
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_")
+    build_text_index(docs, path)
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.spark
+def test_bm25_stored_equals_inline(spark, docs, index_path):
+    """Stored-index BM25 must equal inline bm25_search value-for-value
+    (same integer tf/df/dl/stats => bit-equal doubles), and its plan
+    must contain NO tokenization machinery — no regexp, no explode —
+    only FileScans of the persisted tables."""
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.text_index import bm25_search_stored
+
+    stored = bm25_search_stored(spark, index_path, QUERY)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "regexp" not in plan.lower()
+    assert "explode" not in plan.lower()
+    assert "FileScan" in plan
+    assert _rows(stored) == _rows(bm25_search(docs, QUERY))
+
+
+@pytest.mark.spark
+def test_bm25_stored_partition_pruning(spark, index_path):
+    """The postings FileScan carries PartitionFilters on tbucket — the
+    query reads <= |terms| bucket directories, not the whole postings
+    table."""
+    from lasdb_spark.operators.text_index import bm25_search_stored
+
+    stored = bm25_search_stored(spark, index_path, QUERY)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in plan
+    # the pruned-scan signature: partition filters present on the scan
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "tbucket" in seg
+
+
+@pytest.mark.spark
+def test_hybrid_stored_equals_inline(spark, docs, embs, index_path):
+    from lasdb_spark.operators.search import hybrid_search
+    from lasdb_spark.operators.text_index import hybrid_search_stored
+
+    got = _rows(hybrid_search_stored(spark, index_path, embs, QUERY, 0))
+    want = _rows(hybrid_search(docs, embs, QUERY, 0))
+    assert got == want
+
+
+@pytest.mark.spark
+def test_append_equals_single_shot(spark, docs):
+    """build(half) + append(other half) == build(all) down to query
+    results — df and stats merge exactly, postings accumulate."""
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.text_index import (
+        append_text_index,
+        build_text_index,
+        bm25_search_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_inc_")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    build_text_index(first, path)
+    append_text_index(second, path)
+    got = _rows(bm25_search_stored(spark, path, QUERY))
+    assert got == _rows(bm25_search(docs, QUERY))
+
+
+@pytest.mark.spark
+def test_compact_identity_and_file_merge(spark, docs):
+    """Compaction after an append changes layout only: query results
+    identical, fragment count per touched bucket reduced."""
+    import glob
+
+    from lasdb_spark.operators.text_index import (
+        append_text_index,
+        build_text_index,
+        bm25_search_stored,
+        compact_text_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_cmp_")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    append_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    before = _rows(bm25_search_stored(spark, path, QUERY))
+    n_before = len(
+        glob.glob(os.path.join(path, "postings", "*", "*.parquet"))
+    )
+    compact_text_index(spark, path)
+    after = _rows(bm25_search_stored(spark, path, QUERY))
+    n_after = len(
+        glob.glob(os.path.join(path, "postings", "*", "*.parquet"))
+    )
+    assert after == before
+    assert n_after <= n_before
+
+
+@pytest.mark.spark
+def test_stats_totals(spark, docs, index_path):
+    """Bucket stats cover every posting exactly once; shares sum to
+    ~1e6; skew is the documented integer formula."""
+    from lasdb_spark.operators.text_index import text_index_stats
+
+    rows = text_index_stats(spark, index_path).collect()
+    total = sum(r.n_postings for r in rows)
+    n_postings_direct = (
+        spark.read.parquet(os.path.join(index_path, "postings")).count()
+    )
+    assert total == n_postings_direct
+    assert 990_000 <= sum(r.share_ppm for r in rows) <= 1_000_000
+    # skew is against the CONFIGURED fan-out, not the non-empty bucket
+    # count: an empty bucket is itself skew and shows up by absence
+    from lasdb_spark.operators.text_index import TEXT_INDEX_BUCKETS
+
+    for r in rows:
+        assert (
+            r.skew_ppm
+            == r.n_postings * TEXT_INDEX_BUCKETS * 1_000_000 // total
+        )
+
+
+@pytest.mark.spark
+def test_bucket_parity_three_engines(spark):
+    """The md5-prefix bucket id agrees across the Spark build column,
+    the Python driver planner, and the DuckDB oracle rendering."""
+    import duckdb
+
+    from lasdb_spark.operators.text_index import (
+        TEXT_INDEX_BUCKETS,
+        _tbucket_col,
+        _tbucket_py,
+        tbucket_sql_expr,
+    )
+
+    terms = ["fast", "hash", "join", "vector", "x1", "a", "zz9"]
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    got = {
+        r.term: r.b
+        for r in df.select(
+            "term", _tbucket_col(TEXT_INDEX_BUCKETS).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in terms:
+        want = _tbucket_py(t, TEXT_INDEX_BUCKETS)
+        assert got[t] == want
+        lit = "'" + t.replace("'", "''") + "'"
+        dk = con.sql(
+            f"SELECT {tbucket_sql_expr(lit, TEXT_INDEX_BUCKETS)}"
+        ).fetchall()[0][0]
+        assert dk == want
