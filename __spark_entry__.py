@@ -1337,6 +1337,21 @@ def _q_doc_search_hybrid_stored(spark, sf_dir):
     )
 
 
+def _q_doc_search_hybrid_multi_stored(spark, sf_dir):
+    """Batched hybrid retrieval from the PERSISTED text index (r11):
+    the full production serving path — a request SET answered with
+    one partition-pruned postings scan for the union of query terms
+    (zero tokenization) + one broadcast dense pass + per-query RRF.
+    Same integer tf/df/dl/stats as the inline batched entry ⇒ the
+    same micro-unit BIGINT sums ⇒ identical values, so the inline
+    VALUES-table twin is the oracle."""
+    from lasdb_spark.operators.text_index import hybrid_search_multi_stored
+
+    return hybrid_search_multi_stored(
+        spark, _text_index(spark, sf_dir), _embs(spark, sf_dir)
+    )
+
+
 def _q_text_index_stats(spark, sf_dir):
     """Bucket-balance health report of the stored postings layout
     (r11): per-bucket term/posting counts + integer-exact share and
@@ -2860,6 +2875,7 @@ def oracle_sql() -> dict[str, str]:
         # the identical md5-prefix bucket fold ---
         "doc_search_bm25_stored": _search.bm25_search_sql(BM25_QUERY),
         "doc_search_hybrid_stored": _search.hybrid_search_sql(BM25_QUERY),
+        "doc_search_hybrid_multi_stored": _search.hybrid_search_multi_sql(),
         "text_index_stats": _textidx.text_index_stats_sql(),
         # --- new in r9 ---
         "doc_search_hybrid": _search.hybrid_search_sql(BM25_QUERY),
@@ -3231,25 +3247,25 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """255 entries, ordered so every query gets a driver CORRECTNESS
+    """256 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
     in dict order. Round-11 rotation (_R11_LEAD, the committed r10
-    backlog-drain): the 3 NEW r11 entries lead
+    backlog-drain): the 4 NEW r11 entries lead
     (doc_search_bm25_stored, doc_search_hybrid_stored,
-    text_index_stats — the stored text-retrieval index, first driver
-    rows), then the 1 entry whose RESULTS changed this round
-    (ann_knn_join_recall: recall now measured on the literal
-    vec_id % 4 == 0 query sample — r10 VERDICT #3), then the backlog
-    strictly by staleness of each entry's standing driver row,
-    computed over all ten CORRECTNESS files: the ENTIRE 17-entry r5
-    block (dedup_exact … rel_sessionize_events, in original dict
-    order) and the 29 oldest r6 entries — 50 exactly. The 18 r6
-    leftovers (rel_skyline … pc_classify) sit immediately after the
-    cut line and drain fully in r12, taking the post-r11 staleness
-    floor to r7. Everything past the window keeps its standing green
-    row from a prior round AND is re-proven value-exact and
-    type-faithful every test run by the all-entries oracle mirror
-    (tests/test_entry_oracle.py)."""
+    doc_search_hybrid_multi_stored, text_index_stats — the stored
+    text-retrieval index, first driver rows), then the 1 entry whose
+    RESULTS changed this round (ann_knn_join_recall: recall now
+    measured on the literal vec_id % 4 == 0 query sample — r10
+    VERDICT #3), then the backlog strictly by staleness of each
+    entry's standing driver row, computed over all ten CORRECTNESS
+    files: the ENTIRE 17-entry r5 block (dedup_exact …
+    rel_sessionize_events, in original dict order) and the 28 oldest
+    r6 entries — 50 exactly. The 19 r6 leftovers (rel_market_share …
+    pc_classify) sit immediately after the cut line and drain fully
+    in r12, taking the post-r11 staleness floor to r7. Everything
+    past the window keeps its standing green row from a prior round
+    AND is re-proven value-exact and type-faithful every test run by
+    the all-entries oracle mirror (tests/test_entry_oracle.py)."""
     base = {
         # --- new in r9 (first driver rows) ---
         "doc_search_hybrid": _q_doc_search_hybrid,
@@ -3513,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r11 (first driver rows) ---
         "doc_search_bm25_stored": _q_doc_search_bm25_stored,
         "doc_search_hybrid_stored": _q_doc_search_hybrid_stored,
+        "doc_search_hybrid_multi_stored": _q_doc_search_hybrid_multi_stored,
         "text_index_stats": _q_text_index_stats,
     }
     out = {name: base[name] for name in _R11_LEAD}
@@ -3525,6 +3542,7 @@ _R11_LEAD = (
     # new r11 entries (first driver rows)
     "doc_search_bm25_stored",
     "doc_search_hybrid_stored",
+    "doc_search_hybrid_multi_stored",
     "text_index_stats",
     # results changed: sampled recall audit (r10 VERDICT #3)
     "ann_knn_join_recall",
@@ -3575,9 +3593,9 @@ _R11_LEAD = (
     "pc_metadata_agg",
     "rel_supplier_volume",
     "rel_anti_join",
-    "rel_market_share",
     # --- the 50-row window cut line falls here (entry #50 above) ---
-    # 18 r6 leftovers, drained in r12
+    # 19 r6 leftovers, drained in r12
+    "rel_market_share",
     "rel_skyline",
     "rel_hourly_rollup",
     "rel_asof_error_click",

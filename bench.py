@@ -482,6 +482,9 @@ def _section_corpus(spark, sf_dir, timings) -> None:
             "doc_search_hybrid_stored": lambda: _eq[
                 "doc_search_hybrid_stored"
             ](spark, sf_dir),
+            "doc_search_hybrid_multi_stored": lambda: _eq[
+                "doc_search_hybrid_multi_stored"
+            ](spark, sf_dir),
             "text_index_stats": lambda: _eq["text_index_stats"](
                 spark, sf_dir
             ),

@@ -273,6 +273,135 @@ def hybrid_search_stored(
     return top.withColumn("rank", w.cast("int"))
 
 
+def hybrid_search_multi_stored(
+    spark: SparkSession,
+    path: str,
+    embs: DataFrame,
+    queries=None,
+    k: int | None = None,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, bm25_rank, cos_rank, rrf, rank) — the full
+    production serving path: a REQUEST SET of (query_id, text,
+    query_vec_id) triples answered against the PERSISTED text index —
+    :func:`~.search.hybrid_search_multi` with its corpus tokenize +
+    explode front replaced by ONE partition-pruned postings scan for
+    the union of all queries' terms. Values are identical to the
+    inline batched entry (same integer tf/df/dl/stats ⇒ the same
+    micro-unit BIGINT per-(query, doc) BM25 sums ⇒ the same ranks),
+    so its VALUES-table DuckDB twin is the oracle. Corpus-side work:
+    ≤|terms| bucket directory reads + the dense arm's one broadcast
+    pass — nothing scales with the query count except broadcast-sized
+    literals."""
+    from functools import reduce
+
+    from .search import HYBRID_MULTI_QUERIES, SEARCH_TOPK, _query_terms
+    from .similarity import _cosine
+
+    queries = HYBRID_MULTI_QUERIES if queries is None else queries
+    k = SEARCH_TOPK if k is None else k
+    qlist = [(int(qid), _query_terms(qtext), int(qvid))
+             for qid, qtext, qvid in queries]
+    all_terms = sorted({t for _, terms, _ in qlist for t in terms})
+    tf, dfreq, stats = _stored_term_tables(spark, path, all_terms)
+    part = _bm25_part(k1, b)
+    parts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(part * 1e6).cast("long").alias("pm"),
+        )
+    )
+    qt = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            spark.range(1).select(
+                F.lit(qid).alias("query_id"), F.lit(t).alias("term")
+            )
+            for qid, terms, _ in qlist
+            for t in terms
+        ],
+    )
+    bm_scores = (
+        parts.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pm").alias("bm_micro"))
+    )
+    wq = Window.partitionBy("query_id")
+    bm = (
+        bm_scores.withColumn(
+            "bm25_rank",
+            F.row_number()
+            .over(wq.orderBy(F.col("bm_micro").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("bm25_rank") <= k_cand)
+        .select("query_id", "doc_id", "bm25_rank")
+    )
+    qvm = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            spark.range(1).select(
+                F.lit(qid).alias("query_id"), F.lit(qvid).alias("qvid")
+            )
+            for qid, _, qvid in qlist
+        ],
+    )
+    qsel = F.broadcast(qvm).join(
+        embs.select(
+            F.col("vec_id").alias("qvid"),
+            F.col("embedding").alias("qv"),
+        ),
+        "qvid",
+    )
+    dcos = (
+        embs.crossJoin(F.broadcast(qsel))
+        .filter(F.col("vec_id") != F.col("qvid"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    dn = (
+        dcos.withColumn(
+            "cos_rank",
+            F.row_number()
+            .over(wq.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("cos_rank") <= k_cand)
+        .select("query_id", "doc_id", "cos_rank")
+    )
+    fused = bm.join(dn, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    ranked = fused.withColumn(
+        "rank",
+        F.row_number()
+        .over(wq.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+        .cast("int"),
+    ).filter(F.col("rank") <= k)
+    return ranked.orderBy("query_id", "rank")
+
+
 def append_text_index(docs_new: DataFrame, path: str) -> None:
     """Ingest a document increment into the stored index — the crawl
     loop's maintenance job. Postings of the NEW docs append into the

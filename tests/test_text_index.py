@@ -181,3 +181,19 @@ def test_bucket_parity_three_engines(spark):
             f"SELECT {tbucket_sql_expr(lit, TEXT_INDEX_BUCKETS)}"
         ).fetchall()[0][0]
         assert dk == want
+
+
+@pytest.mark.spark
+def test_hybrid_multi_stored_equals_inline(spark, docs, embs, index_path):
+    """The batched serving path from the stored index equals the
+    inline batched entry value-for-value (same integer tf/df/dl/stats
+    => same micro-unit BIGINT sums => same ranks), and its plan has
+    no tokenization machinery."""
+    from lasdb_spark.operators.search import hybrid_search_multi
+    from lasdb_spark.operators.text_index import hybrid_search_multi_stored
+
+    stored = hybrid_search_multi_stored(spark, index_path, embs)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "regexp" not in plan.lower()
+    assert "explode" not in plan.lower()
+    assert _rows(stored) == _rows(hybrid_search_multi(docs, embs))
