@@ -410,7 +410,14 @@ def append_text_index(docs_new: DataFrame, path: str) -> None:
     the stored tables (vocab-sized + 1-row — KB-to-MB work, never a
     corpus re-scan). Equal to build(all) down to query results —
     pytest-pinned. Maintenance-window op: not concurrent-safe with
-    itself, other appends, or compaction."""
+    itself, other appends, or compaction. Crash contract, honestly:
+    the three table updates are not one atomic step — a crash between
+    the postings append and the df/stats rewrites leaves the index
+    INCONSISTENT (postings include the increment, df/stats don't),
+    and re-running the append is not idempotent (the postings rows
+    would double). After a crashed append, rebuild from the source
+    corpus — the same discipline as a crashed build (meta.json is
+    only a build-complete marker, not an append journal)."""
     meta = text_index_meta(path)
     n_buckets = int(meta["n_buckets"])
     spark = docs_new.sparkSession
