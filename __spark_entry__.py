@@ -3564,7 +3564,7 @@ _R11_LEAD = (
     "rel_revenue_by_nation",
     "rel_top_orders_per_customer",
     "rel_sessionize_events",
-    # the 29 oldest r6 entries, original dict order
+    # the 28 oldest r6 entries, original dict order
     "text_bpe_tokens",
     "dedup_embedding_lsh",
     "ann_lsh_multiprobe",

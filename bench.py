@@ -1036,6 +1036,14 @@ def _section_scale(spark, sf_dir, cpus, timings, ratios) -> None:
                 t[name] = _timed(spark, lambda fn=fn: fn().count())
             per_sf[data_dir] = t
         finally:
+            # knn_join_ivf ran at this sf: release its persisted
+            # assignment before the next sf's reps (its documented
+            # rep-boundary contract) so disk held stays one relation
+            from lasdb_spark.operators.similarity import (
+                release_knn_join_cache,
+            )
+
+            release_knn_join_cache()
             shutil.rmtree(sbase, ignore_errors=True)
     t_small, t_main = per_sf[small], per_sf[sf_dir]
     for name in SCALE_REPS:

@@ -233,7 +233,6 @@ def build_knn_join_index(
     n_cells: int | None = None,
     max_nprobe: int = KNN_JOIN_MAX_NPROBE,
     n_iters: int | None = None,
-    reseed_by_hash: bool = False,
 ) -> None:
     """Train and persist the batch kNN-join's IVF assignment at
     ``path`` — the build-once half of the nightly corpus-wide join
@@ -273,9 +272,7 @@ def build_knn_join_index(
     n_iters = IVF_ITERS if n_iters is None else n_iters
     # train once (KB state), pin the tiny centroid table so the
     # cells write and the ranking pass don't re-run the Lloyd chain
-    cents = knn_join_train_cents(
-        embs, n_cells, n_iters, reseed_by_hash=reseed_by_hash
-    ).localCheckpoint()
+    cents = knn_join_train_cents(embs, n_cells, n_iters).localCheckpoint()
     _write_knn_join_index(embs, path, cents, n_cells, max_nprobe, n_iters)
 
 
@@ -332,15 +329,22 @@ def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
     meta = ann_index_meta(path)
     assign_dir = os.path.join(path, "assign")
     if os.path.isdir(assign_dir):  # first append may create the table
+        # compare ELEMENT types only: ArrayType equality includes
+        # containsNull, which differs between parquet-read data
+        # (true) and F.array()-built columns (false) without any
+        # actual type hazard — only the element type poisons the scan
         stored_t = (
-            spark.read.parquet(assign_dir).schema["embedding"].dataType
+            spark.read.parquet(assign_dir)
+            .schema["embedding"]
+            .dataType.elementType
         )
-        new_t = embs_new.schema["embedding"].dataType
+        new_t = embs_new.schema["embedding"].dataType.elementType
         if stored_t != new_t:
             raise ValueError(
-                f"increment embedding type {new_t.simpleString()} != "
-                f"stored index type {stored_t.simpleString()} — cast the "
-                "increment to the index's element type before appending"
+                f"increment embedding element type "
+                f"{new_t.simpleString()} != stored index element type "
+                f"{stored_t.simpleString()} — cast the increment to the "
+                "index's element type before appending"
             )
     cents = spark.read.parquet(
         os.path.join(path, "cells")
@@ -616,8 +620,6 @@ def rebuild_knn_join_index(spark: SparkSession, path: str) -> None:
     the dedup family's job (:func:`~.dedup.exact_dedup` /
     :mod:`~.dedup_index`) before indexing, not a layout problem.
     Maintenance-window op: don't run concurrently with appends."""
-    import shutil
-
     from pyspark.sql.window import Window as W
 
     from .similarity import embs_with_norm, fold_dot_col, lloyd_refine
@@ -634,12 +636,17 @@ def rebuild_knn_join_index(spark: SparkSession, path: str) -> None:
         for r in home.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total = sum(counts.values())
-    # largest-remainder apportionment of n_cells seeds over cells
+    # largest-remainder apportionment of n_cells seeds over cells;
+    # the final -c term makes ties (equal remainder AND equal count)
+    # break by smaller cell id — without it the winner would follow
+    # collect() row order, which is not deterministic run-to-run
     quotas = {c: n * n_cells / total for c, n in counts.items()}
     seats = {c: int(q) for c, q in quotas.items()}
     leftover = n_cells - sum(seats.values())
     for c in sorted(
-        quotas, key=lambda c: (quotas[c] - seats[c], -counts[c]), reverse=True
+        quotas,
+        key=lambda c: (quotas[c] - seats[c], -counts[c], -c),
+        reverse=True,
     )[:leftover]:
         seats[c] += 1
     quota_expr = F.create_map(
@@ -667,9 +674,8 @@ def rebuild_knn_join_index(spark: SparkSession, path: str) -> None:
     cents = lloyd_refine(
         embs_with_norm(corpus), seeds, int(meta["n_iters"])
     ).localCheckpoint()
-    _recover_swap(path)
+    _recover_swap(path)  # also clears any stale path + "_compacting"
     tmp = path + "_compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
     _write_knn_join_index(
         corpus, tmp, cents, n_cells, int(meta["max_nprobe"]),
         int(meta["n_iters"]),

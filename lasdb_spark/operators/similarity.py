@@ -441,32 +441,6 @@ def seed_centroids(embs: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
-def seed_centroids_hash(embs: DataFrame, n_cells: int) -> DataFrame:
-    """(cid, ce, cnrm) — DENSITY-PROPORTIONAL deterministic centroid
-    seed: the ``n_cells`` lowest ``xxhash64(vec_id)`` rows (tie-break
-    vec_id). A uniform hash sample of the corpus puts seeds where the
-    data is — a region holding half the vectors gets ~half the seeds
-    — which is what a REBUILD after drift needs: the lowest-vec_id
-    seed (:func:`seed_centroids`) can never land inside a clump of
-    newly-appended ids, so Lloyd can never split it. TakeOrdered on a
-    hash — per-partition heaps, deterministic, scale-safe (no global
-    sort). cid is renumbered 0..n_cells-1 by hash order so cell ids
-    stay dense."""
-    hashed = embs.select(
-        "vec_id",
-        "embedding",
-        F.xxhash64(F.col("vec_id")).alias("h"),
-    ).orderBy("h", "vec_id").limit(n_cells)
-    w = Window.orderBy("h", "vec_id")
-    return hashed.select(
-        (F.row_number().over(w) - 1).cast("long").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.sqrt(
-            fold_dot_col(F.col("embedding"), F.col("embedding"))
-        ).alias("cnrm"),
-    )
-
-
 def topk_ivf(
     embs: DataFrame,
     query_vec_id: int = 0,
@@ -833,18 +807,15 @@ def knn_join_train_cents(
     embs: DataFrame,
     n_cells: int = IVF_CELLS,
     n_iters: int = IVF_ITERS,
-    reseed_by_hash: bool = False,
 ) -> DataFrame:
     """(cid, ce, cnrm) — the batch kNN-join's Lloyd-trained centroid
-    table (deterministic seed + ``n_iters`` refinements; per-round
-    state is always the KB centroid table). ``reseed_by_hash`` swaps
-    the lowest-vec_id seed for the density-proportional
-    :func:`seed_centroids_hash` — the REBUILD path after a skewed
-    increment (default off: the inline entries' oracles pin the
-    lowest-id seed)."""
+    table (deterministic lowest-vec_id seed — the oracle-pinned
+    choice — + ``n_iters`` refinements; per-round state is always the
+    KB centroid table). The REBUILD path seeds differently: see
+    :func:`~.ann_index.rebuild_knn_join_index`'s occupancy-stratified
+    seeding."""
     wn = embs_with_norm(embs)
-    seeder = seed_centroids_hash if reseed_by_hash else seed_centroids
-    return lloyd_refine(wn, seeder(embs, n_cells), n_iters)
+    return lloyd_refine(wn, seed_centroids(embs, n_cells), n_iters)
 
 
 def lloyd_refine(

@@ -151,6 +151,7 @@ def _stored_term_tables(
     Bucket ids are computed driver-side with hashlib.md5 (bit-equal
     to the JVM md5-prefix used at build), so planning costs zero
     jobs."""
+    _recover_index_swaps(path)
     meta = text_index_meta(path)
     n_buckets = int(meta["n_buckets"])
     buckets = sorted({_tbucket_py(t, n_buckets) for t in terms})
@@ -168,6 +169,18 @@ def _stored_term_tables(
     )
     stats = spark.read.parquet(os.path.join(path, "stats"))
     return tf, dfreq, stats
+
+
+def _recover_index_swaps(path: str) -> None:
+    """Repair any interrupted side-dir swap BEFORE the first read of
+    a stored table (r11 review: a crash inside a prior append's or
+    compaction's two-rename window leaves e.g. ``df_old`` holding the
+    complete table while ``df`` is absent — recovery must run before
+    ``spark.read.parquet`` throws path-not-found, not after)."""
+    from .ann_index import _recover_swap
+
+    for table in ("postings", "df", "stats"):
+        _recover_swap(os.path.join(path, table))
 
 
 def _bm25_part(k1: float, b: float):
@@ -417,7 +430,10 @@ def append_text_index(docs_new: DataFrame, path: str) -> None:
     and re-running the append is not idempotent (the postings rows
     would double). After a crashed append, rebuild from the source
     corpus — the same discipline as a crashed build (meta.json is
-    only a build-complete marker, not an append journal)."""
+    only a build-complete marker, not an append journal). A crash
+    inside a SWAP window, by contrast, is repaired on entry
+    (:func:`_recover_index_swaps`)."""
+    _recover_index_swaps(path)
     meta = text_index_meta(path)
     n_buckets = int(meta["n_buckets"])
     spark = docs_new.sparkSession
@@ -524,6 +540,7 @@ def text_index_stats(spark: SparkSession, path: str) -> DataFrame:
     n_postings·n_buckets·1e6 div total (1e6 = perfectly uniform).
     One pruned-free scan + one partial agg + a broadcast 1-row
     total."""
+    _recover_index_swaps(path)
     meta = text_index_meta(path)
     n_buckets = int(meta["n_buckets"])
     per = (

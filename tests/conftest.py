@@ -27,6 +27,11 @@ def spark():
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
+    # free knn_join_ivf's session-scoped persisted assignment (its
+    # documented teardown contract) before the session dies
+    from lasdb_spark.operators.similarity import release_knn_join_cache
+
+    release_knn_join_cache()
 
 
 @pytest.fixture(scope="session")

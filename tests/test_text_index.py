@@ -197,3 +197,30 @@ def test_hybrid_multi_stored_equals_inline(spark, docs, embs, index_path):
     assert "regexp" not in plan.lower()
     assert "explode" not in plan.lower()
     assert _rows(stored) == _rows(hybrid_search_multi(docs, embs))
+
+
+@pytest.mark.spark
+def test_stored_query_recovers_interrupted_swap(spark, docs):
+    """A crash inside a prior append's df swap window (df absent,
+    df_old holding the complete table) must be repaired BEFORE the
+    stored query's first read — not throw path-not-found (r11
+    review)."""
+    import shutil
+
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.text_index import (
+        build_text_index,
+        bm25_search_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_rec_")
+    build_text_index(docs, path)
+    # simulate the crash window: first rename done, second never ran
+    os.rename(os.path.join(path, "df"), os.path.join(path, "df_old"))
+    os.makedirs(os.path.join(path, "stats_compacting"))  # stale side dir
+    got = _rows(bm25_search_stored(spark, path, QUERY))
+    assert got == _rows(bm25_search(docs, QUERY))
+    assert os.path.isdir(os.path.join(path, "df"))
+    assert not os.path.exists(os.path.join(path, "df_old"))
+    assert not os.path.exists(os.path.join(path, "stats_compacting"))
+    shutil.rmtree(path, ignore_errors=True)
