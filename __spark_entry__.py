@@ -1313,7 +1313,7 @@ def _q_doc_search_bm25_stored(spark, sf_dir):
     """BM25 from the PERSISTED text index (r11 — r10 VERDICT missing
     #1: retrieval was the last family without a build-once/query-many
     half). The corpus is tokenized once at build into a postings
-    table PARTITIONED BY crc32(term)-bucket; the query is answered by
+    table PARTITIONED BY md5-prefix32 term bucket; the query answers by
     one partition-pruned postings scan + broadcast df/stats — zero
     regexp/explode stages at query time (plan-gated). Same integer
     tf/df/dl/stats as the inline entry ⇒ bit-equal doubles ⇒ the

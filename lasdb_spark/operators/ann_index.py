@@ -122,6 +122,19 @@ def build_ann_index(
 
 
 def ann_index_meta(path: str) -> dict:
+    """Read the index meta — the first touch of EVERY stored read and
+    maintenance entry point, so read-only swap recovery runs here
+    (r11 ADVICE): a crash inside :func:`rebuild_knn_join_index`'s
+    root-level swap strands the whole index at ``path_old``, and a
+    crash inside :func:`compact_ann_index`'s table swap strands one
+    table — both are renamed back BEFORE the meta read / first
+    ``spark.read.parquet`` can throw path-not-found. Recovery here is
+    :func:`_recover_swap_ro` (rename-back only, never deletes side
+    dirs), so a read can't destroy an in-flight maintenance write —
+    full side-dir cleanup stays in the maintenance ops themselves."""
+    _recover_swap_ro(path)
+    for table in ("cells", "books", "codes", "assign"):
+        _recover_swap_ro(os.path.join(path, table))
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)
 
@@ -437,14 +450,28 @@ def _recover_swap(target: str) -> None:
     """Repair leftovers of an interrupted :func:`_swap_dir` run: if
     the target vanished mid-swap, restore it from ``*_old``;
     otherwise drop stale ``*_old`` / ``*_compacting`` side dirs so a
-    fresh compaction's renames can't fail on them."""
+    fresh compaction's renames can't fail on them. MAINTENANCE-ONLY:
+    the unconditional side-dir deletion would destroy another
+    process's in-flight compaction — read paths use
+    :func:`_recover_swap_ro` instead."""
     import shutil
 
+    _recover_swap_ro(target)
+    shutil.rmtree(target + "_old", ignore_errors=True)
+    shutil.rmtree(target + "_compacting", ignore_errors=True)
+
+
+def _recover_swap_ro(target: str) -> None:
+    """READ-ONLY half of :func:`_recover_swap` (r11 ADVICE): restore a
+    target that vanished mid-swap from its surviving ``*_old``, but
+    never delete side dirs — safe to run on every stored read without
+    racing a concurrent maintenance op's in-flight ``*_compacting``
+    write. (Truly concurrent reads DURING a swap's two-rename window
+    remain unsupported — the rename-back can collide with the
+    swapper's second rename; this only repairs CRASHED swaps.)"""
     old = target + "_old"
     if not os.path.exists(target) and os.path.exists(old):
         os.rename(old, target)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(target + "_compacting", ignore_errors=True)
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> None:
@@ -624,6 +651,10 @@ def rebuild_knn_join_index(spark: SparkSession, path: str) -> None:
 
     from .similarity import embs_with_norm, fold_dot_col, lloyd_refine
 
+    # FULL recovery first (r11 ADVICE): restore a root stranded by a
+    # prior rebuild's crashed swap AND clear stale side dirs before
+    # any read or write — the meta read below must never precede it
+    _recover_swap(path)
     meta = ann_index_meta(path)
     n_cells = int(meta["n_cells"])
     home = (

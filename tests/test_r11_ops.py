@@ -130,3 +130,40 @@ def test_append_rejects_type_mismatch(spark, embs):
     )
     with pytest.raises(ValueError, match="element type|embedding type"):
         append_knn_join_index(bad, path)
+
+
+@pytest.mark.spark
+def test_stored_reads_recover_interrupted_root_swap(spark, embs):
+    """r11 ADVICE: a crash between rebuild_knn_join_index's two root
+    renames strands the whole index at path_old. Every stored read
+    entry point runs read-only recovery via ann_index_meta, so the
+    next read renames it back instead of throwing path-not-found —
+    and never deletes a side dir (an in-flight rebuild's
+    *_compacting survives a concurrent-looking read)."""
+    import os
+    import tempfile
+
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_index_stats,
+        knn_join_ivf_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_rootrec_") + "/idx"
+    build_knn_join_index(embs, path)
+    want = sorted(
+        tuple(r) for r in knn_join_ivf_stored(spark, path).collect()
+    )
+    # simulate the crash window: first root rename done, second never
+    # ran; plus a stale side dir a crashed rebuild would leave behind
+    os.rename(path, path + "_old")
+    os.makedirs(path + "_compacting")
+    got = sorted(
+        tuple(r) for r in knn_join_ivf_stored(spark, path).collect()
+    )
+    assert got == want
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + "_old")
+    # read-only recovery must NOT have deleted the side dir
+    assert os.path.isdir(path + "_compacting")
+    assert knn_join_index_stats(spark, path).count() > 0

@@ -100,31 +100,166 @@ def test_append_equals_single_shot(spark, docs):
 
 @pytest.mark.spark
 def test_compact_identity_and_file_merge(spark, docs):
-    """Compaction after an append changes layout only: query results
-    identical, fragment count per touched bucket reduced."""
+    """Compaction after appends changes layout only: query results
+    identical, the committed segments fold into the base tables and
+    disappear, and the meta survives the root swap."""
     import glob
 
     from lasdb_spark.operators.text_index import (
+        _committed_segments,
         append_text_index,
         build_text_index,
         bm25_search_stored,
         compact_text_index,
+        text_index_meta,
     )
 
     path = tempfile.mkdtemp(prefix="lasdb_text_idx_cmp_")
     build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     append_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    assert len(_committed_segments(path)) == 1
     before = _rows(bm25_search_stored(spark, path, QUERY))
     n_before = len(
-        glob.glob(os.path.join(path, "postings", "*", "*.parquet"))
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+    meta_before = text_index_meta(path)
     compact_text_index(spark, path)
     after = _rows(bm25_search_stored(spark, path, QUERY))
     n_after = len(
-        glob.glob(os.path.join(path, "postings", "*", "*.parquet"))
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
     assert after == before
     assert n_after <= n_before
+    assert _committed_segments(path) == []
+    assert text_index_meta(path) == meta_before
+
+
+@pytest.mark.spark
+def test_append_crash_invisible_and_retry_heals(spark, docs):
+    """The r12 crash contract (r11 VERDICT #5): an append that dies
+    before its one-rename commit is INVISIBLE — queries equal the
+    pre-append index exactly — and re-running the same increment
+    heals to the committed state, equal to a single-shot build."""
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.text_index import (
+        SEGMENT_DIR,
+        _committed_segments,
+        append_text_index,
+        build_text_index,
+        bm25_search_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_crash_")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    build_text_index(first, path)
+    base_only = _rows(bm25_search_stored(spark, path, QUERY))
+    # run the append, then reconstruct the exact crash-before-commit
+    # state: everything written, the final rename never happened
+    append_text_index(second, path)
+    (seg,) = _committed_segments(path)
+    fp = os.path.basename(seg)[len("seg-"):]
+    tmp = os.path.join(path, SEGMENT_DIR, f".tmp-{fp}")
+    os.rename(seg, tmp)
+    # crashed append is invisible: served results == pre-append
+    assert _rows(bm25_search_stored(spark, path, QUERY)) == base_only
+    assert _committed_segments(path) == []
+    # retrying the SAME increment is safe: overwrites the orphaned
+    # tmp dir and commits; results equal the single-shot build
+    append_text_index(second, path)
+    assert len(_committed_segments(path)) == 1
+    assert not os.path.exists(tmp)
+    got = _rows(bm25_search_stored(spark, path, QUERY))
+    assert got == _rows(bm25_search(docs, QUERY))
+
+
+@pytest.mark.spark
+def test_append_rerun_is_idempotent(spark, docs):
+    """Appending the same increment twice commits exactly one segment
+    — the deterministic doc_id-set fingerprint is the idempotency
+    key; df/stats never double-count."""
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.text_index import (
+        _committed_segments,
+        append_text_index,
+        build_text_index,
+        bm25_search_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_idem_")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    append_text_index(inc, path)
+    append_text_index(inc, path)
+    assert len(_committed_segments(path)) == 1
+    got = _rows(bm25_search_stored(spark, path, QUERY))
+    assert got == _rows(bm25_search(docs, QUERY))
+
+
+@pytest.mark.spark
+def test_rebucket_plant_breach_rebalance(spark, docs):
+    """The decision loop end-to-end (r11 VERDICT #4): plant a hot
+    bucket (heavy terms COLLIDING into one md5 bucket at a small
+    fan-out), breach the bucket-size budget, rebucket to the larger
+    fan-out, verify the layout is back under budget and query
+    results are byte-identical (re-bucketing is routing-only)."""
+    from lasdb_spark.operators.text_index import (
+        _tbucket_py,
+        build_text_index,
+        bm25_search_stored,
+        rebucket_text_index,
+        text_index_needs_rebucket,
+        text_index_stats,
+    )
+
+    # 30 heavy terms that all collide into ONE bucket at B=8; md5
+    # routing spreads them over the b, b+8 children at B=16 and
+    # further at B=32 (deterministic — md5 is data-independent)
+    heavy = []
+    i = 0
+    while len(heavy) < 30:
+        t = f"hotterm{i:04d}"
+        if _tbucket_py(t, 8) == 3:
+            heavy.append(t)
+        i += 1
+    spread32 = {_tbucket_py(t, 32) for t in heavy}
+    assert len(spread32) >= 3  # precondition: colliders DO separate
+    planted = spark.createDataFrame(
+        [(100_000 + j, " ".join(heavy)) for j in range(100)],
+        ["doc_id", "text"],
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_rbk_")
+    build_text_index(corpus, path, n_buckets=8)
+    hot = max(
+        text_index_stats(spark, path).collect(),
+        key=lambda r: r.n_postings,
+    )
+    assert hot.tbucket == 3  # the planted collision bucket is hottest
+    budget = hot.n_postings // 2
+    decision = text_index_needs_rebucket(
+        spark, path, max_bucket_postings=budget
+    )
+    assert decision["rebucket"] is True
+    assert decision["worst_tbucket"] == 3
+    assert decision["worst_bucket_n_terms"] > 1  # splitting CAN help
+    assert decision["suggested_n_buckets"] >= 16
+    before = _rows(bm25_search_stored(spark, path, QUERY))
+    rebucket_text_index(spark, path, 32)
+    after_rows = text_index_stats(spark, path).collect()
+    assert max(r.n_postings for r in after_rows) <= budget
+    assert (
+        text_index_needs_rebucket(
+            spark, path, max_bucket_postings=budget
+        )["rebucket"]
+        is False
+    )
+    # routing-only: identical results, and pruning still works on the
+    # new fan-out (meta and layout agree after the atomic root swap)
+    stored = bm25_search_stored(spark, path, QUERY)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert _rows(stored) == before
 
 
 @pytest.mark.spark
@@ -201,16 +336,20 @@ def test_hybrid_multi_stored_equals_inline(spark, docs, embs, index_path):
 
 @pytest.mark.spark
 def test_stored_query_recovers_interrupted_swap(spark, docs):
-    """A crash inside a prior append's df swap window (df absent,
-    df_old holding the complete table) must be repaired BEFORE the
+    """A crash inside a maintenance op's swap window (table absent,
+    *_old holding the complete table) must be repaired BEFORE the
     stored query's first read — not throw path-not-found (r11
-    review)."""
+    review). r12 (ADVICE): read-time recovery is rename-back ONLY —
+    a stale side dir survives the read (so a query can't destroy an
+    in-flight compaction) and is cleaned by the next maintenance
+    op."""
     import shutil
 
     from lasdb_spark.operators.search import bm25_search
     from lasdb_spark.operators.text_index import (
         build_text_index,
         bm25_search_stored,
+        compact_text_index,
     )
 
     path = tempfile.mkdtemp(prefix="lasdb_text_idx_rec_")
@@ -222,5 +361,33 @@ def test_stored_query_recovers_interrupted_swap(spark, docs):
     assert got == _rows(bm25_search(docs, QUERY))
     assert os.path.isdir(os.path.join(path, "df"))
     assert not os.path.exists(os.path.join(path, "df_old"))
+    # read-only recovery leaves the side dir for maintenance to clean
+    assert os.path.exists(os.path.join(path, "stats_compacting"))
+    compact_text_index(spark, path)
     assert not os.path.exists(os.path.join(path, "stats_compacting"))
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_stored_query_recovers_interrupted_root_swap(spark, docs):
+    """A crash inside a ROOT-level swap (compact/rebucket renamed the
+    index root away and died before renaming the new root in) strands
+    the whole index at path_old — the stored query's first read must
+    rename it back (r11 ADVICE: the recover-before-read discipline
+    applied to the root)."""
+    import shutil
+
+    from lasdb_spark.operators.search import bm25_search
+    from lasdb_spark.operators.text_index import (
+        build_text_index,
+        bm25_search_stored,
+    )
+
+    path = tempfile.mkdtemp(prefix="lasdb_text_idx_rootrec_")
+    build_text_index(docs, path)
+    os.rename(path, path + "_old")
+    got = _rows(bm25_search_stored(spark, path, QUERY))
+    assert got == _rows(bm25_search(docs, QUERY))
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + "_old")
     shutil.rmtree(path, ignore_errors=True)
