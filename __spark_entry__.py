@@ -1352,6 +1352,57 @@ def _q_doc_search_hybrid_multi_stored(spark, sf_dir):
     )
 
 
+def _q_doc_search_hybrid_multi_stored_ann(spark, sf_dir):
+    """Fully-stored batched hybrid retrieval (r12 — r11 VERDICT #3):
+    the lexical arm from the persisted text index AND the dense arm
+    from the persisted kNN-join index. The serve plan's corpus-sized
+    work is one partition-pruned postings scan + one partition-pruned
+    scan of the probed ANN cells — the full embedding crossJoin (the
+    last serve-path corpus scan in the production composition) is
+    gone, plan-gated. cos_rank carries the stored index's documented
+    IVF recall (KNN_JOIN_IVF_NPROBE's measured curve); the DuckDB
+    twin replays the stored cells via ivf_train_ctes (the
+    knn_join_ivf_sql precedent), so the entry stays hash-exact."""
+    from lasdb_spark.operators.text_index import hybrid_search_multi_stored
+
+    return hybrid_search_multi_stored(
+        spark,
+        _text_index(spark, sf_dir),
+        _embs(spark, sf_dir),
+        ann_index_path=_knn_join_index(spark, sf_dir),
+    )
+
+
+def _q_doc_search_bm25_appended(spark, sf_dir):
+    """BM25 served through committed append segments (r12 — the
+    crash-idempotent increment contract of r11 VERDICT #5, driver-
+    proven like ann_index_append): the text index is built on the
+    even doc_ids and the odd half ingested via append_text_index's
+    one-rename segment commit; reads union base + segment and merge
+    df/stats by summation — the same integers as a single-shot
+    build, so the inline bm25 DuckDB twin over the FULL corpus is
+    the oracle. An ``append_complete`` marker makes the cached
+    fixture crash-safe."""
+    import shutil
+
+    from lasdb_spark.operators.text_index import (
+        append_text_index,
+        build_text_index,
+        bm25_search_stored,
+    )
+
+    path = text_index_path(sf_dir) + "_inc"
+    marker = os.path.join(path, "append_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        build_text_index(docs.where(F.col("doc_id") % 2 == 0), path)
+        append_text_index(docs.where(F.col("doc_id") % 2 == 1), path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return bm25_search_stored(spark, path, BM25_QUERY)
+
+
 def _q_text_index_stats(spark, sf_dir):
     """Bucket-balance health report of the stored postings layout
     (r11): per-bucket term/posting counts + integer-exact share and
@@ -2869,6 +2920,16 @@ def oracle_sql() -> dict[str, str]:
     from lasdb_spark.operators import text_index as _textidx
 
     return {
+        # --- new in r12: the stored hybrid's dense arm from the
+        # persisted kNN-join index — the twin replays the stored
+        # cells (ivf_train_ctes, the knn_join_ivf_sql precedent), so
+        # the IVF-recall dense ranks are hash-exact, not just
+        # row-counted; the appended-index entry re-reads through
+        # committed segments and must equal the single-shot inline
+        # twin (crash-idempotent append contract, r11 VERDICT #5) ---
+        "doc_search_hybrid_multi_stored_ann":
+            _textidx.hybrid_search_multi_stored_ann_sql(),
+        "doc_search_bm25_appended": _search.bm25_search_sql(BM25_QUERY),
         # --- new in r11: stored text index answers == inline (the
         # stored index is a plan choice, not a semantics choice — the
         # inline twins ARE the oracle); stats has its own twin with
@@ -3531,6 +3592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_hybrid_stored": _q_doc_search_hybrid_stored,
         "doc_search_hybrid_multi_stored": _q_doc_search_hybrid_multi_stored,
         "text_index_stats": _q_text_index_stats,
+        # --- new in r12 (first driver rows) ---
+        "doc_search_hybrid_multi_stored_ann":
+            _q_doc_search_hybrid_multi_stored_ann,
+        "doc_search_bm25_appended": _q_doc_search_bm25_appended,
     }
     out = {name: base[name] for name in _R11_LEAD}
     out.update(base)

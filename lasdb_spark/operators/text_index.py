@@ -373,6 +373,125 @@ def hybrid_search_stored(
     return top.withColumn("rank", w.cast("int"))
 
 
+def _stored_dense_ranks(
+    spark: SparkSession,
+    ann_index_path: str,
+    qlist: list,
+    k_cand: int,
+    nprobe: int | None,
+):
+    """(query_id, doc_id, cos_rank) — the dense arm answered from the
+    PERSISTED kNN-join index (r11 VERDICT #3: the stored hybrid's
+    last serve-path corpus scan was the embedding crossJoin). The
+    query vectors are corpus members, so their ranked probe rows
+    (rk ≤ nprobe) are ALREADY STORED in the assign table: planning
+    collects those ≤ |queries|·nprobe rows (a pushed-filter bounded
+    read — the :func:`~.ann_index.topk_ivfpq_stored` planning
+    discipline), turns them into a broadcast literal, and the serve
+    plan's only corpus-sized work is ONE partition-pruned scan of the
+    probed cells' home rows (``PartitionFilters: cell IN probed``).
+    The stored rows replay the inline trained ranking expressions
+    exactly, so a DuckDB twin that replays the training
+    (:func:`~.similarity.ivf_train_ctes`) pins every value — the
+    recall trade vs brute force is the documented IVF one
+    (:data:`~.similarity.KNN_JOIN_IVF_NPROBE`'s measured curve), not
+    a new approximation."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .ann_index import ann_index_meta
+    from .similarity import KNN_JOIN_IVF_NPROBE, fold_dot_col
+
+    nprobe = KNN_JOIN_IVF_NPROBE if nprobe is None else int(nprobe)
+    meta = ann_index_meta(ann_index_path)  # runs read-only recovery
+    if nprobe > int(meta["max_nprobe"]):
+        raise ValueError(
+            f"nprobe={nprobe} exceeds stored max_nprobe="
+            f"{meta['max_nprobe']} — rebuild the index with a larger "
+            "fan-out"
+        )
+    qvids = sorted({qvid for _, _, qvid in qlist})
+    assign = spark.read.parquet(os.path.join(ann_index_path, "assign"))
+    qrows = (
+        assign.filter(F.col("vec_id").isin(qvids))
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("cell").cast("long").alias("cell"),
+        )
+        .collect()
+    )
+    by_vid: dict = {}
+    for r in qrows:
+        by_vid.setdefault(r["vec_id"], []).append(r)
+    missing = [v for v in qvids if v not in by_vid]
+    if missing:
+        raise ValueError(
+            f"query_vec_ids {missing} not present in the stored index "
+            f"at {ann_index_path}"
+        )
+    emb_t = assign.schema["embedding"].dataType
+    schema = StructType(
+        [
+            StructField("query_id", IntegerType()),
+            StructField("qvid", LongType()),
+            StructField("cell", LongType()),
+            StructField("qv", emb_t),
+            StructField("qnrm", DoubleType()),
+        ]
+    )
+    qpr = spark.createDataFrame(
+        [
+            (qid, int(qvid), int(r["cell"]), r["embedding"], r["nrm"])
+            for qid, _, qvid in qlist
+            for r in by_vid[qvid]
+        ],
+        schema,
+    )
+    probed = sorted({int(r["cell"]) for r in qrows})
+    build = (
+        assign.filter(F.col("rk") == 1)
+        .filter(F.col("cell").cast("long").isin(probed))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    dcos = (
+        build.join(F.broadcast(qpr), "cell")
+        .filter(F.col("doc_id") != F.col("qvid"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                fold_dot_col(F.col("qv"), F.col("eb"))
+                / (F.col("qnrm") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    return (
+        dcos.withColumn(
+            "cos_rank",
+            F.row_number()
+            .over(wq.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("cos_rank") <= k_cand)
+        .select("query_id", "doc_id", "cos_rank")
+    )
+
+
 def hybrid_search_multi_stored(
     spark: SparkSession,
     path: str,
@@ -383,6 +502,8 @@ def hybrid_search_multi_stored(
     rrf_k: int = 60,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    ann_index_path: str | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25_rank, cos_rank, rrf, rank) — the full
     production serving path: a REQUEST SET of (query_id, text,
@@ -395,7 +516,16 @@ def hybrid_search_multi_stored(
     so its VALUES-table DuckDB twin is the oracle. Corpus-side work:
     ≤|terms| bucket directory reads + the dense arm's one broadcast
     pass — nothing scales with the query count except broadcast-sized
-    literals."""
+    literals.
+
+    With ``ann_index_path`` (r12 — r11 VERDICT #3), the dense arm is
+    answered from the persisted kNN-join index instead of the
+    brute-force embedding pass (:func:`_stored_dense_ranks`): the
+    serve plan's corpus-sized work drops to the pruned postings scan
+    + a partition-pruned scan of the probed ANN cells — no full
+    embedding scan anywhere (plan-gated). cos_rank then carries the
+    stored index's documented IVF recall; the oracle replays the
+    stored cells, so the entry stays hash-exact."""
     from functools import reduce
 
     from .search import HYBRID_MULTI_QUERIES, SEARCH_TOPK, _query_terms
@@ -443,41 +573,47 @@ def hybrid_search_multi_stored(
         .filter(F.col("bm25_rank") <= k_cand)
         .select("query_id", "doc_id", "bm25_rank")
     )
-    qvm = reduce(
-        lambda x, y: x.unionAll(y),
-        [
-            spark.range(1).select(
-                F.lit(qid).alias("query_id"), F.lit(qvid).alias("qvid")
+    if ann_index_path is not None:
+        dn = _stored_dense_ranks(
+            spark, ann_index_path, qlist, k_cand, nprobe
+        )
+    else:
+        qvm = reduce(
+            lambda x, y: x.unionAll(y),
+            [
+                spark.range(1).select(
+                    F.lit(qid).alias("query_id"),
+                    F.lit(qvid).alias("qvid"),
+                )
+                for qid, _, qvid in qlist
+            ],
+        )
+        qsel = F.broadcast(qvm).join(
+            embs.select(
+                F.col("vec_id").alias("qvid"),
+                F.col("embedding").alias("qv"),
+            ),
+            "qvid",
+        )
+        dcos = (
+            embs.crossJoin(F.broadcast(qsel))
+            .filter(F.col("vec_id") != F.col("qvid"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
             )
-            for qid, _, qvid in qlist
-        ],
-    )
-    qsel = F.broadcast(qvm).join(
-        embs.select(
-            F.col("vec_id").alias("qvid"),
-            F.col("embedding").alias("qv"),
-        ),
-        "qvid",
-    )
-    dcos = (
-        embs.crossJoin(F.broadcast(qsel))
-        .filter(F.col("vec_id") != F.col("qvid"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
         )
-    )
-    dn = (
-        dcos.withColumn(
-            "cos_rank",
-            F.row_number()
-            .over(wq.orderBy(F.col("cos").desc(), F.col("doc_id")))
-            .cast("int"),
+        dn = (
+            dcos.withColumn(
+                "cos_rank",
+                F.row_number()
+                .over(wq.orderBy(F.col("cos").desc(), F.col("doc_id")))
+                .cast("int"),
+            )
+            .filter(F.col("cos_rank") <= k_cand)
+            .select("query_id", "doc_id", "cos_rank")
         )
-        .filter(F.col("cos_rank") <= k_cand)
-        .select("query_id", "doc_id", "cos_rank")
-    )
     fused = bm.join(dn, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -779,6 +915,133 @@ def text_index_stats(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("tbucket")
     )
+
+
+def hybrid_search_multi_stored_ann_sql(
+    queries=None,
+    k: int | None = None,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    dim: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    n_iters: int | None = None,
+) -> str:
+    """Oracle twin of :func:`hybrid_search_multi_stored` with the
+    stored-ANN dense arm: the lexical CTEs of
+    :func:`~.search.hybrid_search_multi_sql` verbatim, the dense arm
+    replaced by the trained-IVF replay
+    (:func:`~.similarity.ivf_train_ctes` — the stored index is a pure
+    function of (embeddings, params), the
+    :func:`~.similarity.knn_join_ivf_sql` precedent): each query
+    vector's rk ≤ nprobe probe cells from the replayed ranking, each
+    candidate from the replayed home assignment — exactly the rows
+    the Spark side reads back from the persisted ``assign`` table."""
+    from .search import HYBRID_MULTI_QUERIES, _query_terms
+    from .similarity import (
+        EMB_DIM,
+        IVF_CELLS,
+        IVF_ITERS,
+        KNN_JOIN_IVF_NPROBE,
+        fold_product_sql,
+    )
+
+    queries = HYBRID_MULTI_QUERIES if queries is None else queries
+    from .search import SEARCH_TOPK
+
+    k = SEARCH_TOPK if k is None else k
+    dim = EMB_DIM if dim is None else dim
+    n_cells = IVF_CELLS if n_cells is None else n_cells
+    nprobe = KNN_JOIN_IVF_NPROBE if nprobe is None else nprobe
+    n_iters = IVF_ITERS if n_iters is None else n_iters
+    from .similarity import ivf_train_ctes
+
+    qlist = [(int(qid), _query_terms(qtext), int(qvid))
+             for qid, qtext, qvid in queries]
+    all_terms = sorted({t for _, terms, _ in qlist for t in terms})
+    in_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in all_terms
+    )
+    qt_vals = ", ".join(
+        f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for qid, terms, _ in qlist
+        for t in terms
+    )
+    qv_vals = ", ".join(f"({qid}, {qvid})" for qid, _, qvid in qlist)
+    idf = (
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    avgdl = "(CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    part = (
+        f"{idf} * (CAST(tf AS DOUBLE) * ({k1!r} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {k1!r} * (1.0 - {b!r}"
+        f" + {b!r} * CAST(dl AS DOUBLE) / {avgdl}))"
+    )
+    qdot = fold_product_sql("q.qv", "a.embedding", dim)
+    word_re = WORD_RE.replace("'", "''")
+    ivf = ",\n".join(ivf_train_ctes(n_cells, dim, n_iters))
+    return f"""
+WITH qt(query_id, term) AS (VALUES {qt_vals}),
+qvm(query_id, qvid) AS (VALUES {qv_vals}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{word_re}') AS t
+  FROM documents),
+exploded AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM exploded
+  WHERE term IN ({in_list}) GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks),
+parts AS (
+  SELECT t.doc_id, t.term,
+         CAST(round(({part}) * 1000000.0) AS BIGINT) AS pm
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats),
+bm_scores AS (
+  SELECT q.query_id, p.doc_id, sum(p.pm) AS bm_micro
+  FROM parts p JOIN qt q USING (term) GROUP BY 1, 2),
+bm AS (
+  SELECT query_id, doc_id, bm25_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY bm_micro DESC, doc_id) AS INT) AS bm25_rank
+    FROM bm_scores) WHERE bm25_rank <= {int(k_cand)}),
+{ivf},
+qpr AS (
+  SELECT m.query_id, m.qvid, r.cid AS cell, r.embedding AS qv,
+         r.nrm AS qnrm
+  FROM qvm m JOIN rf r ON r.vec_id = m.qvid
+  WHERE r.rk <= {int(nprobe)}),
+dcos AS (
+  SELECT q.query_id, a.vec_id AS doc_id,
+         round({qdot} / (q.qnrm * a.nrm), 6) AS cos
+  FROM qpr q JOIN af a ON a.cell = q.cell AND a.vec_id != q.qvid),
+dn AS (
+  SELECT query_id, doc_id, cos_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, doc_id) AS INT) AS cos_rank
+    FROM dcos) WHERE cos_rank <= {int(k_cand)}),
+fused AS (
+  SELECT coalesce(bm.query_id, dn.query_id) AS query_id,
+         coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         CAST(coalesce(bm.bm25_rank, 0) AS INT) AS bm25_rank,
+         CAST(coalesce(dn.cos_rank, 0) AS INT) AS cos_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm.bm25_rank), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + dn.cos_rank), 0.0),
+               6) AS rrf
+  FROM bm FULL OUTER JOIN dn
+    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
+SELECT query_id, doc_id, bm25_rank, cos_rank, rrf, rank FROM (
+  SELECT query_id, doc_id, bm25_rank, cos_rank, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused) WHERE rank <= {int(k)}
+""".strip()
 
 
 def text_index_stats_sql(n_buckets: int = TEXT_INDEX_BUCKETS) -> str:

@@ -391,3 +391,53 @@ def test_stored_query_recovers_interrupted_root_swap(spark, docs):
     assert os.path.isdir(path)
     assert not os.path.exists(path + "_old")
     shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_hybrid_multi_stored_ann_plan_and_lexical_parity(
+    spark, docs, embs, index_path
+):
+    """The fully-stored hybrid (r12 — dense arm from the persisted
+    kNN-join index): the serve plan must contain NO full embedding
+    scan, no tokenization, and partition pruning on BOTH stored
+    tables (tbucket for postings, cell for the probed ANN cells);
+    the lexical arm must be unchanged vs the stored hybrid without
+    the ANN index (bm25_rank per (query, doc) identical)."""
+    import tempfile as tf_mod
+
+    from lasdb_spark.operators.ann_index import build_knn_join_index
+    from lasdb_spark.operators.text_index import hybrid_search_multi_stored
+
+    ann_path = tf_mod.mkdtemp(prefix="lasdb_hybann_") + "/idx"
+    build_knn_join_index(embs, ann_path)
+    got = hybrid_search_multi_stored(
+        spark, index_path, embs, ann_index_path=ann_path
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    assert "regexp" not in plan.lower()
+    assert "explode" not in plan.lower()
+    segs = [
+        s.split("]", 1)[0] for s in plan.split("PartitionFilters: [")[1:]
+    ]
+    assert any("tbucket" in s for s in segs)
+    assert any("cell" in s for s in segs)
+    base = hybrid_search_multi_stored(spark, index_path, embs)
+    bm_got = {
+        (r.query_id, r.doc_id): r.bm25_rank
+        for r in got.collect()
+        if r.bm25_rank > 0
+    }
+    bm_base = {
+        (r.query_id, r.doc_id): r.bm25_rank
+        for r in base.collect()
+        if r.bm25_rank > 0
+    }
+    shared = set(bm_got) & set(bm_base)
+    assert shared  # the lexical arm surfaces in both
+    assert all(bm_got[p] == bm_base[p] for p in shared)
+    # every query answered with a full top-k page
+    per_q = {}
+    for r in got.collect():
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {15}
