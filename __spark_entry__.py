@@ -3308,25 +3308,26 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """256 entries, ordered so every query gets a driver CORRECTNESS
+    """258 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-11 rotation (_R11_LEAD, the committed r10
-    backlog-drain): the 4 NEW r11 entries lead
-    (doc_search_bm25_stored, doc_search_hybrid_stored,
-    doc_search_hybrid_multi_stored, text_index_stats — the stored
-    text-retrieval index, first driver rows), then the 1 entry whose
-    RESULTS changed this round (ann_knn_join_recall: recall now
-    measured on the literal vec_id % 4 == 0 query sample — r10
-    VERDICT #3), then the backlog strictly by staleness of each
-    entry's standing driver row, computed over all ten CORRECTNESS
-    files: the ENTIRE 17-entry r5 block (dedup_exact …
-    rel_sessionize_events, in original dict order) and the 28 oldest
-    r6 entries — 50 exactly. The 19 r6 leftovers (rel_market_share …
-    pc_classify) sit immediately after the cut line and drain fully
-    in r12, taking the post-r11 staleness floor to r7. Everything
-    past the window keeps its standing green row from a prior round
-    AND is re-proven value-exact and type-faithful every test run by
-    the all-entries oracle mirror (tests/test_entry_oracle.py)."""
+    in dict order. Round-12 rotation (_R12_LEAD, the committed r11
+    backlog-drain): the 2 NEW r12 entries lead
+    (doc_search_hybrid_multi_stored_ann — the fully-stored hybrid's
+    dense arm from the persisted kNN-join index, r11 VERDICT #3;
+    doc_search_bm25_appended — serving through a committed append
+    segment, the crash-idempotent increment contract of r11 VERDICT
+    #5), no entry's RESULTS changed this round, then the backlog
+    strictly by staleness of each entry's standing driver row,
+    computed over all eleven CORRECTNESS files: the ENTIRE 19-entry
+    r6 leftover block (rel_market_share … pc_classify, original dict
+    order) and the 29 oldest r7 entries (text_bpe_merges …
+    rel_cust_distribution) — 50 exactly. The 13 r7 leftovers
+    (rel_top_supplier … rel_acf) sit immediately after the cut line
+    and drain fully in r13, taking the post-r12 staleness floor to
+    r8-era rows. Everything past the window keeps its standing green
+    row from a prior round AND is re-proven value-exact and
+    type-faithful every test run by the all-entries oracle mirror
+    (tests/test_entry_oracle.py)."""
     base = {
         # --- new in r9 (first driver rows) ---
         "doc_search_hybrid": _q_doc_search_hybrid,
@@ -3597,12 +3598,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _q_doc_search_hybrid_multi_stored_ann,
         "doc_search_bm25_appended": _q_doc_search_bm25_appended,
     }
-    out = {name: base[name] for name in _R11_LEAD}
+    out = {name: base[name] for name in _R12_LEAD}
     out.update(base)
     return out
 
 
-#: r11 window lead — see the queries() docstring for the derivation.
+#: r12 window lead — see the queries() docstring for the derivation.
+_R12_LEAD = (
+    # new r12 entries (first driver rows)
+    "doc_search_hybrid_multi_stored_ann",
+    "doc_search_bm25_appended",
+    # the entire remaining r6 block, original dict order
+    "rel_market_share",
+    "rel_skyline",
+    "rel_hourly_rollup",
+    "rel_asof_error_click",
+    "rel_json_extract",
+    "rel_event_funnel",
+    "rel_pricing_rollup",
+    "rel_set_ops",
+    "rel_exists_semijoin",
+    "rel_percentiles",
+    "rel_month_momentum",
+    "rel_distinct_customers",
+    "semdedup_keepers",
+    "text_bm25",
+    "rel_retention",
+    "text_surprisal",
+    "text_chunks",
+    "pc_lod_pyramid",
+    "pc_classify",
+    # the 29 oldest r7 entries, original dict order
+    "text_bpe_merges",
+    "rel_min_cost_supplier",
+    "rel_shipping_priority",
+    "ann_ivfpq_stored",
+    "mm_jpeg",
+    "emb_matryoshka",
+    "dedup_url_canonical",
+    "rel_local_supplier",
+    "rel_key_skew",
+    "rel_scd2",
+    "rel_profile",
+    "rel_bucketed_join",
+    "rel_order_priority",
+    "rel_nation_trade",
+    "rel_product_profit",
+    "rel_returned_items",
+    "rel_promo_share",
+    "rel_snapshot_diff",
+    "rel_triangles",
+    "pc_density",
+    "stream_cm_topk",
+    "text_perceptron",
+    "rel_brand_discounts",
+    "mm_silence",
+    "rel_big_orders",
+    "rel_json_profile",
+    "text_freq_spectrum",
+    "rel_mkt_share_q8",
+    "rel_cust_distribution",
+    # --- the 50-row window cut line falls here (entry #50 above) ---
+    # 13 r7 leftovers, drained in r13
+    "rel_top_supplier",
+    "rel_small_qty",
+    "rel_dormant_balance",
+    "mm_phash_pairs",
+    "rel_kcore",
+    "stream_conversions",
+    "mm_audio_fp_pairs",
+    "text_collocations",
+    "rel_forecast_revenue",
+    "entity_matches",
+    "rel_cusum",
+    "rel_ivm_rollup",
+    "rel_acf",
+)
+
+
+#: r11 window lead — kept for the docstring trail; superseded by
+#: _R12_LEAD above.
 _R11_LEAD = (
     # new r11 entries (first driver rows)
     "doc_search_bm25_stored",
@@ -3679,85 +3754,6 @@ _R11_LEAD = (
     "text_chunks",
     "pc_lod_pyramid",
     "pc_classify",
-)
-
-
-#: r10 window lead — kept for the docstring trail; superseded by
-#: _R11_LEAD above.
-_R10_LEAD = (
-    # new r10 entries (first driver rows)
-    "ann_knn_join_stored",
-    "emb_mmr_multi",
-    "ann_index_compact",
-    "doc_search_hybrid_multi",
-    "ann_knn_probe_stored",
-    "ann_index_stats",
-    # results changed by the r9 ADVICE exactness fixes
-    "rel_markov",
-    "rel_rules",
-    "rel_important_parts",
-    "corpus_weighted_sample",
-    # standing driver rows from r3
-    "pc_shape",
-    "text_tfidf",
-    "corpus_pipeline",
-    "corpus_pack",
-    # standing driver rows from r4
-    "rel_sliding_rates",
-    "corpus_topics",
-    "pc_epoch_shift",
-    "pc_normals",
-    # standing driver rows from r5, original dict order
-    "pc_bbox_maxz",
-    "pc_bbox_minz",
-    "pc_bbox_empty",
-    "pc_polygon_diamond",
-    "pc_polygon_multi",
-    "pc_polyline_buffer",
-    "pc_decode_roundtrip",
-    "text_fingerprint",
-    "rel_cdc_merge",
-    "rel_zorder",
-    "sketch_hll_windows",
-    "emb_outliers",
-    "rel_zorder_3d",
-    "stream_hll_distinct",
-    "stream_kmv_distinct",
-    "stream_cdc_snapshot",
-    "stream_exact_dedup",
-    "stream_windowed_counts",
-    "pc_ground",
-    "emb_dim_stats",
-    "corpus_split",
-    "rel_session_paths",
-    "pc_chm",
-    "sketch_kmv_windows",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_top_tokens",
-    "text_top_quality",
-    "corpus_sample",
-    "corpus_curate",
-    "emb_centroids",
-    # --- the 50-row window cut line falls here (entry #50 above) ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_keepers",
-    "dedup_embedding",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_knn_join",
-    "ann_ivf_topk",
-    "ann_ivf_trained",
-    "mm_features",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_top_orders_per_customer",
-    "rel_sessionize_events",
 )
 
 
