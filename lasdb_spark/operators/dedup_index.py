@@ -33,6 +33,21 @@ to the stored buckets plus verify joins on the CANDIDATES only —
 independent of corpus size per bucket row touched. Appending a new
 increment to the index is the same pure per-doc computation, so
 build(all) == build + append row-for-row.
+
+Increments are CRASH-IDEMPOTENT committed segments (r12 — the
+:func:`~.text_index.append_text_index` discipline shared across the
+persisted indexes): :func:`append_dedup_index` stages the increment's
+three tables under ``segments/.tmp-<fp>`` and commits with one
+``os.rename`` to ``segments/seg-<fp>``. The old three-sequential-
+``mode("append")`` writes had the exact crash shape the text index
+was flagged for: a crash between the buckets and shingles appends
+left bucket rows whose candidates silently VANISH at the verify join
+(missed duplicates get admitted), and a retry doubled the shingle
+rows, doubling ``n_inter`` and corrupting every Jaccard. Now a
+crashed append is invisible, a retry overwrites the orphaned tmp or
+no-ops on the committed segment, and readers union base + committed
+segments (plain row unions — increments are disjoint doc sets, so
+unlike the text index there is nothing to merge).
 """
 
 from __future__ import annotations
@@ -82,19 +97,49 @@ def _sig_and_bands(sh: DataFrame, n_perms: int, band_size: int):
     return sig, bands
 
 
+DEDUP_TABLES = ("buckets", "shingles", "sizes")
+
+
 def _write_tables(docs: DataFrame, path: str, n: int, n_perms: int,
-                  band_size: int, mode: str) -> None:
+                  band_size: int) -> None:
     sh = shingles(docs, n).localCheckpoint()
     sig, bands = _sig_and_bands(sh, n_perms, band_size)
-    bands.write.mode(mode).parquet(os.path.join(path, "buckets"))
+    bands.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
     (
         sh.select("doc_id", F.md5(F.col("shingle")).alias("sh"))
-        .write.mode(mode)
+        .write.mode("overwrite")
         .parquet(os.path.join(path, "shingles"))
     )
-    sig.select("doc_id", "n_sh").write.mode(mode).parquet(
+    sig.select("doc_id", "n_sh").write.mode("overwrite").parquet(
         os.path.join(path, "sizes")
     )
+
+
+def _read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Base table unioned with every committed append segment's slice
+    — the :func:`~.text_index._read_index_table` shape (plain row
+    unions: increments are disjoint doc sets)."""
+    from functools import reduce
+
+    from .text_index import _committed_segments, _has_parquet
+
+    dfs = [spark.read.parquet(os.path.join(path, table))]
+    for s in _committed_segments(path):
+        t = os.path.join(s, table)
+        if _has_parquet(t):
+            dfs.append(spark.read.parquet(t))
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def _recover_dedup_swaps(path: str) -> None:
+    """Read-only swap recovery (root + tables) before the first read
+    — the recover-before-read discipline shared with the text and ANN
+    indexes."""
+    from .ann_index import _recover_swap_ro
+
+    _recover_swap_ro(path)
+    for table in DEDUP_TABLES:
+        _recover_swap_ro(os.path.join(path, table))
 
 
 def build_dedup_index(
@@ -107,7 +152,7 @@ def build_dedup_index(
     """Index the corpus for near-duplicate probing at ``path``.
     ``meta.json`` is written LAST (crash marker, as in
     :func:`~.ann_index.build_ann_index`)."""
-    _write_tables(docs, path, n, n_perms, band_size, "overwrite")
+    _write_tables(docs, path, n, n_perms, band_size)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -124,12 +169,34 @@ def append_dedup_index(docs_new: DataFrame, path: str) -> None:
     """Index a new increment into an EXISTING index — per-doc pure
     (shingles/signatures depend only on the text), so increments in
     any order equal a single-shot build row-for-row. Callers own
-    doc_id uniqueness across increments."""
+    doc_id uniqueness across increments.
+
+    CRASH-IDEMPOTENT (r12): the increment's three tables stage under
+    ``segments/.tmp-<fp>`` and commit with ONE ``os.rename`` to
+    ``segments/seg-<fp>`` (``<fp>`` = the deterministic doc_id-set
+    fingerprint of :func:`~.text_index._increment_fingerprint`, so a
+    retry overwrites the orphaned tmp dir and an already-committed
+    append no-ops — module docstring for the failure modes this
+    retires). Not concurrent-safe with a simultaneous compaction's
+    swap."""
+    import shutil
+
+    from .text_index import SEGMENT_DIR, _increment_fingerprint
+
+    _recover_dedup_swaps(path)
     meta = dedup_index_meta(path)
+    fp = _increment_fingerprint(docs_new)
+    seg_root = os.path.join(path, SEGMENT_DIR)
+    os.makedirs(seg_root, exist_ok=True)
+    seg = os.path.join(seg_root, f"seg-{fp}")
+    if os.path.isdir(seg):
+        return  # this increment already committed — idempotent retry
+    tmp = os.path.join(seg_root, f".tmp-{fp}")
+    shutil.rmtree(tmp, ignore_errors=True)
     _write_tables(
-        docs_new, path, meta["n"], meta["n_perms"], meta["band_size"],
-        "append",
+        docs_new, tmp, meta["n"], meta["n_perms"], meta["band_size"]
     )
+    os.rename(tmp, seg)  # THE commit — one atomic directory rename
 
 
 def dedup_index_meta(path: str) -> dict:
@@ -148,12 +215,13 @@ def probe_dedup_index(
     buckets, exact-Jaccard verify of the candidates against the
     stored shingle/size tables. Same candidate semantics and round-6
     arithmetic as the in-plan banded pipeline."""
+    _recover_dedup_swaps(path)
     meta = dedup_index_meta(path)
     sh_new = shingles(docs_new, meta["n"]).localCheckpoint()
     sig_new, bands_new = _sig_and_bands(
         sh_new, meta["n_perms"], meta["band_size"]
     )
-    buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    buckets = _read_table(spark, path, "buckets")
     cands = (
         bands_new.withColumnsRenamed({"doc_id": "new_id"})
         .join(
@@ -163,8 +231,8 @@ def probe_dedup_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    stored_sh = spark.read.parquet(os.path.join(path, "shingles"))
-    stored_sizes = spark.read.parquet(os.path.join(path, "sizes"))
+    stored_sh = _read_table(spark, path, "shingles")
+    stored_sizes = _read_table(spark, path, "sizes")
     inter = (
         cands.join(
             sh_new.select(
@@ -245,18 +313,34 @@ def compact_dedup_index(spark: SparkSession, path: str) -> None:
     partition count: Spark's file packing (maxPartitionBytes +
     openCostInBytes) already yields a size-proportional partition
     count over the fragmented input, so the rewrite converges to
-    ~maxPartitionBytes files per table at any corpus size."""
+    ~maxPartitionBytes files per table at any corpus size.
+
+    r12: the fold runs as a WHOLE-ROOT side-dir swap (the
+    :func:`~.text_index._rewrite_index_root` shape), so folding the
+    committed append segments into the base is atomic across all
+    three tables AND the segment removal — a crash mid-fold leaves
+    either the old root (segments intact) or the new one (segments
+    folded), never a double-counting state."""
+    import shutil
+
     from .ann_index import _recover_swap, _swap_dir
 
+    _recover_swap(path)
+    for table in DEDUP_TABLES:
+        _recover_swap(os.path.join(path, table))
+    meta = dedup_index_meta(path)
+    tmp = path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
     for table, keys in (
         ("buckets", ["band", "sig"]),
         ("shingles", ["sh"]),
         ("sizes", ["doc_id"]),
     ):
-        target = os.path.join(path, table)
-        _recover_swap(target)
-        df = spark.read.parquet(target)
+        df = _read_table(spark, path, table)
         n = max(1, df.rdd.getNumPartitions())
-        tmp = target + "_compacting"
-        df.repartition(n, *keys).write.mode("overwrite").parquet(tmp)
-        _swap_dir(tmp, target)
+        df.repartition(n, *keys).write.mode("overwrite").parquet(
+            os.path.join(tmp, table)
+        )
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    _swap_dir(tmp, path)

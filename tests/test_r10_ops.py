@@ -139,18 +139,29 @@ def test_compact_dedup_index_identity(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     inc = docs.where(F.col("doc_id") % 2 == 1)
     path = tempfile.mkdtemp(prefix="lasdb_dedupidx_cmp_")
+    from lasdb_spark.operators.dedup_index import _read_table
+    from lasdb_spark.operators.text_index import _committed_segments
+
     build_dedup_index(corpus.where(F.col("doc_id") % 8 == 0), path)
     for m in (2, 4, 6):
         append_dedup_index(corpus.where(F.col("doc_id") % 8 == m), path)
+    # r12: appends land as committed segments; logical content =
+    # base ∪ segments, which the fold must preserve exactly
+    assert len(_committed_segments(path)) == 3
     want_tables = {
-        tbl: _rows(spark.read.parquet(f"{path}/{tbl}"))
+        tbl: _rows(_read_table(spark, path, tbl))
         for tbl in ("buckets", "shingles", "sizes")
     }
     want_probe = _rows(probe_dedup_index(inc, spark, path))
-    before = len(glob.glob(f"{path}/buckets/*.parquet"))
+    before = len(
+        glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
     compact_dedup_index(spark, path)
-    after = len(glob.glob(f"{path}/buckets/*.parquet"))
+    after = len(
+        glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
     assert after <= before
+    assert _committed_segments(path) == []  # folded into the base
     for tbl, want in want_tables.items():
         assert _rows(spark.read.parquet(f"{path}/{tbl}")) == want
     assert _rows(probe_dedup_index(inc, spark, path)) == want_probe
