@@ -74,6 +74,9 @@ BOUNDED_GLOBAL_WINDOW = {
     # partition-pruned postings scan; the window still sees k rows
     "doc_search_bm25_stored",
     "doc_search_hybrid_stored",
+    # r12: serving through a committed append segment — the identical
+    # stored-BM25 plan (rank after limit(k)) over base ∪ segment scans
+    "doc_search_bm25_appended",
 }
 
 #: Python-eval exemptions: multimodal decode — mm_features/mm_resize/
