@@ -117,18 +117,12 @@ def _write_tables(docs: DataFrame, path: str, n: int, n_perms: int,
 
 def _read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     """Base table unioned with every committed append segment's slice
-    — the :func:`~.text_index._read_index_table` shape (plain row
-    unions: increments are disjoint doc sets)."""
-    from functools import reduce
+    — :func:`~.text_index._read_index_table` itself (one shared
+    implementation; here the unions are plain row unions, since
+    increments are disjoint doc sets with nothing to merge)."""
+    from .text_index import _committed_segments, _read_index_table
 
-    from .text_index import _committed_segments, _has_parquet
-
-    dfs = [spark.read.parquet(os.path.join(path, table))]
-    for s in _committed_segments(path):
-        t = os.path.join(s, table)
-        if _has_parquet(t):
-            dfs.append(spark.read.parquet(t))
-    return reduce(lambda a, b: a.unionByName(b), dfs)
+    return _read_index_table(spark, path, table, _committed_segments(path))
 
 
 def _recover_dedup_swaps(path: str) -> None:

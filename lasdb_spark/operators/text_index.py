@@ -531,6 +531,11 @@ def hybrid_search_multi_stored(
     from .search import HYBRID_MULTI_QUERIES, SEARCH_TOPK, _query_terms
     from .similarity import _cosine
 
+    if nprobe is not None and ann_index_path is None:
+        raise ValueError(
+            "nprobe only applies to the stored-ANN dense arm — pass "
+            "ann_index_path, or drop nprobe for the brute-force arm"
+        )
     queries = HYBRID_MULTI_QUERIES if queries is None else queries
     k = SEARCH_TOPK if k is None else k
     qlist = [(int(qid), _query_terms(qtext), int(qvid))
@@ -837,21 +842,35 @@ def text_index_needs_rebucket(
     "worst_bucket_n_terms": int, "total_postings": int, "n_buckets":
     int, "suggested_n_buckets": int, "budget": int}`` — so the caller
     can log why. ``suggested_n_buckets`` is the smallest power-of-two
-    multiple of the current fan-out whose UNIFORM per-bucket load
-    sits at ≤ half the budget (headroom for residual collisions); the
-    bucket id is data-independent, so any such value is valid. Cost:
-    the stats scan (one partial agg over base + segments)."""
+    multiple of the current fan-out that puts BOTH load models at
+    ≤ half the budget (headroom for residual collisions): the uniform
+    bound total/B' covers growth-driven breaches, and the worst-
+    bucket bound worst/m covers collision-driven ones (a hot bucket's
+    terms split ~evenly across its m children under the md5 modulo —
+    exact only down to per-term granularity, which is why the
+    evidence reports the hot bucket's term count). On any breach the
+    suggestion is therefore strictly larger than the current fan-out
+    — a no-op rewrite can never be recommended. The bucket id is
+    data-independent, so any such value is valid. Cost: the stats
+    scan (one partial agg over base + segments)."""
     rows = text_index_stats(spark, path).collect()
     meta = text_index_meta(path)
     n_buckets = int(meta["n_buckets"])
     worst = max(rows, key=lambda r: (r.n_postings, -r.tbucket))
     total = sum(r.n_postings for r in rows)
+    budget = max(1, max_bucket_postings)
     suggested = n_buckets
-    while total / suggested > max(1, max_bucket_postings) / 2:
+    while total / suggested > budget / 2:
         suggested *= 2
+    rebucket = bool(worst.n_postings > max_bucket_postings)
+    if rebucket:
+        m = 1
+        while worst.n_postings / m > budget / 2:
+            m *= 2
+        suggested = max(suggested, n_buckets * max(m, 2))
     return {
-        "rebucket": bool(worst.n_postings > max_bucket_postings),
-        "max_bucket_postings": int(worst.n_postings),
+        "rebucket": rebucket,
+        "worst_bucket_postings": int(worst.n_postings),
         "worst_tbucket": int(worst.tbucket),
         "worst_bucket_n_terms": int(worst.n_terms),
         "total_postings": int(total),

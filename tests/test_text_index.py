@@ -243,6 +243,10 @@ def test_rebucket_plant_breach_rebalance(spark, docs):
     assert decision["rebucket"] is True
     assert decision["worst_tbucket"] == 3
     assert decision["worst_bucket_n_terms"] > 1  # splitting CAN help
+    # a breach must never suggest a no-op rewrite (r12 review #1):
+    # the worst-bucket bound forces a strictly larger fan-out even
+    # when the uniform bound is already satisfied
+    assert decision["suggested_n_buckets"] > decision["n_buckets"]
     assert decision["suggested_n_buckets"] >= 16
     before = _rows(bm25_search_stored(spark, path, QUERY))
     rebucket_text_index(spark, path, 32)
