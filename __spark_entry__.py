@@ -1076,7 +1076,7 @@ def _q_ann_ivfpq_stored(spark, sf_dir):
     Builds the index at a deterministic temp path if absent
     (meta.json written last = build-complete marker), then answers
     from the stored tables — the returned plan has no training stage
-    and exactly one FileScan (the partition-pruned codes table). The
+    and only partition-pruned codes scans (one per base/segment). The
     build is a pure function of the corpus, so the values equal
     topk_ivfpq_trained's and the trained DuckDB twin is the oracle."""
     from lasdb_spark.operators.ann_index import (

@@ -33,8 +33,10 @@ FileScan — the IVF inverted list realized as Parquet partition layout.
 2. *Execution* (the only corpus-sized work): a single partition-pruned
    scan of ``codes`` (``PartitionFilters: cell IN probed``) joined to
    the broadcast LITERAL ADC table, one partial-aggregated groupBy,
-   TakeOrdered(k). No training stages, no Lloyd chain, exactly one
-   FileScan.
+   TakeOrdered(k). No training stages, no Lloyd chain, no corpus
+   scan beyond the pruned codes reads (base + committed append
+   segments — r12: increments land as one-rename-commit segments,
+   folded back by compaction).
 
 Determinism: the build is a pure function of (embeddings, params) —
 the same Lloyd chains as ``topk_ivfpq_trained`` — so the stored tables
@@ -139,6 +141,40 @@ def ann_index_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _ann_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """The index's logical ``table`` — base unioned with every
+    committed append segment's slice, via the shared segment reader
+    (:func:`~.text_index._read_index_table`). Each segment keeps the
+    same cell-partitioned layout, so a probed-cells read partition-
+    prunes in every scan of the union; :func:`compact_ann_index`
+    folds segments back into one base."""
+    from .text_index import _committed_segments, _read_index_table
+
+    return _read_index_table(spark, path, table, _committed_segments(path))
+
+
+def _commit_segment(write_df, path: str, table: str, fp: str) -> bool:
+    """Stage ``write_df`` (a callable taking the target dir) under
+    ``segments/.tmp-<fp>/<table>`` and commit with ONE rename to
+    ``segments/seg-<fp>`` — the shared crash-idempotent append commit
+    (module docstrings of :mod:`~.text_index` for the contract).
+    Returns False (no-op) if the segment is already committed."""
+    import shutil
+
+    from .text_index import SEGMENT_DIR
+
+    seg_root = os.path.join(path, SEGMENT_DIR)
+    os.makedirs(seg_root, exist_ok=True)
+    seg = os.path.join(seg_root, f"seg-{fp}")
+    if os.path.isdir(seg):
+        return False  # this increment already committed — idempotent
+    tmp = os.path.join(seg_root, f".tmp-{fp}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_df(os.path.join(tmp, table))
+    os.rename(tmp, seg)  # THE commit — one atomic directory rename
+    return True
+
+
 def append_ann_index(embs_new: DataFrame, path: str) -> None:
     """Incrementally index new vectors into an EXISTING index at
     ``path`` — the daily-increment maintenance job: at 100 TB you
@@ -146,15 +182,26 @@ def append_ann_index(embs_new: DataFrame, path: str) -> None:
     embeddings continuously. This is an ENCODE-ONLY pass: the stored
     cells and books are read back (KB), the new vectors run one
     assignment + one encode (two map-side passes over only the NEW
-    data), and their codes append as new Parquet files inside the
-    existing cell partitions. No training, no touch of the existing
-    codes.
+    data), and their codes land as a committed segment. No training,
+    no touch of the existing codes.
 
     Encoding is a pure per-row function of (vector, cells, books), so
     appending in any number of increments yields byte-identical code
     rows to a single-shot encode — pytest pins build(all) ==
     build(half) + append(half) down to the query results. Callers own
-    vec_id uniqueness across increments (ids are the dedup key)."""
+    vec_id uniqueness across increments (ids are the dedup key).
+
+    CRASH-IDEMPOTENT (r12 — the segment discipline shared with the
+    text and dedup indexes): the increment stages under
+    ``segments/.tmp-<fp>`` and commits with one rename to
+    ``segments/seg-<fp>`` (``<fp>`` = the deterministic vec_id-set
+    fingerprint), so a crashed append is invisible and a retry either
+    overwrites the orphaned tmp or no-ops — the old ``mode("append")``
+    path was near-atomic against crashes (single write job) but a
+    RETRY after a successful append silently doubled every code row,
+    doubling the ADC distance sums."""
+    from .text_index import _increment_fingerprint
+
     spark = embs_new.sparkSession
     meta = ann_index_meta(path)
     m, sub_dim = meta["m"], meta["dim"] // meta["m"]
@@ -162,11 +209,17 @@ def append_ann_index(embs_new: DataFrame, path: str) -> None:
     books = spark.read.parquet(os.path.join(path, "books")).localCheckpoint()
     res = _coarse_assign_residuals(embs_new, cents)
     codes = _encode_residual_codes(res, books, m, sub_dim)
-    (
-        codes.repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "codes"))
+    fp = _increment_fingerprint(embs_new, id_col="vec_id")
+    _commit_segment(
+        lambda d: (
+            codes.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(d)
+        ),
+        path,
+        "codes",
+        fp,
     )
 
 
@@ -182,8 +235,9 @@ def topk_ivfpq_stored(
     PERSISTED index at ``path``: same output contract and (given the
     same build params) the same values as
     :func:`~.similarity.topk_ivfpq_trained`, but the returned plan
-    contains NO training stage and exactly ONE FileScan — the
-    partition-pruned ``codes`` table.
+    contains NO training stage and no corpus-sized scans beyond the
+    partition-pruned ``codes`` reads (one per base/committed segment
+    until compaction folds them).
 
     Planning collects KB-bounded state only: the stored cells + books,
     and the nprobe·M·K-row ADC table computed by one tiny job over the
@@ -216,7 +270,7 @@ def topk_ivfpq_stored(
         dtab_rows, "cell long, m int, code int, qd2q long"
     )
     probe_cells = sorted({r["cell"] for r in dtab_rows})
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = _ann_table(spark, path, "codes")
     approx = (
         codes.where(F.col("cell").isin(probe_cells))
         .where(F.col("vec_id") != query_vec_id)
@@ -335,22 +389,29 @@ def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
     the stored table's (r11): Parquet appends don't unify types, so a
     double-typed increment into a float-typed index would poison
     every later scan with a per-file read error — fail loudly at
-    ingest instead."""
+    ingest instead.
+
+    CRASH-IDEMPOTENT (r12): the increment's assignment rows land as
+    a committed segment (one-rename commit, deterministic vec_id-set
+    fingerprint — see :func:`append_ann_index` for the retry hazard
+    this retires: a re-run after a successful old-style append
+    duplicated every probe AND build row of the increment, turning
+    its kNN-join pairs into duplicates)."""
     from .similarity import _nearest_cells, embs_with_norm
+    from .text_index import _increment_fingerprint
 
     spark = embs_new.sparkSession
     meta = ann_index_meta(path)
-    assign_dir = os.path.join(path, "assign")
-    if os.path.isdir(assign_dir):  # first append may create the table
+    try:
+        stored = _ann_table(spark, path, "assign")
+    except FileNotFoundError:
+        stored = None  # first append may create the table
+    if stored is not None:
         # compare ELEMENT types only: ArrayType equality includes
         # containsNull, which differs between parquet-read data
         # (true) and F.array()-built columns (false) without any
         # actual type hazard — only the element type poisons the scan
-        stored_t = (
-            spark.read.parquet(assign_dir)
-            .schema["embedding"]
-            .dataType.elementType
-        )
+        stored_t = stored.schema["embedding"].dataType.elementType
         new_t = embs_new.schema["embedding"].dataType.elementType
         if stored_t != new_t:
             raise ValueError(
@@ -365,12 +426,18 @@ def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
     ranked = _nearest_cells(embs_with_norm(embs_new), cents).filter(
         F.col("rk") <= int(meta["max_nprobe"])
     )
-    (
-        ranked.withColumnRenamed("cid", "cell")
-        .repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "assign"))
+    out = ranked.withColumnRenamed("cid", "cell")
+    fp = _increment_fingerprint(embs_new, id_col="vec_id")
+    _commit_segment(
+        lambda d: (
+            out.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(d)
+        ),
+        path,
+        "assign",
+        fp,
     )
 
 
@@ -408,7 +475,7 @@ def knn_join_ivf_stored(
             f"{meta['max_nprobe']} — rebuild the index with a larger "
             "fan-out"
         )
-    assign = spark.read.parquet(os.path.join(path, "assign")).select(
+    assign = _ann_table(spark, path, "assign").select(
         "vec_id",
         "embedding",
         "nrm",
@@ -475,33 +542,46 @@ def _recover_swap_ro(target: str) -> None:
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> None:
-    """Merge appended segments of a persisted ANN index back into the
-    canonical partition layout (r9 VERDICT missing #3: ``append_*``
-    grows a cell directory by one small file per increment; after
-    many increments the scan pays per-file open cost and the
-    partition layout degrades). Rewrites the corpus-sized table —
-    ``codes`` for an IVF-PQ index, ``assign`` for a kNN-join index —
-    repartitioned by cell into right-sized files, via side-dir +
-    rename swap (see :func:`_swap_dir` for the exact crash window and
-    :func:`_recover_swap`, run on entry, for repair of an interrupted
-    prior run). Row content is untouched (compaction is a layout
-    operation), so compact(build + append) == build(all) down to
-    query results — pytest-pinned. Maintenance-window op: don't run
-    it concurrently with appends — an append that lands in the old
-    directory during the swap is silently discarded."""
+    """Fold committed append segments of a persisted ANN index back
+    into the canonical base layout (r9 VERDICT missing #3; r12: the
+    appends land as segments, and each adds one pruned directory
+    read per probed cell until this fold). Rewrites the corpus-sized
+    table — ``codes`` for an IVF-PQ index, ``assign`` for a kNN-join
+    index — repartitioned by cell into right-sized files, as a
+    WHOLE-ROOT side-dir swap (the :func:`~.text_index
+    ._rewrite_index_root` shape): the fold is atomic across the
+    table and the segment removal, so a crash mid-fold leaves either
+    the old root (segments intact) or the new one (segments folded),
+    never a double-counting state. The KB-scale trained tables
+    (cells/books) are copied byte-for-byte. Row content is untouched
+    (compaction is a layout operation), so compact(build + append)
+    == build(all) down to query results — pytest-pinned.
+    Maintenance-window op: don't run it concurrently with appends —
+    a segment committing during the swap lands in the old root and
+    is silently discarded."""
+    import shutil
+
     meta = ann_index_meta(path)
     table = "assign" if meta.get("kind") == "knn_join_ivf" else "codes"
-    target = os.path.join(path, table)
-    _recover_swap(target)
-    df = spark.read.parquet(target)
-    tmp = target + "_compacting"
+    _recover_swap(path)
+    _recover_swap(os.path.join(path, table))
+    df = _ann_table(spark, path, table)
+    tmp = path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for small in ("cells", "books"):
+        src = os.path.join(path, small)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, small))
     (
         df.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(tmp)
+        .parquet(os.path.join(tmp, table))
     )
-    _swap_dir(tmp, target)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    _swap_dir(tmp, path)
 
 
 def knn_join_probe_stored(
@@ -554,7 +634,7 @@ def knn_join_probe_stored(
         )
     )
     build = (
-        spark.read.parquet(os.path.join(path, "assign"))
+        _ann_table(spark, path, "assign")
         .filter(F.col("rk") == 1)
         .select(
             F.col("cell").cast("long").alias("cell"),
@@ -658,7 +738,7 @@ def rebuild_knn_join_index(spark: SparkSession, path: str) -> None:
     meta = ann_index_meta(path)
     n_cells = int(meta["n_cells"])
     home = (
-        spark.read.parquet(os.path.join(path, "assign"))
+        _ann_table(spark, path, "assign")
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", F.col("cell").cast("long").alias("cell"))
     )
@@ -731,7 +811,7 @@ def knn_join_index_stats(spark: SparkSession, path: str) -> DataFrame:
     meta = ann_index_meta(path)
     n_cells = int(meta["n_cells"])
     assign = (
-        spark.read.parquet(os.path.join(path, "assign"))
+        _ann_table(spark, path, "assign")
         .filter(F.col("rk") == 1)
         .select(F.col("cell").cast("long").alias("cell"))
     )

@@ -193,18 +193,31 @@ def _has_parquet(d: str) -> bool:
 def _read_index_table(
     spark: SparkSession, path: str, table: str, segs: list[str]
 ) -> DataFrame:
-    """Base table unioned with every committed segment's slice of it.
-    Each segment is its own tbucket-partitioned root, so a pruned
-    read prunes in EVERY scan of the union — per-query cost is
-    |terms| buckets × (1 + n_segments) directory reads until
-    :func:`compact_text_index` folds the segments away."""
+    """Base table unioned with every committed segment's slice of it
+    — the shared segment reader of all three persisted index families
+    (text here; dedup via :func:`~.dedup_index._read_table`; ANN via
+    :func:`~.ann_index._ann_table`). Each segment is its own
+    partition-layout root, so a pruned read prunes in EVERY scan of
+    the union — per-query cost is (1 + n_segments) pruned directory
+    reads until the family's compactor folds the segments away. A
+    base table that is missing or empty is skipped (an incremental
+    fixture may hold ALL its rows in segments); if no source has
+    data, fail loudly rather than infer an empty schema."""
     from functools import reduce
 
-    dfs = [spark.read.parquet(os.path.join(path, table))]
+    dfs = []
+    base = os.path.join(path, table)
+    if _has_parquet(base):
+        dfs.append(spark.read.parquet(base))
     for s in segs:
         t = os.path.join(s, table)
         if _has_parquet(t):
             dfs.append(spark.read.parquet(t))
+    if not dfs:
+        raise FileNotFoundError(
+            f"no parquet data for index table {table!r} under {path} "
+            "(neither base nor committed segments)"
+        )
     return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
@@ -643,18 +656,19 @@ def hybrid_search_multi_stored(
     return ranked.orderBy("query_id", "rank")
 
 
-def _increment_fingerprint(docs_new: DataFrame) -> str:
-    """Deterministic 16-hex fingerprint of an increment's doc_id SET
-    — the segment name, hence the idempotency key of
-    :func:`append_text_index`: re-running the same increment resolves
-    to the same segment directory. One tiny agg over the increment's
-    id column (count, min, max, xxhash64 XOR-fold — order-independent
-    and overflow-free, unlike a full-range long sum under ANSI)."""
+def _increment_fingerprint(docs_new: DataFrame, id_col: str = "doc_id") -> str:
+    """Deterministic 16-hex fingerprint of an increment's id SET —
+    the segment name, hence the idempotency key of every segment
+    append (:func:`append_text_index`; the dedup and ANN appends
+    share it): re-running the same increment resolves to the same
+    segment directory. One tiny agg over the increment's id column
+    (count, min, max, xxhash64 XOR-fold — order-independent and
+    overflow-free, unlike a full-range long sum under ANSI)."""
     r = docs_new.agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
-        F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("hx"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("hx"),
     ).collect()[0]
     key = f"{r['n']}:{r['lo']}:{r['hi']}:{r['hx']}"
     return hashlib.md5(key.encode("utf-8")).hexdigest()[:16]

@@ -434,12 +434,15 @@ def test_ann_index_incremental_append_equals_single_shot(spark, sf_dir):
     shutil.rmtree(f"{split}/codes")
     append_ann_index(embs.where(F.col("vec_id") % 2 == 0), split)
     append_ann_index(embs.where(F.col("vec_id") % 2 == 1), split)
+    # r12: the split index's code rows live in committed segments;
+    # compare the LOGICAL table (base ∪ segments)
+    from lasdb_spark.operators.ann_index import _ann_table
+
     a = sorted(
-        tuple(r)
-        for r in spark.read.parquet(f"{single}/codes").collect()
+        tuple(r) for r in _ann_table(spark, single, "codes").collect()
     )
     b = sorted(
-        tuple(r) for r in spark.read.parquet(f"{split}/codes").collect()
+        tuple(r) for r in _ann_table(spark, split, "codes").collect()
     )
     assert a == b and a
     qa = [tuple(r) for r in topk_ivfpq_stored(spark, single, embs).collect()]

@@ -95,9 +95,12 @@ def test_compact_ann_index_knn_join_identity(spark, embs):
     shutil.rmtree(f"{path}/assign")
     for m in range(4):
         append_knn_join_index(embs.where(F.col("vec_id") % 4 == m), path)
-    before = len(glob.glob(f"{path}/assign/cell=*/*.parquet"))
+    # r12: the increments live as 4 committed segments (4 files per
+    # touched cell across the index); the fold packs them into one
+    # base file per cell
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
     compact_ann_index(spark, path)
-    after = len(glob.glob(f"{path}/assign/cell=*/*.parquet"))
+    after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
     assert after < before
     assert _rows(knn_join_ivf_stored(spark, path)) == _rows(
         knn_join_ivf(embs)
