@@ -844,9 +844,15 @@ def _section_heavy(spark, sf_dir, timings) -> None:
     from lasdb_spark.operators.ann_index import append_ann_index
 
     inc = embs.where(_F.col("vec_id") % 10 == 3)
-    timings["ann_index_append"] = _timed(
-        spark, lambda: append_ann_index(inc, idx)
-    )
+
+    def _append_fresh():
+        # r12: appends are idempotent segments keyed by the increment
+        # fingerprint — drop the committed segments first so every
+        # rep measures a REAL append, not the no-op retry check
+        shutil.rmtree(os.path.join(idx, "segments"), ignore_errors=True)
+        append_ann_index(inc, idx)
+
+    timings["ann_index_append"] = _timed(spark, _append_fresh)
     shutil.rmtree(idx, ignore_errors=True)
     # r7: degree-ordered triangle counting via per-edge adjacency
     # intersection — the heaviest graph row (adjacency arrays are
