@@ -175,7 +175,9 @@ def _commit_segment(write_df, path: str, table: str, fp: str) -> bool:
     return True
 
 
-def append_ann_index(embs_new: DataFrame, path: str) -> None:
+def append_ann_index(
+    embs_new: DataFrame, path: str, segment_id: str | None = None
+) -> None:
     """Incrementally index new vectors into an EXISTING index at
     ``path`` — the daily-increment maintenance job: at 100 TB you
     retrain cells/codebooks rarely (they drift slowly) but ingest new
@@ -199,7 +201,9 @@ def append_ann_index(embs_new: DataFrame, path: str) -> None:
     overwrites the orphaned tmp or no-ops — the old ``mode("append")``
     path was near-atomic against crashes (single write job) but a
     RETRY after a successful append silently doubled every code row,
-    doubling the ADC distance sums."""
+    doubling the ADC distance sums. ``segment_id``, when given, is used verbatim as the segment
+    fingerprint (a crawl batch id) and skips the id-set agg — the
+    caller then owns its uniqueness-per-increment contract."""
     from .text_index import _increment_fingerprint
 
     spark = embs_new.sparkSession
@@ -209,7 +213,11 @@ def append_ann_index(embs_new: DataFrame, path: str) -> None:
     books = spark.read.parquet(os.path.join(path, "books")).localCheckpoint()
     res = _coarse_assign_residuals(embs_new, cents)
     codes = _encode_residual_codes(res, books, m, sub_dim)
-    fp = _increment_fingerprint(embs_new, id_col="vec_id")
+    fp = (
+        segment_id
+        if segment_id is not None
+        else _increment_fingerprint(embs_new, id_col="vec_id")
+    )
     _commit_segment(
         lambda d: (
             codes.repartition("cell")
@@ -378,7 +386,9 @@ def _write_knn_join_index(
         json.dump(meta, f)
 
 
-def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
+def append_knn_join_index(
+    embs_new: DataFrame, path: str, segment_id: str | None = None
+) -> None:
     """Rank NEW vectors against the STORED centroids and append their
     assignment rows — encode-only (two broadcast-centroid map passes
     over only the new data, zero training), per-row pure, so
@@ -396,7 +406,9 @@ def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
     fingerprint — see :func:`append_ann_index` for the retry hazard
     this retires: a re-run after a successful old-style append
     duplicated every probe AND build row of the increment, turning
-    its kNN-join pairs into duplicates)."""
+    its kNN-join pairs into duplicates). ``segment_id``, when given, is used verbatim as the segment
+    fingerprint (a crawl batch id) and skips the id-set agg — the
+    caller then owns its uniqueness-per-increment contract."""
     from .similarity import _nearest_cells, embs_with_norm
     from .text_index import _increment_fingerprint
 
@@ -427,7 +439,11 @@ def append_knn_join_index(embs_new: DataFrame, path: str) -> None:
         F.col("rk") <= int(meta["max_nprobe"])
     )
     out = ranked.withColumnRenamed("cid", "cell")
-    fp = _increment_fingerprint(embs_new, id_col="vec_id")
+    fp = (
+        segment_id
+        if segment_id is not None
+        else _increment_fingerprint(embs_new, id_col="vec_id")
+    )
     _commit_segment(
         lambda d: (
             out.repartition("cell")

@@ -159,7 +159,9 @@ def build_dedup_index(
         )
 
 
-def append_dedup_index(docs_new: DataFrame, path: str) -> None:
+def append_dedup_index(
+    docs_new: DataFrame, path: str, segment_id: str | None = None
+) -> None:
     """Index a new increment into an EXISTING index — per-doc pure
     (shingles/signatures depend only on the text), so increments in
     any order equal a single-shot build row-for-row. Callers own
@@ -172,14 +174,20 @@ def append_dedup_index(docs_new: DataFrame, path: str) -> None:
     retry overwrites the orphaned tmp dir and an already-committed
     append no-ops — module docstring for the failure modes this
     retires). Not concurrent-safe with a simultaneous compaction's
-    swap."""
+    swap. ``segment_id``, when given, is used verbatim as the segment
+    fingerprint (a crawl batch id) and skips the id-set agg — the
+    caller then owns its uniqueness-per-increment contract."""
     import shutil
 
     from .text_index import SEGMENT_DIR, _increment_fingerprint
 
     _recover_dedup_swaps(path)
     meta = dedup_index_meta(path)
-    fp = _increment_fingerprint(docs_new)
+    fp = (
+        segment_id
+        if segment_id is not None
+        else _increment_fingerprint(docs_new)
+    )
     seg_root = os.path.join(path, SEGMENT_DIR)
     os.makedirs(seg_root, exist_ok=True)
     seg = os.path.join(seg_root, f"seg-{fp}")

@@ -674,7 +674,9 @@ def _increment_fingerprint(docs_new: DataFrame, id_col: str = "doc_id") -> str:
     return hashlib.md5(key.encode("utf-8")).hexdigest()[:16]
 
 
-def append_text_index(docs_new: DataFrame, path: str) -> None:
+def append_text_index(
+    docs_new: DataFrame, path: str, segment_id: str | None = None
+) -> None:
     """Ingest a document increment into the stored index — the crawl
     loop's maintenance job, CRASH-IDEMPOTENT (r12, closing the r11
     VERDICT #5 contract). The base tables are never touched: the
@@ -695,13 +697,20 @@ def append_text_index(docs_new: DataFrame, path: str) -> None:
     :func:`compact_text_index` / :func:`rebucket_text_index`.
     Callers own doc_id uniqueness across increments (the
     :func:`~.ann_index.append_ann_index` discipline). Not
-    concurrent-safe with a simultaneous compaction's root swap."""
+    concurrent-safe with a simultaneous compaction's root swap.
+    ``segment_id``, when given, is used verbatim as the segment
+    fingerprint (a crawl batch id) and skips the id-set agg — the
+    caller then owns its uniqueness-per-increment contract."""
     import shutil
 
     _recover_index_swaps(path)
     meta = text_index_meta(path)
     n_buckets = int(meta["n_buckets"])
-    fp = _increment_fingerprint(docs_new)
+    fp = (
+        segment_id
+        if segment_id is not None
+        else _increment_fingerprint(docs_new)
+    )
     seg_root = os.path.join(path, SEGMENT_DIR)
     os.makedirs(seg_root, exist_ok=True)
     seg = os.path.join(seg_root, f"seg-{fp}")

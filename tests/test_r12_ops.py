@@ -111,3 +111,24 @@ def test_ann_compact_folds_segments_root_swap(spark, embs):
     assert ann_index_meta(path) == meta_before
     assert os.path.isdir(os.path.join(path, "codes"))
     assert _rows(topk_ivfpq_stored(spark, path, embs)) == want
+
+
+@pytest.mark.spark
+def test_append_with_caller_segment_id(spark, embs):
+    """segment_id is used verbatim as the idempotency key (the crawl
+    batch-id path): no fingerprint job, same-id retry no-ops, and a
+    different id commits a second segment."""
+    from lasdb_spark.operators.ann_index import (
+        append_knn_join_index,
+        build_knn_join_index,
+    )
+    from lasdb_spark.operators.text_index import _committed_segments
+
+    path = tempfile.mkdtemp(prefix="lasdb_segid_") + "/idx"
+    build_knn_join_index(embs.where(F.col("vec_id") % 2 == 0), path)
+    inc = embs.where(F.col("vec_id") % 2 == 1)
+    append_knn_join_index(inc, path, segment_id="batch-2026-08-17")
+    append_knn_join_index(inc, path, segment_id="batch-2026-08-17")
+    assert [os.path.basename(s) for s in _committed_segments(path)] == [
+        "seg-batch-2026-08-17"
+    ]
