@@ -837,7 +837,7 @@ def _section_heavy(spark, sf_dir, timings) -> None:
         spark, lambda: topk_ivfpq_stored(spark, idx, embs).count()
     )
     # r7: the daily-increment maintenance job — encode-only append of
-    # a 10% slice into the existing cell partitions (no training);
+    # a 10% slice committed as a segment (no training);
     # the row pins append-cost ≪ build-cost round-over-round
     from pyspark.sql import functions as _F
 

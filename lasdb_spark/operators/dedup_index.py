@@ -298,7 +298,7 @@ FROM cross_pairs
 def compact_dedup_index(spark: SparkSession, path: str) -> None:
     """Merge appended segments of a persisted dedup index into
     right-sized files (r9 VERDICT missing #3: each
-    :func:`append_dedup_index` increment adds one small file per
+    :func:`append_dedup_index` increment adds one committed segment per
     table; after many increments every probe pays per-file open cost
     on buckets/shingles/sizes). Each table is rewritten — shuffled by
     its probe-join key so co-access stays clustered — through the
