@@ -65,7 +65,13 @@ def _eigen_df(points: DataFrame, radius: float) -> DataFrame:
     sites = points.groupBy("x", "y", "z").agg(F.count(F.lit(1)).alias("m"))
     cx = F.floor(F.col("x") / r).cast("long")
     cy = F.floor(F.col("y") / r).cast("long")
-    sites = sites.select("x", "y", "z", "m", cx.alias("cx"), cy.alias("cy"))
+    # materialize the site table once: the probe fan-out and the join
+    # build side both consume it, and the planner gave each its own
+    # full scan+aggregate of the cloud (measured plan: two independent
+    # HashAggregate chains over two parquet scans) (r12, guide §5)
+    sites = sites.select(
+        "x", "y", "z", "m", cx.alias("cx"), cy.alias("cy")
+    ).localCheckpoint()
     offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     probes = (
         sites.withColumn("dxo", F.explode(offs))

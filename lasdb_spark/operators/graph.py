@@ -238,6 +238,14 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+        # r12 (guide §1.2/§3.3): the edge list feeds degree (twice),
+        # orientation and the closing join — unmaterialized lineage
+        # re-ran the per-order self-join once per reference and the
+        # downstream tree multiplied it combinatorially (measured
+        # plan: 154 Exchanges / 46 joins, ZERO ReusedExchange, for a
+        # 3-join algorithm). |E| rows, shrinking lineage — the same
+        # localCheckpoint discipline as connected_components.
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -254,10 +262,10 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
     dedges = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint()  # consumed by adj AND the closing join (r12)
     adj = dedges.groupBy("src").agg(
         F.collect_list("dst").alias("nbrs")
-    )
+    ).localCheckpoint()  # consumed twice (ny, nz) (r12)
     ny = adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
     nz = adj.select(F.col("src").alias("z"), F.col("nbrs").alias("nz"))
     tri = (
@@ -374,6 +382,11 @@ def copurchase_kcore(
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= min_weight)
         .select("u", "v")
+        # r12: the symmetric union reads `half` twice and union
+        # branches don't share exchanges (the connected_components
+        # lesson) — materialize the half-edge list so the per-order
+        # self-join runs once, not twice
+        .localCheckpoint()
     )
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -484,6 +497,8 @@ def copurchase_communities(
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= min_weight)
+        # r12: the symmetric union reads `half` twice (see kcore)
+        .localCheckpoint()
     )
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
@@ -494,18 +509,31 @@ def copurchase_communities(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    w_arg = Window.partitionBy("u").orderBy(
-        F.col("s").desc(), F.col("label")
-    )
     for _ in range(int(rounds)):
         nb = edges.join(
             labels.withColumnRenamed("node", "v"), "v"
         )
         scores = nb.groupBy("u", "label").agg(F.sum("w").alias("s"))
+        # per-node argmax as one hash aggregation: max over
+        # struct(s, -label, label) = highest weight, ties to the
+        # LOWEST label — the identical winner to the old rn=1 window
+        # ordered by (s desc, label asc); (s, label) is a total order
+        # within a node so the payload is never compared (r12, guide
+        # §2.3 — partial aggregation, no sort)
         labels = (
-            scores.withColumn("rn", F.row_number().over(w_arg))
-            .where(F.col("rn") == 1)
-            .select(F.col("u").alias("node"), "label")
+            scores.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("s"),
+                        (-F.col("label")).alias("nl"),
+                        F.col("label"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("u").alias("node"), F.col("b.label").alias("label")
+            )
             .localCheckpoint()
         )
     return (

@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .dedup import _spread
+
 # ---------------------------------------------------------------------------
 # REAL image containers: PGM / PPM / BMP encode + decode
 # ---------------------------------------------------------------------------
@@ -156,7 +158,11 @@ def make_image_corpus(docs: DataFrame, container: str = "pgm") -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    # _spread: the docs table is one small parquet file at bench scale
+    # (one scan split), which would serialize the whole Python encode
+    # onto a single core; a no-op on really-split corpora (r12, guide
+    # §4 — parallelize the Python boundary)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(
         _enc, schema=IMG_META_SCHEMA
     )
 
@@ -578,7 +584,9 @@ def make_audio_corpus(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    # _spread: see make_image_corpus — parallelize the Python encode
+    # over under-split inputs; no-op on really-split corpora (r12)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(
         _enc, schema=AUDIO_META_SCHEMA
     )
 
@@ -1100,7 +1108,8 @@ def make_video_corpus(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    # _spread: see make_image_corpus (r12)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(
         _enc, schema=VIDEO_META_SCHEMA
     )
 
@@ -1364,7 +1373,9 @@ def make_audio_corpus_gapped(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    # _spread: see make_image_corpus — parallelize the Python encode
+    # over under-split inputs; no-op on really-split corpora (r12)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(
         _enc, schema=AUDIO_META_SCHEMA
     )
 
@@ -1545,7 +1556,10 @@ def make_phash_corpus(docs: DataFrame) -> DataFrame:
                  "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(_enc, schema=IMG_META_SCHEMA)
+    # _spread: see make_image_corpus (r12)
+    return _spread(docs.select("doc_id")).mapInPandas(
+        _enc, schema=IMG_META_SCHEMA
+    )
 
 
 def phash_hashes(corpus: DataFrame) -> DataFrame:
@@ -1763,7 +1777,10 @@ def make_audio_dup_corpus(docs: DataFrame) -> DataFrame:
                  "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(_enc, schema=AUDIO_META_SCHEMA)
+    # _spread: see make_image_corpus (r12)
+    return _spread(docs.select("doc_id")).mapInPandas(
+        _enc, schema=AUDIO_META_SCHEMA
+    )
 
 
 def audio_fingerprints(corpus: DataFrame) -> DataFrame:

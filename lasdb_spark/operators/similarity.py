@@ -457,34 +457,49 @@ def topk_ivf(
     broadcast of the tiny centroid set + windows partitioned by
     vec_id; at scale the cell id becomes a partition/cluster key so a
     probe is a partition-pruned scan."""
-    cents = seed_centroids(embs, n_cells)
+    # KB-sized seed table, referenced by the assignment, the probe
+    # ranking and the query row: materialize once (r12, guide §5)
+    cents = seed_centroids(embs, n_cells).localCheckpoint()
     wn = embs.select(
         "vec_id",
         "embedding",
         F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
+    # assignment as one hash aggregation (identical winner, no sort —
+    # see _assign_cells); probe ranking filters to the QUERY row first
+    # and windows the n_cells-row frame (bounded by construction)
+    assign = _assign_cells(wn, cents)
     ccos = F.round(
         fold_dot_col(F.col("embedding"), F.col("ce"))
         / (F.col("nrm") * F.col("cnrm")),
         6,
     )
-    ranked = wn.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "cid",
-        F.row_number()
-        .over(
-            Window.partitionBy("vec_id").orderBy(ccos.desc(), F.col("cid"))
+    probes = (
+        wn.filter(F.col("vec_id") == query_vec_id)
+        .crossJoin(F.broadcast(cents))
+        .select("cid", ccos.alias("ccos"))
+        # rank the n_cells-row frame WITHOUT any window: descending
+        # sort_array over struct(ccos, -cid, cid) = (cos desc, cid
+        # asc) — the identical probe order — then keep the first
+        # nprobe entries; one single-row aggregation (r12)
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ccos"),
+                            (-F.col("cid")).alias("ncid"),
+                            F.col("cid"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                nprobe,
+            ).alias("top")
         )
-        .alias("rk"),
+        .select(F.explode(F.col("top.cid")).alias("cell"))
     )
-    assign = ranked.filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
-    ).select(F.col("cid").alias("cell"))
     q = assign.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -502,6 +517,44 @@ def topk_ivf(
         cand.select("vec_id", cos.alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def _assign_cells(wn: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm, cell) — nearest-cell assignment as ONE
+    hash aggregation: max over struct(cos, -cid, …) picks the highest
+    cosine with ties to the LOWEST cid — the identical winner to
+    :func:`_nearest_cells`'s rk=1 window (same round(·,6), same
+    tie-break; (cos, cid) is a total order so the payload fields are
+    never compared) — but with map-side partial aggregation collapsing
+    the n_cells fan-out before the exchange and no sort (r12, guide
+    §2.3). Use where only the rk=1 row is needed; ranked probes keep
+    :func:`_nearest_cells`."""
+    ccos = F.round(
+        fold_dot_col(F.col("embedding"), F.col("ce"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    best = (
+        wn.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    ccos.alias("cos"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("cid"),
+                    F.col("embedding"),
+                    F.col("nrm"),
+                )
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.embedding").alias("embedding"),
+        F.col("best.nrm").alias("nrm"),
+        F.col("best.cid").alias("cell"),
     )
 
 
@@ -532,7 +585,13 @@ IVF_ITERS = 2
 def _lloyd_step(assign: DataFrame) -> DataFrame:
     """One Lloyd refinement: per-cell exact component means (integer
     micro-units, BIGINT sums — associative under any partitioning) →
-    rebuilt centroid table (cid, ce, cnrm), always broadcast-sized."""
+    rebuilt centroid table (cid, ce, cnrm), always broadcast-sized.
+
+    Shape note (r12): an A/B against a single groupBy("cell") with
+    dim per-component sum buffers measured the wide-aggregate form
+    2-3× SLOWER end-to-end (65 aggregate buffers fall off the fast
+    codegen path), while this form's "extra" second exchange carries
+    only n_cells×dim rows — keep the narrow posexplode form."""
     parts = assign.select(
         "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
     ).select(
@@ -581,17 +640,47 @@ def topk_ivf_trained(
     )
     cents = seed_centroids(embs, n_cells)
     for _ in range(max(1, n_iters)):
-        assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
-            "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
-        )
-        cents = _lloyd_step(assign)
-    ranked = _nearest_cells(wn, cents)
-    assign_f = ranked.filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+        # rk=1-only consumer: the aggregation form of the assignment
+        # (identical winner, no sort — see _assign_cells)
+        cents = _lloyd_step(_assign_cells(wn, cents))
+    # materialize the TRAINED centroid table once (n_cells×dim — KB at
+    # any corpus size): the final assignment, the probe ranking and
+    # the query row all reference it, and unmaterialized lineage re-ran
+    # the whole training chain per reference (measured plan: 64
+    # Exchanges; ivfpq_train_cents already does this) (r12, guide §5)
+    cents = cents.localCheckpoint()
+    assign_f = _assign_cells(wn, cents)
+    # probe ranking only needs the QUERY row's cells: filter first,
+    # then rank the n_cells-row frame (bounded by construction — the
+    # same shape topk_ivfpq uses) instead of windowing the corpus
+    ccos_q = F.round(
+        fold_dot_col(F.col("embedding"), F.col("ce"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
     )
-    probes = ranked.filter(
-        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= nprobe)
-    ).select(F.col("cid").alias("cell"))
+    probes = (
+        wn.filter(F.col("vec_id") == query_vec_id)
+        .crossJoin(F.broadcast(cents))
+        .select("cid", ccos_q.alias("ccos"))
+        # window-free probe ranking — see topk_ivf (r12)
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ccos"),
+                            (-F.col("cid")).alias("ncid"),
+                            F.col("cid"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                nprobe,
+            ).alias("top")
+        )
+        .select(F.explode(F.col("top.cid")).alias("cell"))
+    )
     q = assign_f.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -828,10 +917,9 @@ def lloyd_refine(
     (:func:`~.ann_index.rebuild_knn_join_index`). Per-round state is
     always the KB centroid table."""
     for _ in range(max(1, n_iters)):
-        assign = _nearest_cells(wn, cents).filter(F.col("rk") == 1).select(
-            "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
-        )
-        cents = _lloyd_step(assign)
+        # rk=1-only consumer: the aggregation form of the assignment
+        # (identical winner, no sort — see _assign_cells)
+        cents = _lloyd_step(_assign_cells(wn, cents))
     return cents
 
 
@@ -1340,14 +1428,18 @@ def pq_encode(
         F.slice("embedding", F.col("m") * sub_dim + 1, sub_dim).alias("svec"),
     )
     d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(d2.asc(), F.col("code"))
-    )
+    # argmin as ONE hash aggregation: min over struct(d2, code) picks
+    # the lexicographically-least pair — identical winner to the old
+    # row_number window ordered by (d2 asc, code) since (d2, code) is
+    # a total order, but partial (map-side) aggregation collapses the
+    # K-way codebook fan-out BEFORE the exchange and no sort runs
+    # (r12, guide §2.3 "aggregate before you shuffle"): the shuffle
+    # carries N·M rows instead of N·M·K sorted rows.
     return (
         vecs.join(F.broadcast(books), "m")
-        .select("vec_id", "m", "code", rk.alias("rk"))
-        .where(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("code"))).alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
     )
 
 
@@ -1389,18 +1481,26 @@ def pq_train_books(
     books = _pq_books(embs, m, n_codes, dim)
     for _ in range(max(1, n_iters)):
         d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
+        # argmin via min(struct(d2, code, svec)): (d2, code) is a
+        # total order (codes unique per subspace), so the winner —
+        # and the svec it carries, constant within the group — is
+        # identical to the old rk=1 window; the hash agg partial-
+        # aggregates the K-way fan-out map-side and skips the sort
+        # (r12, guide §2.3).
         assign = (
             svecs.join(F.broadcast(books), "m")
-            .select("vec_id", "m", "svec", "code", d2.alias("d2"))
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id", "m").orderBy(
-                        F.col("d2").asc(), "code"
-                    )
-                ),
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(d2.alias("d2"), F.col("code"), F.col("svec"))
+                ).alias("best")
             )
-            .where(F.col("rk") == 1)
+            .select(
+                "vec_id",
+                "m",
+                F.col("best.svec").alias("svec"),
+                F.col("best.code").alias("code"),
+            )
         )
         parts = assign.select(
             "m", "code", F.posexplode("svec").alias("pos", "v")
@@ -1544,23 +1644,32 @@ def _coarse_assign_residuals(embs: DataFrame, cents: DataFrame) -> DataFrame:
     from ..functions.hashing import fold_l2_col
 
     d2c = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
-    asg = (
+    # argmin via min(struct(d2, cid, ce, embedding)): (d2, cid) is a
+    # total order so the winning row — with its ce, and the embedding
+    # constant within the group — matches the old rk=1 window; the
+    # hash agg partial-aggregates the n_cells fan-out map-side with
+    # no sort (r12, guide §2.3).
+    best = (
         embs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", "ce", d2c.alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("d2").asc(), "cid"
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    d2c.alias("d2"),
+                    F.col("cid"),
+                    F.col("ce"),
+                    F.col("embedding"),
                 )
-            ),
+            ).alias("best")
         )
     )
-    return asg.where(F.col("rk") == 1).select(
+    return best.select(
         "vec_id",
-        F.col("cid").alias("cell"),
+        F.col("best.cid").alias("cell"),
         F.zip_with(
-            "embedding", "ce", lambda x, y: x.cast("double") - y
+            F.col("best.embedding"),
+            F.col("best.ce"),
+            lambda x, y: x.cast("double") - y,
         ).alias("rv"),
     )
 
@@ -1579,19 +1688,14 @@ def _encode_residual_codes(
         F.slice("rv", F.col("m") * sub_dim + 1, sub_dim).alias("svec"),
     )
     d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
+    # argmin via min(struct(d2, code)) per (vec, cell, m) — identical
+    # winner to the old rk=1 window ((d2, code) is a total order),
+    # partial-aggregated map-side with no sort (r12, guide §2.3).
     return (
         rsub.join(F.broadcast(books), "m")
-        .select("vec_id", "cell", "m", "code", d2.alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "m").orderBy(
-                    F.col("d2").asc(), "code"
-                )
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cell", "m", "code")
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("code"))).alias("best"))
+        .select("vec_id", "cell", "m", F.col("best.code").alias("code"))
     )
 
 
@@ -1711,6 +1815,10 @@ def topk_ivfpq(
             residual_train_iters,
         )
     else:
+        # seeds AND the encode below both consume the residual frame;
+        # materialize it once (the trained branch already does) so the
+        # coarse crossJoin+argmin chain runs one pass, not two (r12)
+        res = res.localCheckpoint()
         seeds = (
             res.orderBy("vec_id")
             .limit(n_codes)
@@ -1779,19 +1887,24 @@ def ivfpq_train_cents(
     )
     for _ in range(max(1, n_iters)):
         d2 = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
+        # argmin via min(struct(d2, cid, embedding)) — identical
+        # winner to the old rk=1 window ((d2, cid) is a total order;
+        # embedding is constant within the group), partial-aggregated
+        # map-side with no sort (r12, guide §2.3).
         assign = (
             embs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "cid", d2.alias("d2"))
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("d2").asc(), "cid"
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        d2.alias("d2"), F.col("cid"), F.col("embedding")
                     )
-                ),
+                ).alias("best")
             )
-            .where(F.col("rk") == 1)
-            .select(F.col("cid").alias("cell"), "embedding")
+            .select(
+                F.col("best.cid").alias("cell"),
+                F.col("best.embedding").alias("embedding"),
+            )
         )
         cents = _lloyd_step(assign).select("cid", "ce")
     return cents.localCheckpoint()

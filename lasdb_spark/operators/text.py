@@ -2104,6 +2104,8 @@ def importance_scores(
     aggs — no corpus-sized shuffle beyond the doc_id agg."""
     from ..functions.hashing import md5_int60_col
 
+    from pyspark import StorageLevel
+
     tok = docs.select(
         "doc_id",
         F.col("source").isin(*target_sources).alias("is_t"),
@@ -2114,7 +2116,11 @@ def importance_scores(
         ).alias("w"),
     ).select(
         "doc_id", "is_t", (md5_int60_col(F.col("w")) % n_buckets).alias("b")
-    )
+    # the token frame feeds BOTH the bucket distribution and the
+    # per-doc scoring join: persist it once (DISK_ONLY keeps the
+    # lineage recomputable — the duplicate_spans discipline) so the
+    # regexp-tokenize pass runs one corpus scan, not two (r12, §5)
+    ).persist(StorageLevel.DISK_ONLY)
     dist = tok.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0))
         .cast("long")
@@ -2499,10 +2505,16 @@ def _perceptron_fit(
                 )
             )
         )
+        # materialize the misclassified set ONCE per round: it feeds
+        # both the update join and the report count, and the lazy
+        # chain would otherwise re-run the whole score pass (feats ⋈
+        # weights → doc agg → labels join) for each consumer — one
+        # full corpus pass per round saved (r12, guide §1.2/§5)
         mis = (
             scores.join(labels, "doc_id")
             .where(F.col("label") * F.col("score") <= 0)
             .select("doc_id", "label")
+            .localCheckpoint()
         )
         upd = (
             feats.join(mis, "doc_id")
@@ -2510,7 +2522,7 @@ def _perceptron_fit(
             .agg(F.sum(F.col("cnt") * F.col("label")).alias("delta"))
         )
         upd_rows = upd.collect()  # <= dim+1 rows: the KB-sized state
-        n_mis = mis.count()
+        n_mis = mis.count()  # counts the materialized checkpoint
         report.append(
             (
                 r,
@@ -2624,6 +2636,10 @@ def quality_calibration(
                 "score"
             )
         )
+        # materialize once: the range aggregate AND the binning pass
+        # both read scores; one doc-sized table instead of two full
+        # feature-join passes (r12, guide §5)
+        .localCheckpoint()
     )
     rng = scores.agg(
         F.min("score").alias("mn"), F.max("score").alias("mx")

@@ -80,7 +80,15 @@ def corpus_topics(
             )
         ).alias("term"),
     )
-    ct = terms.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the (cell, term) counts once: ct feeds both the
+    # term-DF aggregate and the scoring join, and unmaterialized
+    # lineage re-ran the corpus tokenize+explode+shuffle per consumer
+    # (r12, guide §5); vocab×cells-bounded rows, never corpus-sized
+    ct = (
+        terms.groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     df_t = ct.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_clusters = assign.select("cell").distinct().agg(
         F.count(F.lit(1)).alias("k")
