@@ -223,9 +223,19 @@ def ingest_points(
     meta = compute_metadata(points, name, srid, scales, offsets, ratio)
     df = attach_sfc(points, meta)
     out = os.path.join(base_path, f"pc_record_{name}")
-    nparts = target_partitions or max(
-        1, min(256, meta.point_count // 500_000 + 1)
-    )
+    if target_partitions:
+        # Treat the caller's value as a parallelism HINT capped by the
+        # data size (guide §2.2/§6): a core-count hint must not slice a
+        # small table into near-empty range partitions — every written
+        # file costs a task at write time and a footer+task at EVERY
+        # downstream query, which is pure scheduling overhead at bench
+        # scale and the many-small-files anti-pattern at any scale. At
+        # production row counts the data cap exceeds any sane hint, so
+        # the hint wins and sizes the shuffle to the cluster.
+        data_cap = max(2, meta.point_count // 300_000 + 1)
+        nparts = max(1, min(target_partitions, data_cap))
+    else:
+        nparts = max(1, min(256, meta.point_count // 500_000 + 1))
     if layout == "flat":
         sorted_df = (
             df.select("x", "y", "z", "sfc_key")
@@ -313,9 +323,17 @@ def compact_dataset(
 
     path = record_path(base_path, name)
     df = spark.read.parquet(path)
-    # size from the file listing, NOT df.rdd.getNumPartitions() — the
-    # RDD conversion re-plans the whole scan just to read a count
-    nparts = target_partitions or max(1, len(df.inputFiles()) // 4)
+    if target_partitions:
+        # same data-size cap as ingest_points: the count on a bare
+        # parquet scan is footer-stats-only (no column reads), so the
+        # sizing job costs milliseconds, and a core-count hint cannot
+        # shatter a small store into near-empty files
+        data_cap = max(2, df.count() // 300_000 + 1)
+        nparts = max(1, min(target_partitions, data_cap))
+    else:
+        # size from the file listing, NOT df.rdd.getNumPartitions() —
+        # the RDD conversion re-plans the whole scan just to read a count
+        nparts = max(1, len(df.inputFiles()) // 4)
     tmp = path + "_compacting"
     (
         df.repartitionByRange(nparts, "sfc_key")
