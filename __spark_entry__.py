@@ -3310,24 +3310,19 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """258 entries, ordered so every query gets a driver CORRECTNESS
     row over a rolling window: the driver checks ~50 entries per round
-    in dict order. Round-12 rotation (_R12_LEAD, the committed r11
-    backlog-drain): the 2 NEW r12 entries lead
-    (doc_search_hybrid_multi_stored_ann — the fully-stored hybrid's
-    dense arm from the persisted kNN-join index, r11 VERDICT #3;
-    doc_search_bm25_appended — serving through a committed append
-    segment, the crash-idempotent increment contract of r11 VERDICT
-    #5), no entry's RESULTS changed this round, then the backlog
-    strictly by staleness of each entry's standing driver row,
-    computed over all eleven CORRECTNESS files: the ENTIRE 19-entry
-    r6 leftover block (rel_market_share … pc_classify, original dict
-    order) and the 29 oldest r7 entries (text_bpe_merges …
-    rel_cust_distribution) — 50 exactly. The 13 r7 leftovers
-    (rel_top_supplier … rel_acf) sit immediately after the cut line
-    and drain fully in r13, taking the post-r12 staleness floor to
-    r8-era rows. Everything past the window keeps its standing green
-    row from a prior round AND is re-proven value-exact and
-    type-faithful every test run by the all-entries oracle mirror
-    (tests/test_entry_oracle.py)."""
+    in dict order. Round-13 rotation (_R13_LEAD — the committed r12
+    drain promise; no new entries and no entry's RESULTS changed this
+    round): the 13 r7 leftovers lead (rel_top_supplier … rel_acf,
+    original dict order — the stalest standing driver rows, r7), then
+    the backlog strictly by staleness computed over all twelve
+    CORRECTNESS files: the 37 oldest r8-era rows (pc_contours …
+    pc_slope, original dict order) — 50 exactly. The cut line falls
+    inside the r8 block, so the post-r13 staleness floor is r8 and the
+    remaining r8 rows drain next. Everything past the window keeps its
+    standing green row from a prior round AND is re-proven value-exact
+    and type-faithful every test run by the all-entries oracle mirror
+    (tests/test_entry_oracle.py). (The r12 derivation lives on
+    _R12_LEAD below, kept for the docstring trail.)"""
     base = {
         # --- new in r9 (first driver rows) ---
         "doc_search_hybrid": _q_doc_search_hybrid,
@@ -3598,12 +3593,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _q_doc_search_hybrid_multi_stored_ann,
         "doc_search_bm25_appended": _q_doc_search_bm25_appended,
     }
-    out = {name: base[name] for name in _R12_LEAD}
+    out = {name: base[name] for name in _R13_LEAD}
     out.update(base)
     return out
 
 
-#: r12 window lead — see the queries() docstring for the derivation.
+#: r13 window lead — see the queries() docstring for the derivation.
+_R13_LEAD = (
+    # the 13 r7 leftovers (original dict order; stalest driver rows)
+    "rel_top_supplier",
+    "rel_small_qty",
+    "rel_dormant_balance",
+    "mm_phash_pairs",
+    "rel_kcore",
+    "stream_conversions",
+    "mm_audio_fp_pairs",
+    "text_collocations",
+    "rel_forecast_revenue",
+    "entity_matches",
+    "rel_cusum",
+    "rel_ivm_rollup",
+    "rel_acf",
+    # the 37 oldest r8-era rows, original dict order
+    "pc_contours",
+    "text_bpe_encode",
+    "rel_k_anonymity",
+    "text_kn_scores",
+    "rel_benford",
+    "rel_forecast_backtest",
+    "ann_index_append",
+    "stream_sessions",
+    "corpus_shards",
+    "quality_calibration",
+    "pc_segments",
+    "text_fuzzy_decontaminate",
+    "text_lang_mix",
+    "emb_whiten",
+    "corpus_report",
+    "dedup_index_probe",
+    "text_fertility",
+    "stream_curate",
+    "rel_ab_test",
+    "pc_segment_shape",
+    "stream_windows_append",
+    "emb_pca",
+    "emb_cov_pairs",
+    "dedup_spans",
+    "dedup_lsh_recall",
+    "pc_zonal_stats",
+    "text_repetition",
+    "text_decontaminate",
+    "pc_multi_window",
+    "pc_voxel_lod",
+    "pc_thin",
+    "doc_search",
+    "pc_knn_join",
+    "pc_hag",
+    "pc_outliers",
+    "corpus_token_budget",
+    "pc_slope",
+    # --- the 50-row window cut line falls here (entry #50 above) ---
+)
+
+
+#: r12 window lead — kept for the docstring trail; superseded by
+#: _R13_LEAD above.
 _R12_LEAD = (
     # new r12 entries (first driver rows)
     "doc_search_hybrid_multi_stored_ann",

@@ -68,10 +68,20 @@ def _eigen_df(points: DataFrame, radius: float) -> DataFrame:
     # materialize the site table once: the probe fan-out and the join
     # build side both consume it, and the planner gave each its own
     # full scan+aggregate of the cloud (measured plan: two independent
-    # HashAggregate chains over two parquet scans) (r12, guide §5)
-    sites = sites.select(
-        "x", "y", "z", "m", cx.alias("cx"), cy.alias("cy")
-    ).localCheckpoint()
+    # HashAggregate chains over two parquet scans) (r12, guide §5).
+    # persist(DISK_ONLY) in a session slot, not localCheckpoint (r13,
+    # ADVICE): distinct (x,y,z) is ~N for a real cloud — corpus-sized
+    # at 100 TB — so the materialization must keep a recomputable
+    # lineage and stay out of executor memory. The eager count() fills
+    # the cache once so the probe and build subtrees can't both miss
+    # it cold (the knn_join_ivf stampede precedent).
+    from ._matcache import swap_persisted
+
+    sites = swap_persisted(
+        "features.sites",
+        sites.select("x", "y", "z", "m", cx.alias("cx"), cy.alias("cy")),
+    )
+    sites.count()
     offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     probes = (
         sites.withColumn("dxo", F.explode(offs))

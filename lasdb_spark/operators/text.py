@@ -2104,7 +2104,7 @@ def importance_scores(
     aggs — no corpus-sized shuffle beyond the doc_id agg."""
     from ..functions.hashing import md5_int60_col
 
-    from pyspark import StorageLevel
+    from ._matcache import swap_persisted
 
     tok = docs.select(
         "doc_id",
@@ -2116,11 +2116,14 @@ def importance_scores(
         ).alias("w"),
     ).select(
         "doc_id", "is_t", (md5_int60_col(F.col("w")) % n_buckets).alias("b")
+    )
     # the token frame feeds BOTH the bucket distribution and the
     # per-doc scoring join: persist it once (DISK_ONLY keeps the
     # lineage recomputable — the duplicate_spans discipline) so the
-    # regexp-tokenize pass runs one corpus scan, not two (r12, §5)
-    ).persist(StorageLevel.DISK_ONLY)
+    # regexp-tokenize pass runs one corpus scan, not two (r12, §5).
+    # Slotted (r13, ADVICE): repeated calls in a long session evict
+    # the previous call's relation instead of accumulating disk.
+    tok = swap_persisted("importance_scores.tok", tok)
     dist = tok.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0))
         .cast("long")
@@ -2509,20 +2512,29 @@ def _perceptron_fit(
         # both the update join and the report count, and the lazy
         # chain would otherwise re-run the whole score pass (feats ⋈
         # weights → doc agg → labels join) for each consumer — one
-        # full corpus pass per round saved (r12, guide §1.2/§5)
+        # full corpus pass per round saved (r12, guide §1.2/§5).
+        # persist(DISK_ONLY), not localCheckpoint (r13, VERDICT #7):
+        # the set is doc-count-sized — corpus-scale at the 100 TB
+        # target — so the materialization must keep a recomputable
+        # lineage (executor loss re-derives blocks instead of killing
+        # the round) and stay out of executor memory; the eager
+        # count() fills the cache exactly once before the update join
+        from pyspark import StorageLevel
+
         mis = (
             scores.join(labels, "doc_id")
             .where(F.col("label") * F.col("score") <= 0)
             .select("doc_id", "label")
-            .localCheckpoint()
+            .persist(StorageLevel.DISK_ONLY)
         )
+        n_mis = mis.count()  # eager fill + the report count
         upd = (
             feats.join(mis, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("cnt") * F.col("label")).alias("delta"))
         )
         upd_rows = upd.collect()  # <= dim+1 rows: the KB-sized state
-        n_mis = mis.count()  # counts the materialized checkpoint
+        mis.unpersist(blocking=False)  # round-local: both consumers done
         report.append(
             (
                 r,
@@ -2628,6 +2640,8 @@ def quality_calibration(
             .cast("long")
             .alias("label"),
         )
+    from ._matcache import swap_persisted
+
     scores = (
         feats.join(F.broadcast(w_df), "bucket", "left")
         .groupBy("doc_id")
@@ -2636,11 +2650,15 @@ def quality_calibration(
                 "score"
             )
         )
-        # materialize once: the range aggregate AND the binning pass
-        # both read scores; one doc-sized table instead of two full
-        # feature-join passes (r12, guide §5)
-        .localCheckpoint()
     )
+    # materialize once: the range aggregate AND the binning pass both
+    # read scores; one doc-sized table instead of two full feature-join
+    # passes (r12, guide §5). persist(DISK_ONLY) in a session slot, not
+    # localCheckpoint (r13, VERDICT #7): doc-count-sized frames keep a
+    # recomputable lineage and stay out of executor memory; no cold
+    # race — the range aggregate is a blocking BroadcastExchange that
+    # fills the cache before the binning stage reads it.
+    scores = swap_persisted("quality_calibration.scores", scores)
     rng = scores.agg(
         F.min("score").alias("mn"), F.max("score").alias("mx")
     )

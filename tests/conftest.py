@@ -32,6 +32,10 @@ def spark():
     from lasdb_spark.operators.similarity import release_knn_join_cache
 
     release_knn_join_cache()
+    # likewise the r13 slotted persisted intermediates
+    from lasdb_spark.operators._matcache import release_slot
+
+    release_slot()
 
 
 @pytest.fixture(scope="session")
