@@ -520,62 +520,80 @@ def topk_ivf(
     )
 
 
-def _assign_cells(wn: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, embedding, nrm, cell) — nearest-cell assignment as ONE
-    hash aggregation: max over struct(cos, -cid, …) picks the highest
-    cosine with ties to the LOWEST cid — the identical winner to
-    :func:`_nearest_cells`'s rk=1 window (same round(·,6), same
-    tie-break; (cos, cid) is a total order so the payload fields are
-    never compared) — but with map-side partial aggregation collapsing
-    the n_cells fan-out before the exchange and no sort (r12, guide
-    §2.3). Use where only the rk=1 row is needed; ranked probes keep
-    :func:`_nearest_cells`."""
-    ccos = F.round(
-        fold_dot_col(F.col("embedding"), F.col("ce"))
-        / (F.col("nrm") * F.col("cnrm")),
+def _cells_as_array(cents: DataFrame) -> DataFrame:
+    """ONE-row frame holding the whole (KB-sized) centroid table as an
+    array of (cid, ce, cnrm) structs — the broadcast shape of the r13
+    map-side argmin/ranking rewrites. collect_list order is
+    non-deterministic, which is fine: every consumer applies a total
+    order (array_max / sort_array over (cos, -cid) structs), so the
+    winner and the ranking are order-independent."""
+    return cents.agg(
+        F.collect_list(F.struct("cid", "ce", "cnrm")).alias("cs")
+    )
+
+
+def _cell_score(c):
+    """(cos, ncid, cid) ranking struct for one centroid array element
+    against the row's (embedding, nrm) — the shared scoring expression
+    of :func:`_assign_cells` and :func:`_nearest_cells`: same
+    round(·,6), same (cos desc, cid asc) total order as the pre-r13
+    join/window forms, evaluated per array element on the row."""
+    cos = F.round(
+        fold_dot_col(F.col("embedding"), c["ce"])
+        / (F.col("nrm") * c["cnrm"]),
         6,
     )
-    best = (
-        wn.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    ccos.alias("cos"),
-                    (-F.col("cid")).alias("ncid"),
-                    F.col("cid"),
-                    F.col("embedding"),
-                    F.col("nrm"),
-                )
-            ).alias("best")
-        )
+    return F.struct(
+        cos.alias("cos"), (-c["cid"]).alias("ncid"), c["cid"].alias("cid")
     )
-    return best.select(
-        "vec_id",
-        F.col("best.embedding").alias("embedding"),
-        F.col("best.nrm").alias("nrm"),
-        F.col("best.cid").alias("cell"),
+
+
+def _assign_cells(wn: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm, cell) — nearest-cell assignment as a
+    PURE MAP (r13, guide §2.4): the centroid table is collapsed to one
+    broadcast row holding an array of (cid, ce, cnrm) structs and each
+    vector takes array_max over (cos, -cid) scoring structs — the
+    identical winner to the r12 hash-aggregation form (same
+    round(·,6), max cosine with ties to the LOWEST cid; (cos, cid) is
+    a total order). The r12 groupBy still EXCHANGED N finished
+    single-row groups after its map-side partial aggregation — the
+    broadcast fan-out made every group task-local, but the planner
+    cannot know that — and the exchange carried the full embedding
+    payload. This form is the lazy/in-plan twin of semdedup's
+    driver-held ``_assign_to`` (same argmax-over-array shape): zero
+    corpus shuffle, zero sort. Use where only the rk=1 row is needed;
+    ranked probes use :func:`_nearest_cells`."""
+    best = F.array_max(F.transform(F.col("cs"), _cell_score))
+    return wn.crossJoin(F.broadcast(_cells_as_array(cents))).select(
+        "vec_id", "embedding", "nrm", best["cid"].alias("cell")
     )
 
 
 def _nearest_cells(wn: DataFrame, cents: DataFrame) -> DataFrame:
     """Rank every vector's cells by centroid cosine (rk=1 ⇒ nearest).
 
-    One broadcast of the tiny centroid table; the window partitions by
-    vec_id so ranking never concentrates data."""
-    ccos = F.round(
-        fold_dot_col(F.col("embedding"), F.col("ce"))
-        / (F.col("nrm") * F.col("cnrm")),
-        6,
-    )
-    return wn.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "cid",
-        F.row_number()
-        .over(Window.partitionBy("vec_id").orderBy(ccos.desc(), F.col("cid")))
-        .alias("rk"),
+    r13 (guide §2.4): the ranking is a PURE MAP — sort_array over the
+    per-row (cos, -cid, cid) scoring structs (descending: ties on cos
+    fall to the LOWEST cid, exactly the old ``row_number`` over
+    (cos desc, cid asc)) + posexplode, replacing the window's
+    hash-exchange-plus-sort of the N×n_cells fan-out. Output contract
+    unchanged: (vec_id, embedding, nrm, cid, rk) for every cell."""
+    ranked = F.sort_array(F.transform(F.col("cs"), _cell_score), asc=False)
+    return (
+        wn.crossJoin(F.broadcast(_cells_as_array(cents)))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.posexplode(ranked).alias("pos", "s"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("s.cid").alias("cid"),
+            (F.col("pos") + 1).cast("int").alias("rk"),
+        )
     )
 
 
@@ -858,7 +876,18 @@ def knn_join_ivf(
             _KNN_JOIN_CACHED.unpersist(blocking=False)
         except Exception:
             pass
-    ranked = ranked.persist(StorageLevel.DISK_ONLY)
+    # r13: the ranking is now a PURE MAP (see _nearest_cells), so the
+    # persisted frame would inherit the SCAN's partitioning — one
+    # split on a small corpus — and the broadcast-build pair scoring
+    # downstream would run on one core (measured 3.7 s → 19 s at
+    # sf0.1: the Σ|cell|²-pair cosine folds are the real work of this
+    # entry). Hash-repartition the slim ranked rows by vec_id before
+    # the persist: sized by spark.sql.shuffle.partitions (scale- and
+    # session-adaptive, never a local constant), and the final
+    # per-vec_id rank window reuses this exact partitioning, so the
+    # exchange replaces the window's own rather than adding one
+    # (guide §2.4 "two operations keyed the same way").
+    ranked = ranked.repartition("vec_id").persist(StorageLevel.DISK_ONLY)
     ranked.count()
     _KNN_JOIN_CACHED = ranked
     return _knn_join_from_ranked(ranked, k, nprobe)
@@ -1402,6 +1431,28 @@ def _pq_books(embs: DataFrame, m: int, n_codes: int, dim: int) -> DataFrame:
     )
 
 
+def _books_as_array(books: DataFrame) -> DataFrame:
+    """(m, bs) — the per-subspace codebook as ONE array column of
+    (code, cvec) structs per m (M rows total, KB-sized): the broadcast
+    shape of the r13 map-side codeword argmins. collect_list order is
+    non-deterministic, which is fine — every consumer takes array_min
+    over (d2, code) structs, a total order, so the winner is
+    order-independent."""
+    return books.groupBy("m").agg(
+        F.collect_list(F.struct("code", "cvec")).alias("bs")
+    )
+
+
+def _book_score(c):
+    """(d2, code) argmin struct for one codebook array element against
+    the row's ``svec`` — same round(·,6) and (d2 asc, code asc) total
+    order as the pre-r13 join/window forms."""
+    from ..functions.hashing import fold_l2_col
+
+    d2 = F.round(fold_l2_col(F.col("svec"), c["cvec"]), 6)
+    return F.struct(d2.alias("d2"), c["code"].alias("code"))
+
+
 def pq_encode(
     embs: DataFrame,
     m: int = PQ_M,
@@ -1413,10 +1464,20 @@ def pq_encode(
     ids (nearest codeword per subspace by squared L2).
 
     Scale: one broadcast of the M×K codebook, map-side distance to
-    every codeword (N·M·K rows before the per-(vec,subspace) argmin —
-    a constant 128× fan-out here, independent of N), zero shuffles of
-    the corpus. The argmin window partitions by (vec_id, m) so no key
-    concentrates."""
+    every codeword, per-(vec,subspace) argmin as ONE hash aggregation
+    whose exchanged rows are the SLIM (d2, code) winners — never a
+    payload column.
+
+    Shape note (r13): the array_max map-only form that replaced the
+    PAYLOAD-carrying argmins this round was A/B'd here too and
+    measured 30–60% SLOWER (ann_pq_topk 1.6–1.9 s → 2.4–3.0 s solo at
+    sf0.1, interleaved runs): this aggregation ships only (d2, code)
+    — 24 bytes/group — so there is no exchange weight to save, while
+    the nested transform-over-codebook expression pays interpreted
+    struct/array allocation per row that the codegen'd join+agg form
+    does not. Keep the r12 min-struct form where the struct is slim;
+    use the array form only where the old buffers carried vectors
+    (_assign_cells, _coarse_assign_residuals, ivfpq_train_cents)."""
     from ..functions.hashing import fold_l2_col
 
     sub_dim = dim // m
@@ -1434,7 +1495,7 @@ def pq_encode(
     # a total order, but partial (map-side) aggregation collapses the
     # K-way codebook fan-out BEFORE the exchange and no sort runs
     # (r12, guide §2.3 "aggregate before you shuffle"): the shuffle
-    # carries N·M rows instead of N·M·K sorted rows.
+    # carries N·M slim rows instead of N·M·K sorted rows.
     return (
         vecs.join(F.broadcast(books), "m")
         .groupBy("vec_id", "m")
@@ -1465,11 +1526,10 @@ def pq_train_books(
     engines.
 
     Scale: per-round state is the M×K codebook (always broadcast
-    sized); each round costs one broadcast join + window + one
-    map-side-partial groupBy over N·M subvector rows — rounds add
-    plan depth, never shuffle growth."""
-    from ..functions.hashing import fold_l2_col
-
+    sized); each round costs one map-side argmin pass over N·M
+    subvector rows (r13 — zero assignment shuffle, see
+    :func:`pq_encode`) + one map-side-partial groupBy for the
+    component means — rounds add plan depth, never shuffle growth."""
     sub_dim = dim // m
     svecs = embs.select("vec_id", _pq_subspace_ids(m), "embedding").select(
         "vec_id",
@@ -1480,27 +1540,16 @@ def pq_train_books(
     )
     books = _pq_books(embs, m, n_codes, dim)
     for _ in range(max(1, n_iters)):
-        d2 = F.round(fold_l2_col(F.col("svec"), F.col("cvec")), 6)
-        # argmin via min(struct(d2, code, svec)): (d2, code) is a
-        # total order (codes unique per subspace), so the winner —
-        # and the svec it carries, constant within the group — is
-        # identical to the old rk=1 window; the hash agg partial-
-        # aggregates the K-way fan-out map-side and skips the sort
-        # (r12, guide §2.3).
+        # argmin as a PURE MAP (r13, guide §2.4): array_min over the
+        # per-m codebook array — identical winner to the r12
+        # min-struct aggregation and the original rk=1 window
+        # ((d2, code) is a total order, same round(·,6)); svec stays a
+        # row-local column instead of riding through agg buffers, and
+        # the per-round N·M-row assignment exchange disappears.
+        best = F.array_min(F.transform(F.col("bs"), _book_score))
         assign = (
-            svecs.join(F.broadcast(books), "m")
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min(
-                    F.struct(d2.alias("d2"), F.col("code"), F.col("svec"))
-                ).alias("best")
-            )
-            .select(
-                "vec_id",
-                "m",
-                F.col("best.svec").alias("svec"),
-                F.col("best.code").alias("code"),
-            )
+            svecs.join(F.broadcast(_books_as_array(books)), "m")
+            .select("vec_id", "m", "svec", best["code"].alias("code"))
         )
         parts = assign.select(
             "m", "code", F.posexplode("svec").alias("pos", "v")
@@ -1643,32 +1692,27 @@ def _coarse_assign_residuals(embs: DataFrame, cents: DataFrame) -> DataFrame:
     round(L2, 6) with cid tie-breaks keeps it oracle-exact."""
     from ..functions.hashing import fold_l2_col
 
-    d2c = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
-    # argmin via min(struct(d2, cid, ce, embedding)): (d2, cid) is a
-    # total order so the winning row — with its ce, and the embedding
-    # constant within the group — matches the old rk=1 window; the
-    # hash agg partial-aggregates the n_cells fan-out map-side with
-    # no sort (r12, guide §2.3).
-    best = (
-        embs.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    d2c.alias("d2"),
-                    F.col("cid"),
-                    F.col("ce"),
-                    F.col("embedding"),
-                )
-            ).alias("best")
+    # argmin as a PURE MAP (r13, guide §2.4): array_min over per-cell
+    # (d2, cid, ce) structs — (d2, cid) is a total order so the winner
+    # (and the ce it carries; never compared) matches the r12
+    # min-struct aggregation and the original rk=1 window, with zero
+    # exchange of the corpus (the r12 groupBy still shuffled N
+    # finished single-row groups carrying embedding+ce payloads).
+    carr = cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cs"))
+
+    def _score(c):
+        d2c = F.round(fold_l2_col(F.col("embedding"), c["ce"]), 6)
+        return F.struct(
+            d2c.alias("d2"), c["cid"].alias("cid"), c["ce"].alias("ce")
         )
-    )
-    return best.select(
+
+    best = F.array_min(F.transform(F.col("cs"), _score))
+    return embs.crossJoin(F.broadcast(carr)).select(
         "vec_id",
-        F.col("best.cid").alias("cell"),
+        best["cid"].alias("cell"),
         F.zip_with(
-            F.col("best.embedding"),
-            F.col("best.ce"),
+            F.col("embedding"),
+            best["ce"],
             lambda x, y: x.cast("double") - y,
         ).alias("rv"),
     )
@@ -1678,7 +1722,12 @@ def _encode_residual_codes(
     res: DataFrame, books: DataFrame, m: int, sub_dim: int
 ) -> DataFrame:
     """(vec_id, cell, m, code) — PQ-encode each residual against the
-    broadcast per-subspace codebooks (per-(vec, subspace) argmin)."""
+    broadcast per-subspace codebooks (per-(vec, subspace) argmin).
+
+    Kept in the r12 slim min-struct aggregation form, NOT the r13
+    array form, for the reason measured on :func:`pq_encode`: the
+    exchanged struct is (d2, code) — nothing payload-sized to save —
+    and the nested array expression is slower interpreted."""
     from ..functions.hashing import fold_l2_col
 
     rsub = res.select("vec_id", "cell", _pq_subspace_ids(m), "rv").select(
@@ -1886,25 +1935,21 @@ def ivfpq_train_cents(
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     )
     for _ in range(max(1, n_iters)):
-        d2 = F.round(fold_l2_col(F.col("embedding"), F.col("ce")), 6)
-        # argmin via min(struct(d2, cid, embedding)) — identical
-        # winner to the old rk=1 window ((d2, cid) is a total order;
-        # embedding is constant within the group), partial-aggregated
-        # map-side with no sort (r12, guide §2.3).
-        assign = (
-            embs.crossJoin(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        d2.alias("d2"), F.col("cid"), F.col("embedding")
-                    )
-                ).alias("best")
-            )
-            .select(
-                F.col("best.cid").alias("cell"),
-                F.col("best.embedding").alias("embedding"),
-            )
+        # argmin as a PURE MAP (r13, guide §2.4): array_min over
+        # per-cell (d2, cid) structs — identical winner to the r12
+        # min-struct aggregation and the original rk=1 window
+        # ((d2, cid) is a total order, same round(·,6)); embedding
+        # stays a row-local column and the per-round assignment
+        # exchange disappears.
+        carr = cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cs"))
+
+        def _score(c):
+            d2 = F.round(fold_l2_col(F.col("embedding"), c["ce"]), 6)
+            return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+
+        best = F.array_min(F.transform(F.col("cs"), _score))
+        assign = embs.crossJoin(F.broadcast(carr)).select(
+            best["cid"].alias("cell"), "embedding"
         )
         cents = _lloyd_step(assign).select("cid", "ce")
     return cents.localCheckpoint()

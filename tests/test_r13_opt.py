@@ -35,3 +35,61 @@ def test_ingest_partition_hint_is_data_capped(spark, sf_dir, tmp_path):
     out2 = os.path.join(base, "pc_record_cap2")
     files2 = [f for f in os.listdir(out2) if f.endswith(".parquet")]
     assert len(files2) == 2
+
+
+@pytest.mark.spark
+def test_map_side_cell_ranking_matches_window_form(spark, sf_dir):
+    """r13: _nearest_cells / _assign_cells rank cells as a PURE MAP
+    (sort_array / array_max over per-row scoring structs). Pin (a) the
+    bit-identical winner/ranking against the pre-r13 window reference
+    form, and (b) the plan shape: no Window node and no
+    hashpartitioning Exchange of the corpus in the ranking itself."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lasdb_spark.functions.hashing import fold_dot_col
+    from lasdb_spark.operators.similarity import (
+        _assign_cells,
+        _nearest_cells,
+        embs_with_norm,
+        seed_centroids,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wn = embs_with_norm(embs)
+    cents = seed_centroids(embs, 8).localCheckpoint()
+
+    # reference: the original window-ranked form
+    ccos = F.round(
+        fold_dot_col(F.col("embedding"), F.col("ce"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    ref = wn.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(ccos.desc(), F.col("cid"))
+        )
+        .alias("rk"),
+    )
+    got = _nearest_cells(wn, cents).select("vec_id", "cid", "rk")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    got1 = _assign_cells(wn, cents).select("vec_id", "cell")
+    ref1 = ref.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    assert sorted(map(tuple, got1.collect())) == sorted(
+        map(tuple, ref1.collect())
+    )
+    plan = (
+        _nearest_cells(wn, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
