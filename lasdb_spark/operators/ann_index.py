@@ -649,8 +649,21 @@ def knn_join_probe_stored(
             F.col("nrm").alias("na"),
         )
     )
+    # r13 (guide §6): prune the stored scan to the cells the increment
+    # actually probes. The distinct probed-cell set is bounded by
+    # n_cells (KB at any scale — one extra map-only ranking pass over
+    # the increment, partial-aggregated to <= n_cells rows), and
+    # pushing it as an IN filter on the PARTITION column turns the
+    # assign read into a directory-pruned scan: a small increment
+    # clustered in a few cells stops paying a full-index read. Join
+    # results are unchanged — build rows outside the probed cells
+    # never matched any probe row anyway.
+    probed_cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
     build = (
         _ann_table(spark, path, "assign")
+        .filter(F.col("cell").isin(probed_cells))
         .filter(F.col("rk") == 1)
         .select(
             F.col("cell").cast("long").alias("cell"),

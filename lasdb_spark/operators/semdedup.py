@@ -51,6 +51,22 @@ from .similarity import (
 #: embedding near-dup sweep (dedup.EMB_TAU) so recall is comparable
 SEM_TAU = 0.4
 
+#: hot-cell guard for the Σ|cell|² pair scan (r13, guide §2.5): a cell
+#: whose population exceeds SEM_SKEW_FACTOR × the mean cell (the same
+#: 4× rule as ann_index.KNN_JOIN_REBUILD_SKEW_PPM — far outside the
+#: Lloyd steady-state band, reached only when k-means collapses onto
+#: one mode or a near-duplicate burst clumps) has its quadratic scan
+#: SPLIT SEM_SALT ways: the probe side takes a deterministic salt
+#: (pmod(xxhash64(vec_a), SEM_SALT) — never rand(), which breaks
+#: under task retry), the build side replicates to every salt, and
+#: the join keys on (cell, salt) so the hot cell's |cell|² work lands
+#: on SEM_SALT tasks instead of one. Pair set identical (each (a, b)
+#: pair matches at exactly one salt — a's). Cold corpora (every bench
+#: run here) skip the branch entirely: one n_cells-row count agg over
+#: the already-materialized assignment decides.
+SEM_SKEW_FACTOR = 4
+SEM_SALT = 8
+
 
 def _assign_to(wn: DataFrame, cents: list) -> DataFrame:
     """Map-side nearest-centroid assignment against a DRIVER-HELD
@@ -189,18 +205,55 @@ def semantic_pairs(
         fold_dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
         6,
     )
-    return (
-        a.join(
-            # SHUFFLE_HASH: sort-merge would sort both assignment
-            # sides by cell (order unused downstream); the hash build
-            # side holds one CELL's vectors per key — bounded by the
-            # n_cells sizing knob, never by the corpus.
-            b.hint("SHUFFLE_HASH"),
-            (F.col("cell") == F.col("cell_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+
+    def _pairs(aa, bb, extra_keys=()):
+        keys = (F.col("cell") == F.col("cell_b")) & (
+            F.col("vec_a") < F.col("vec_b")
         )
-        .select("vec_a", "vec_b", "cell", cos.alias("cos"))
-        .filter(F.col("cos") >= tau)
+        for ka, kb in extra_keys:
+            keys = keys & (F.col(ka) == F.col(kb))
+        return (
+            aa.join(
+                # SHUFFLE_HASH: sort-merge would sort both assignment
+                # sides by cell (order unused downstream); the hash
+                # build side holds one CELL's vectors per key —
+                # bounded by the n_cells sizing knob, never by the
+                # corpus.
+                bb.hint("SHUFFLE_HASH"),
+                keys,
+            )
+            .select("vec_a", "vec_b", "cell", cos.alias("cos"))
+            .filter(F.col("cos") >= tau)
+        )
+
+    # hot-cell guard (r13, guide §2.5 — rationale on SEM_SKEW_FACTOR):
+    # one n_cells-row count agg over the materialized assignment finds
+    # runaway cells; absent any (the steady state), the plan is the
+    # single intra-cell join unchanged.
+    counts = [
+        (r["cell"], r["n"])
+        for r in assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    mean = sum(n for _, n in counts) / max(len(counts), 1)
+    hot = [c for c, n in counts if n > SEM_SKEW_FACTOR * mean]
+    if not hot:
+        return _pairs(a, b)
+    a_cold, b_cold = (
+        a.filter(~F.col("cell").isin(hot)),
+        b.filter(~F.col("cell_b").isin(hot)),
+    )
+    a_hot = a.filter(F.col("cell").isin(hot)).withColumn(
+        "salt", F.pmod(F.xxhash64("vec_a"), F.lit(SEM_SALT))
+    )
+    b_hot = (
+        b.filter(F.col("cell_b").isin(hot))
+        .withColumn(
+            "salt_b", F.explode(F.array(*[F.lit(s) for s in range(SEM_SALT)]))
+        )
+        .withColumn("salt_b", F.col("salt_b").cast("long"))
+    )
+    return _pairs(a_cold, b_cold).unionByName(
+        _pairs(a_hot, b_hot, extra_keys=(("salt", "salt_b"),))
     )
 
 

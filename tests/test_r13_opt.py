@@ -93,3 +93,93 @@ def test_map_side_cell_ranking_matches_window_form(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+@pytest.mark.spark
+def test_probe_stored_prunes_to_probed_cells(spark, sf_dir, tmp_path):
+    """r13: knn_join_probe_stored pushes the increment's probed-cell
+    set as a partition filter on the stored assign scan — a 1-vector
+    increment (nprobe cells) must not read the other cell
+    directories, and results must match the unpruned join."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.operators.ann_index import (
+        build_knn_join_index,
+        knn_join_probe_stored,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_knn_join_index(embs.where(F.col("vec_id") % 2 == 0), path)
+    inc = embs.where(F.col("vec_id") == 1)
+    out = knn_join_probe_stored(inc, spark, path, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and " IN (" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+    assert m is not None, plan
+    assert len(m.group(1).split(",")) == 2  # nprobe=2 cells, not all 8
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.vec_id == 1 for r in rows)
+
+
+@pytest.mark.spark
+def test_semdedup_hot_cell_salting_keeps_pair_set(spark, sf_dir):
+    """r13 skew guard: with a runaway cell (> SEM_SKEW_FACTOR x mean)
+    the pair scan splits the hot cell SEM_SALT ways; the emitted pair
+    set must be IDENTICAL to the unsalted intra-cell join, and the
+    salted arm must actually be planned (union of two joins)."""
+    from pyspark.sql import functions as F
+
+    from lasdb_spark.functions.hashing import fold_dot_col
+    from lasdb_spark.operators.semdedup import SEM_TAU, semantic_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    # synthetic skew: ~95% of vectors in cell 0, the rest spread
+    skewed = embs.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(fold_dot_col(F.col("embedding"), F.col("embedding"))).alias(
+            "nrm"
+        ),
+        F.when(
+            F.col("vec_id") % 20 == 0,
+            (F.col("vec_id") / 20).cast("long") % 5 + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cell"),
+    ).localCheckpoint()
+    out = semantic_pairs(embs, assign=skewed)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "xxhash64" in plan  # salted arm planned
+    # unsalted reference over the same assignment
+    a = skewed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    b = skewed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = F.round(
+        fold_dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+        6,
+    )
+    ref = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "cell", cos.alias("cos"))
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
