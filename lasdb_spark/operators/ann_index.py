@@ -639,8 +639,17 @@ def knn_join_probe_stored(
     cents = spark.read.parquet(
         os.path.join(path, "cells")
     ).localCheckpoint()
+    # r13: the probe ranking is a pure map (see similarity.
+    # _nearest_cells) and the stored build side broadcasts, so an
+    # under-split increment (one small file = one scan split) would
+    # run the whole pair-scoring stage on one core — the real work of
+    # this op. _spread_hash repartitions ONLY such inputs, keyed by
+    # vec_id so the final per-vector rank window reuses the exchange;
+    # a well-split production increment pays nothing.
+    from .dedup import _spread_hash
+
     probes = (
-        _nearest_cells(embs_with_norm(embs_new), cents)
+        _nearest_cells(embs_with_norm(_spread_hash(embs_new, "vec_id")), cents)
         .filter(F.col("rk") <= int(nprobe))
         .select(
             F.col("cid").alias("cell"),

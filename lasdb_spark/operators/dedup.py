@@ -134,6 +134,41 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_hash(df: DataFrame, *keys: str) -> DataFrame:
+    """Keyed twin of :func:`_spread` (r13): hash-repartition an
+    under-split input by ``keys`` instead of round-robin, so a
+    downstream window/aggregation partitioned by the same keys reuses
+    the exchange (guide §2.4) — same no-op-at-scale contract (the
+    under-split test is identical; a well-split input pays nothing)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    floor = max(target // 2, 2)
+    files = df.inputFiles()
+    if files:
+        n = len(files)
+        if n < floor:
+            sizes = []
+            for p in files:
+                if p.startswith("file:"):
+                    try:
+                        sizes.append(os.path.getsize(p[len("file:"):]))
+                    except OSError:
+                        pass
+            if len(sizes) == len(files):
+                mpb = _parse_bytes(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728b"
+                    ),
+                    128 << 20,
+                )
+                n = sum(-(-s // mpb) for s in sizes)
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < floor:
+        return df.repartition(*[F.col(k) for k in keys])
+    return df
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) — DISTINCT word n-grams, extracted in ONE
     compiled-regex pass per document.
